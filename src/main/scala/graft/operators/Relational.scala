@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational building blocks shared by the query surface.
+  *
+  * These mirror the reference's recurring patterns (SURVEY.md §2):
+  * deterministic top-k (O2), year densification + cumulative profiles
+  * (`ProfileConversion.scala:100-141`), and left-join-with-zero-fill
+  * (J8/P12, `ProfileConversion.scala:155` + `na.fill`).
+  */
+object Relational {
+
+  /** Deterministic per-group top-k: `row_number` over (orderCols, then
+    * tieBreak) — never a bare `orderBy.limit`, whose row set is
+    * nondeterministic under ties and does not distribute (a global limit
+    * funnels through one partition; per-group row_number stays parallel).
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int,
+                   rnName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rnName, row_number().over(w).cast("long"))
+      .filter(col(rnName) <= k)
+  }
+
+  /** Dense (entity × period) grid from the fact table itself, missing
+    * cells zero-filled, plus a running cumulative — the reference's
+    * profile densification (`ProfileConversion.scala:100-141`): distinct
+    * periods are tiny, so the grid is a broadcast cross join, never a
+    * shuffle of the big side.
+    *
+    * Output: entity, period, `n` (count in period), `cum` (running sum).
+    */
+  def densifyCumulative(facts: DataFrame, entity: Column, period: Column,
+                        entityName: String, periodName: String): DataFrame = {
+    val entities = facts.select(entity.as(entityName)).distinct()
+    val periods  = facts.select(period.as(periodName)).distinct()
+    val counts = facts
+      .groupBy(entity.as(entityName), period.as(periodName))
+      .agg(count(lit(1)).as("n"))
+    val grid = entities.crossJoin(broadcast(periods))
+    val w = Window.partitionBy(col(entityName)).orderBy(col(periodName))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq(entityName, periodName), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cum", sum(col("n")).over(w))
+  }
+
+  /** Cumulative aggregate over an ordered dimension within each entity —
+    * the reference's W1 window (`ProfileConversion.scala:114-115`). */
+  def cumulativeOver(df: DataFrame, entity: Column, order: Column,
+                     value: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(entity).orderBy(order)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(value).over(w))
+  }
+}

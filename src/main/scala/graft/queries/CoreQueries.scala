@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Core relational surface: scans, predicates, joins (inner/semi/anti/
+  * outer/cross/theta), aggregations, windows, set ops — the reference's
+  * §2.1-2.7 operator families re-expressed over the driver testdata
+  * star schema. Every query has a DuckDB oracle; money columns are
+  * rounded to 2 decimals on both sides so double-summation order can
+  * never flip the hash.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** Money arithmetic is done in DECIMAL(18,2) on BOTH engines: double
+    * summation order differs between Spark and the DuckDB oracle, and a
+    * sum landing exactly on a round(x, 2) boundary (common: prices have
+    * 2 decimals, discounts 2 → products are exact 1e-4 multiples) would
+    * flip the last cent depending on 1e-10 binary noise. Decimal sums
+    * are exact, rounding is exact, the cast to double at the very end is
+    * deterministic. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val defs: Map[String, Q] = Map(
+    // Full-scan multi-aggregate (A1/A3/A4/A6) with pushed filter (P8).
+    "q01_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+            * dec(lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 2).as("avg_price"),
+          round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Projection + conjunctive/disjunctive predicates (P1/P6/P8/P9);
+    // both filter and column pruning reach the parquet scan.
+    "q02_parts_filter" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size").between(10, 20) &&
+          (col("p_type") === "SMALL" || col("p_type") === "ECONOMY") &&
+          col("p_name").contains("bolt"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+    },
+
+    // 3-way join + agg + deterministic top-k (J1/J2, O2 via row_number).
+    "q03_topk_revenue" -> { (s, d) =>
+      val rev = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+      Relational.topKPerGroup(rev, Seq(lit(1)),
+          Seq(col("revenue").desc, col("l_orderkey")), 10)
+        .drop("rn")
+    },
+
+    // Broadcast left-semi join (J6: EXISTS) + group-count.
+    "q04_priority_exists" -> { (s, d) =>
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey")).distinct()
+      Tables.orders(s, d)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Snowflake multi-join (J2/J3) with broadcast dims; revenue per nation.
+    "q05_region_volume" -> { (s, d) =>
+      val nat = broadcast(Tables.nation(s, d))
+      val reg = broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+    },
+
+    // Pure scan-side range predicates → single global aggregate (P8).
+    "q06_forecast_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+    },
+
+    // Anti-join (NOT EXISTS; reference's driver-side `diff`, O5).
+    "q07_customers_no_orders" -> { (s, d) =>
+      val o95 = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+      Tables.customer(s, d)
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // Left outer join + zero-fill aggregation (J8 + P12).
+    "q08_customer_order_stats" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(dec(col("o_totalprice"))), lit(0)), 2)
+            .cast("double").as("total_spent"))
+    },
+
+    // Cumulative window over year (W1: RANGE unbounded preceding).
+    "q09_cumulative_orders" -> { (s, d) =>
+      val byYear = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+      Relational.cumulativeOver(byYear, col("o_custkey"), col("yr"),
+        col("n_orders"), "cum_orders")
+    },
+
+    // Year densification: entity×period grid, zero fill, cumulative —
+    // the reference profile pipeline (J5 crossJoin + J8 + P12 + W1).
+    "q10_yearly_grid" -> { (s, d) =>
+      Relational.densifyCumulative(Tables.orders(s, d),
+          col("o_custkey"), year(col("o_orderdate")).cast("long"),
+          "o_custkey", "yr")
+        .withColumnRenamed("n", "n_orders")
+        .withColumnRenamed("cum", "cum_orders")
+    },
+
+    // Deterministic per-group top-k (similarity-search ranking pattern).
+    "q11_top3_orders_per_customer" -> { (s, d) =>
+      Relational.topKPerGroup(Tables.orders(s, d), Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // countDistinct (A2) + plain aggregates in one pass (A6).
+    "q12_part_supplier_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // Array aggregation with deterministic ordering (A5 + sort_array;
+    // FIXTURES.md §4 determinism rule).
+    "q13_order_partlist" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(transform(sort_array(collect_list(col("l_partkey"))),
+            _.cast("string")), ",").as("parts"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Set operation: EXCEPT (distinct) — O5.
+    "q14_active_except" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val in95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val in00 = o.filter(year(col("o_orderdate")) === 2000).select(col("o_custkey"))
+      in95.except(in00)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 2) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_parts_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('SMALL','ECONOMY')
+        |  AND p_name LIKE '%bolt%'""".stripMargin,
+
+    "q03_topk_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey, o_orderdate,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate)
+        |SELECT l_orderkey, o_orderdate, revenue FROM (
+        |  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) rn FROM rev)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q04_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_region_volume" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q07_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND year(o_orderdate) = 1995)""".stripMargin,
+
+    "q08_customer_order_stats" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q09_cumulative_orders" ->
+      """WITH by_year AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, yr, n_orders,
+        |  CAST(sum(n_orders) OVER (PARTITION BY o_custkey ORDER BY yr
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders
+        |FROM by_year""".stripMargin,
+
+    "q10_yearly_grid" ->
+      """WITH c AS (SELECT DISTINCT o_custkey FROM orders),
+        |y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+        |cnt AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |        CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)
+        |SELECT c.o_custkey, y.yr,
+        |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(sum(coalesce(cnt.n, 0)) OVER (PARTITION BY c.o_custkey ORDER BY y.yr
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders
+        |FROM c CROSS JOIN y
+        |LEFT JOIN cnt ON cnt.o_custkey = c.o_custkey AND cnt.yr = y.yr""".stripMargin,
+
+    "q11_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q12_part_supplier_stats" ->
+      """SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey""".stripMargin,
+
+    "q13_order_partlist" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q14_active_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HIndexAgg
+import graft.operators.CoOccur
+import graft.sources.Tables
+
+/** Graph-extraction surface — the reference's distinctive layer
+  * (SURVEY.md §2.9) re-grounded on the star schema: suppliers
+  * co-occurring on an order play the role of authors co-occurring on a
+  * paper. Queries exercise G1 (co-membership edges), G6 (edge weights),
+  * A3 (first-period), G3/G4 (personal-net closure with `greatest`), and
+  * the reference's one true custom aggregate, the h-index (U2).
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Edge weight threshold for the closure query: keeps the triangle
+    * join sub-quadratic as scale grows (the co-supply graph gets dense;
+    * reference caps analogously with papersToLookAt,
+    * `StaticNet.scala:314`). */
+  private val MinWeight = 5
+
+  private def coShip(s: SparkSession, d: String): DataFrame =
+    CoOccur.firstPeriodEdges(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+      Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr")),
+      "l_orderkey", "l_suppkey", "yr")
+
+  val defs: Map[String, Q] = Map(
+    // G1+G6: distinct co-membership pairs, weighted by shared groups.
+    "q15_cosupply_edges" -> { (s, d) =>
+      CoOccur.weightedEdges(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          "l_orderkey", "l_suppkey")
+        .select(col("a").as("s1"), col("b").as("s2"),
+          col("weight").as("orders_together"))
+    },
+
+    // + A3: first co-occurrence period per pair (first-collab year).
+    "q16_first_coship" -> { (s, d) =>
+      coShip(s, d).select(col("a").as("s1"), col("b").as("s2"),
+        col("weight").as("orders_together"), col("first_yr").as("first_year"))
+    },
+
+    // G3+G4: personal-network closure with greatest() year semantics.
+    "q17_supplier_triangles" -> { (s, d) =>
+      val edges = coShip(s, d).filter(col("weight") >= MinWeight)
+        .select(col("a"), col("b"), col("first_yr").as("year"))
+      CoOccur.personalNet(edges)
+    },
+
+    // U2: h-index as a custom partial-aggregating Aggregator.
+    "q18_supplier_hindex" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(HIndexAgg.hindex(col("l_quantity").cast("long"))
+          .cast("long").as("h_index"))
+    }
+  )
+
+  private val coShipSql =
+    """a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |p AS (SELECT a1.l_orderkey AS ok, a1.l_suppkey AS s1, a2.l_suppkey AS s2
+      |      FROM a a1 JOIN a a2 ON a1.l_orderkey = a2.l_orderkey
+      |                         AND a1.l_suppkey < a2.l_suppkey),
+      |j AS (SELECT p.s1, p.s2, CAST(year(o.o_orderdate) AS BIGINT) AS yr
+      |      FROM p JOIN orders o ON p.ok = o.o_orderkey),
+      |e AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS orders_together,
+      |             CAST(min(yr) AS BIGINT) AS first_year
+      |      FROM j GROUP BY s1, s2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q15_cosupply_edges" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT a1.l_suppkey AS s1, a2.l_suppkey AS s2,
+        |  CAST(count(*) AS BIGINT) AS orders_together
+        |FROM a a1 JOIN a a2 ON a1.l_orderkey = a2.l_orderkey
+        |                   AND a1.l_suppkey < a2.l_suppkey
+        |GROUP BY s1, s2""".stripMargin,
+
+    "q16_first_coship" ->
+      s"""WITH $coShipSql
+         |SELECT s1, s2, orders_together, first_year FROM e""".stripMargin,
+
+    "q17_supplier_triangles" ->
+      s"""WITH $coShipSql,
+         |ed AS (SELECT s1 AS a, s2 AS b, first_year AS y FROM e
+         |       WHERE orders_together >= $MinWeight),
+         |adj AS (SELECT a AS ego, b AS alt, y FROM ed
+         |        UNION ALL SELECT b AS ego, a AS alt, y FROM ed),
+         |ap AS (SELECT c1.ego, c1.alt AS a1, c2.alt AS a2,
+         |              greatest(c1.y, c2.y) AS py
+         |       FROM adj c1 JOIN adj c2 ON c1.ego = c2.ego AND c1.alt < c2.alt)
+         |SELECT ap.ego, ap.a1, ap.a2,
+         |  CAST(greatest(ap.py, ed2.y) AS BIGINT) AS year
+         |FROM ap JOIN ed ed2 ON ap.a1 = ed2.a AND ap.a2 = ed2.b""".stripMargin,
+
+    "q18_supplier_hindex" ->
+      """WITH v AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey,
+        |  CAST(count(*) FILTER (WHERE v >= rn) AS BIGINT) AS h_index
+        |FROM v GROUP BY l_suppkey""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Catalog of the engine's input tables.
+  *
+  * The reference reads schema-declared TSV snapshots into named catalog
+  * views (reference: `src/scala/model/MAG.scala:14-36`,
+  * `src/notebooks/scala/SetUpEnv.scala:119-125`). Our engine's native
+  * format is columnar parquet (reference writes/reads parquet too:
+  * `src/notebooks/scala/StaticNet.scala:428-429`); TSV/CSV remain ingest
+  * formats (see [[Ingest]]).
+  *
+  * At 100 TB each table is a partitioned parquet dataset; a single
+  * `.parquet` file per table here is just the local fixture layout —
+  * `spark.read.parquet` takes directories the same way.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Register every table of a scale-factor dir as a temp view so the
+    * whole surface is reachable from `spark.sql(...)` (reference keeps
+    * its tables in the global-temp catalog the same way). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Ingest formats beyond parquet, mirroring the reference's readers.
+  *
+  * Reference: TSV with an explicit case-class-derived schema
+  * (`src/scala/utils/SparkUtils.scala:10-15`), raw-text tokenize
+  * (`src/notebooks/scala/StaticNet.scala:51-55`), JDBC
+  * (`src/python/personal_network.py:18-23`).
+  */
+object Ingest {
+  /** Schema-declared delimited text scan (S1/S2). PERMISSIVE mode keeps
+    * malformed rows as nulls, matching the reference's safe-coercion
+    * convention (`StaticNet.scala:83-102`). */
+  def delimited(spark: SparkSession, path: String, schema: StructType,
+                sep: String = "\t", header: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** CSV sink (S6) — single logical dataset, writer-parallel. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Partitioned parquet sink (S8) — the scale path: partition by the
+    * dominant join/filter key so downstream scans prune. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+}
