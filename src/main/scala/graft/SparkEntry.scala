@@ -15,7 +15,10 @@ object SparkEntry {
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
     (CoreQueries.defs, CoreQueries.oracles),
-    (GraphQueries.defs, GraphQueries.oracles))
+    (GraphQueries.defs, GraphQueries.oracles),
+    (TextQueries.defs, TextQueries.oracles),
+    (SimQueries.defs, SimQueries.oracles),
+    (EventQueries.defs, EventQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-pipeline surface (SURVEY.md
+  * §2.11): normalization, tokenization, shingling, stopword profiling,
+  * rolling-hash fingerprinting. All are composed from codegen-friendly
+  * built-ins / higher-order functions — no Scala UDFs in the hot path.
+  *
+  * Grounding: the reference's text columns (citation contexts,
+  * inverted-index abstracts — `data/samples/PaperCitationContexts.txt`,
+  * `PaperAbstractsInvertedIndex.txt`) and its author-dedup archive
+  * (`archive/links.md:6-39`).
+  */
+object TextFns {
+
+  /** Canonical text normalization: lowercase, trim, collapse runs of
+    * whitespace. Deterministic and oracle-friendly. */
+  def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens. */
+  def words(c: Column): Column = split(c, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, single other. */
+  def regexTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** Word n-gram shingles (distinct not applied here). Empty array when
+    * the doc has fewer than n words. */
+  def shingles(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) >= n,
+      transform(sequence(lit(0), size(wordsCol) - n),
+        i => concat_ws(" ", slice(wordsCol, i + 1, lit(n)))))
+      .otherwise(array())
+
+  /** Count of tokens that belong to a stopword set. */
+  def stopCount(wordsCol: Column, stops: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isInCollection(stops)))
+
+  /** Polynomial rolling-hash fingerprint of a string:
+    * fold(acc*31 + ascii(char)) mod 1e9+7. A content fingerprint that
+    * is reproducible in any engine (no engine-specific hash). */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L)))
+
+  /** Stopword profiles used by the language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Heuristic language ID: argmax of stopword-profile hit counts with
+    * a fixed priority order on ties (en > de > fr > es > unknown "zh").
+    * Works on any engine; accuracy depends on the corpus actually
+    * containing language-specific function words. */
+  def langId(wordsCol: Column): Column = {
+    val scores = langProfiles.map { case (l, stops) => l -> stopCount(wordsCol, stops) }
+    val byLang = scores.toMap
+    when(byLang("en") >= greatest(byLang("de"), byLang("fr"), byLang("es")), "en")
+      .when(byLang("de") >= greatest(byLang("fr"), byLang("es")), "de")
+      .when(byLang("fr") >= byLang("es"), "fr")
+      .otherwise("es")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.Relational
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.11; reference grounding:
+  * `data/samples/PaperRecommandations.txt` similarity-scored pairs).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is
+  *    expected to be small (it is broadcast); cost is |Q|×|corpus|.
+  *  - [[signLshTopK]]: random-hyperplane sign-LSH — corpus is bucketed
+  *    by band keys, candidates come from bucket joins only, then exact
+  *    cosine re-ranks. This is the 100 TB path: no cross join appears;
+  *    the corpus side shuffles once on bucket keys.
+  *
+  * Hyperplanes are generated deterministically from xxhash64(seed,
+  * plane, dim) — reproducible across runs and engines with the same
+  * hash, no RNG state.
+  */
+object Similarity {
+
+  /** Per-vector L2 norm, precomputed once (never per pair). */
+  private def withNorm(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id), VectorFns.toDoubleArr(col(vec)).as("v"))
+      .withColumn("nrm", VectorFns.l2norm(col("v")))
+
+  /** Exact cosine top-k: queries × corpus with rank on (rounded cosine
+    * desc, neighbor id) — fully deterministic. Self-pairs excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, id, vec)
+      .select(col(id).as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val q = withNorm(queries, id, vec)
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFns.cosineWithNorms(
+          VectorFns.dot(col("qv"), col("cv")), col("qn"), col("cn")), 4)
+          .as("cos"))
+    Relational.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id")), k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → centered on 0. */
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
+    (pmod(xxhash64(lit(plane), dim), lit(2001L)) - 1000L).cast("double")
+
+  /** Sign-bit sketch: bit p = sign(v · plane_p), assembled into bands of
+    * `rowsPerBand` bits; emits (id, band, bkey) bucket rows. */
+  def signLshBuckets(emb: DataFrame, id: String, vec: String,
+                     numPlanes: Int, rowsPerBand: Int): DataFrame = {
+    val v = VectorFns.toDoubleArr(col(vec))
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0d), _ + _)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    }
+    val bands = numPlanes / rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(r => bits(b * rowsPerBand + r) * lit(1L << r))
+        .reduce(_ + _)
+    }
+    emb.select(col(id), posexplode(array(bandKeys: _*)))
+      .select(col(id), col("pos").as("band"), col("col").as("bkey"))
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing ≥1 LSH band bucket
+    * with the query, re-ranked by exact cosine. */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, k: Int, numPlanes: Int = 16,
+                  rowsPerBand: Int = 4): DataFrame = {
+    val cb = signLshBuckets(corpus, id, vec, numPlanes, rowsPerBand)
+      .select(col(id).as("n_id"), col("band"), col("bkey"))
+    val qb = signLshBuckets(queries, id, vec, numPlanes, rowsPerBand)
+      .select(col(id).as("q_id"), col("band"), col("bkey"))
+    val cand = cb.join(qb, Seq("band", "bkey"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val c = withNorm(corpus, id, vec)
+      .select(col(id).as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val q = withNorm(queries, id, vec)
+      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = cand.join(c, "n_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(VectorFns.cosineWithNorms(
+          VectorFns.dot(col("qv"), col("cv")), col("qn"), col("cn")), 4)
+          .as("cos"))
+    Relational.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id")), k)
+  }
+}

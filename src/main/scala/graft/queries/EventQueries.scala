@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Event-stream surface in batch form: JSON decoding (F11), tumbling
+  * windows, sessionization (gaps-and-islands with lag + running sum),
+  * and grouping-sets rollup. The same semantics run incrementally in
+  * `graft.streaming.EventStreams` via Structured Streaming; these batch
+  * twins are what the DuckDB oracle can check.
+  *
+  * Timestamps are compared as epoch microseconds (BIGINT): the parquet
+  * column is nanosecond-precision and Spark truncates to micros on
+  * read, so raw timestamp output would differ from an engine that
+  * keeps nanos.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val defs: Map[String, Q] = Map(
+    // from_json over the props column + per-type aggregates.
+    "q30_events_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(sum(dec(col("value"))).cast("double") / count(lit(1)), 2)
+            .as("avg_value"))
+    },
+
+    // Tumbling 1-hour window aggregate (window() Generator; the
+    // streaming twin adds a watermark).
+    "q31_tumbling_hour" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+          col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+    },
+
+    // Sessionization: 30-min inactivity gap → session ids → per-session
+    // stats. Deterministic ordering by (ts, event_id).
+    "q32_sessionize" -> { (s, d) =>
+      val us = unix_micros(col("ts"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), us.as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(byUser))
+        .withColumn("flag",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("flag")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("sess_start_us"),
+          max(col("us")).as("sess_end_us"))
+    },
+
+    // Grouping sets: ROLLUP over (year, priority) on orders.
+    "q33_orders_rollup" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(dec(col("o_totalprice"))), 2).cast("double").as("total"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_events_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2)
+        |    AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q31_tumbling_hour" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q32_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS flag
+        |      FROM l),
+        |s AS (SELECT user_id, us,
+        |        CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS sess_start_us,
+        |  CAST(max(us) AS BIGINT) AS sess_end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q33_orders_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin
+  )
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table: exact cosine top-k as
+  * the baseline, sign-LSH bucketed ANN as the scale path. */
+object SimQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def queriesSubset(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
+
+  val defs: Map[String, Q] = Map(
+    // Exact brute-force cosine top-5 for a 5% query subset.
+    "q28_cosine_topk" -> { (s, d) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // Sign-LSH bucketed ANN top-5 (rows-only: xxhash64 planes have no
+    // DuckDB twin). Same query subset, candidates from band buckets.
+    "q29_ann_lsh_topk" -> { (s, d) =>
+      Similarity.signLshTopK(
+        Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+        |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |        round(list_cosine_similarity(q.v, e.v), 4) AS cos
+        |      FROM q JOIN e ON q.vec_id <> e.vec_id)
+        |SELECT q_id, n_id, cos, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM p)
+        |WHERE rn <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Text-analysis + deduplication surface over the `documents` table
+  * (SURVEY.md §2.11). SQL-expressible ops carry a DuckDB oracle;
+  * the xxhash64-based ones (minhash/simhash) are engine-hash-specific
+  * and get the rows-only check.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def normSql(c: String) =
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  val defs: Map[String, Q] = Map(
+    // Tokenization stats: whitespace tokens vs BPE-ish regex tokens.
+    "q20_token_stats" -> { (s, d) =>
+      val n = TextFns.norm(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextFns.words(n)).cast("long").as("n_ws_tokens"),
+        size(TextFns.regexTokens(n)).cast("long").as("n_re_tokens"),
+        length(n).cast("long").as("n_chars_norm"))
+    },
+
+    // Quality scoring: length/stopword-ratio/word-length features.
+    "q21_doc_quality" -> { (s, d) =>
+      val n = TextFns.norm(col("text"))
+      val w = TextFns.words(n)
+      val nw = size(w).cast("long")
+      val stopRatio = round(
+        TextFns.stopCount(w, TextFns.langProfiles.toMap.apply("en"))
+          .cast("double") / nw, 4)
+      Tables.documents(s, d).select(
+        col("doc_id"), nw.as("n_words"),
+        stopRatio.as("stop_ratio"),
+        round((length(n) - (nw - 1)).cast("double") / nw, 4).as("avg_word_len"),
+        round(least(lit(1.0), nw.cast("double") / 100.0) *
+          (lit(1.0) - stopRatio), 4).as("quality"))
+    },
+
+    // Language-ID heuristic vs the labeled lang column.
+    "q22_lang_id" -> { (s, d) =>
+      val w = TextFns.words(TextFns.norm(col("text")))
+      Tables.documents(s, d)
+        .select(col("lang"), TextFns.langId(w).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // Rolling polynomial fingerprint (engine-portable content hash).
+    "q23_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFns.rollingFingerprint(TextFns.norm(col("text"))).as("fp"))
+    },
+
+    // Near-exact dedup on normalized 80-char prefix.
+    "q24_dedup_prefix" -> { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text", 80)
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    "q25_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.4)
+    },
+
+    // MinHash + LSH banding candidate pairs (rows-only check:
+    // xxhash64 has no DuckDB twin).
+    "q26_minhash_lsh" -> { (s, d) =>
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id")
+    },
+
+    // 64-bit SimHash per document (rows-only check).
+    "q27_simhash" -> { (s, d) =>
+      Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+    }
+  )
+
+  private val shSql =
+    s"""w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS words
+       |      FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s
+       |       FROM (SELECT doc_id, words,
+       |               unnest(generate_series(1, len(words)-2)) AS i
+       |             FROM w WHERE len(words) >= 3))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(${normSql("text")},
+         |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+         |  CAST(length(${normSql("text")}) AS BIGINT) AS n_chars_norm
+         |FROM documents""".stripMargin,
+
+    "q21_doc_quality" ->
+      s"""WITH t AS (SELECT doc_id, ${normSql("text")} AS n,
+         |  string_split(${normSql("text")}, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  round(CAST(len(list_filter(w,
+         |    x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(w), 4)
+         |    AS stop_ratio,
+         |  round(CAST(length(n) - (len(w) - 1) AS DOUBLE) / len(w), 4)
+         |    AS avg_word_len
+         |  FROM t)
+         |SELECT doc_id, n_words, stop_ratio, avg_word_len,
+         |  round(least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+         |    * (1.0 - stop_ratio), 4) AS quality
+         |FROM f""".stripMargin,
+
+    "q22_lang_id" ->
+      s"""WITH t AS (SELECT lang,
+         |    string_split(${normSql("text")}, ' ') AS w FROM documents),
+         |sc AS (SELECT lang,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |  len(list_filter(w, x -> x IN ('el','los','las','y','es'))) AS s_es
+         |  FROM t)
+         |SELECT lang,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "q23_fingerprint" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(${normSql("text")}, ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |FROM documents""".stripMargin,
+
+    "q24_dedup_prefix" ->
+      s"""SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents
+         |GROUP BY substr(${normSql("text")}, 1, 80)
+         |HAVING count(*) > 1""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH $shSql,
+         |cnt AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT co.id_a, co.id_b,
+         |  round(CAST(co.co AS DOUBLE) / (ca.sz + cb.sz - co.co), 4) AS jaccard
+         |FROM co JOIN cnt ca ON co.id_a = ca.doc_id
+         |        JOIN cnt cb ON co.id_b = cb.doc_id
+         |WHERE round(CAST(co.co AS DOUBLE) / (ca.sz + cb.sz - co.co), 4) >= 0.4""".stripMargin
+  )
+}
