@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators — the reference's distinctive layer
+  * (SURVEY.md §2.9), redesigned as whole-graph dataflow: one distributed
+  * job per iteration instead of the reference's per-vertex driver
+  * round-trips (its author flags that as the scalability bug,
+  * `StaticNet.scala:337-345`).
+  *
+  * Scale design shared by all three loops:
+  *  - state lives in DataFrames keyed by vertex — shuffles partition by
+  *    vertex id, never collect to the driver;
+  *  - `localCheckpoint` every iteration cuts the lineage chain (an
+  *    unchecked iterative plan grows exponentially in Catalyst);
+  *  - iteration counts are bounded: hierarchy depth for closure, BFS
+  *    depth, and component diameter for label propagation (dedup
+  *    clusters are near-cliques, so 3-5 rounds suffice; a general
+  *    100 TB graph would swap in large-star/small-star).
+  */
+object Graph {
+
+  /** Root resolution over a parent hierarchy (G2 — the reference's
+    * recursive per-row `getRootFos`, `App.scala:21-35`, made a bulk
+    * fixpoint). `edges` = (child, parent). Returns (node, root).
+    *
+    * Self-loops are dropped up front (the reference defends against
+    * `parent == fieldId` cycles, `App.scala:28-31`); other cycles are
+    * cut by the iteration bound. */
+  def rootClosure(edges: DataFrame, child: String = "child",
+                  parent: String = "parent", maxIter: Int = 20): DataFrame = {
+    val e = edges.filter(col(child) =!= col(parent))
+      .select(col(child).as("c"), col(parent).as("p")).localCheckpoint()
+    // start: every node that appears anywhere, pointing at itself
+    var cur = e.select(col("c").as("node")).union(e.select(col("p")))
+      .distinct().withColumn("anc", col("node"))
+    var i = 0
+    var moved = 1L
+    while (i < maxIter && moved > 0) {
+      val nxt = cur.join(e, cur("anc") === e("c"), "left")
+        .select(col("node"),
+          coalesce(col("p"), col("anc")).as("anc"),
+          (col("p").isNotNull && col("p") =!= col("anc")).as("changed"))
+        .localCheckpoint()
+      moved = nxt.filter(col("changed")).count()
+      cur = nxt.drop("changed")
+      i += 1
+    }
+    cur.select(col("node"), col("anc").as("root"))
+  }
+
+  /** Ego BFS to `depth` over undirected edges (G5 — the reference's
+    * driver loop `StaticNet.scala:305-420` as one job per LEVEL).
+    * Returns (vertex, level), level = first-reach distance from seed. */
+  def egoBfs(spark: SparkSession, edges: DataFrame, seed: Long,
+             depth: Int, a: String = "a", b: String = "b"): DataFrame = {
+    import spark.implicits._
+    val adj = edges.select(col(a).as("s"), col(b).as("d"))
+      .union(edges.select(col(b).as("s"), col(a).as("d")))
+      .distinct().localCheckpoint()
+    var visited = Seq((seed, 0)).toDF("v", "level").localCheckpoint()
+    var frontier = visited.select(col("v"))
+    var l = 1
+    while (l <= depth && !frontier.isEmpty) {
+      val next = frontier.join(adj, frontier("v") === adj("s"))
+        .select(col("d").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("level", lit(l))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("v"))
+      l += 1
+    }
+    visited
+  }
+
+  /** Connected components by min-label propagation — the clustering
+    * step of duplicate-entity resolution (SURVEY.md §2.11): candidate
+    * pairs from LSH become edges, components become entity groups.
+    * Returns (vertex, component = min vertex id in component). */
+  def connectedComponents(edges: DataFrame, a: String = "a",
+                          b: String = "b", maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col(a).as("s"), col(b).as("d"))
+      .union(edges.select(col(b).as("s"), col(a).as("d")))
+      .distinct().localCheckpoint()
+    var lbl = sym.select(col("s").as("v")).distinct()
+      .withColumn("comp", col("v"))
+    var i = 0
+    var moved = 1L
+    while (i < maxIter && moved > 0) {
+      val nbrMin = sym.join(lbl, sym("d") === lbl("v"))
+        .groupBy(col("s")).agg(min(col("comp")).as("nbr_comp"))
+      val nxt = lbl.join(nbrMin, lbl("v") === nbrMin("s"), "left")
+        .select(col("v"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+        .localCheckpoint()
+      moved = nxt.filter(col("changed")).count()
+      lbl = nxt.drop("changed")
+      i += 1
+    }
+    lbl
+  }
+
+  /** GEXF XML export (U6, reference `StaticNet.scala:451-465`) for
+    * bounded (ego-net-sized) graphs: collects to the driver by design —
+    * callers cap the net size, as the reference does. */
+  def toGexf(vertices: DataFrame, edges: DataFrame): String = {
+    val vs = vertices.select(col("id").cast("string"), col("label").cast("string"))
+      .collect().map(r => s"""      <node id="${r.getString(0)}" label="${r.getString(1)}" />""")
+    val es = edges.select(col("src").cast("string"), col("dst").cast("string"),
+        col("weight").cast("string"))
+      .collect().zipWithIndex.map { case (r, i) =>
+        s"""      <edge id="$i" source="${r.getString(0)}" target="${r.getString(1)}" weight="${r.getString(2)}" />"""
+      }
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">
+       |  <graph mode="static" defaultedgetype="undirected">
+       |    <nodes>
+       |${vs.mkString("\n")}
+       |    </nodes>
+       |    <edges>
+       |${es.mkString("\n")}
+       |    </edges>
+       |  </graph>
+       |</gexf>""".stripMargin
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HIndexAgg
-import graft.operators.CoOccur
+import graft.operators.{CoOccur, Graph}
 import graft.sources.Tables
 
 /** Graph-extraction surface — the reference's distinctive layer
@@ -59,6 +59,22 @@ object GraphQueries {
         .groupBy(col("l_suppkey"))
         .agg(HIndexAgg.hindex(col("l_quantity").cast("long"))
           .cast("long").as("h_index"))
+    },
+
+    // Iterative min-label propagation (dedup clustering primitive);
+    // oracle is a recursive CTE.
+    "q34_cosupply_components" -> { (s, d) =>
+      val edges = coShip(s, d).filter(col("weight") >= MinWeight)
+        .select(col("a"), col("b"))
+      Graph.connectedComponents(edges)
+    },
+
+    // Ego BFS to depth 2 (one distributed job per level, frontier as a
+    // DataFrame — the reference's crawl without driver round-trips).
+    "q35_ego_bfs" -> { (s, d) =>
+      val edges = coShip(s, d).filter(col("weight") >= MinWeight)
+        .select(col("a"), col("b"))
+      Graph.egoBfs(s, edges, seed = 1L, depth = 2)
     }
   )
 
@@ -105,6 +121,32 @@ object GraphQueries {
         |  FROM lineitem)
         |SELECT l_suppkey,
         |  CAST(count(*) FILTER (WHERE v >= rn) AS BIGINT) AS h_index
-        |FROM v GROUP BY l_suppkey""".stripMargin
+        |FROM v GROUP BY l_suppkey""".stripMargin,
+
+    "q34_cosupply_components" ->
+      s"""WITH RECURSIVE $coShipSql,
+         |ed AS (SELECT s1 AS a, s2 AS b FROM e
+         |       WHERE orders_together >= $MinWeight),
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION SELECT b AS s, a AS d FROM ed),
+         |verts AS (SELECT DISTINCT s AS v FROM adj),
+         |reach(v, u) AS (SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s)
+         |SELECT v, CAST(min(u) AS BIGINT) AS comp FROM reach GROUP BY v""".stripMargin,
+
+    "q35_ego_bfs" ->
+      s"""WITH $coShipSql,
+         |ed AS (SELECT s1 AS a, s2 AS b FROM e
+         |       WHERE orders_together >= $MinWeight),
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION SELECT b AS s, a AS d FROM ed),
+         |l1 AS (SELECT DISTINCT d FROM adj WHERE s = 1 AND d <> 1),
+         |l2 AS (SELECT DISTINCT d FROM adj
+         |       WHERE s IN (SELECT d FROM l1) AND d <> 1
+         |         AND d NOT IN (SELECT d FROM l1))
+         |SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS INTEGER) AS level
+         |UNION ALL SELECT d, 1 FROM l1
+         |UNION ALL SELECT d, 2 FROM l2""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference is batch-only; its closest need is incremental
+  * coauthor-edge maintenance as new PaperAuthorAffiliations rows arrive.
+  * Here the `events` table plays the stream role. Every transform below
+  * is written against a plain DataFrame so the SAME code runs in batch
+  * (oracle-checkable, see EventQueries) and under `readStream` — the
+  * Spark-idiomatic unified-batch-stream design.
+  *
+  * Scale notes: all stateful ops are keyed (shuffle by key, state in the
+  * state store, watermark bounds state size); none hold unbounded state.
+  */
+object EventStreams {
+
+  /** Event schema as read from the fixture (after ns→us truncation). */
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** File-based stream source over a directory of parquet drops. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts with a watermark bounding late data. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window counts (overlapping windows). */
+  def slidingCounts(events: DataFrame, windowLen: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** Session windows: 30-minute inactivity gap per user — the streaming
+    * twin of EventQueries.q32_sessionize. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"),
+        col("n_events"))
+
+  /** Streaming deduplication by event_id within the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * flatMapGroupsWithState (the reference-shaped "custom state" hook —
+    * SURVEY.md §2.10). Emits an updated total per key per batch. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0d))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { e => n += 1; v += e.value }
+          val next = UserTotal(uid, n, v)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

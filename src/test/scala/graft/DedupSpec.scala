@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the sleepy cat"),
+    (4L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate group") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups.contains((1L, 2L)))
+    assert(groups.count(_._2 == 1L) == 2)
+  }
+
+  test("ngramJaccardPairs scores exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // docs 1 and 3 share 5 of their 7-each 3-shingles: J = 5/9
+    assert(pairs((1L, 3L)) == math.rint(5.0 / 9.0 * 10000) / 10000)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH candidates include true near-dup pairs") {
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L))) // identical docs always collide
+    assert(!cands.contains((1L, 4L))) // unrelated docs should not
+  }
+
+  test("simhash is equal for identical docs, differs for unrelated") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+}

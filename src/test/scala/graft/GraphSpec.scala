@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("rootClosure climbs a multi-level hierarchy") {
+    // 1→2→3 (root), 4→3, plus a self-loop 5→5 (dropped, like the
+    // reference's parent==fieldId guard) and a 2-cycle 6↔7 (must not hang)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (5L, 5L), (6L, 7L), (7L, 6L))
+      .toDF("child", "parent")
+    val got = Graph.rootClosure(edges).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 3L && got(2L) == 3L && got(4L) == 3L && got(3L) == 3L)
+    assert(Set(6L, 7L).contains(got(6L))) // cycle: terminates, stays inside
+  }
+
+  test("egoBfs labels vertices with first-reach level") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("a", "b")
+    val got = Graph.egoBfs(spark, edges, seed = 1L, depth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2))
+  }
+
+  test("connectedComponents labels by min member") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("toGexf renders nodes and edges") {
+    val vs = Seq((1L, "alice"), (2L, "bob")).toDF("id", "label")
+    val es = Seq((1L, 2L, 3L)).toDF("src", "dst", "weight")
+    val xml = Graph.toGexf(vs, es)
+    assert(xml.contains("""<node id="1" label="alice" />"""))
+    assert(xml.contains("""<edge id="0" source="1" target="2" weight="3" />"""))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, uid: Long, typ: String = "click",
+                 v: Double = 1.0) = Event(id, ts(t), uid, typ, v, "{}")
+
+  test("tumblingCounts aggregates per hour window (incremental)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:55:00", 2))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 11:05:00", 1))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select(unix_timestamp($"win_start"), $"n_events")
+        .as[(Long, Long)].collect().toSet
+      val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(got == Set((h10, 2L), (h10 + 3600, 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops duplicate event ids within watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:00:30", 1),
+        ev(2, "2024-01-01 10:01:00", 2))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("userRunningTotals keeps state across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.userRunningTotals(ms.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 7, v = 2.0),
+        ev(2, "2024-01-01 10:01:00", 7, v = 3.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:02:00", 7, v = 5.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").as[EventStreams.UserTotal]
+        .collect().maxBy(_.n_events)
+      assert(last == EventStreams.UserTotal(7L, 3L, 10.0))
+    } finally q.stop()
+  }
+
+  test("sessionCounts (unified API) splits on the gap in batch mode") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
+      ev(3, "2024-01-01 11:30:00", 1), // > 30 min after previous → new session
+      ev(4, "2024-01-01 10:00:00", 2)
+    ).toDF()
+    val got = EventStreams.sessionCounts(batch)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
+  }
+}
