@@ -35,20 +35,58 @@ object Dedup {
           .as("sh"))
       .distinct()
 
-  /** Exact pairwise n-gram Jaccard over candidate pairs that share at
-    * least one shingle (inverted-index join — pairs sharing nothing are
-    * never generated). Output: id_a, id_b, jaccard (rounded 4). */
+  /** Exact pairwise n-gram Jaccard ≥ t via a PPJoin-style prefix-filter
+    * join (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08 — public algorithm):
+    *
+    *  1. order each doc's shingles by global rarity (doc-freq asc);
+    *  2. index only the first |A| - ⌈t·|A|⌉ + 1 rarest shingles — two
+    *     docs with Jaccard ≥ t MUST share one inside these prefixes;
+    *  3. candidate pairs from the prefix inverted index only, then
+    *     verify exactly with a full-set intersection.
+    *
+    * Identical output to the naive inverted-index join, but the join
+    * never touches high-frequency shingles (a ubiquitous shingle is in
+    * almost no prefix), which removes the Σf² blowup that dominates at
+    * scale. Output: id_a, id_b, jaccard (rounded 4). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.4): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val co = sh.select(col(idCol).as("id_a"), col("sh"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("co"))
-    co.join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    val sh = docShingles(df, idCol, textCol, n)
+    // global rarity rank; ties broken by shingle text for determinism
+    val byRarity = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
+    val ranked = sh.join(byRarity, "sh")
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("df_"), col("sh"))))
+    val docs = ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("sz"),
+        collect_list(struct(col("rnk"), col("sh"))).as("shl"))
+      .select(col(idCol), col("sz"),
+        transform(array_sort(col("shl")), _.getField("sh")).as("shs"))
+      .localCheckpoint() // tiny per-doc rows; reused by index + verify
+    // prefix index: first sz - ceil(t*sz) + 1 rarest shingles, with the
+    // in-prefix position kept for PPJoin's positional filter
+    val prefix = docs.select(col(idCol), col("sz"),
+        posexplode(slice(col("shs"), lit(1),
+          (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int"))))
+      .select(col(idCol), col("sz"), (col("pos") + 1).as("rnk"),
+        col("col").as("sh"))
+    // positional filter: tokens remaining after the match position must
+    // still be able to reach the overlap bound α = ⌈t/(1+t)·(szA+szB)⌉
+    val cands = prefix.select(col(idCol).as("id_a"), col("sz").as("za"),
+        col("rnk").as("ra"), col("sh"))
+      .join(prefix.select(col(idCol).as("id_b"), col("sz").as("zb"),
+        col("rnk").as("rb"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) >=
+          ceil(lit(minJaccard / (1 + minJaccard)) * (col("za") + col("zb"))))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(docs.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+        col("shs").as("shs_a")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+        col("shs").as("shs_b")), "id_b")
+      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
       .select(col("id_a"), col("id_b"),
         round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4)
           .as("jaccard"))

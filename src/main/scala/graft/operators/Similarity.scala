@@ -46,20 +46,26 @@ object Similarity {
       Seq(col("cos").desc, col("n_id")), k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → centered on 0. */
-  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
-    (pmod(xxhash64(lit(plane), dim), lit(2001L)) - 1000L).cast("double")
+  /** Deterministic random hyperplanes, generated ONCE on the driver and
+    * shipped as literal arrays — per-row hash generation of plane
+    * components showed up as the dominant ANN cost (16 planes × dims
+    * hashes per vector). Seeded, so sketches are reproducible. */
+  private def planes(numPlanes: Int, dims: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dims)(rnd.nextGaussian()))
+  }
 
   /** Sign-bit sketch: bit p = sign(v · plane_p), assembled into bands of
-    * `rowsPerBand` bits; emits (id, band, bkey) bucket rows. */
+    * `rowsPerBand` bits; emits (id, band, bkey) bucket rows. `dims` must
+    * match the embedding dimensionality. */
   def signLshBuckets(emb: DataFrame, id: String, vec: String,
-                     numPlanes: Int, rowsPerBand: Int): DataFrame = {
+                     numPlanes: Int, rowsPerBand: Int,
+                     dims: Int = 64): DataFrame = {
     val v = VectorFns.toDoubleArr(col(vec))
+    val pl = planes(numPlanes, dims)
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(v, typedLit(pl(p)), (x, w) => x * w),
         lit(0d), _ + _)
       when(proj > 0, lit(1L)).otherwise(lit(0L))
     }
