@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-shape rewrites (SURVEY.md §2.3).
+  */
+object Joins {
+
+  /** Inner join on `c1 OR c2` rewritten as a union of two equi-joins
+    * (J7 — the reference's FK-closure join `MagDwarf.scala:115-122`
+    * matches parent OR child and planedly degrades to a
+    * BroadcastNestedLoopJoin; the union form keeps both branches
+    * hash-joinable, which is the difference between O(n·m) and two
+    * shuffles at 100 TB).
+    *
+    * Exact OR semantics without duplicates: the second branch excludes
+    * pairs already matched by `c1` (null-safe — a null predicate is
+    * "not true", same as the OR join). */
+  def disjunctiveEquiJoin(left: DataFrame, right: DataFrame,
+                          c1: Column, c2: Column): DataFrame =
+    left.join(right, c1)
+      .unionByName(left.join(right, c2 && not(coalesce(c1, lit(false)))))
+
+  /** FK-closed sampling (G8 — the reference's "MAG dwarf",
+    * `MagDwarf.scala:59-147`): keep child rows whose FK points into the
+    * sampled key set. Semi-join, so child columns pass through
+    * unchanged and the key set is broadcast when small. */
+  def fkClosedSample(child: DataFrame, fk: String,
+                     keys: DataFrame, key: String): DataFrame =
+    child.join(keys, child(fk) === keys(key), "left_semi")
+}

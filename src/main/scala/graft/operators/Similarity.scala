@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns
+import graft.functions.{ArrayCosine, VectorFns}
 import graft.operators.Relational
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -18,30 +18,25 @@ import graft.operators.Relational
   *    cosine re-ranks. This is the 100 TB path: no cross join appears;
   *    the corpus side shuffles once on bucket keys.
   *
-  * Hyperplanes are generated deterministically from xxhash64(seed,
-  * plane, dim) — reproducible across runs and engines with the same
-  * hash, no RNG state.
+  * Hyperplanes are seeded-random, generated once on the driver and
+  * shipped as literals — reproducible across runs, no per-row RNG or
+  * hashing.
   */
 object Similarity {
 
-  /** Per-vector L2 norm, precomputed once (never per pair). */
-  private def withNorm(emb: DataFrame, id: String, vec: String): DataFrame =
-    emb.select(col(id), VectorFns.toDoubleArr(col(vec)).as("v"))
-      .withColumn("nrm", VectorFns.l2norm(col("v")))
-
   /** Exact cosine top-k: queries × corpus with rank on (rounded cosine
-    * desc, neighbor id) — fully deterministic. Self-pairs excluded. */
+    * desc, neighbor id) — fully deterministic. Self-pairs excluded.
+    * The pair kernel is the native codegen [[ArrayCosine]]: one fused
+    * dot+norms loop per pair, no per-row lambda interpretation. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    val c = withNorm(corpus, id, vec)
-      .select(col(id).as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val q = withNorm(queries, id, vec)
-      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(VectorFns.cosineWithNorms(
-          VectorFns.dot(col("qv"), col("cv")), col("qn"), col("cn")), 4)
-          .as("cos"))
+        round(ArrayCosine.cosine(col("qv"), col("cv")), 4).as("cos"))
     Relational.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id")), k)
   }
@@ -91,15 +86,13 @@ object Similarity {
     val cand = cb.join(qb, Seq("band", "bkey"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()
-    val c = withNorm(corpus, id, vec)
-      .select(col(id).as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val q = withNorm(queries, id, vec)
-      .select(col(id).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
     val scored = cand.join(c, "n_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("n_id"),
-        round(VectorFns.cosineWithNorms(
-          VectorFns.dot(col("qv"), col("cv")), col("qn"), col("cn")), 4)
-          .as("cos"))
+        round(ArrayCosine.cosine(col("qv"), col("cv")), 4).as("cos"))
     Relational.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id")), k)
   }

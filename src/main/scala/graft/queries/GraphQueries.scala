@@ -79,6 +79,30 @@ object GraphQueries {
     "q35_ego_bfs" -> { (s, d) =>
       Graph.egoBfs(s, strongEdges(s, d).select(col("a"), col("b")),
         seed = 1L, depth = 2)
+    },
+
+    // G8: FK-closed deterministic sample ("MAG dwarf") — lineitem rows
+    // of a root order sample, via broadcast semi-join.
+    "q36_dwarf_sample" -> { (s, d) =>
+      val roots = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey"))
+      graft.operators.Joins.fkClosedSample(
+        Tables.lineitem(s, d), "l_orderkey", roots, "o_orderkey")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+    },
+
+    // J7: disjunctive-predicate join rewritten as a union of two
+    // hash-joins (never a nested-loop join).
+    "q37_disjunctive_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val e = Tables.events(s, d).select(col("user_id"))
+      graft.operators.Joins.disjunctiveEquiJoin(e, c,
+          col("user_id") === col("c_custkey"),
+          col("user_id") === col("c_nationkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_matched_events"))
     }
   )
 
@@ -151,6 +175,17 @@ object GraphQueries {
          |         AND d NOT IN (SELECT d FROM l1))
          |SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS INTEGER) AS level
          |UNION ALL SELECT d, 1 FROM l1
-         |UNION ALL SELECT d, 2 FROM l2""".stripMargin
+         |UNION ALL SELECT d, 2 FROM l2""".stripMargin,
+
+    "q36_dwarf_sample" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderkey % 97 = 0)""".stripMargin,
+
+    "q37_disjunctive_join" ->
+      """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_matched_events
+        |FROM events JOIN customer
+        |  ON user_id = c_custkey OR user_id = c_nationkey
+        |GROUP BY c_custkey""".stripMargin
   )
 }

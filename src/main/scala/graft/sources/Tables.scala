@@ -45,9 +45,13 @@ object Tables {
 
   /** Register every table of a scale-factor dir as a temp view so the
     * whole surface is reachable from `spark.sql(...)` (reference keeps
-    * its tables in the global-temp catalog the same way). */
+    * its tables in the global-temp catalog the same way). Goes through
+    * the per-table loaders so `events` gets its nanos handling. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else t(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
 
 /** Ingest formats beyond parquet, mirroring the reference's readers.
@@ -64,7 +68,8 @@ object Ingest {
   def delimited(spark: SparkSession, path: String, schema: StructType,
                 sep: String = "\t", header: Boolean = false): DataFrame =
     spark.read
-      .schema(schema)
+      // text sources always yield nullables
+      .schema(StructType(schema.fields.map(_.copy(nullable = true))))
       .option("sep", sep)
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")

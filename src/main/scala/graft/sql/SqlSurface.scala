@@ -1,0 +1,24 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+import graft.functions.{ArrayCosine, HIndexAgg}
+import graft.sources.Tables
+
+/** SQL entry point (SURVEY.md §7.1 `sql/` module): registers every
+  * table of a scale-factor directory as a temp view plus the engine's
+  * custom functions, so the whole surface is reachable from
+  * `spark.sql(...)` — mirroring the reference's catalog-view style
+  * (global temp views consumed across notebooks,
+  * `SetUpEnv.scala:119-125`).
+  */
+object SqlSurface {
+
+  def register(spark: SparkSession, dir: String): Unit = {
+    Tables.registerAll(spark, dir)
+    spark.udf.register("hindex", udaf(HIndexAgg))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+class JoinsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("disjunctiveEquiJoin equals the OR join, including both-match rows") {
+    val l = Seq((1L, 10L), (2L, 20L), (3L, 30L), (7L, 7L)).toDF("k1", "k2")
+    val r = Seq(1L, 20L, 7L, 99L).toDF("k")
+    val rewritten = Joins.disjunctiveEquiJoin(l, r,
+        col("k1") === col("k"), col("k2") === col("k"))
+      .select("k1", "k2", "k").as[(Long, Long, Long)].collect().sorted.toSeq
+    val direct = l.join(r, col("k1") === col("k") || col("k2") === col("k"))
+      .select("k1", "k2", "k").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rewritten == direct)
+    assert(rewritten.contains((7L, 7L, 7L))) // matched by BOTH → exactly once
+  }
+
+  test("disjunctiveEquiJoin plans hash joins, not nested loop") {
+    val l = Seq((1L, 10L)).toDF("k1", "k2")
+    val r = Seq(1L).toDF("k")
+    val plan = Joins.disjunctiveEquiJoin(l, r,
+      col("k1") === col("k"), col("k2") === col("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("fkClosedSample keeps exactly the FK-matching child rows") {
+    val child = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("fk", "v")
+    val keys = Seq(1L, 3L).toDF("k")
+    val got = Joins.fkClosedSample(child, "fk", keys, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x"), (3L, "z")))
+  }
+}
