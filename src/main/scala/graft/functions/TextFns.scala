@@ -45,6 +45,17 @@ object TextFns {
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L)))
 
+  /** Parse the reference's tuple-strings `"('CAN', 'Grande Prairie')"`
+    * (Affiliations_FC country column, parsed ad hoc in
+    * `Geocoding.ipynb` cells 10-14) into a proper struct — the engine
+    * stores structured data structurally (SURVEY.md §1.3 F10). */
+  def parseCountryTuple(c: Column): Column = {
+    val pat = "\\('([^']*)',\\s*'([^']*)'\\)"
+    struct(
+      regexp_extract(c, pat, 1).as("country_code"),
+      regexp_extract(c, pat, 2).as("city"))
+  }
+
   /** Stopword profiles used by the language-ID heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),

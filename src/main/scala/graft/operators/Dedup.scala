@@ -72,11 +72,15 @@ object Dedup {
       .select(col(idCol), col("sz"), (col("pos") + 1).as("rnk"),
         col("col").as("sh"))
     // positional filter: tokens remaining after the match position must
-    // still be able to reach the overlap bound α = ⌈t/(1+t)·(szA+szB)⌉
-    val cands = prefix.select(col(idCol).as("id_a"), col("sz").as("za"),
-        col("rnk").as("ra"), col("sh"))
-      .join(prefix.select(col(idCol).as("id_b"), col("sz").as("zb"),
-        col("rnk").as("rb"), col("sh")), Seq("sh"))
+    // still be able to reach the overlap bound α = ⌈t/(1+t)·(szA+szB)⌉.
+    // The join key is the 8-byte shingle hash, not the shingle string —
+    // cheaper shuffle/compare; a hash collision only adds a false
+    // candidate, which exact verification removes.
+    val hashed = prefix.withColumn("hk", xxhash64(col("sh")))
+    val cands = hashed.select(col(idCol).as("id_a"), col("sz").as("za"),
+        col("rnk").as("ra"), col("hk"))
+      .join(hashed.select(col(idCol).as("id_b"), col("sz").as("zb"),
+        col("rnk").as("rb"), col("hk")), Seq("hk"))
       .filter(col("id_a") < col("id_b") &&
         (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) >=
           ceil(lit(minJaccard / (1 + minJaccard)) * (col("za") + col("zb"))))

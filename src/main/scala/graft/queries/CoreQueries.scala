@@ -184,6 +184,36 @@ object CoreQueries {
       val in95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
       val in00 = o.filter(year(col("o_orderdate")) === 2000).select(col("o_custkey"))
       in95.except(in00)
+    },
+
+    // Analytic-window suite: rank, lag delta, rows-frame moving average
+    // over per-supplier monthly revenue.
+    "q38_window_suite" -> { (s, d) =>
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"),
+          unix_timestamp(date_trunc("month", col("l_shipdate"))).as("mth_s"))
+        .agg(round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("rev"))
+      val byMonth = Window.partitionBy(col("l_suppkey")).orderBy(col("mth_s"))
+      val byRev = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("rev").desc, col("mth_s"))
+      monthly
+        .withColumn("rnk", rank().over(byRev).cast("long"))
+        .withColumn("prev_rev", lag(col("rev"), 1).over(byMonth))
+        // moving SUM, not average: round(avg) lands on exact .005
+        // boundaries where Spark (BigDecimal HALF_UP on the shortest
+        // decimal form) and DuckDB (binary multiply-round) disagree;
+        // a 3-term sum of 2-decimal values stays 0.005 away from any
+        // rounding boundary, so it's stable in both engines
+        .withColumn("mov_sum3", round(sum(col("rev"))
+          .over(byMonth.rowsBetween(-2, Window.currentRow)), 2))
+    },
+
+    // Grouping sets: CUBE over (returnflag, linestatus).
+    "q39_cube_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
     }
   )
 
@@ -302,6 +332,25 @@ object CoreQueries {
     "q14_active_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
-        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""".stripMargin
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""".stripMargin,
+
+    "q38_window_suite" ->
+      """WITH m AS (
+        |  SELECT l_suppkey,
+        |    CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS mth_s,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, mth_s, rev,
+        |  CAST(rank() OVER (PARTITION BY l_suppkey
+        |    ORDER BY rev DESC, mth_s) AS BIGINT) AS rnk,
+        |  lag(rev) OVER (PARTITION BY l_suppkey ORDER BY mth_s) AS prev_rev,
+        |  round(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY mth_s
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum3
+        |FROM m""".stripMargin,
+
+    "q39_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 }

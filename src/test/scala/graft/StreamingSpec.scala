@@ -69,6 +69,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingCounts places an event in every overlapping window") {
+    val batch = Seq(ev(1, "2024-01-01 10:07:00", 1)).toDF()
+    val wins = EventStreams.slidingCounts(batch)
+      .select(unix_timestamp($"win_start")).as[Long].collect().sorted.toSeq
+    val t1000 = ts("2024-01-01 10:00:00").getTime / 1000
+    assert(wins == Seq(t1000, t1000 + 300)) // 10:00 and 10:05 windows
+  }
+
   test("sessionCounts (unified API) splits on the gap in batch mode") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
