@@ -103,6 +103,21 @@ object Graph {
     lbl
   }
 
+  /** Temporal (dynamic) edges — G7, the reference's DLink
+    * (`DynamicNet.scala:251`): per-edge nested map year → attribute.
+    * The CANONICAL form is relational long form (src, dst, year, n) —
+    * columnar-friendly, joinable, incrementally maintainable; the
+    * map-typed edge attribute is materialized only at export, exactly
+    * as SURVEY.md §7.4.5 prescribes. Entries are sorted by year so the
+    * map column is deterministic. */
+  def toTemporalEdges(longForm: DataFrame, src: String = "a",
+                      dst: String = "b", period: String = "year",
+                      value: String = "n"): DataFrame =
+    longForm
+      .groupBy(col(src), col(dst))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col(period), col(value))))).as("by_period"))
+
   /** GEXF XML export (U6, reference `StaticNet.scala:451-465`) for
     * bounded (ego-net-sized) graphs: collects to the driver by design —
     * callers cap the net size, as the reference does. */

@@ -103,6 +103,52 @@ object GraphQueries {
           col("user_id") === col("c_nationkey"))
         .groupBy(col("c_custkey"))
         .agg(count(lit(1)).as("n_matched_events"))
+    },
+
+    // G7: temporal edge attributes in canonical long form (per-year
+    // co-ship counts per pair); the nested-map form is export-only
+    // (Graph.toTemporalEdges).
+    "q40_temporal_edges" -> { (s, d) =>
+      CoOccur.pairs(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          "l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr")), "l_orderkey")
+        .groupBy(col("a").as("s1"), col("b").as("s2"), col("yr"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("s1"), col("s2"), col("yr"), col("n"))
+    },
+
+    // Correlated-subquery shape (TPC-H Q2): per-group argmin join —
+    // the cheapest supplier per part among its lineitems.
+    "q41_min_cost_supplier" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val minPrice = li.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      li.join(minPrice, "l_partkey")
+        .filter(col("l_extendedprice") === col("min_price"))
+        .groupBy(col("l_partkey"), col("min_price"))
+        .agg(min(col("l_suppkey")).as("s_min")) // dedup exact-price ties
+        .select(col("l_partkey"), col("s_min"), col("min_price"))
+    },
+
+    // Scalar-aggregate comparison (TPC-H Q11): groups whose share of a
+    // GLOBAL aggregate exceeds a threshold (broadcast scalar join).
+    // All-decimal arithmetic with an integer-scaled comparison
+    // (value*1500 > total) — a double threshold would flip near-boundary
+    // groups between engines.
+    "q42_important_parts" -> { (s, d) =>
+      def dec(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val li = Tables.lineitem(s, d)
+      val partValue = li.groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("value"))
+      val total = partValue.agg(sum(col("value")).as("total"))
+      partValue.crossJoin(broadcast(total))
+        .filter(col("value") * 1500 > col("total"))
+        .select(col("l_partkey"),
+          round(col("value"), 2).cast("double").as("part_value"))
     }
   )
 
@@ -186,6 +232,35 @@ object GraphQueries {
       """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_matched_events
         |FROM events JOIN customer
         |  ON user_id = c_custkey OR user_id = c_nationkey
-        |GROUP BY c_custkey""".stripMargin
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q40_temporal_edges" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (SELECT a1.l_orderkey AS ok, a1.l_suppkey AS s1, a2.l_suppkey AS s2
+        |      FROM a a1 JOIN a a2 ON a1.l_orderkey = a2.l_orderkey
+        |                         AND a1.l_suppkey < a2.l_suppkey)
+        |SELECT p.s1, p.s2, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p JOIN orders o ON p.ok = o.o_orderkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q41_min_cost_supplier" ->
+      """WITH mp AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l.l_partkey, CAST(min(l.l_suppkey) AS BIGINT) AS s_min,
+        |       mp.min_price
+        |FROM lineitem l JOIN mp ON l.l_partkey = mp.l_partkey
+        |                       AND l.l_extendedprice = mp.min_price
+        |GROUP BY 1, 3""".stripMargin,
+
+    "q42_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(value) AS total FROM pv)
+        |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+        |FROM pv, t WHERE value * 1500 > total""".stripMargin
   )
 }

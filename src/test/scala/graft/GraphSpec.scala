@@ -31,6 +31,16 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("toTemporalEdges materializes a year-sorted map from long form") {
+    val long = Seq((1L, 2L, 2001L, 5L), (1L, 2L, 2000L, 3L), (3L, 4L, 2002L, 1L))
+      .toDF("a", "b", "year", "n")
+    val got = Graph.toTemporalEdges(long)
+      .as[(Long, Long, Map[Long, Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == Map(2000L -> 3L, 2001L -> 5L))
+    assert(got((3L, 4L)) == Map(2002L -> 1L))
+  }
+
   test("toGexf renders nodes and edges") {
     val vs = Seq((1L, "alice"), (2L, "bob")).toDF("id", "label")
     val es = Seq((1L, 2L, 3L)).toDF("src", "dst", "weight")
