@@ -27,13 +27,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Distinct (id, shingle) pairs — the unit of Jaccard/minhash work. */
+  /** Distinct (id, shingle) pairs — the unit of Jaccard/minhash work.
+    *
+    * Implemented as posexplode + windowed `lead` rather than the
+    * array-HOF form (`transform` + `slice` + `concat_ws` per element):
+    * the HOF path is interpreted and copies a sub-array per shingle,
+    * and profiling showed it dominating the whole Jaccard join. The
+    * window form is one shuffle on the doc id and stays in codegen. */
   def docShingles(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3): DataFrame =
-    df.select(col(idCol),
-        explode(TextFns.shingles(TextFns.words(TextFns.norm(col(textCol))), n))
-          .as("sh"))
+                  n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val base = df.select(col(idCol),
+      posexplode(TextFns.words(TextFns.norm(col(textCol)))).as(Seq("pos", "w0")))
+    val withLeads = (1 until n).foldLeft(base)((acc, k) =>
+      acc.withColumn(s"w$k", lead(col("w0"), k).over(w)))
+    withLeads.filter(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("sh"))
       .distinct()
+  }
 
   /** Exact pairwise n-gram Jaccard ≥ t via a PPJoin-style prefix-filter
     * join (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -51,7 +64,9 @@ object Dedup {
     * scale. Output: id_a, id_b, jaccard (rounded 4). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.4): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, n)
+    // materialized once: referenced by both the rarity aggregate and
+    // the rank join, which would otherwise recompute the shingling
+    val sh = docShingles(df, idCol, textCol, n).localCheckpoint()
     // global rarity rank; ties broken by shingle text for determinism
     val byRarity = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
     val ranked = sh.join(byRarity, "sh")

@@ -78,6 +78,27 @@ object EventQueries {
           col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(dec(col("o_totalprice"))), 2).cast("double").as("total"))
+    },
+
+    // Sliding 1-hour window, 30-min slide, in batch form: each event
+    // belongs to exactly two windows (streaming twin:
+    // EventStreams.slidingCounts).
+    "q43_sliding_hour" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+          col("event_type"), col("n_events"))
+    },
+
+    // Approximate sketches (HLL++): rows-only check — sketch internals
+    // are engine-specific, so no cross-engine oracle; the spec-level
+    // guarantee (estimate within rsd of exact) is asserted instead.
+    "q44_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
     }
   )
 
@@ -117,6 +138,18 @@ object EventQueries {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
-        |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin
+        |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    // each event falls in windows starting at floor(t/1800)*1800 and
+    // that minus 1800 (1-hour window, 30-min slide, epoch-aligned)
+    "q43_sliding_hour" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS slot
+        |  FROM events),
+        |w AS (SELECT event_type, slot AS win_start_s FROM e
+        |      UNION ALL
+        |      SELECT event_type, slot - 1800 FROM e)
+        |SELECT win_start_s, event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin
   )
 }
