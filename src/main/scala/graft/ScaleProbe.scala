@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-behavior probe: runs the scale-critical operators (prefix
+  * -filtered Jaccard join, sign-LSH ANN) on a base corpus and on a
+  * larger one, and reports the work ratio vs the data ratio. The
+  * operators are designed to grow ~linearly on organic data (sharded
+  * growth: more documents, stable near-dup density); a superlinear
+  * ratio here means a quadratic candidate explosion crept in.
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [bigDir]
+  * (bigDir defaults to /tmp/scale10 — see tools/make_scale10 note; the
+  * probe skips silently if the dir is absent.)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = if (args.length > 1) args(1) else "/tmp/scale10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def jaccard(dir: String): (Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      time(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4).count())
+    }
+    def ann(dir: String): (Double, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+      time(Similarity.signLshTopK(emb, queries, "vec_id", "embedding", 5).count())
+    }
+
+    if (!new java.io.File(s"$big/documents.parquet").exists()) {
+      println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
+    }
+    // warm the JIT on the small corpus first so ratios compare steady state
+    jaccard(base); ann(base)
+    val (jb, _) = jaccard(base); val (jB, nB) = jaccard(big)
+    val (ab, _) = ann(base); val (aB, nA) = ann(big)
+    val nDocs = spark.read.parquet(s"$big/documents.parquet").count().toDouble /
+      spark.read.parquet(s"$base/documents.parquet").count()
+    println(f"[probe] data ratio ${nDocs}%.0fx")
+    println(f"[probe] jaccard: $jb%.1fs -> $jB%.1fs (${jB / jb}%.1fx, $nB pairs)")
+    println(f"[probe] ann:     $ab%.1fs -> $aB%.1fs (${aB / ab}%.1fx, $nA results)")
+    spark.stop()
+  }
+}

@@ -147,6 +147,28 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate entity resolution — the reference's
+    * intended author-dedup flow (`archive/links.md:6-39`) generalized:
+    * prefix-filtered exact Jaccard pairs (swap in [[lshCandidates]] for
+    * the approximate path) → connected components over verified pairs →
+    * per-component survivor (min id).
+    *
+    * Returns (id, canonical_id): every document mapped to its duplicate
+    * -cluster representative (itself when unique). Each stage is a
+    * bounded-fanout dataflow; the only iteration is component
+    * propagation, whose round count is the duplicate-cluster diameter
+    * (tiny in practice). */
+  def resolveEntities(df: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double = 0.8): DataFrame = {
+    val verified = ngramJaccardPairs(df, idCol, textCol, 3, minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val comps = Graph.connectedComponents(verified, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(comps, df(idCol) === comps("v"), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("canonical_id"))
+  }
+
   /** 64-bit SimHash over (distinct-word, count) pairs: bit j is the
     * sign of the count-weighted sum of word-hash bit j. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -83,4 +83,12 @@ object Ingest {
     * dominant join/filter key so downstream scans prune. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Single-file text sink (S7 — the reference's
+    * `coalesce(1).saveAsTextFile` for GEXF/D3 exports,
+    * `jsNets.scala:106`). Only for driver-bounded outputs. */
+  def writeSingleText(spark: SparkSession, content: String, path: String): Unit = {
+    import spark.implicits._
+    Seq(content).toDF("value").coalesce(1).write.mode("overwrite").text(path)
+  }
 }

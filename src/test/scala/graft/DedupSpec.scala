@@ -38,6 +38,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!cands.contains((1L, 4L))) // unrelated docs should not
   }
 
+  test("resolveEntities maps duplicates to one canonical id") {
+    val got = Dedup.resolveEntities(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("simhash is equal for identical docs, differs for unrelated") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

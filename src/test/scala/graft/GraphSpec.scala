@@ -47,5 +47,10 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val xml = Graph.toGexf(vs, es)
     assert(xml.contains("""<node id="1" label="alice" />"""))
     assert(xml.contains("""<edge id="0" source="1" target="2" weight="3" />"""))
+    // single-file export sink (S7)
+    val out = java.nio.file.Files.createTempDirectory("gexf").toString + "/net"
+    graft.sources.Ingest.writeSingleText(spark, xml, out)
+    val back = spark.read.text(out).collect().map(_.getString(0)).mkString("\n")
+    assert(back.contains("<gexf") && back.contains("alice"))
   }
 }

@@ -77,6 +77,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(wins == Seq(t1000, t1000 + 300)) // 10:00 and 10:05 windows
   }
 
+  test("file stream source: parquet drops flow through tumblingCounts") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    // stage one parquet drop from the fixture (already us-precision)
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(200).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.tumblingCounts(EventStreams.readStream(spark, dir))
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("filestream")
+        .agg(sum($"n_events")).as[Long].head()
+      assert(n == 200)
+    } finally q.stop()
+  }
+
   test("sessionCounts (unified API) splits on the gap in batch mode") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
