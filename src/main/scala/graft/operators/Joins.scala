@@ -22,6 +22,22 @@ object Joins {
     left.join(right, c1)
       .unionByName(left.join(right, c2 && not(coalesce(c1, lit(false)))))
 
+  /** Skew-salted equi-join: the big (skewed) side gets a deterministic
+    * salt derived from its full row, the small side is exploded into
+    * `factor` copies, and the join key becomes (key, salt) — a hot key's
+    * rows spread over `factor` reducers instead of one straggler task.
+    * AQE's runtime skew-join split usually covers this; the explicit
+    * form is for pathological keys known in advance (SURVEY.md §4).
+    * Small side grows ×factor — keep it broadcast-sized. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 factor: Int = 8): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(factor)))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** FK-closed sampling (G8 — the reference's "MAG dwarf",
     * `MagDwarf.scala:59-147`): keep child rows whose FK points into the
     * sampled key set. Semi-join, so child columns pass through

@@ -214,6 +214,17 @@ object CoreQueries {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // Exact percentiles (linear interpolation — Spark `percentile` and
+    // DuckDB `quantile_cont` interpolate identically on identical
+    // doubles; no arithmetic noise since inputs come straight from
+    // parquet).
+    "q45_price_percentiles" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"))
     }
   )
 
@@ -351,6 +362,12 @@ object CoreQueries {
     "q39_cube_summary" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q45_price_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }

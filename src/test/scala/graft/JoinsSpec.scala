@@ -29,6 +29,19 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("saltedJoin equals the plain join on skewed keys") {
+    val big = (1L to 1000L).map(i => (if (i % 10 == 0) 42L else i, i))
+      .toDF("k", "payload") // key 42 is hot
+    val small = Seq((42L, "hot"), (7L, "cold")).toDF("k", "tag")
+    val plain = big.join(small, "k").select("k", "payload", "tag")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = Joins.saltedJoin(big, small, "k", 8)
+      .select("k", "payload", "tag")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    // 100 multiples of 10 + i=42 itself on the hot key, + one cold row
+    assert(salted == plain && plain.size == 102)
+  }
+
   test("fkClosedSample keeps exactly the FK-matching child rows") {
     val child = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("fk", "v")
     val keys = Seq(1L, 3L).toDF("k")

@@ -77,6 +77,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(wins == Seq(t1000, t1000 + 300)) // 10:00 and 10:05 windows
   }
 
+  test("watermark drops late data in append-mode aggregation") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:07:00", 1))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window...
+      ms.addData(ev(3, "2024-01-01 12:00:00", 1))
+      q.processAllAvailable()
+      // ...then a late event for the already-finalized window: dropped
+      ms.addData(ev(4, "2024-01-01 10:08:00", 1))
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 14:00:00", 1)) // flush 12:00 window
+      q.processAllAvailable()
+      val got = spark.table("late")
+        .select(unix_timestamp($"win_start"), $"n_events")
+        .as[(Long, Long)].collect().toMap
+      val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(got(h10) == 2L) // late event 4 did NOT bump the count
+    } finally q.stop()
+  }
+
   test("file stream source: parquet drops flow through tumblingCounts") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage one parquet drop from the fixture (already us-precision)
