@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-shape rewrites (SURVEY.md §2.3).
@@ -21,6 +22,43 @@ object Joins {
                           c1: Column, c2: Column): DataFrame =
     left.join(right, c1)
       .unionByName(left.join(right, c2 && not(coalesce(c1, lit(false)))))
+
+  /** As-of join — for each left row, the single latest right row with
+    * the same key and `rightTime <= leftTime`. Spark has no native
+    * as-of; the scalable composition (preference (a) of SURVEY.md §7.3)
+    * is the union-then-window form: tag both sides, union, sort each
+    * key's timeline ONCE, and carry the last-seen right payload forward
+    * with `last(_, ignoreNulls)`. One shuffle + one sort total — never
+    * a per-key range scan or a time-expanded join.
+    *
+    * Right rows must be unique per (key, time) for determinism —
+    * pre-aggregate the right side if they are not. Right payload
+    * columns come back null when no right row precedes the left row.
+    *
+    * @param valueCols right-side payload columns to carry */
+  def asOfJoin(left: DataFrame, right: DataFrame, leftKey: String,
+               rightKey: String, leftTime: String, rightTime: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val probe = left.select(
+      (col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_isProbe") +:
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v))) ++
+        leftCols.map(col): _*)
+    val build = right.select(
+      (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_isProbe") +:
+        valueCols.map(col)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // at equal timestamps the right (build) row sorts first, so a
+    // same-instant right row IS visible to the left row (<= semantics)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_isProbe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(probe.unionByName(build)) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_isProbe") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
 
   /** Skew-salted equi-join: the big (skewed) side gets a deterministic
     * salt derived from its full row, the small side is exploded into

@@ -133,6 +133,20 @@ object GraphQueries {
         .select(col("l_partkey"), col("s_min"), col("min_price"))
     },
 
+    // As-of join (operator Spark lacks; composed union+window form,
+    // oracle = DuckDB's native ASOF LEFT JOIN): each event matched to
+    // the user's latest order at or before the event time.
+    "q46_asof_last_order" -> { (s, d) =>
+      val lastPerDay = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      graft.operators.Joins.asOfJoin(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          lastPerDay, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+    },
+
     // Scalar-aggregate comparison (TPC-H Q11): groups whose share of a
     // GLOBAL aggregate exceeds a threshold (broadcast scalar join).
     // All-decimal arithmetic with an integer-scaled comparison
@@ -252,6 +266,14 @@ object GraphQueries {
         |FROM lineitem l JOIN mp ON l.l_partkey = mp.l_partkey
         |                       AND l.l_extendedprice = mp.min_price
         |GROUP BY 1, 3""".stripMargin,
+
+    "q46_asof_last_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |             CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.last_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
 
     "q42_important_parts" ->
       """WITH pv AS (

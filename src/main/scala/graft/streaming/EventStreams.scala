@@ -62,6 +62,34 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Incremental co-membership edge maintenance — the MAG-shaped
+    * streaming use case (SURVEY.md §2.10): as new (group, member, ts)
+    * authorship rows arrive, emit the NEW co-author pairs they create
+    * with already-seen members of the same group. A watermarked
+    * stream-stream self-join: both sides buffer per-group state, the
+    * watermark bounds it; `a < b` keeps pairs unordered-unique and
+    * drops self-pairs. Downstream, a grouped count maintains edge
+    * weights incrementally (the batch twin is `CoOccur.weightedEdges`).
+    *
+    * Note: Spark's StreamingJoinHelper logs a benign
+    * "Error trying to extract state constraint" WARN for the `a < b`
+    * predicate (it probes every `<` conjunct as a potential time
+    * constraint); state cleanup still derives from the two time-range
+    * predicates. */
+  def incrementalCoEdges(authorship: DataFrame,
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = authorship.select(col("group").as("g"), col("member").as("a"),
+      col("ts").as("ts_a")).withWatermark("ts_a", watermark)
+    val r = authorship.select(col("group").as("g2"), col("member").as("b"),
+      col("ts").as("ts_b")).withWatermark("ts_b", watermark)
+    l.join(r, col("g") === col("g2") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $watermark") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $watermark"))
+      .filter(col("a") < col("b"))
+      .select(col("g").as("group"), col("a"), col("b"),
+        greatest(col("ts_a"), col("ts_b")).as("pair_ts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double, props: String)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)

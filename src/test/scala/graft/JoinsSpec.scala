@@ -42,6 +42,21 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain && plain.size == 102)
   }
 
+  test("asOfJoin picks the latest right row at or before each left time") {
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 9.0))
+      .toDF("qk", "qt", "price")
+    val trades = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (2L, 99L))
+      .toDF("k", "t")
+    val got = Joins.asOfJoin(trades, quotes, "k", "qk", "t", "qt", Seq("price"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 5L, None),        // nothing at or before t=5
+      (1L, 10L, Some(1.0)),  // same-instant quote visible (<=)
+      (1L, 25L, Some(2.0)),
+      (2L, 14L, None),
+      (2L, 99L, Some(9.0))))
+  }
+
   test("fkClosedSample keeps exactly the FK-matching child rows") {
     val child = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("fk", "v")
     val keys = Seq(1L, 3L).toDF("k")

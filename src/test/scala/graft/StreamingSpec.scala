@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
+case class Authorship(group: Long, member: Long, ts: Timestamp)
+
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
@@ -75,6 +77,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(unix_timestamp($"win_start")).as[Long].collect().sorted.toSeq
     val t1000 = ts("2024-01-01 10:00:00").getTime / 1000
     assert(wins == Seq(t1000, t1000 + 300)) // 10:00 and 10:05 windows
+  }
+
+  test("incrementalCoEdges emits new pairs as members arrive") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Authorship]
+    val q = EventStreams.incrementalCoEdges(ms.toDF())
+      .writeStream.format("memory").queryName("coedges")
+      .outputMode("append").start()
+    try {
+      ms.addData(Authorship(1L, 10L, ts("2024-01-01 10:00:00")),
+        Authorship(1L, 11L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      ms.addData(Authorship(1L, 12L, ts("2024-01-01 10:02:00")),
+        Authorship(2L, 10L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val got = spark.table("coedges").select("group", "a", "b")
+        .as[(Long, Long, Long)].collect().toSet
+      // batch1 pair + the two pairs the batch2 arrival creates with
+      // buffered state; group 2 has one member → no pair
+      assert(got == Set((1L, 10L, 11L), (1L, 10L, 12L), (1L, 11L, 12L)))
+    } finally q.stop()
   }
 
   test("watermark drops late data in append-mode aggregation") {
