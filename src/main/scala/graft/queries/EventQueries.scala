@@ -91,6 +91,26 @@ object EventQueries {
           col("event_type"), col("n_events"))
     },
 
+    // Pivot: event-type counts as columns per user (fixed value list →
+    // deterministic output schema; oracle = FILTER aggregates).
+    "q47_pivot_user_events" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // Unpivot (melt): wide part attributes to long (attribute, value).
+    "q48_unpivot_part" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "attribute", "value")
+    },
+
     // Approximate sketches (HLL++): rows-only check — sketch internals
     // are engine-specific, so no cross-engine oracle; the spec-level
     // guarantee (estimate within rsd of exact) is asserted instead.
@@ -139,6 +159,21 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "q47_pivot_user_events" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q48_unpivot_part" ->
+      """SELECT p_partkey, 'p_size' AS attribute, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part""".stripMargin,
 
     // each event falls in windows starting at floor(t/1800)*1800 and
     // that minus 1800 (1-hour window, 30-min slide, epoch-aligned)
