@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CoOccur
+
+/** The SURVEY.md §4 physical-execution claim, demonstrated: bucketing
+  * the authorship-shaped table by its group key makes the co-membership
+  * self-join — the engine's hottest pattern — run WITHOUT a shuffle
+  * exchange (both sides are co-partitioned by bucket). At 100 TB this
+  * is the difference between re-shuffling the largest table per query
+  * and reading it join-ready. */
+class BucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bucketed self-join plans without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("wh").toString
+    val table = "li_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_suppkey")
+      .write.option("path", s"$warehouse/$table")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(table)
+    try {
+      val t = spark.table(table)
+      val pairs = CoOccur.pairs(t, "l_orderkey", "l_suppkey")
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+      // count exchanges: distinct aggregation may shuffle once per side
+      // of the join at most; a non-bucketed plan has 2 extra exchanges
+      val nonBucketed = CoOccur.pairs(
+        graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+          .select("l_orderkey", "l_suppkey"), "l_orderkey", "l_suppkey")
+      nonBucketed.collect()
+      def exchanges(s: String) = "Exchange hashpartitioning".r.findAllIn(s).size
+      val bucketedEx = exchanges(plan)
+      val plainEx = exchanges(nonBucketed.queryExecution.executedPlan.toString)
+      assert(bucketedEx < plainEx,
+        s"bucketed=$bucketedEx plain=$plainEx\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
