@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.types.DecimalType
-
 import graft.operators.Relational
 import graft.sources.Tables
 
@@ -19,16 +17,7 @@ import graft.sources.Tables
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def ts(s: String) = lit(s).cast("timestamp")
-
-  /** Money arithmetic is done in DECIMAL(18,2) on BOTH engines: double
-    * summation order differs between Spark and the DuckDB oracle, and a
-    * sum landing exactly on a round(x, 2) boundary (common: prices have
-    * 2 decimals, discounts 2 → products are exact 1e-4 multiples) would
-    * flip the last cent depending on 1e-10 binary noise. Decimal sums
-    * are exact, rounding is exact, the cast to double at the very end is
-    * deterministic. */
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  // dec/ts: see graft.queries package object (oracle-parity rules)
 
   val defs: Map[String, Q] = Map(
     // Full-scan multi-aggregate (A1/A3/A4/A6) with pushed filter (P8).

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -20,8 +19,6 @@ import graft.sources.Tables
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
-
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
   val defs: Map[String, Q] = Map(
     // from_json over the props column + per-type aggregates.

@@ -153,8 +153,6 @@ object GraphQueries {
     // (value*1500 > total) — a double threshold would flip near-boundary
     // groups between engines.
     "q42_important_parts" -> { (s, d) =>
-      def dec(c: org.apache.spark.sql.Column) =
-        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
       val li = Tables.lineitem(s, d)
       val partValue = li.groupBy(col("l_partkey"))
         .agg(sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("value"))
