@@ -205,6 +205,28 @@ object CoreQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     },
 
+    // TPC-H Q21 shape: semi-join AND anti-join against the same table
+    // with extra non-equi conditions — suppliers solely responsible for
+    // a heavy line in multi-supplier orders.
+    "q50_sole_blame" -> { (s, d) =>
+      val lines = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .localCheckpoint() // three references below
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .localCheckpoint()
+      val withOther = heavy.join(
+        lines.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      val soleHeavy = withOther.join(
+        heavy.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      soleHeavy.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+    },
+
     // Exact percentiles (linear interpolation — Spark `percentile` and
     // DuckDB `quantile_cont` interpolate identically on identical
     // doubles; no arithmetic noise since inputs come straight from
@@ -352,6 +374,18 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q50_sole_blame" ->
+      """WITH lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |heavy AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |          WHERE l_quantity >= 48)
+        |SELECT h.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM heavy h
+        |WHERE EXISTS (SELECT 1 FROM lines o WHERE o.l_orderkey = h.l_orderkey
+        |              AND o.l_suppkey <> h.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM heavy x WHERE x.l_orderkey = h.l_orderkey
+        |                  AND x.l_suppkey <> h.l_suppkey)
+        |GROUP BY h.l_suppkey""".stripMargin,
 
     "q45_price_percentiles" ->
       """SELECT o_orderpriority,

@@ -72,6 +72,19 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.4)
     },
 
+    // Edit-distance blocking (author-disambiguation primitive,
+    // reference archive/links.md): near-identical customer names among
+    // consecutive keys — levenshtein is built-in on both engines.
+    "q49_name_edit_distance" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+      val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+      a.join(b, col("k2") === col("k1") + 1)
+        .select(col("k1"), col("k2"),
+          levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+    },
+
     // MinHash + LSH banding candidate pairs (rows-only check:
     // xxhash64 has no DuckDB twin).
     "q26_minhash_lsh" -> { (s, d) =>
@@ -147,6 +160,12 @@ object TextQueries {
          |FROM documents
          |GROUP BY substr(${normSql("text")}, 1, 80)
          |HAVING count(*) > 1""".stripMargin,
+
+    "q49_name_edit_distance" ->
+      """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     "q25_ngram_jaccard" ->
       s"""WITH $shSql,
