@@ -74,6 +74,69 @@ object Similarity {
       .select(col(id), col("pos").as("band"), col("col").as("bkey"))
   }
 
+  /** IVF (inverted-file) ANN index: corpus vectors are assigned to
+    * their nearest centroid cell; a query probes only the `nprobe`
+    * nearest cells and exact-cosine re-ranks the candidates. The
+    * 100 TB shape: the corpus shuffles ONCE on cell id at index build;
+    * each query touches |corpus|·nprobe/k rows instead of the full
+    * corpus.
+    *
+    * Centroids are deterministic: the `k` lowest-id vectors seed the
+    * cells, refined by `lloydIters` rounds of mean-recentering — no RNG
+    * state, reproducible across runs. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, topK: Int, cells: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")).localCheckpoint()
+
+    // deterministic seeds: lowest-id vectors
+    var centroids = c.orderBy(col("n_id")).limit(cells)
+      .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr"))
+      .localCheckpoint()
+    // Lloyd refinement: assign → elementwise mean per cell
+    (0 until lloydIters).foreach { _ =>
+      val assigned = assignCells(c, centroids, 1)
+      centroids = assigned.join(c, "n_id")
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("pos"), col("m"))))).as("mm"))
+        .select(col("cell"), map_values(col("mm")).as("ctr"))
+        .localCheckpoint()
+    }
+
+    val index = assignCells(c, centroids, 1) // (n_id, cell)
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
+    val probes = assignCells(
+      q.select(col("q_id").as("n_id"), col("qv").as("cv")), centroids, nprobe)
+      .select(col("n_id").as("q_id"), col("cell"))
+    val cand = probes.join(index, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val scored = cand.join(c, "n_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(ArrayCosine.cosine(col("qv"), col("cv")), 4).as("cos"))
+    Relational.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id")), topK)
+  }
+
+  /** Nearest `take` centroid cells per vector (by cosine, deterministic
+    * tie-break on cell id). Centroids are broadcast — there are never
+    * many. */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame,
+                          take: Int): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .select(col("n_id"), col("cell"),
+        ArrayCosine.cosine(col("cv"), col("ctr")).as("sim"))
+    Relational.topKPerGroup(scored, Seq(col("n_id")),
+      Seq(col("sim").desc, col("cell")), take)
+      .select(col("n_id"), col("cell"))
+  }
+
   /** ANN top-k: candidates = corpus vectors sharing ≥1 LSH band bucket
     * with the query, re-ranked by exact cosine. */
   def signLshTopK(corpus: DataFrame, queries: DataFrame, id: String,

@@ -26,6 +26,14 @@ object SimQueries {
     "q29_ann_lsh_topk" -> { (s, d) =>
       Similarity.signLshTopK(
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // IVF ANN top-5: inverted-file cells with deterministic Lloyd
+    // centroids, nprobe=4 of 16 (rows-only; SimilaritySpec asserts
+    // recall vs exact and full-probe ≡ exact).
+    "q51_ann_ivf_topk" -> { (s, d) =>
+      Similarity.ivfTopK(
+        Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
     }
   )
 

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN quality checks: both approximate paths (sign-LSH, IVF) must
+  * recover a healthy fraction of the exact top-k on the real embedding
+  * fixture. */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val emb = Tables.embeddings(spark, dir)
+  private lazy val queries = emb.filter(col("vec_id") % 20 === 0)
+
+  private def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+
+  private lazy val exact = topSet(
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+
+  test("IVF recalls most exact neighbors with nprobe=4/16 cells") {
+    val ivf = topSet(
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("IVF probing all cells equals exact search") {
+    val full = topSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      5, cells = 8, nprobe = 8))
+    assert(full == exact)
+  }
+}
