@@ -141,6 +141,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with a dimension") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    val q = ms.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 9))
+      q.processAllAvailable()
+      val got = spark.table("enriched").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink lands incremental parquet batches") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb").toString
+    val ms = MemoryStream[Event]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }.start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:01:00", 2), ev(3, "2024-01-01 10:02:00", 3))
+      q.processAllAvailable()
+      val n = spark.read.parquet(s"$out/batch_*").count()
+      assert(n == 3)
+    } finally q.stop()
+  }
+
   test("sessionCounts (unified API) splits on the gap in batch mode") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
