@@ -71,6 +71,23 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
+  /** Resize pass: recompute target dimensions preserving aspect ratio.
+    * STUB: the pixel transform is a no-op on bytes (a real resizer
+    * re-encodes `content`); the metadata contract — every row gets
+    * target dims ≤ maxSide with the aspect ratio kept — is real and
+    * tested. Runs as a pure column transform: no bytes are shuffled,
+    * and the scan can prune `content` when callers only read dims. */
+  def resizeMeta(decoded: Dataset[Decoded], maxSide: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest => fGreatest}
+    decoded.toDF()
+      .filter(col("ok"))
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / fGreatest(col("width"), col("height"))))
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("width") * col("scale")).cast("int").as("out_width"),
+        round(col("height") * col("scale")).cast("int").as("out_height"))
+  }
+
   /** Frame sampling: every `stride`-th frame index of decoded media —
     * pure relational explode, no bytes touched (scan prunes the binary
     * column entirely). */

@@ -28,6 +28,15 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Seq[Float])].collect().toMap.apply(1L)) // reproducible
   }
 
+  test("resizeMeta caps the long side and keeps aspect ratio") {
+    val r = Multimodal.resizeMeta(Multimodal.decode(media), maxSide = 64)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(x => x._1 -> (x._4, x._5)).toMap
+    // media 1 decodes to 64x128 → halved to 32x64
+    assert(r(1L) == (32, 64))
+    assert(!r.contains(3L)) // failed decode excluded
+  }
+
   test("sampleFrames explodes every stride-th frame without bytes") {
     val frames = Multimodal.sampleFrames(Multimodal.decode(media), stride = 4)
       .as[(Long, Int)].collect().groupBy(_._1).view
