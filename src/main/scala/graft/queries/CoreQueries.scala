@@ -227,6 +227,34 @@ object CoreQueries {
         .agg(count(lit(1)).as("numwait"))
     },
 
+    // Conditional aggregation (CASE WHEN inside agg) by quarter.
+    "q52_returns_by_quarter" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          quarter(col("l_shipdate")).cast("long").as("qtr"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(0.0)), 2).as("returned_qty"),
+          round(sum(when(col("l_returnflag") =!= "R", col("l_quantity"))
+            .otherwise(0.0)), 2).as("kept_qty"),
+          count(when(col("l_returnflag") === "R", lit(1))).as("n_returns"))
+    },
+
+    // Correlated aggregate threshold (TPC-H Q17 shape): lines below
+    // 20% of their part's average quantity. The threshold is a double
+    // computed identically by both engines from identical inputs, so
+    // the comparison cannot flip.
+    "q53_small_quantity_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(avgQty, "l_partkey")
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(round(sum(dec(col("l_extendedprice"))), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Exact percentiles (linear interpolation — Spark `percentile` and
     // DuckDB `quantile_cont` interpolate identically on identical
     // doubles; no arithmetic noise since inputs come straight from
@@ -374,6 +402,27 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q52_returns_by_quarter" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(quarter(l_shipdate) AS BIGINT) AS qtr,
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+        |    ELSE 0.0 END) AS DOUBLE), 2) AS returned_qty,
+        |  round(CAST(sum(CASE WHEN l_returnflag <> 'R' THEN l_quantity
+        |    ELSE 0.0 END) AS DOUBLE), 2) AS kept_qty,
+        |  CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+        |    AS n_returns
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q53_small_quantity_revenue" ->
+      """WITH a AS (SELECT l_partkey,
+        |    CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < a.avg_qty * 0.2""".stripMargin,
 
     "q50_sole_blame" ->
       """WITH lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
