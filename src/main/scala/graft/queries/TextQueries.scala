@@ -72,6 +72,20 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.4)
     },
 
+    // Inverted-index construction (the reference stores abstracts AS
+    // inverted indexes, `PaperAbstractsInvertedIndex.txt`; SURVEY.md
+    // §2.11): per-word document-frequency + sorted posting list.
+    "q54_inverted_index" -> { (s, d) =>
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.words(TextFns.norm(col("text")))).as("word"))
+        .distinct()
+      postings.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("posting_list"))
+    },
+
     // Edit-distance blocking (author-disambiguation primitive,
     // reference archive/links.md): near-identical customer names among
     // consecutive keys — levenshtein is built-in on both engines.
@@ -166,6 +180,15 @@ object TextQueries {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    "q54_inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS word
+         |  FROM documents)
+         |SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |    AS posting_list
+         |FROM p GROUP BY word""".stripMargin,
 
     "q25_ngram_jaccard" ->
       s"""WITH $shSql,
