@@ -227,6 +227,25 @@ object CoreQueries {
         .agg(count(lit(1)).as("numwait"))
     },
 
+    // TPC-H Q19 shape: disjunction of conjunctive join+filter branches
+    // — the planner must keep the equi-join key and push the residual
+    // OR-of-ANDs as a post-join filter.
+    "q55_branded_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Conditional aggregation (CASE WHEN inside agg) by quarter.
     "q52_returns_by_quarter" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -402,6 +421,18 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q55_branded_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
 
     "q52_returns_by_quarter" ->
       """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
