@@ -34,8 +34,13 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
-    // stable name order: run-to-run comparability, and q01 (cheap scan
-    // aggregate) absorbs the one-time JIT/codegen warmup
+    // one untimed run of the flagship absorbs JVM/codegen warmup so the
+    // timed numbers are steady-state
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    // stable name order for run-to-run comparability
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
