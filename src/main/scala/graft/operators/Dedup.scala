@@ -64,20 +64,29 @@ object Dedup {
     * scale. Output: id_a, id_b, jaccard (rounded 4). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.4): DataFrame = {
-    // materialized once: referenced by both the rarity aggregate and
-    // the rank join, which would otherwise recompute the shingling
-    val sh = docShingles(df, idCol, textCol, n).localCheckpoint()
-    // global rarity rank; ties broken by shingle text for determinism
-    val byRarity = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
-    val ranked = sh.join(byRarity, "sh")
+    // Shingle STRINGS are hashed to 8-byte longs ONCE here; rarity
+    // ranking, the prefix index, the candidate join, and verification
+    // all run on longs — far cheaper shuffles, compares, and array
+    // intersects than ~20-byte strings. sz (distinct-shingle count) is
+    // computed on the already-distinct shingle set, so sz and the
+    // verified overlap stay exact; a 64-bit collision merging two
+    // shingles of one doc has probability ~sz²·2⁻⁶⁴ — negligible.
+    // Materialized once: referenced by both the rarity aggregate and
+    // the rank join, which would otherwise recompute the shingling.
+    val sh = docShingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("hk"))
+      .localCheckpoint()
+    // global rarity rank; ties broken by shingle hash for determinism
+    val byRarity = sh.groupBy(col("hk")).agg(count(lit(1)).as("df_"))
+    val ranked = sh.join(byRarity, "hk")
       .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("df_"), col("sh"))))
+          .partitionBy(col(idCol)).orderBy(col("df_"), col("hk"))))
     val docs = ranked.groupBy(col(idCol))
       .agg(count(lit(1)).as("sz"),
-        collect_list(struct(col("rnk"), col("sh"))).as("shl"))
+        collect_list(struct(col("rnk"), col("hk"))).as("shl"))
       .select(col(idCol), col("sz"),
-        transform(array_sort(col("shl")), _.getField("sh")).as("shs"))
+        transform(array_sort(col("shl")), _.getField("hk")).as("shs"))
       .localCheckpoint() // tiny per-doc rows; reused by index + verify
     // prefix index: first sz - ceil(t*sz) + 1 rarest shingles, with the
     // in-prefix position kept for PPJoin's positional filter
@@ -85,20 +94,21 @@ object Dedup {
         posexplode(slice(col("shs"), lit(1),
           (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int"))))
       .select(col(idCol), col("sz"), (col("pos") + 1).as("rnk"),
-        col("col").as("sh"))
+        col("col").as("hk"))
     // positional filter: tokens remaining after the match position must
     // still be able to reach the overlap bound α = ⌈t/(1+t)·(szA+szB)⌉.
-    // The join key is the 8-byte shingle hash, not the shingle string —
-    // cheaper shuffle/compare; a hash collision only adds a false
-    // candidate, which exact verification removes.
-    val hashed = prefix.withColumn("hk", xxhash64(col("sh")))
-    val cands = hashed.select(col(idCol).as("id_a"), col("sz").as("za"),
+    // The bound compare is EXACT integer math — 1+least ≥ t/(1+t)·(za+zb)
+    // multiplied through as (1+least)·(S+T) ≥ T·(za+zb) with t = T/S —
+    // because double ceil() can land one ulp above the rational bound
+    // and wrongly prune pairs sitting exactly at the threshold.
+    val tScaled = math.round(minJaccard * 10000L) // t as a rational T/10000
+    val cands = prefix.select(col(idCol).as("id_a"), col("sz").as("za"),
         col("rnk").as("ra"), col("hk"))
-      .join(hashed.select(col(idCol).as("id_b"), col("sz").as("zb"),
+      .join(prefix.select(col(idCol).as("id_b"), col("sz").as("zb"),
         col("rnk").as("rb"), col("hk")), Seq("hk"))
       .filter(col("id_a") < col("id_b") &&
-        (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) >=
-          ceil(lit(minJaccard / (1 + minJaccard)) * (col("za") + col("zb"))))
+        (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) *
+          lit(10000L + tScaled) >= lit(tScaled) * (col("za") + col("zb")))
       .select(col("id_a"), col("id_b")).distinct()
     cands
       .join(docs.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
@@ -112,14 +122,19 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, sh).
-    * One exploded pass, `numPerms` min-aggregates — map-side combine
-    * keeps the shuffle at one row per doc. */
+  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, hk)
+    * where hk = xxhash64(shingle) — the string is hashed ONCE and the
+    * `numPerms` permutations hash the 8-byte value, not the string
+    * (numPerms× cheaper on the hot path; the composition is still a
+    * uniform 64-bit family). One exploded pass, `numPerms`
+    * min-aggregates — map-side combine keeps the shuffle at one row
+    * per doc. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numPerms: Int = 32, shingleN: Int = 3): DataFrame = {
     val sh = docShingles(df, idCol, textCol, shingleN)
+      .select(col(idCol), xxhash64(col("sh")).as("hk"))
     val aggs = (0 until numPerms)
-      .map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+      .map(i => min(xxhash64(lit(i), col("hk"))).as(s"m$i"))
     sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),

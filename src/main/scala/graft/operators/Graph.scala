@@ -23,7 +23,15 @@ object Graph {
 
   /** Root resolution over a parent hierarchy (G2 — the reference's
     * recursive per-row `getRootFos`, `App.scala:21-35`, made a bulk
-    * fixpoint). `edges` = (child, parent). Returns (node, root).
+    * fixpoint). `edges` = (child, parent). Returns (node, root) — exactly
+    * ONE row per node.
+    *
+    * The hierarchy may be a DAG (MAG FieldOfStudyChildren allows several
+    * parents per child; the reference resolves the FIRST parent,
+    * `App.scala:26`, an arbitrary pick). We make that deterministic:
+    * each step follows the MINIMUM parent id, so every node has one
+    * functional successor and the iteration carries one row per node —
+    * no per-level fan-out on multi-parent hierarchies.
     *
     * Self-loops are dropped up front (the reference defends against
     * `parent == fieldId` cycles, `App.scala:28-31`); other cycles are
@@ -31,7 +39,9 @@ object Graph {
   def rootClosure(edges: DataFrame, child: String = "child",
                   parent: String = "parent", maxIter: Int = 20): DataFrame = {
     val e = edges.filter(col(child) =!= col(parent))
-      .select(col(child).as("c"), col(parent).as("p")).localCheckpoint()
+      .select(col(child).as("c"), col(parent).as("p"))
+      .groupBy(col("c")).agg(min(col("p")).as("p")) // functional: one parent per child
+      .localCheckpoint()
     // start: every node that appears anywhere, pointing at itself
     var cur = e.select(col("c").as("node")).union(e.select(col("p")))
       .distinct().withColumn("anc", col("node"))

@@ -33,10 +33,12 @@ object MagSchemas {
   case class Fos(id: Long, rank: Int, name: String, dname: String,
       mainType: String, level: Int, papers: Long, citations: Long,
       createdAt: Date)
-  // models.scala:18-21
+  // models.scala:18-21 (incl. the trailing geo columns countryCode,
+  // country that parseCountryTuple / the geocoding flow populate)
   case class Affiliation(id: Long, rank: Int, name: String, dname: String,
       grid: String, page: String, wiki: String, papers: Long, citations: Long,
-      lat: Float, long: Long, createdAt: Date)
+      lat: Float, long: Long, createdAt: Date,
+      countryCode: String, country: String)
   // models.scala:24
   case class PaperAuthorAff(paper: Long, author: Long, affiliation: Long,
       authorSequence: Int, originalAffiliation: String)

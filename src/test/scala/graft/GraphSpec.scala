@@ -9,11 +9,16 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("rootClosure climbs a multi-level hierarchy") {
     // 1→2→3 (root), 4→3, plus a self-loop 5→5 (dropped, like the
-    // reference's parent==fieldId guard) and a 2-cycle 6↔7 (must not hang)
-    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (5L, 5L), (6L, 7L), (7L, 6L))
-      .toDF("child", "parent")
-    val got = Graph.rootClosure(edges).as[(Long, Long)].collect().toMap
+    // reference's parent==fieldId guard), a 2-cycle 6↔7 (must not hang),
+    // and a multi-parent DAG node 8 (parents 2 and 9→10): must resolve
+    // ONE root deterministically via the min parent (2, hence root 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (5L, 5L), (6L, 7L), (7L, 6L),
+      (8L, 2L), (8L, 9L), (9L, 10L)).toDF("child", "parent")
+    val rows = Graph.rootClosure(edges).as[(Long, Long)].collect()
+    assert(rows.length == rows.map(_._1).distinct.length) // one row per node
+    val got = rows.toMap
     assert(got(1L) == 3L && got(2L) == 3L && got(4L) == 3L && got(3L) == 3L)
+    assert(got(8L) == 3L && got(9L) == 10L)
     assert(Set(6L, 7L).contains(got(6L))) // cycle: terminates, stays inside
   }
 
