@@ -41,6 +41,26 @@ object Similarity {
       Seq(col("cos").desc, col("n_id")), k)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs — the dense-vector
+    * member of the dedup family (SURVEY.md §2.11): all unordered pairs
+    * (id_a < id_b) with round(cosine, 4) >= minCos. Exact by design —
+    * it is the oracle-checkable baseline; the 100 TB path keeps this
+    * verify step but generates candidates from sign-LSH band buckets
+    * ([[signLshBuckets]] self-joined, the [[Dedup.lshCandidates]]
+    * shape) instead of the n²/2 broadcast loop, trading a little
+    * recall for never materializing the quadratic pair space. */
+  def cosinePairs(emb: DataFrame, id: String, vec: String,
+                  minCos: Double): DataFrame = {
+    val a = emb.select(col(id).as("id_a"),
+      VectorFns.toDoubleArr(col(vec)).as("va"))
+    val b = emb.select(col(id).as("id_b"),
+      VectorFns.toDoubleArr(col(vec)).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(ArrayCosine.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Deterministic random hyperplanes, generated ONCE on the driver and
     * shipped as literal arrays — per-row hash generation of plane
     * components showed up as the dominant ANN cost (16 planes × dims

@@ -283,6 +283,23 @@ object CoreQueries {
         .groupBy(col("o_orderpriority"))
         .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+    },
+
+    // SQL entry point (S10 + the sql/ module): the whole surface is
+    // reachable as ANSI SQL over catalog views — this query runs
+    // entirely through spark.sql, exercising GROUPING SETS (the
+    // general form behind rollup q33 / cube q39).
+    "q57_grouping_sets_sql" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT n_name, o_orderpriority,
+          count(*) AS n_orders,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+            AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                                (o_orderpriority), ())""")
     }
   )
 
@@ -471,6 +488,16 @@ object CoreQueries {
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q57_grouping_sets_sql" ->
+      """SELECT n_name, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+        |                        (o_orderpriority), ())""".stripMargin
   )
 }

@@ -34,6 +34,13 @@ object SimQueries {
     "q51_ann_ivf_topk" -> { (s, d) =>
       Similarity.ivfTopK(
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // Embedding-cosine near-dup pairs (dense-vector dedup): exact
+    // threshold join, oracle-checked; see Similarity.cosinePairs for
+    // the LSH-bucketed 100 TB variant.
+    "q56_embed_neardup" -> { (s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     }
   )
 
@@ -48,6 +55,14 @@ object SimQueries {
         |SELECT q_id, n_id, cos, rn FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM p)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+
+    "q56_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin
   )
 }

@@ -35,4 +35,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       5, cells = 8, nprobe = 8))
     assert(full == exact)
   }
+
+  test("cosinePairs finds exactly the known identical/orthogonal pairs") {
+    // v1 == v2 (cos 1), v3 orthogonal to both, v4 = -v1 (cos -1)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)))
+    // inclusive threshold: the three orthogonal pairs (1,3),(2,3),(3,4)
+    // sit exactly at cos 0 and must survive minCos = 0.0
+    val zero = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.0)
+      .filter(col("cos") === 0.0).as[(Long, Long, Double)].collect()
+    assert(zero.length == 3)
+  }
 }
