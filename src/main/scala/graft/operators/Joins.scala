@@ -60,6 +60,30 @@ object Joins {
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** As-of join through the NATIVE custom operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
+    * same semantics as [[asOfJoin]], but planned as a co-partitioned
+    * sorted-merge with one buffered right row per partition instead of
+    * the union+window composition. The strategy is registered on the
+    * session idempotently. */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
+                     rightKey: String, leftTime: String, rightTime: String,
+                     valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.PlanBridge
+    val spark = left.sparkSession
+    PlanBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    PlanBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan, attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      valueCols.map(attr(rPlan, _))))
+  }
+
   /** Skew-salted equi-join: the big (skewed) side gets a deterministic
     * salt derived from its full row, the small side is exploded into
     * `factor` copies, and the join key becomes (key, salt) — a hot key's

@@ -48,8 +48,11 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point registering the engine's rules. */
+/** `spark.sql.extensions` entry point registering the engine's rules
+  * and planner strategies. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DisjunctiveJoinRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -164,6 +164,23 @@ object GraphQueries {
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
     },
 
+    // Same as-of semantics through the NATIVE custom operator
+    // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, the
+    // whole-operator extension path): co-partitioned sorted-merge with
+    // one buffered right row, vs q46's union+window composition. Same
+    // DuckDB ASOF oracle.
+    "q58_asof_native" -> { (s, d) =>
+      val lastPerDay = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+      graft.operators.Joins.asOfJoinNative(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          lastPerDay, "user_id", "o_custkey", "ts", "o_ts",
+          Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+    },
+
     // Scalar-aggregate comparison (TPC-H Q11): groups whose share of a
     // GLOBAL aggregate exceeds a threshold (broadcast scalar join).
     // All-decimal arithmetic with an integer-scaled comparison
@@ -283,6 +300,14 @@ object GraphQueries {
         |GROUP BY 1, 3""".stripMargin,
 
     "q46_asof_last_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |             CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.last_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+
+    "q58_asof_native" ->
       """WITH r AS (SELECT o_custkey, o_orderdate,
         |             CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
         |           FROM orders GROUP BY 1, 2)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+import graft.sources.Tables
+
+/** The native as-of operator (AsOfJoinPlan/Strategy/Exec) must agree
+  * with the composed union+window form on goldens and on the real
+  * events/orders fixture, handle no-match lefts with nulls, and show
+  * the custom exec node in its plan. */
+class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val quotes = Seq( // (key, time, px)
+    (1L, 10L, 100L), (1L, 20L, 110L), (1L, 30L, 120L),
+    (2L, 15L, 200L)).toDF("k", "t", "px")
+  private val trades = Seq( // (key, time)
+    (1L, 5L),  // before any quote -> null
+    (1L, 10L), // equal time -> 100 (<= semantics)
+    (1L, 25L), // between -> 110
+    (1L, 99L), // after all -> 120
+    (2L, 14L), // before key-2's only quote -> null
+    (3L, 50L)  // key with no quotes at all -> null
+  ).toDF("k", "t")
+
+  test("native as-of matches hand-computed golden incl. nulls and <= ties") {
+    val got = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 5L, None), (1L, 10L, Some(100L)), (1L, 25L, Some(110L)),
+      (1L, 99L, Some(120L)), (2L, 14L, None), (3L, 50L, None)))
+  }
+
+  test("native as-of ≡ composed union+window form on the real fixture") {
+    val d = "/root/testdata/sf0.001"
+    val lastPerDay = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+      .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+    val composed = Joins.asOfJoin(ev, lastPerDay, "user_id", "o_custkey",
+        "ts", "o_ts", Seq("last_orderkey"))
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val native = Joins.asOfJoinNative(ev, lastPerDay, "user_id", "o_custkey",
+        "ts", "o_ts", Seq("last_orderkey"))
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
+  test("plan contains the custom AsOfJoinExec node") {
+    val df = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+}
