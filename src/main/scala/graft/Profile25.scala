@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.Dedup
 
 /** Scratch perf probe for the dedup hot path (q25/q26). Not part of the
-  * declared surface; safe to delete. */
+  * declared surface; safe to delete.
+  *
+  * Measured trade-off (sf0.1, local[32]): replacing the global-rarity
+  * prefix order with plain hash order saves the rarity agg+join+window
+  * (~0.4s steady, more warm) but grows candidates 206k -> 318k on this
+  * flat-frequency corpus; on a skewed organic corpus hash order lets
+  * ubiquitous shingles into prefixes and the candidate join degrades
+  * toward Σf². Rarity order kept — it is the scale-correct choice. */
 object Profile25 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -45,10 +45,12 @@ object ScaleProbe {
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }
-    // warm the JIT on the small corpus first so ratios compare steady state
+    // time the SECOND run at each size: the first big-corpus run carries
+    // Janino codegen for AQE-specialized plan shapes the small corpus
+    // never produced, which would otherwise read as fake superlinearity
     jaccard(base); ann(base)
-    val (jb, _) = jaccard(base); val (jB, nB) = jaccard(big)
-    val (ab, _) = ann(base); val (aB, nA) = ann(big)
+    val (jb, _) = jaccard(base); jaccard(big); val (jB, nB) = jaccard(big)
+    val (ab, _) = ann(base); ann(big); val (aB, nA) = ann(big)
     val nDocs = spark.read.parquet(s"$big/documents.parquet").count().toDouble /
       spark.read.parquet(s"$base/documents.parquet").count()
     println(f"[probe] data ratio ${nDocs}%.0fx")
