@@ -99,6 +99,39 @@ object TextQueries {
         .filter(col("dist") <= 2)
     },
 
+    // The reference STORES abstracts as JSON inverted indexes
+    // (`PaperAbstractsInvertedIndex.txt`: {"IndexLength":N,
+    // "InvertedIndex":{word:[positions]}}). Round-trip that exact
+    // format through real JSON codecs: build the index, serialize with
+    // to_json, parse back with from_json(map<string,array<int>>), and
+    // decode summary stats — which the oracle computes directly from
+    // the text, so any unfaithfulness in the round-trip mismatches.
+    "q59_invindex_roundtrip" -> { (s, d) =>
+      val w = TextFns.words(TextFns.norm(col("text")))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(w).as(Seq("pos", "word")))
+      val inv = toks.groupBy(col("doc_id"), col("word"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(array_sort(
+            collect_list(struct(col("word"), col("positions")))))
+            .as("InvertedIndex"),
+          sum(size(col("positions"))).cast("int").as("IndexLength"))
+      val js = inv.select(col("doc_id"),
+        to_json(struct(col("IndexLength"), col("InvertedIndex"))).as("js"))
+      val parsed = js.select(col("doc_id"), from_json(col("js"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "struct<IndexLength:int, InvertedIndex:map<string,array<int>>>"))
+        .as("doc"))
+      parsed
+        .select(col("doc_id"), col("doc.IndexLength").as("index_length"),
+          explode(map_entries(col("doc.InvertedIndex"))).as("entry"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("index_length")).cast("long").as("index_length"),
+          count(lit(1)).as("n_terms"),
+          sum(size(col("entry.value"))).cast("long").as("n_positions"))
+    },
+
     // MinHash + LSH banding candidate pairs (rows-only check:
     // xxhash64 has no DuckDB twin).
     "q26_minhash_lsh" -> { (s, d) =>
@@ -189,6 +222,15 @@ object TextQueries {
          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
          |    AS posting_list
          |FROM p GROUP BY word""".stripMargin,
+
+    "q59_invindex_roundtrip" ->
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS index_length,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_terms,
+         |  CAST(len(w) AS BIGINT) AS n_positions
+         |FROM t""".stripMargin,
 
     "q25_ngram_jaccard" ->
       s"""WITH $shSql,
