@@ -184,6 +184,40 @@ object Dedup {
         coalesce(col("comp"), col(idCol)).as("canonical_id"))
   }
 
+  /** SimHash near-duplicate pairs — the signature-join step the
+    * Google-style dedup pipeline runs after [[simhash64]]: candidate
+    * pairs from exact 16-bit band buckets, verified with
+    * `bit_count(a XOR b) <= maxHamming`.
+    *
+    * EXACT for `maxHamming < 4` by pigeonhole: two 64-bit signatures
+    * within hamming distance 3 differ in at most 3 of the 4 disjoint
+    * 16-bit bands, so at least one band matches exactly and the pair
+    * surfaces from a bucket join — never an all-pairs comparison. The
+    * corpus shuffles once on (band, bucket); a hot bucket means
+    * near-identical signatures, which are exactly the rows that must
+    * meet anyway. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole exactness over 4 bands needs 0 <= maxHamming < 4, got $maxHamming")
+    val sig = simhash64(df, idCol, textCol)
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("band"),
+        col("col").as("bkey"))
+    banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+        col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 64-bit SimHash over (distinct-word, count) pairs: bit j is the
     * sign of the count-weighted sum of word-hash bit j. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {

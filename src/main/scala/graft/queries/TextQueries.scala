@@ -143,6 +143,13 @@ object TextQueries {
     // 64-bit SimHash per document (rows-only check).
     "q27_simhash" -> { (s, d) =>
       Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // SimHash near-dup pairs via 16-bit band buckets — pigeonhole-exact
+    // for hamming <= 3 (rows-only: xxhash64-based signatures; DedupSpec
+    // asserts banding ≡ brute force).
+    "q60_simhash_neardup" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
     }
   )
 
