@@ -181,6 +181,21 @@ object GraphQueries {
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
     },
 
+    // Skew-salted equi-join (SURVEY §4 skew handling): lineitem is
+    // maximally skewed on suppkey (100 suppliers x ~6k lines each at
+    // sf0.1), the salt spreads each hot key over 8 reducers. Oracle is
+    // the plain join — salting must be a pure physical rewrite.
+    "q61_salted_join" -> { (s, d) =>
+      graft.operators.Joins.saltedJoin(
+          Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
+          Tables.supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+            col("s_nationkey")),
+          "l_suppkey")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+    },
+
     // Scalar-aggregate comparison (TPC-H Q11): groups whose share of a
     // GLOBAL aggregate exceeds a threshold (broadcast scalar join).
     // All-decimal arithmetic with an integer-scaled comparison
@@ -314,6 +329,13 @@ object GraphQueries {
         |SELECT e.event_id, e.user_id, r.last_orderkey
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+
+    "q61_salted_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
 
     "q42_important_parts" ->
       """WITH pv AS (

@@ -54,6 +54,23 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     assert(native.nonEmpty)
   }
 
+  test("native ≡ composed on seeded random key/time data") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("lid", "k", "t")
+    // unique (key, time) on the right for determinism
+    val r = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong * 7) }
+      .toDF("k", "t", "payload")
+    val composed = Joins.asOfJoin(l, r, "k", "k", "t", "t", Seq("payload"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val native = Joins.asOfJoinNative(l, r, "k", "k", "t", "t", Seq("payload"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(native == composed)
+    assert(native.size == 400)
+  }
+
   test("plan contains the custom AsOfJoinExec node") {
     val df = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
     val plan = df.queryExecution.executedPlan.toString
