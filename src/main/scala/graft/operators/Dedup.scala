@@ -101,7 +101,10 @@ object Dedup {
     // multiplied through as (1+least)·(S+T) ≥ T·(za+zb) with t = T/S —
     // because double ceil() can land one ulp above the rational bound
     // and wrongly prune pairs sitting exactly at the threshold.
-    val tScaled = math.round(minJaccard * 10000L) // t as a rational T/10000
+    // t as a rational T/10000, rounded DOWN: T/10000 <= t keeps the
+    // candidate bound conservative for thresholds not expressible as
+    // k/10000 (rounding up would prune pairs the verify step accepts)
+    val tScaled = math.floor(minJaccard * 10000L).toLong
     val cands = prefix.select(col(idCol).as("id_a"), col("sz").as("za"),
         col("rnk").as("ra"), col("hk"))
       .join(prefix.select(col(idCol).as("id_b"), col("sz").as("zb"),
@@ -214,8 +217,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: a hot band bucket emits O(n²) far pairs
+      // and the hamming cut discards them without a shuffle; distinct
+      // then only dedups true near-dup pairs (hamming is a function of
+      // the pair, so the order is semantics-preserving)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** 64-bit SimHash over (distinct-word, count) pairs: bit j is the

@@ -34,6 +34,10 @@ object Joins {
     * Right rows must be unique per (key, time) for determinism —
     * pre-aggregate the right side if they are not. Right payload
     * columns come back null when no right row precedes the left row.
+    * NULL caveat: the window composition groups null keys into one
+    * partition and sorts null times first, so nulls can match each
+    * other — unlike [[asOfJoinNative]] (and SQL join convention),
+    * where a null key/time never matches.
     *
     * @param valueCols right-side payload columns to carry */
   def asOfJoin(left: DataFrame, right: DataFrame, leftKey: String,

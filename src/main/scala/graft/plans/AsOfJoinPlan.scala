@@ -15,12 +15,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `spark.experimental.extraStrategies` (or `GraftExtensions` for
   * `spark.sql.extensions`).
   *
-  * Semantics (identical to the composed form
-  * [[graft.operators.Joins.asOfJoin]], which stays as the oracle-safe
-  * baseline): for each left row, the single LATEST right row of the
+  * Semantics: for each left row, the single LATEST right row of the
   * same key with `rightTime <= leftTime`; right payload columns are
   * null when no right row precedes the left row. Right rows should be
-  * unique per (key, time) for determinism.
+  * unique per (key, time) for determinism. NULL handling follows SQL
+  * join convention — a null key or time never matches (left rows get a
+  * null payload; right rows are skipped) — which is also DuckDB's ASOF
+  * behavior. This is the ONE divergence from the composed form
+  * [[graft.operators.Joins.asOfJoin]] (identical on null-free keys and
+  * times, which the equivalence spec checks): the window composition
+  * groups null keys into one partition and sorts null times first, so
+  * it can match them.
   *
   * Physical shape — the 100 TB reason this beats the union+window
   * composition: both sides hash-partition on their key and sort by

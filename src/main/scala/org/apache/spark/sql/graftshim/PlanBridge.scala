@@ -18,10 +18,16 @@ object PlanBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
-  /** Idempotently append a strategy to the session's planner. */
+  /** Idempotently append a strategy to the session's planner. Checks
+    * the planner's full strategy list, not just the experimental slot,
+    * so a session already configured with
+    * `spark.sql.extensions=GraftExtensions` is not double-registered
+    * (a duplicate strategy would make the planner enumerate the same
+    * physical candidate twice for every query). */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(s))
+    if (!cs.sessionState.planner.strategies.contains(s) &&
+        !cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
 }
