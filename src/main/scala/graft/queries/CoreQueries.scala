@@ -285,6 +285,21 @@ object CoreQueries {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))
     },
 
+    // Ranking/analytic window functions q38 does not cover: ntile,
+    // percent_rank, cume_dist (exact integer-ratio doubles — identical
+    // on both engines), nth_value over an explicit rows frame. The
+    // ordering key is unique per partition, so every rank is total.
+    "q62_window_ranks" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("ntile4", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+
     // SQL entry point (S10 + the sql/ module): the whole surface is
     // reachable as ANSI SQL over catalog views — this query runs
     // entirely through spark.sql, exercising GROUPING SETS (the
@@ -489,6 +504,17 @@ object CoreQueries {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q62_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
 
     "q57_grouping_sets_sql" ->
       """SELECT n_name, o_orderpriority,
