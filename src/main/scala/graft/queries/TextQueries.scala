@@ -145,6 +145,27 @@ object TextQueries {
       Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Multimodal decode plumbing under the driver gate: binary media
+    // payloads (deterministic ASCII bytes derived from doc_id) through
+    // the typed mapPartitions decode pass; the STUB probe's arithmetic
+    // is byte-deterministic, so DuckDB can replay it from the same
+    // constructed string — the oracle checks the whole binary-column /
+    // Dataset[Media] / per-partition-codec dataflow, not the fake
+    // codec itself.
+    "q63_media_decode" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          lit("text/plain").as("media_type"),
+          concat(col("doc_id").cast("string"), lit("xyz"))
+            .cast("binary").as("content"))
+        .as[graft.operators.Multimodal.Media]
+      graft.operators.Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    },
+
     // SimHash near-dup pairs via 16-bit band buckets — pigeonhole-exact
     // for hamming <= 3 (rows-only: xxhash64-based signatures; DedupSpec
     // asserts banding ≡ brute force).
@@ -229,6 +250,15 @@ object TextQueries {
          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
          |    AS posting_list
          |FROM p GROUP BY word""".stripMargin,
+
+    "q63_media_decode" ->
+      """WITH m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || 'xyz' AS s
+        |           FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 * (1 + (ascii(substr(s, 1, 1)) & 63)) AS BIGINT) AS width,
+        |  CAST(16 * (1 + (ascii(substr(s, 2, 1)) & 63)) AS BIGINT) AS height,
+        |  CAST(1 + (ascii(substr(s, 3, 1)) & 127) AS BIGINT) AS n_frames
+        |FROM m""".stripMargin,
 
     "q59_invindex_roundtrip" ->
       s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
