@@ -47,6 +47,23 @@ object EventQueries {
           col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
     },
 
+    // The streaming module's central operator under the oracle gate via
+    // its BATCH twin: incrementalCoEdges is unified batch/stream code
+    // (withWatermark is a no-op in batch), so the same stream-stream
+    // interval self-join that maintains co-occurrence edges online is
+    // hash-checked here — per-user pairs of event types within 1 hour.
+    "q64_coevent_pairs" -> { (s, d) =>
+      val authorship = Tables.events(s, d)
+        .select(col("user_id").as("group"), col("event_type").as("member"),
+          col("ts"))
+      graft.streaming.EventStreams.incrementalCoEdges(authorship, "1 hour")
+        .groupBy(col("group").as("user_id"), col("a"), col("b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(unix_micros(col("pair_ts"))).as("last_pair_us"))
+        .select(col("user_id"), col("a"), col("b"), col("n_pairs"),
+          col("last_pair_us"))
+    },
+
     // Sessionization: 30-min inactivity gap → session ids → per-session
     // stats. Deterministic ordering by (ts, event_id).
     "q32_sessionize" -> { (s, d) =>
@@ -126,6 +143,18 @@ object EventQueries {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2)
         |    AS avg_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q64_coevent_pairs" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events)
+        |SELECT e1.user_id, e1.event_type AS a, e2.event_type AS b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(max(epoch_us(greatest(e1.ts, e2.ts))) AS BIGINT)
+        |    AS last_pair_us
+        |FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+        |  AND e2.ts BETWEEN e1.ts - INTERVAL 1 HOUR
+        |                AND e1.ts + INTERVAL 1 HOUR
+        |  AND e1.event_type < e2.event_type
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q31_tumbling_hour" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
