@@ -51,6 +51,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sh(1L) != sh(4L))
   }
 
+  test("ngramJaccardPairs is exact vs brute force on random docs") {
+    // the PPJoin prefix + positional filters must lose NO pair at any
+    // threshold, including thresholds not representable as k/10000
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    for (t <- Seq(0.3, 1.0 / 3.0, 0.4567)) {
+      val brute = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        co = (sa & sb).size
+        j = math.rint(co.toDouble / (sa.size + sb.size - co) * 10000) / 10000
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(got == brute, s"threshold $t")
+    }
+  }
+
   test("simhashPairs banding is pigeonhole-exact vs brute force") {
     import org.apache.spark.sql.functions._
     val fixture = graft.sources.Tables

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Property checks for the iterative graph operators against
+  * driver-side brute force on seeded random graphs — the distributed
+  * fixpoint loops must agree with the obvious sequential algorithms on
+  * arbitrary topologies, not just the hand-built spec fixtures.
+  * (scalacheck's scalatest bridge is not in the offline cache, so these
+  * are seeded-Random property loops.) */
+class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def randomEdges(rnd: scala.util.Random, nV: Int, nE: Int) =
+    Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      .filter { case (a, b) => a != b }.distinct
+
+  /** Sequential union-find. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical label = min vertex in component
+    val byRoot = verts.groupBy(find)
+    byRoot.values.flatMap(vs => vs.map(_ -> vs.min)).toMap
+  }
+
+  /** Sequential BFS over an undirected adjacency. */
+  private def bruteBfs(edges: Seq[(Long, Long)], seed: Long,
+                       depth: Int): Map[Long, Int] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var level = Map(seed -> 0)
+    var frontier = Set(seed)
+    (1 to depth).foreach { l =>
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .diff(level.keySet)
+      level = level ++ frontier.map(_ -> l)
+    }
+    level
+  }
+
+  test("connectedComponents agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val edges = randomEdges(rnd, nV = 40, nE = 55)
+      val got = Graph.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(edges), s"trial $trial: $edges")
+    }
+  }
+
+  test("egoBfs agrees with sequential BFS on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val edges = randomEdges(rnd, nV = 30, nE = 45)
+      val seed = edges.head._1
+      val got = Graph.egoBfs(spark, edges.toDF("a", "b"), seed, depth = 3)
+        .as[(Long, Int)].collect().toMap
+      assert(got == bruteBfs(edges, seed, 3), s"trial $trial: $edges")
+    }
+  }
+
+  test("rootClosure resolves the min-parent chain on random forests") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      // random parent pointers upward: parent(v) < v ensures a DAG with
+      // multi-parent nodes when duplicated
+      val edges = (1 to 35).flatMap { v =>
+        Seq.fill(1 + rnd.nextInt(2))((v.toLong, rnd.nextInt(v).toLong))
+      }.distinct
+      val minParent = edges.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      def root(v: Long): Long =
+        minParent.get(v).map(root).getOrElse(v)
+      val expected = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        .map(v => v -> root(v)).toMap
+      val got = Graph.rootClosure(edges.toDF("child", "parent"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
