@@ -76,9 +76,14 @@ object Dedup {
     val sh = docShingles(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("hk"))
       .localCheckpoint()
-    // global rarity rank; ties broken by shingle hash for determinism
-    val byRarity = sh.groupBy(col("hk")).agg(count(lit(1)).as("df_"))
-    val ranked = sh.join(byRarity, "hk")
+    // global rarity rank; ties broken by shingle hash for determinism.
+    // The doc-frequency is a WINDOW count over the shingle hash (sh is
+    // distinct per (doc, shingle), so the partition size IS the df) —
+    // one shuffle on hk, where a groupBy + join back would shuffle the
+    // same rows twice.
+    val ranked = sh
+      .withColumn("df_", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hk"))))
       .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("df_"), col("hk"))))
