@@ -86,6 +86,23 @@ object TextQueries {
             _.cast("string")), ",").as("posting_list"))
     },
 
+    // Benchmark decontamination — the training-data op of checking a
+    // corpus against an eval set: documents sharing any 5-gram with the
+    // benchmark subset (doc_id % 50 == 0), with the shared-shingle
+    // count. The benchmark shingle set is small → broadcast semi-shape
+    // join; the corpus side streams through one shuffle-free probe.
+    "q65_decontamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpusSh = Dedup.docShingles(
+        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 5)
+      val benchSh = Dedup.docShingles(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 5)
+        .select(col("sh")).distinct()
+      corpusSh.join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+    },
+
     // Edit-distance blocking (author-disambiguation primitive,
     // reference archive/links.md): near-identical customer names among
     // consecutive keys — levenshtein is built-in on both engines.
@@ -235,6 +252,19 @@ object TextQueries {
          |FROM documents
          |GROUP BY substr(${normSql("text")}, 1, 80)
          |HAVING count(*) > 1""".stripMargin,
+
+    "q65_decontamination" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS words
+         |           FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS s
+         |        FROM (SELECT doc_id, words,
+         |                unnest(generate_series(1, len(words)-4)) AS i
+         |              FROM w WHERE len(words) >= 5)),
+         |b AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 50 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+         |FROM sh5 JOIN b USING (s)
+         |WHERE doc_id % 50 <> 0
+         |GROUP BY doc_id""".stripMargin,
 
     "q49_name_edit_distance" ->
       """SELECT a.c_custkey AS k1, b.c_custkey AS k2,

@@ -71,6 +71,17 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     assert(native.size == 400)
   }
 
+  test("native as-of is correct with AQE disabled (plain EnsureRequirements)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got == Set(
+        (1L, 5L, None), (1L, 10L, Some(100L)), (1L, 25L, Some(110L)),
+        (1L, 99L, Some(120L)), (2L, 14L, None), (3L, 50L, None)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan contains the custom AsOfJoinExec node") {
     val df = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
     val plan = df.queryExecution.executedPlan.toString
