@@ -128,6 +128,29 @@ object Graph {
       .agg(map_from_entries(array_sort(
         collect_list(struct(col(period), col(value))))).as("by_period"))
 
+  /** The reference's exact DLink edge attribute
+    * (`DynamicNet.scala:251`): NESTED map year → (paper → citation
+    * count), materialized from the canonical long form (src, dst,
+    * year, paper, n). Export-only like [[toTemporalEdges]]; both map
+    * levels are built from year-/paper-sorted entries so the column is
+    * byte-deterministic. */
+  def toNestedTemporalEdges(longForm: DataFrame, src: String = "a",
+                            dst: String = "b", period: String = "year",
+                            item: String = "paper",
+                            value: String = "n"): DataFrame =
+    longForm
+      .groupBy(col(src), col(dst), col(period))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col(item), col(value))))).as("items"))
+      .groupBy(col(src), col(dst))
+      // struct<period, map> is not orderable as a whole — sort the
+      // entries by the period key alone with an explicit comparator
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col(period), col("items"))),
+        (l, r) => when(l.getField(period) < r.getField(period), -1)
+          .when(l.getField(period) > r.getField(period), 1)
+          .otherwise(0))).as("by_period"))
+
   /** GEXF XML export (U6, reference `StaticNet.scala:451-465`) for
     * bounded (ego-net-sized) graphs: collects to the driver by design —
     * callers cap the net size, as the reference does. */

@@ -36,6 +36,18 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("toNestedTemporalEdges builds the reference DLink nested map") {
+    val long = Seq(
+      (1L, 2L, 2000, 7L, 3L), (1L, 2L, 2000, 8L, 1L), (1L, 2L, 2001, 7L, 5L),
+      (3L, 4L, 2002, 9L, 2L)).toDF("a", "b", "year", "paper", "n")
+    val got = Graph.toNestedTemporalEdges(long)
+      .as[(Long, Long, Map[Int, Map[Long, Long]])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) ==
+      Map(2000 -> Map(7L -> 3L, 8L -> 1L), 2001 -> Map(7L -> 5L)))
+    assert(got((3L, 4L)) == Map(2002 -> Map(9L -> 2L)))
+  }
+
   test("toTemporalEdges materializes a year-sorted map from long form") {
     val long = Seq((1L, 2L, 2001L, 5L), (1L, 2L, 2000L, 3L), (3L, 4L, 2002L, 1L))
       .toDF("a", "b", "year", "n")
