@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *  - iteration counts are bounded: hierarchy depth for closure, BFS
   *    depth, and component diameter for label propagation (dedup
   *    clusters are near-cliques, so 3-5 rounds suffice; a general
-  *    100 TB graph would swap in large-star/small-star).
+  *    100 TB graph swaps in [[connectedComponentsStar]], the
+  *    O(log n)-round large-star/small-star contraction).
   */
 object Graph {
 
@@ -111,6 +112,60 @@ object Graph {
       i += 1
     }
     lbl
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm): the 100 TB path that
+    * [[connectedComponents]]'s scaladoc promises. Min-label propagation
+    * needs O(diameter) rounds — fine for near-clique dedup clusters,
+    * quadratic pain on path-shaped graphs — while star contraction
+    * converges in O(log n) rounds on any topology.
+    *
+    * Per round, with m(u) = min(Γ(u) ∪ {u}) over the symmetrized edge
+    * set: large-star rewires every neighbor v > u to m(u); small-star
+    * rewires every v <= u (and u itself) to m(u). At the fixed point
+    * the edges form stars whose centers are the component minima.
+    * Each phase is one groupBy(min) + one join, all keyed by vertex —
+    * the same shuffle discipline as every other loop here.
+    *
+    * Returns (v, comp = min vertex id in component). */
+  def connectedComponentsStar(edges: DataFrame, a: String = "a",
+                              b: String = "b", maxIter: Int = 25): DataFrame = {
+    val verts = edges.select(col(a).as("v"))
+      .union(edges.select(col(b).as("v"))).distinct().localCheckpoint()
+    var e = edges.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    def phase(ed: DataFrame, large: Boolean): DataFrame = {
+      val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u").as("mu"), least(col("u"), col("mv")).as("m"))
+      val rewired = sym
+        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .join(mins, col("u") === col("mu"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val kept = if (large) rewired
+        else rewired.union(mins.select(col("mu").as("u"), col("m").as("v")))
+      kept.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    }
+
+    var i = 0
+    var stable = false
+    while (i < maxIter && !stable) {
+      val next = phase(phase(e, large = true), large = false)
+      // fixed point: identical edge sets (cheap count guard first)
+      stable = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      i += 1
+    }
+    // stars: every non-center u points at its component min (min-agg is
+    // defensive for an early maxIter stop mid-contraction)
+    val target = e.groupBy(col("u")).agg(min(col("v")).as("tgt"))
+    verts.join(target, verts("v") === target("u"), "left")
+      .select(verts("v"), coalesce(col("tgt"), verts("v")).as("comp"))
   }
 
   /** Temporal (dynamic) edges — G7, the reference's DLink

@@ -59,6 +59,24 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("connectedComponentsStar agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { trial =>
+      val edges = randomEdges(rnd, nV = 40, nE = 55)
+      val got = Graph.connectedComponentsStar(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(edges), s"trial $trial: $edges")
+    }
+  }
+
+  test("connectedComponentsStar handles a path graph (worst case for label prop)") {
+    // 0-1-2-...-63: diameter 63, but star contraction needs O(log n) rounds
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val got = Graph.connectedComponentsStar(path.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
   test("egoBfs agrees with sequential BFS on random graphs") {
     val rnd = new scala.util.Random(11)
     (1 to 3).foreach { trial =>
