@@ -103,6 +103,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared_shingles"))
     },
 
+    // TF-IDF term ranking (ratio form): top-3 characteristic terms per
+    // document by tf · N / df. The log-free weight keeps oracle parity
+    // exact — tf, N, df are integers and one IEEE division of integers
+    // is bit-identical on both engines, where ln() differs by libm and
+    // round(quotient) flips cents (the repo's float-parity rule). The
+    // raw double is emitted unrounded for the same reason.
+    "q66_tfidf_topterms" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.words(TextFns.norm(col("text")))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df_"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          ((col("tf") * col("n_docs")).cast("double") /
+            col("df_").cast("double")).as("score"))
+      graft.operators.Relational.topKPerGroup(scored,
+        Seq(col("doc_id")), Seq(col("score").desc, col("word")), 3)
+    },
+
     // Edit-distance blocking (author-disambiguation primitive,
     // reference archive/links.md): near-identical customer names among
     // consecutive keys — levenshtein is built-in on both engines.
@@ -265,6 +287,23 @@ object TextQueries {
          |FROM sh5 JOIN b USING (s)
          |WHERE doc_id % 50 <> 0
          |GROUP BY doc_id""".stripMargin,
+
+    "q66_tfidf_topterms" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dfx AS (SELECT word, CAST(count(*) AS BIGINT) AS df_
+         |        FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, word,
+         |    CAST(tf * n_docs AS DOUBLE) / CAST(df_ AS DOUBLE) AS score
+         |  FROM tf JOIN dfx USING (word) CROSS JOIN n)
+         |SELECT doc_id, word, score, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, word) AS BIGINT) AS rn FROM scored)
+         |WHERE rn <= 3""".stripMargin,
 
     "q49_name_edit_distance" ->
       """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
