@@ -285,6 +285,21 @@ object CoreQueries {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))
     },
 
+    // O3 "sample" — the reference only WISHED for random sampling
+    // (`MagDwarf.scala:66` comment; `shuf -n 1000` shell scripts).
+    // Implemented as a deterministic Bernoulli sample via Knuth
+    // multiplicative hashing: exact integer arithmetic on both engines,
+    // so the sample (≈10%) is reproducible and oracle-checkable —
+    // unlike `df.sample(seed)`, whose output depends on partitioning.
+    "q67_hash_sample" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey") * 2654435761L, lit(4294967296L))
+          < 429496730L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+    },
+
     // Ranking/analytic window functions q38 does not cover: ntile,
     // percent_rank, cume_dist (exact integer-ratio doubles — identical
     // on both engines), nth_value over an explicit rows frame. The
@@ -504,6 +519,14 @@ object CoreQueries {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q67_hash_sample" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761) % 4294967296 < 429496730
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q62_window_ranks" ->
       """SELECT o_custkey, o_orderkey,
