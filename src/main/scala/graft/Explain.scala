@@ -2,16 +2,38 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-hygiene inspector: prints `explain("formatted")` for the named
-  * queries (or a representative default set) so scan pushdown, broadcast
-  * choices, and WholeStageCodegen spans can be reviewed.
+/** Plan-hygiene inspector.
   *
-  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  * `runMain graft.Explain [sfDir] [queryName...]` — prints
+  * `explain("formatted")` for the named queries (or a representative
+  * default set) so scan pushdown, broadcast choices, and
+  * WholeStageCodegen spans can be reviewed.
+  *
+  * `runMain graft.Explain --audit [sfDir]` — one summary line per
+  * declared query: exchange / join-node / codegen-span counts, flagging
+  * nested-loop joins outside the intended set (broadcast grids,
+  * scalars, centroid assignment, and the documented brute-force
+  * baselines). The audit is the mechanical form of the
+  * "explain-and-iterate" discipline: a new query that silently plans a
+  * cartesian shows up here before it shows up in the bench.
   */
 object Explain {
+
+  /** Queries whose nested-loop joins are by design. */
+  private val intendedNlj = Set(
+    "q10_yearly_grid",      // broadcast year-grid cross join
+    "q28_cosine_topk",      // brute-force baseline: broadcast queries
+    "q42_important_parts",  // broadcast global-total scalar
+    "q51_ann_ivf_topk",     // broadcast centroid assignment
+    "q56_embed_neardup",    // exact all-pairs baseline (documented)
+    "q66_tfidf_topterms")   // broadcast corpus-size scalar
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val audit = args.headOption.contains("--audit")
+    val rest = if (audit) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
+      else if (audit) SparkEntry.queries.keys.toSeq.sorted
       else Seq("q01_pricing_summary", "q03_topk_revenue", "q05_region_volume",
         "q15_cosupply_edges", "q28_cosine_topk")
     val spark = SparkSession.builder()
@@ -21,9 +43,26 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+
+    if (audit) {
+      var flagged = 0
+      names.foreach { n =>
+        val plan = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        def cnt(p: String) = p.r.findAllIn(plan).size
+        val nlj = cnt("BroadcastNestedLoopJoin") + cnt("CartesianProduct")
+        val flag = if (nlj > 0 && !intendedNlj(n)) { flagged += 1; "  <-- UNINTENDED NLJ" }
+                   else ""
+        // (WholeStageCodegen spans are not counted: AQE materializes
+        // them lazily, so the pre-execution plan string shows none)
+        println(f"[audit] $n%-28s ex=${cnt("Exchange")}%-3d bhj=${cnt("BroadcastHashJoin")}%-3d smj=${cnt("SortMergeJoin")}%-3d nlj=$nlj%-2d$flag")
+      }
+      println(s"[audit] ${names.size} queries, $flagged unintended nested-loop plans")
+    } else {
+      names.foreach { n =>
+        println(s"\n===== $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }
