@@ -91,4 +91,22 @@ object Ingest {
     import spark.implicits._
     Seq(content).toDF("value").coalesce(1).write.mode("overwrite").text(path)
   }
+
+  /** JDBC source (S12 — the reference's Postgres `author_network`
+    * relation, `src/python/personal_network.py:18-23`). Partitioned
+    * read when bounds are given: each of `numPartitions` executors
+    * pulls its own key range, the 100 TB-era alternative to a
+    * single-connection scan. Untestable in this environment (zero
+    * egress, no database) — the call is a direct passthrough to
+    * Spark's built-in JDBC provider. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties(),
+           partitionColumn: Option[String] = None,
+           bounds: Option[(Long, Long)] = None,
+           numPartitions: Int = 8): DataFrame =
+    (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) =>
+        spark.read.jdbc(url, table, c, lo, hi, numPartitions, props)
+      case _ => spark.read.jdbc(url, table, props)
+    }
 }
