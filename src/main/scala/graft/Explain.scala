@@ -10,12 +10,18 @@ import org.apache.spark.sql.SparkSession
   * WholeStageCodegen spans can be reviewed.
   *
   * `runMain graft.Explain --audit [sfDir]` — one summary line per
-  * declared query: exchange / join-node / codegen-span counts, flagging
-  * nested-loop joins outside the intended set (broadcast grids,
-  * scalars, centroid assignment, and the documented brute-force
-  * baselines). The audit is the mechanical form of the
-  * "explain-and-iterate" discipline: a new query that silently plans a
-  * cartesian shows up here before it shows up in the bench.
+  * declared query: shuffle / join-node counts, flagging nested-loop
+  * joins outside the intended set (broadcast grids, scalars, centroid
+  * assignment, and the documented brute-force baselines). The audit is
+  * the mechanical form of the "explain-and-iterate" discipline: a new
+  * query that silently plans a cartesian shows up here before it shows
+  * up in the bench.
+  *
+  * Limitation: queries that `localCheckpoint` intermediates (the
+  * iterative graph loops, the dedup pipeline, the co-ship spine) audit
+  * only the plan segment AFTER their last checkpoint — the checkpoint
+  * truncates lineage by design, and building those plans executes the
+  * checkpointed jobs. Run the audit at sf0.001.
   */
 object Explain {
 
@@ -53,9 +59,13 @@ object Explain {
         val nlj = cnt("BroadcastNestedLoopJoin") + cnt("CartesianProduct")
         val flag = if (nlj > 0 && !intendedNlj(n)) { flagged += 1; "  <-- UNINTENDED NLJ" }
                    else ""
+        // shuffle exchanges only (hash/range) — "Exchange" alone would
+        // also match every BroadcastExchange and overstate shuffles.
         // (WholeStageCodegen spans are not counted: AQE materializes
         // them lazily, so the pre-execution plan string shows none)
-        println(f"[audit] $n%-28s ex=${cnt("Exchange")}%-3d bhj=${cnt("BroadcastHashJoin")}%-3d smj=${cnt("SortMergeJoin")}%-3d nlj=$nlj%-2d$flag")
+        val shuffles = cnt("Exchange hashpartitioning") +
+          cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition")
+        println(f"[audit] $n%-28s shuf=$shuffles%-3d bhj=${cnt("BroadcastHashJoin")}%-3d smj=${cnt("SortMergeJoin")}%-3d shj=${cnt("ShuffledHashJoin")}%-3d nlj=$nlj%-2d$flag")
       }
       println(s"[audit] ${names.size} queries, $flagged unintended nested-loop plans")
     } else {

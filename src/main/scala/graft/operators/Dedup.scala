@@ -53,8 +53,10 @@ object Dedup {
     * Detection", WWW'08 — public algorithm):
     *
     *  1. order each doc's shingles by global rarity (doc-freq asc);
-    *  2. index only the first |A| - ⌈t·|A|⌉ + 1 rarest shingles — two
-    *     docs with Jaccard ≥ t MUST share one inside these prefixes;
+    *  2. index only the first |A| - ⌈t'·|A|⌉ + 1 rarest shingles, with
+    *     t' slightly below t so every pair whose ROUNDED jaccard can
+    *     reach the threshold is covered — two docs with Jaccard ≥ t'
+    *     MUST share one inside these prefixes;
     *  3. candidate pairs from the prefix inverted index only, then
     *     verify exactly with a full-set intersection.
     *
@@ -93,30 +95,35 @@ object Dedup {
       .select(col(idCol), col("sz"),
         transform(array_sort(col("shl")), _.getField("hk")).as("shs"))
       .localCheckpoint() // tiny per-doc rows; reused by index + verify
-    // prefix index: first sz - ceil(t*sz) + 1 rarest shingles, with the
-    // in-prefix position kept for PPJoin's positional filter
+    // The VERIFY filter accepts round(jaccard, 4) >= t (the oracle's
+    // semantics), so candidate generation must be complete for every
+    // pair whose TRUE jaccard can round up across the threshold:
+    // the filters below are derived from the loosened threshold
+    // tLoose = floor(t·100000 - 5)/100000 <= t - 0.00005 (exact
+    // integer scale 100000), never from t itself.
+    val tScaled = math.max(0L, math.floor(minJaccard * 100000L).toLong - 5)
+    // prefix index: at least sz - ceil(tLoose·sz) + 1 rarest shingles
+    // (floor instead of ceil = one extra slot when fractional — double
+    // noise in sz·tLoose can never shorten the prefix below the bound),
+    // with the in-prefix position kept for the positional filter
     val prefix = docs.select(col(idCol), col("sz"),
         posexplode(slice(col("shs"), lit(1),
-          (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int"))))
+          (col("sz") - floor(col("sz") * (tScaled / 100000.0)) + 1).cast("int"))))
       .select(col(idCol), col("sz"), (col("pos") + 1).as("rnk"),
         col("col").as("hk"))
     // positional filter: tokens remaining after the match position must
-    // still be able to reach the overlap bound α = ⌈t/(1+t)·(szA+szB)⌉.
-    // The bound compare is EXACT integer math — 1+least ≥ t/(1+t)·(za+zb)
-    // multiplied through as (1+least)·(S+T) ≥ T·(za+zb) with t = T/S —
+    // still be able to reach the overlap bound α = ⌈t'/(1+t')·(za+zb)⌉.
+    // The compare is EXACT integer math — 1+least ≥ t'/(1+t')·(za+zb)
+    // multiplied through as (1+least)·(S+T) ≥ T·(za+zb) with t' = T/S —
     // because double ceil() can land one ulp above the rational bound
     // and wrongly prune pairs sitting exactly at the threshold.
-    // t as a rational T/10000, rounded DOWN: T/10000 <= t keeps the
-    // candidate bound conservative for thresholds not expressible as
-    // k/10000 (rounding up would prune pairs the verify step accepts)
-    val tScaled = math.floor(minJaccard * 10000L).toLong
     val cands = prefix.select(col(idCol).as("id_a"), col("sz").as("za"),
         col("rnk").as("ra"), col("hk"))
       .join(prefix.select(col(idCol).as("id_b"), col("sz").as("zb"),
         col("rnk").as("rb"), col("hk")), Seq("hk"))
       .filter(col("id_a") < col("id_b") &&
         (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) *
-          lit(10000L + tScaled) >= lit(tScaled) * (col("za") + col("zb")))
+          lit(100000L + tScaled) >= lit(tScaled) * (col("za") + col("zb")))
       .select(col("id_a"), col("id_b")).distinct()
     cands
       .join(docs.select(col(idCol).as("id_a"), col("sz").as("sz_a"),

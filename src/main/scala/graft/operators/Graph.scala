@@ -194,6 +194,11 @@ object Graph {
                             item: String = "paper",
                             value: String = "n"): DataFrame =
     longForm
+      // pre-aggregate: duplicate (src, dst, period, item) rows would
+      // otherwise hit map_from_entries' DUPLICATED_MAP_KEY error —
+      // summing makes the op total over un-aggregated event logs
+      .groupBy(col(src), col(dst), col(period), col(item))
+      .agg(sum(col(value)).as(value))
       .groupBy(col(src), col(dst), col(period))
       .agg(map_from_entries(array_sort(
         collect_list(struct(col(item), col(value))))).as("items"))

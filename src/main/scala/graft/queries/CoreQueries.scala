@@ -291,10 +291,14 @@ object CoreQueries {
     // multiplicative hashing: exact integer arithmetic on both engines,
     // so the sample (≈10%) is reproducible and oracle-checkable —
     // unlike `df.sample(seed)`, whose output depends on partitioning.
+    // Lehmer-style multiplier: 48271 keeps key*mult within int64 for
+    // any key below ~1.9e14 (DuckDB raises on BIGINT overflow where
+    // Spark would wrap silently, so the arithmetic must stay in range
+    // on both engines at every scale factor).
     "q67_hash_sample" -> { (s, d) =>
       Tables.lineitem(s, d)
-        .filter(pmod(col("l_orderkey") * 2654435761L, lit(4294967296L))
-          < 429496730L)
+        .filter(pmod(col("l_orderkey") * 48271L, lit(2147483647L))
+          < 214748365L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"),
           round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
@@ -525,7 +529,7 @@ object CoreQueries {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_qty
         |FROM lineitem
-        |WHERE (l_orderkey * 2654435761) % 4294967296 < 429496730
+        |WHERE (l_orderkey * 48271) % 2147483647 < 214748365
         |GROUP BY l_returnflag""".stripMargin,
 
     "q62_window_ranks" ->

@@ -103,10 +103,14 @@ object Ingest {
            props: java.util.Properties = new java.util.Properties(),
            partitionColumn: Option[String] = None,
            bounds: Option[(Long, Long)] = None,
-           numPartitions: Int = 8): DataFrame =
+           numPartitions: Int = 8): DataFrame = {
+    require(partitionColumn.isDefined == bounds.isDefined,
+      "partitionColumn and bounds must be supplied together — a partial " +
+        "spec would silently degrade to a single-connection scan")
     (partitionColumn, bounds) match {
       case (Some(c), Some((lo, hi))) =>
         spark.read.jdbc(url, table, c, lo, hi, numPartitions, props)
       case _ => spark.read.jdbc(url, table, props)
     }
+  }
 }

@@ -72,6 +72,7 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("native as-of is correct with AQE disabled (plain EnsureRequirements)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val got = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
@@ -79,7 +80,7 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
       assert(got == Set(
         (1L, 5L, None), (1L, 10L, Some(100L)), (1L, 25L, Some(110L)),
         (1L, 99L, Some(120L)), (2L, 14L, None), (3L, 50L, None)))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("plan contains the custom AsOfJoinExec node") {
