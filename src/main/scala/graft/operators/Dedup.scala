@@ -89,11 +89,14 @@ object Dedup {
       .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("df_"), col("hk"))))
+    // two views of each doc's shingle-hash set: `shs` rank-ordered
+    // (rarity prefix slicing), `shv` value-sorted (merge-scan verify)
     val docs = ranked.groupBy(col(idCol))
       .agg(count(lit(1)).as("sz"),
         collect_list(struct(col("rnk"), col("hk"))).as("shl"))
       .select(col(idCol), col("sz"),
-        transform(array_sort(col("shl")), _.getField("hk")).as("shs"))
+        transform(array_sort(col("shl")), _.getField("hk")).as("shs"),
+        array_sort(transform(col("shl"), _.getField("hk"))).as("shv"))
       .localCheckpoint() // tiny per-doc rows; reused by index + verify
     // The VERIFY filter accepts round(jaccard, 4) >= t (the oracle's
     // semantics), so candidate generation must be complete for every
@@ -125,12 +128,15 @@ object Dedup {
         (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) *
           lit(100000L + tScaled) >= lit(tScaled) * (col("za") + col("zb")))
       .select(col("id_a"), col("id_b")).distinct()
+    // exact verification on the value-sorted arrays: a codegen merge
+    // scan (graft.functions.SortedLongOverlap) — no per-pair hash set
     cands
       .join(docs.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
-        col("shs").as("shs_a")), "id_a")
+        col("shv").as("shv_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
-        col("shs").as("shs_b")), "id_b")
-      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
+        col("shv").as("shv_b")), "id_b")
+      .withColumn("co",
+        graft.functions.SortedLongOverlap.overlap(col("shv_a"), col("shv_b")))
       .select(col("id_a"), col("id_b"),
         round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4)
           .as("jaccard"))
