@@ -175,6 +175,14 @@ object CoreQueries {
       in95.except(in00)
     },
 
+    // Set operation: INTERSECT (distinct) — the other half of O5.
+    "q68_retained_intersect" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val in98 = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+      val in99 = o.filter(year(col("o_orderdate")) === 1999).select(col("o_custkey"))
+      in98.intersect(in99)
+    },
+
     // Analytic-window suite: rank, lag delta, rows-frame moving average
     // over per-supplier monthly revenue.
     "q38_window_suite" -> { (s, d) =>
@@ -453,6 +461,11 @@ object CoreQueries {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""".stripMargin,
+
+    "q68_retained_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999""".stripMargin,
 
     "q38_window_suite" ->
       """WITH m AS (
