@@ -133,10 +133,51 @@ object EventQueries {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+    },
+
+    // DETERMINISTIC approximate distinct count — a KMV (k-minimum-
+    // values) sketch over the SQL-expressible Lehmer hash, so unlike
+    // HLL (q44) the estimate is bit-identical cross-engine and
+    // oracle-checked: est = (k-1)·M/h_k where h_k is the k-th smallest
+    // distinct hash (exact count when a group has fewer than k values).
+    // The sketch shape is the 100 TB point: per group only the k
+    // smallest hashes survive the shuffle, like any mergeable sketch.
+    "q69_kmv_distinct" -> { (s, d) =>
+      val k = 64
+      val m = 2147483647L
+      val hashed = Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(col("user_id") * 48271L, lit(m)).as("h"))
+        .distinct()
+      val ranked = hashed.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h"))))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct_hashes"),
+          max(when(col("rn") === k, col("h"))).as("hk"))
+        .select(col("event_type"),
+          when(col("n_distinct_hashes") < k,
+              col("n_distinct_hashes").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * m / col("hk"))
+            .as("est_users"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             (user_id * 48271) % 2147483647 AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |a AS (SELECT event_type, count(*) AS n,
+        |        max(CASE WHEN rn = 64 THEN h END) AS hk
+        |      FROM r GROUP BY 1)
+        |SELECT event_type,
+        |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |       ELSE 63.0 * 2147483647 / hk END AS est_users
+        |FROM a""".stripMargin,
+
     "q30_events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
