@@ -64,7 +64,8 @@ object Explain {
         // (WholeStageCodegen spans are not counted: AQE materializes
         // them lazily, so the pre-execution plan string shows none)
         val shuffles = cnt("Exchange hashpartitioning") +
-          cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition")
+          cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition") +
+          cnt("Exchange RoundRobinPartitioning")
         println(f"[audit] $n%-28s shuf=$shuffles%-3d bhj=${cnt("BroadcastHashJoin")}%-3d smj=${cnt("SortMergeJoin")}%-3d shj=${cnt("ShuffledHashJoin")}%-3d nlj=$nlj%-2d$flag")
       }
       println(s"[audit] ${names.size} queries, $flagged unintended nested-loop plans")

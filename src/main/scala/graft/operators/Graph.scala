@@ -179,6 +179,10 @@ object Graph {
                       dst: String = "b", period: String = "year",
                       value: String = "n"): DataFrame =
     longForm
+      // pre-aggregate duplicate (src, dst, period) rows — same
+      // DUPLICATED_MAP_KEY totality guard as toNestedTemporalEdges
+      .groupBy(col(src), col(dst), col(period))
+      .agg(sum(col(value)).as(value))
       .groupBy(col(src), col(dst))
       .agg(map_from_entries(array_sort(
         collect_list(struct(col(period), col(value))))).as("by_period"))

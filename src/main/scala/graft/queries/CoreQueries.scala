@@ -299,13 +299,17 @@ object CoreQueries {
     // multiplicative hashing: exact integer arithmetic on both engines,
     // so the sample (≈10%) is reproducible and oracle-checkable —
     // unlike `df.sample(seed)`, whose output depends on partitioning.
-    // Lehmer-style multiplier: 48271 keeps key*mult within int64 for
-    // any key below ~1.9e14 (DuckDB raises on BIGINT overflow where
-    // Spark would wrap silently, so the arithmetic must stay in range
-    // on both engines at every scale factor).
+    // Multiplier choice is load-bearing twice over: it must keep
+    // key*mult within int64 (DuckDB RAISES on BIGINT overflow where
+    // Spark wraps silently), and it must be large enough that the
+    // product WRAPS the modulus even for small keys — a non-wrapping
+    // multiply is monotone, not a hash, and the "sample" degenerates
+    // to `key < threshold`. 1103515245 (glibc LCG) wraps from key=2
+    // up and stays in int64 for keys below ~8.3e9; measured sample
+    // fraction is 9.95-10.0% at sf0.001/0.01/0.1.
     "q67_hash_sample" -> { (s, d) =>
       Tables.lineitem(s, d)
-        .filter(pmod(col("l_orderkey") * 48271L, lit(2147483647L))
+        .filter(pmod(col("l_orderkey") * 1103515245L, lit(2147483647L))
           < 214748365L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"),
@@ -542,7 +546,7 @@ object CoreQueries {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_qty
         |FROM lineitem
-        |WHERE (l_orderkey * 48271) % 2147483647 < 214748365
+        |WHERE (l_orderkey * 1103515245) % 2147483647 < 214748365
         |GROUP BY l_returnflag""".stripMargin,
 
     "q62_window_ranks" ->
