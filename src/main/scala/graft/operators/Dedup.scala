@@ -162,6 +162,27 @@ object Dedup {
         array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    * matching signature slots is an unbiased estimator of the true
+    * Jaccard (each slot matches with probability J). Joins the
+    * signatures onto (id_a, id_b) pairs and scores with one fused
+    * zip+count — the cheap middle step between LSH candidate
+    * generation and exact verification: at 100 TB the estimate
+    * discards the bulk of false candidates for the cost of comparing
+    * `numPerms` longs, so only near-threshold pairs pay the full
+    * shingle-set intersection. */
+  def minhashEstimate(pairs: DataFrame, sigs: DataFrame,
+                      idCol: String): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), _ + _).cast("double") / size(col("sig_a")))
+          .as("est_jaccard"))
+  }
+
   /** LSH banding: hash each band of `rowsPerBand` signature slots,
     * self-join on (band, bandHash) → candidate pairs. Classic
     * probability: docs with Jaccard j collide in a band with j^r, in

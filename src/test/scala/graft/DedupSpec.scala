@@ -38,6 +38,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!cands.contains((1L, 4L))) // unrelated docs should not
   }
 
+  test("minhashEstimate tracks true jaccard on the real fixture") {
+    val fixture = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val sigs = Dedup.minhashSignatures(fixture, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val est = Dedup.minhashEstimate(cands, sigs, "doc_id")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val exact = Dedup.ngramJaccardPairs(fixture, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // every exact near-dup pair surfaced by LSH must estimate high
+    val common = est.keySet & exact.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(est(k) - exact(k)) <= 0.35,
+        s"$k est=${est(k)} exact=${exact(k)}")
+    }
+  }
+
   test("resolveEntities maps duplicates to one canonical id") {
     val got = Dedup.resolveEntities(docs, "doc_id", "text", 0.8)
       .as[(Long, Long)].collect().toMap
