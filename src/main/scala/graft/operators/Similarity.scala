@@ -44,11 +44,11 @@ object Similarity {
   /** Exact embedding-cosine near-duplicate pairs — the dense-vector
     * member of the dedup family (SURVEY.md §2.11): all unordered pairs
     * (id_a < id_b) with round(cosine, 4) >= minCos. Exact by design —
-    * it is the oracle-checkable baseline; the 100 TB path keeps this
-    * verify step but generates candidates from sign-LSH band buckets
-    * ([[signLshBuckets]] self-joined, the [[Dedup.lshCandidates]]
-    * shape) instead of the n²/2 broadcast loop, trading a little
-    * recall for never materializing the quadratic pair space. */
+    * it is the oracle-checkable SMALL-SCALE baseline (O(n²/2) broadcast
+    * loop) and the recall oracle for the scale path. At 100 TB use
+    * [[cosinePairsLsh]] (query q70): identical verify step, but
+    * candidates come from sign-LSH band buckets so the quadratic pair
+    * space is never materialized. */
   def cosinePairs(emb: DataFrame, id: String, vec: String,
                   minCos: Double): DataFrame = {
     val a = emb.select(col(id).as("id_a"),
@@ -56,6 +56,38 @@ object Similarity {
     val b = emb.select(col(id).as("id_b"),
       VectorFns.toDoubleArr(col(vec)).as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(ArrayCosine.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** LSH-bucketed embedding near-dup — the 100 TB path for
+    * [[cosinePairs]]. Candidate pairs are generated ONLY from vectors
+    * sharing a sign-LSH band bucket (one shuffle on (band, bkey), pair
+    * count bounded by bucket sizes), then verified with the exact
+    * codegen [[ArrayCosine]] kernel at the same `round(cos,4) >= minCos`
+    * threshold — so every emitted pair is exactly as correct as the
+    * brute-force baseline; only recall is approximate. Defaults
+    * (24 planes, bands of 3 → 8 bands) give ≥ 0.9 expected recall at
+    * the cos 0.4 decision boundary (collision prob 1-(1-(1-θ/π)³)⁸)
+    * and near-1 for true near-duplicates.
+    *
+    * SimilaritySpec asserts recall against the oracle-checked
+    * [[cosinePairs]] output on the sf0.01 fixture. */
+  def cosinePairsLsh(emb: DataFrame, id: String, vec: String,
+                     minCos: Double, numPlanes: Int = 24,
+                     rowsPerBand: Int = 3, dims: Int = 64): DataFrame = {
+    val b = signLshBuckets(emb, id, vec, numPlanes, rowsPerBand, dims)
+    val l = b.select(col(id).as("id_a"), col("band"), col("bkey"))
+    val r = b.select(col(id).as("id_b"), col("band"), col("bkey"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val v = emb.select(col(id).as("vid"),
+      VectorFns.toDoubleArr(col(vec)).as("v"))
+    cand
+      .join(v.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(ArrayCosine.cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= minCos)

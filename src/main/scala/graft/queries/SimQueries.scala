@@ -37,10 +37,19 @@ object SimQueries {
     },
 
     // Embedding-cosine near-dup pairs (dense-vector dedup): exact
-    // threshold join, oracle-checked; see Similarity.cosinePairs for
-    // the LSH-bucketed 100 TB variant.
+    // threshold join — the oracle-checked small-scale baseline and the
+    // recall oracle for q70, the LSH-bucketed 100 TB variant.
     "q56_embed_neardup" -> { (s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+    },
+
+    // LSH-bucketed embedding near-dup — the 100 TB path: candidates
+    // only from sign-LSH band buckets, exact ArrayCosine verify at the
+    // same >= 0.4 threshold (rows-only: seeded hyperplanes have no
+    // DuckDB twin; SimilaritySpec asserts recall vs q56's oracle-checked
+    // pairs).
+    "q70_embed_neardup_lsh" -> { (s, d) =>
+      Similarity.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     }
   )
 

@@ -36,6 +36,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full == exact)
   }
 
+  test("cosinePairsLsh recalls the oracle-checked exact near-dup pairs") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exactPairs = pairSet(
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val lshPairs = pairSet(
+      Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4))
+    // precision is exact by construction (same verify threshold)
+    assert((lshPairs -- exactPairs).isEmpty)
+    val recall = (lshPairs & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"LSH near-dup recall $recall of ${exactPairs.size}")
+  }
+
   test("cosinePairs finds exactly the known identical/orthogonal pairs") {
     // v1 == v2 (cos 1), v3 orthogonal to both, v4 = -v1 (cos -1)
     val vecs = Seq(
