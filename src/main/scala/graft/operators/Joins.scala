@@ -73,15 +73,31 @@ object Joins {
   def asOfJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
                      rightKey: String, leftTime: String, rightTime: String,
                      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graftshim.PlanBridge
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)
-    val rPlan = PlanBridge.analyzed(right)
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             n: String) =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    // Always re-alias the right side with fresh exprIds (what Spark's
+    // own Join does for self-joins): with shared lineage — a self-as-of
+    // join, or events joined to an aggregate of events — left.output
+    // and right.output share exprIds, and AsOfJoinExec's output
+    // projection binds by first index, silently reading LEFT row values
+    // for right payload columns. A Project of fresh Aliases makes the
+    // two sides' attribute ids disjoint by construction.
+    val rPlan: LogicalPlan = {
+      val r0 = PlanBridge.analyzed(right)
+      Project(r0.output.map(a => Alias(a, a.name)()), r0)
+    }
+    def attr(p: LogicalPlan, n: String) =
+      p.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"no column $n in ${p.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.size} matches in ${p.output.map(_.name)}")
+      }
     PlanBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan, attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),

@@ -83,6 +83,38 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("self-as-of join (shared exprIds) reads RIGHT payload, not left") {
+    // Same DataFrame on both sides: without the fresh-exprId re-alias of
+    // the right plan, the output projection binds right payload columns
+    // to the LEFT row's slots and silently returns left values.
+    val q = quotes // (k, t, px)
+    val got = Joins.asOfJoinNative(
+        q.withColumnRenamed("px", "left_px"), q, "k", "k", "t", "t", Seq("px"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    // each quote as-of-joins to itself (<= includes equality)
+    assert(got == Set(
+      (1L, 10L, 100L, Some(100L)), (1L, 20L, 110L, Some(110L)),
+      (1L, 30L, 120L, Some(120L)), (2L, 15L, 200L, Some(200L))))
+    // shared-lineage variant where payload values DIFFER between sides:
+    // left carries px*1000; right payload must still be the raw px
+    val shifted = quotes.withColumn("t", col("t") + lit(1))
+      .withColumn("px", col("px") * 1000)
+    val lag = Joins.asOfJoinNative(shifted, quotes, "k", "k", "t", "t", Seq("px"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(lag == Set(
+      (1L, 11L, 100000L, Some(100L)), (1L, 21L, 110000L, Some(110L)),
+      (1L, 31L, 120000L, Some(120L)), (2L, 16L, 200000L, Some(200L))))
+  }
+
+  test("ambiguous payload column name throws instead of silent first-match") {
+    val dupRight = quotes.select(col("k"), col("t"), col("px"),
+      (col("px") * 2).as("px2")).withColumnRenamed("px2", "px")
+    val ex = intercept[IllegalArgumentException] {
+      Joins.asOfJoinNative(trades, dupRight, "k", "k", "t", "t", Seq("px"))
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+  }
+
   test("plan contains the custom AsOfJoinExec node") {
     val df = Joins.asOfJoinNative(trades, quotes, "k", "k", "t", "t", Seq("px"))
     val plan = df.queryExecution.executedPlan.toString
