@@ -17,11 +17,13 @@ import org.apache.spark.sql.SparkSession
   * query that silently plans a cartesian shows up here before it shows
   * up in the bench.
   *
-  * Limitation: queries that `localCheckpoint` intermediates (the
-  * iterative graph loops, the dedup pipeline, the co-ship spine) audit
-  * only the plan segment AFTER their last checkpoint — the checkpoint
-  * truncates lineage by design, and building those plans executes the
-  * checkpointed jobs. Run the audit at sf0.001.
+  * The audit runs in no-checkpoint mode
+  * (`-Dgraft.noCheckpoint=true`, consumed by [[Checkpoints]]): the
+  * operators skip `localCheckpoint`, so the audited plan covers the
+  * FULL dataflow of the iterative/spine queries — including the
+  * segments a checkpoint would truncate. Iterative plans grow per
+  * round without truncation, so audit at sf0.001 (loops converge in a
+  * few rounds there); production runs keep checkpointing on.
   */
 object Explain {
 
@@ -36,6 +38,7 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")
+    if (audit) System.setProperty(Checkpoints.NoCheckpointProp, "true")
     val rest = if (audit) args.drop(1) else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.drop(1).toSeq

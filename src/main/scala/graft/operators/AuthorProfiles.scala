@@ -65,8 +65,8 @@ object AuthorProfiles {
     val paperYear = papers
       .select(col("id").as("paper"), col("year"))
       .na.fill(SentinelYear, Seq("year"))
-    val authorship = paa.select(col("paper"), col("author")).distinct()
-      .localCheckpoint() // reused by papers-, citations- and h-index legs
+    val authorship = graft.Checkpoints.checkpoint( // reused by papers-,
+      paa.select(col("paper"), col("author")).distinct()) // citations- and h-index legs
     val refEdges = refs.select(col("citing"), col("cited")).distinct()
 
     val years = spark.range(minYear, maxYear + 1)

@@ -75,9 +75,8 @@ object Dedup {
     // shingles of one doc has probability ~sz²·2⁻⁶⁴ — negligible.
     // Materialized once: referenced by both the rarity aggregate and
     // the rank join, which would otherwise recompute the shingling.
-    val sh = docShingles(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("hk"))
-      .localCheckpoint()
+    val sh = graft.Checkpoints.checkpoint(docShingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("hk")))
     // global rarity rank; ties broken by shingle hash for determinism.
     // The doc-frequency is a WINDOW count over the shingle hash (sh is
     // distinct per (doc, shingle), so the partition size IS the df) —
@@ -91,13 +90,15 @@ object Dedup {
           .partitionBy(col(idCol)).orderBy(col("df_"), col("hk"))))
     // two views of each doc's shingle-hash set: `shs` rank-ordered
     // (rarity prefix slicing), `shv` value-sorted (merge-scan verify)
-    val docs = ranked.groupBy(col(idCol))
+    val docs = graft.Checkpoints.checkpoint(ranked.groupBy(col(idCol))
       .agg(count(lit(1)).as("sz"),
         collect_list(struct(col("rnk"), col("hk"))).as("shl"))
       .select(col(idCol), col("sz"),
         transform(array_sort(col("shl")), _.getField("hk")).as("shs"),
-        array_sort(transform(col("shl"), _.getField("hk"))).as("shv"))
-      .localCheckpoint() // tiny per-doc rows; reused by index + verify
+        array_sort(transform(col("shl"), _.getField("hk"))).as("shv")))
+      // tiny per-doc rows; reused by index + verify. `sh` fed only the
+      // `docs` materialization just completed — drop its blocks now.
+    graft.Checkpoints.release(sh)
     // The VERIFY filter accepts round(jaccard, 4) >= t (the oracle's
     // semantics), so candidate generation must be complete for every
     // pair whose TRUE jaccard can round up across the threshold:

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints
+
 /** Iterative graph operators — the reference's distinctive layer
   * (SURVEY.md §2.9), redesigned as whole-graph dataflow: one distributed
   * job per iteration instead of the reference's per-vertex driver
@@ -13,7 +15,10 @@ import org.apache.spark.sql.functions._
   *  - state lives in DataFrames keyed by vertex — shuffles partition by
   *    vertex id, never collect to the driver;
   *  - `localCheckpoint` every iteration cuts the lineage chain (an
-  *    unchecked iterative plan grows exponentially in Catalyst);
+  *    unchecked iterative plan grows exponentially in Catalyst), and
+  *    each superseded round's blocks are released as soon as the next
+  *    round materializes ([[graft.Checkpoints]]) — the loop retains at
+  *    most two rounds of state, not O(iterations) pinned RDDs;
   *  - iteration counts are bounded: hierarchy depth for closure, BFS
   *    depth, and component diameter for label propagation (dedup
   *    clusters are near-cliques, so 3-5 rounds suffice; a general
@@ -39,25 +44,30 @@ object Graph {
     * cut by the iteration bound. */
   def rootClosure(edges: DataFrame, child: String = "child",
                   parent: String = "parent", maxIter: Int = 20): DataFrame = {
-    val e = edges.filter(col(child) =!= col(parent))
+    val e = Checkpoints.checkpoint(edges.filter(col(child) =!= col(parent))
       .select(col(child).as("c"), col(parent).as("p"))
-      .groupBy(col("c")).agg(min(col("p")).as("p")) // functional: one parent per child
-      .localCheckpoint()
+      .groupBy(col("c")).agg(min(col("p")).as("p"))) // functional: one parent per child
     // start: every node that appears anywhere, pointing at itself
     var cur = e.select(col("c").as("node")).union(e.select(col("p")))
       .distinct().withColumn("anc", col("node"))
+    var prevCp: DataFrame = null
     var i = 0
     var moved = 1L
     while (i < maxIter && moved > 0) {
-      val nxt = cur.join(e, cur("anc") === e("c"), "left")
+      val nxt = Checkpoints.checkpoint(cur.join(e, cur("anc") === e("c"), "left")
         .select(col("node"),
           coalesce(col("p"), col("anc")).as("anc"),
-          (col("p").isNotNull && col("p") =!= col("anc")).as("changed"))
-        .localCheckpoint()
+          (col("p").isNotNull && col("p") =!= col("anc")).as("changed")))
       moved = nxt.filter(col("changed")).count()
+      if (prevCp != null) Checkpoints.release(prevCp) // superseded round
+      prevCp = nxt
       cur = nxt.drop("changed")
       i += 1
     }
+    // after >=1 round `cur`'s lineage is truncated at its checkpoint and
+    // no longer reads `e` — release it; the final round stays tracked
+    // for the caller's releaseAll once results are consumed
+    if (prevCp != null) Checkpoints.release(e)
     cur.select(col("node"), col("anc").as("root"))
   }
 
@@ -67,22 +77,28 @@ object Graph {
   def egoBfs(spark: SparkSession, edges: DataFrame, seed: Long,
              depth: Int, a: String = "a", b: String = "b"): DataFrame = {
     import spark.implicits._
-    val adj = edges.select(col(a).as("s"), col(b).as("d"))
+    val adj = Checkpoints.checkpoint(edges.select(col(a).as("s"), col(b).as("d"))
       .union(edges.select(col(b).as("s"), col(a).as("d")))
-      .distinct().localCheckpoint()
-    var visited = Seq((seed, 0)).toDF("v", "level").localCheckpoint()
+      .distinct())
+    var visited = Checkpoints.checkpoint(Seq((seed, 0)).toDF("v", "level"))
     var frontier = visited.select(col("v"))
+    var prevNext: DataFrame = null
     var l = 1
     while (l <= depth && !frontier.isEmpty) {
-      val next = frontier.join(adj, frontier("v") === adj("s"))
+      val next = Checkpoints.checkpoint(frontier.join(adj, frontier("v") === adj("s"))
         .select(col("d").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
-        .withColumn("level", lit(l))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .withColumn("level", lit(l)))
+      val grown = Checkpoints.checkpoint(visited.union(next))
+      Checkpoints.release(visited) // superseded by `grown`
+      if (prevNext != null) Checkpoints.release(prevNext)
+      visited = grown
       frontier = next.select(col("v"))
+      prevNext = next
       l += 1
     }
+    if (prevNext != null) Checkpoints.release(prevNext)
+    Checkpoints.release(adj)
     visited
   }
 
@@ -92,25 +108,31 @@ object Graph {
     * Returns (vertex, component = min vertex id in component). */
   def connectedComponents(edges: DataFrame, a: String = "a",
                           b: String = "b", maxIter: Int = 15): DataFrame = {
-    val sym = edges.select(col(a).as("s"), col(b).as("d"))
+    val sym = Checkpoints.checkpoint(edges.select(col(a).as("s"), col(b).as("d"))
       .union(edges.select(col(b).as("s"), col(a).as("d")))
-      .distinct().localCheckpoint()
+      .distinct())
     var lbl = sym.select(col("s").as("v")).distinct()
       .withColumn("comp", col("v"))
+    var prevCp: DataFrame = null
     var i = 0
     var moved = 1L
     while (i < maxIter && moved > 0) {
       val nbrMin = sym.join(lbl, sym("d") === lbl("v"))
         .groupBy(col("s")).agg(min(col("comp")).as("nbr_comp"))
-      val nxt = lbl.join(nbrMin, lbl("v") === nbrMin("s"), "left")
-        .select(col("v"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
-        .localCheckpoint()
+      val nxt = Checkpoints.checkpoint(
+        lbl.join(nbrMin, lbl("v") === nbrMin("s"), "left")
+          .select(col("v"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+            (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed")))
       moved = nxt.filter(col("changed")).count()
+      if (prevCp != null) Checkpoints.release(prevCp) // superseded round
+      prevCp = nxt
       lbl = nxt.drop("changed")
       i += 1
     }
+    // the final label set no longer reads `sym` once checkpointed; the
+    // last round itself stays tracked for the caller's releaseAll
+    if (prevCp != null) Checkpoints.release(sym)
     lbl
   }
 
@@ -132,10 +154,10 @@ object Graph {
     * Returns (v, comp = min vertex id in component). */
   def connectedComponentsStar(edges: DataFrame, a: String = "a",
                               b: String = "b", maxIter: Int = 25): DataFrame = {
-    val verts = edges.select(col(a).as("v"))
-      .union(edges.select(col(b).as("v"))).distinct().localCheckpoint()
-    var e = edges.select(col(a).as("u"), col(b).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val verts = Checkpoints.checkpoint(edges.select(col(a).as("v"))
+      .union(edges.select(col(b).as("v"))).distinct())
+    var e = Checkpoints.checkpoint(edges.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
 
     def phase(ed: DataFrame, large: Boolean): DataFrame = {
       val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
@@ -149,16 +171,23 @@ object Graph {
         .select(col("v").as("u"), col("m").as("v"))
       val kept = if (large) rewired
         else rewired.union(mins.select(col("mu").as("u"), col("m").as("v")))
-      kept.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      Checkpoints.checkpoint(kept.filter(col("u") =!= col("v")).distinct())
     }
 
     var i = 0
     var stable = false
+    var eCount = e.count() // carried across rounds: one count job per round
     while (i < maxIter && !stable) {
-      val next = phase(phase(e, large = true), large = false)
-      // fixed point: identical edge sets (cheap count guard first)
-      stable = next.count() == e.count() && next.except(e).isEmpty
+      val mid = phase(e, large = true)
+      val next = phase(mid, large = false)
+      Checkpoints.release(mid) // large-star result superseded by `next`
+      // fixed point: identical edge sets — except() runs only on the
+      // rounds where the cheap cached-count guard already matches
+      val nextCount = next.count()
+      stable = nextCount == eCount && next.except(e).isEmpty
+      Checkpoints.release(e) // superseded round (after the except above)
       e = next
+      eCount = nextCount
       i += 1
     }
     // stars: every non-center u points at its component min (min-agg is

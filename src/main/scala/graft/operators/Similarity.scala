@@ -139,25 +139,26 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, topK: Int, cells: Int = 16, nprobe: Int = 4,
               lloydIters: Int = 2): DataFrame = {
-    val c = corpus.select(col(id).as("n_id"),
-      VectorFns.toDoubleArr(col(vec)).as("cv")).localCheckpoint()
+    val c = graft.Checkpoints.checkpoint(corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
 
     // deterministic seeds: lowest-id vectors
-    var centroids = c.orderBy(col("n_id")).limit(cells)
-      .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr"))
-      .localCheckpoint()
-    // Lloyd refinement: assign → elementwise mean per cell
+    var centroids = graft.Checkpoints.checkpoint(c.orderBy(col("n_id")).limit(cells)
+      .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr")))
+    // Lloyd refinement: assign → elementwise mean per cell; each round's
+    // centroid set supersedes the previous — release it eagerly
     (0 until lloydIters).foreach { _ =>
       val assigned = assignCells(c, centroids, 1)
-      centroids = assigned.join(c, "n_id")
+      val refined = graft.Checkpoints.checkpoint(assigned.join(c, "n_id")
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("cell"))
         .agg(map_from_entries(array_sort(
           collect_list(struct(col("pos"), col("m"))))).as("mm"))
-        .select(col("cell"), map_values(col("mm")).as("ctr"))
-        .localCheckpoint()
+        .select(col("cell"), map_values(col("mm")).as("ctr")))
+      graft.Checkpoints.release(centroids)
+      centroids = refined
     }
 
     val index = assignCells(c, centroids, 1) // (n_id, cell)

@@ -217,12 +217,11 @@ object CoreQueries {
     // with extra non-equi conditions — suppliers solely responsible for
     // a heavy line in multi-supplier orders.
     "q50_sole_blame" -> { (s, d) =>
-      val lines = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .localCheckpoint() // three references below
-      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .localCheckpoint()
+      val lines = graft.Checkpoints.checkpoint(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()) // 3 refs below
+      val heavy = graft.Checkpoints.checkpoint(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct())
       val withOther = heavy.join(
         lines.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
         col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),

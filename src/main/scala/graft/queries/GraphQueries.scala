@@ -37,27 +37,43 @@ object GraphQueries {
     * join), and the (much larger) pair stream flows straight into each
     * consumer's aggregation with no further join.
     *
-    * Cache hygiene: entries of stopped sessions are evicted on access;
-    * within a live session the source files are assumed immutable (the
-    * same assumption Spark's FileIndex caching makes). */
+    * Cache hygiene: the checkpoint is PINNED (survives the harness'
+    * per-query `Checkpoints.releaseAll`) but BOUNDED — one dir per
+    * session; switching dirs evicts and unpersists the previous spine,
+    * so the cache never accumulates blocks across data directories.
+    * Entries of stopped sessions are evicted on access; within a live
+    * session the source files are assumed immutable (the same
+    * assumption Spark's FileIndex caching makes). [[invalidateSpine]]
+    * is the explicit drop-everything hook. */
   private val spine =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def pairYears(s: SparkSession, d: String): DataFrame = {
     spine.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     spine.getOrElseUpdate((s, d), {
+      spine.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        spine.remove(k).foreach(graft.Checkpoints.release)
+      }
       val m = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
         .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
           year(col("o_orderdate")).cast("long").as("yr")),
           Seq("l_orderkey"), "left")
-      m.select(col("l_orderkey"), col("l_suppkey").as("a"), col("yr"))
-        .join(m.select(col("l_orderkey"), col("l_suppkey").as("b")),
-          Seq("l_orderkey"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("yr"))
-        .localCheckpoint()
+      graft.Checkpoints.checkpointPinned(
+        m.select(col("l_orderkey"), col("l_suppkey").as("a"), col("yr"))
+          .join(m.select(col("l_orderkey"), col("l_suppkey").as("b")),
+            Seq("l_orderkey"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), col("yr")))
     })
   }
+
+  /** Evict and unpersist this session's materialized spine(s). Callers
+    * that need a fully clean block manager (specs, session teardown)
+    * use this; normal operation relies on the one-dir bound above. */
+  def invalidateSpine(s: SparkSession): Unit =
+    spine.keys.filter(_._1 == s).foreach { k =>
+      spine.remove(k).foreach(graft.Checkpoints.release)
+    }
 
   private def coShip(s: SparkSession, d: String): DataFrame =
     pairYears(s, d).filter(col("yr").isNotNull) // oracles inner-join orders
@@ -67,9 +83,9 @@ object GraphQueries {
   /** Thresholded edge set shared by the iterative queries — a cheap
     * aggregation over the materialized spine. */
   private def strongEdges(s: SparkSession, d: String): DataFrame =
-    coShip(s, d).filter(col("weight") >= MinWeight)
-      .select(col("a"), col("b"), col("first_yr").as("year"))
-      .localCheckpoint()
+    graft.Checkpoints.checkpoint(
+      coShip(s, d).filter(col("weight") >= MinWeight)
+        .select(col("a"), col("b"), col("first_yr").as("year")))
 
   val defs: Map[String, Q] = Map(
     // G1+G6: distinct co-membership pairs, weighted by shared groups

@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftshim
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.execution.{LogicalRDD, SparkStrategy}
 
 /** Spark 4 moved `Dataset.ofRows` and the query-execution accessors
   * behind the `classic` implementation split. This shim re-exports the
@@ -17,6 +18,17 @@ object PlanBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** The persisted RDD backing a `localCheckpoint()`ed DataFrame (whose
+    * analyzed plan is a bare `LogicalRDD`), or None for any other plan
+    * shape. This is the handle `Dataset` itself never exposes, and the
+    * only way to `unpersist` a checkpoint's blocks — `df.rdd` would
+    * build a NEW deserializing RDD that was never persisted. */
+  def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    analyzed(df) match {
+      case lr: LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 
   /** Idempotently append a strategy to the session's planner. Checks
     * the planner's full strategy list, not just the experimental slot,
