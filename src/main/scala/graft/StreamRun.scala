@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** End-to-end streaming run under the correctness gate: the `events`
+  * fixture is staged as a sequence of time-ordered parquet FILE DROPS
+  * (the reference's snapshot-dump cadence, `SetUpEnv.scala:33`, made a
+  * stream), consumed by the real file source one file per micro-batch,
+  * written through `foreachBatch` parquet sinks, and the final sink
+  * state is compared against the ORACLE-CHECKED batch twins of the two
+  * central streaming operators:
+  *
+  *  - [[EventStreams.tumblingCounts]] (batch twin q31, hash-checked vs
+  *    DuckDB): append-mode watermarked aggregation — every real window
+  *    must be emitted exactly once, with identical counts/sums;
+  *  - [[EventStreams.incrementalCoEdges]] (batch twin q64): the
+  *    stream-stream interval self-join maintaining co-occurrence
+  *    edges online — the accumulated pair stream, re-aggregated, must
+  *    equal the batch join exactly.
+  *
+  * A far-future sentinel drop advances the watermark past all real
+  * data so append mode finalizes every real window (the sentinel's own
+  * rows are excluded from comparison on both sides). Drops are staged
+  * in event-time order, so nothing is late beyond the watermark and
+  * stream state eviction — which only evicts rows no future arrival
+  * can legally join — cannot drop a valid result.
+  *
+  * `runMain graft.StreamRun [sfDir] [workDir]` prints one line:
+  * `STREAM_PARITY tumbling=OK/FAIL(n) coedges=OK/FAIL(n) ...` and
+  * exits nonzero on FAIL. StreamEndToEndSpec runs the same harness at
+  * sf0.001 inside `sbt test`.
+  */
+object StreamRun {
+
+  private val Sentinel = "__sentinel"
+
+  /** Move the single part-file of a one-partition write into
+    * `destDir/name.parquet` (file drops must be plain sibling files so
+    * the streaming file source lists them; sequential staging gives
+    * increasing modification times = processing order). */
+  private def stageDropFile(df: DataFrame, destDir: Path, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_drop").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file in $tmp"))
+    Files.move(part, destDir.resolve(s"$name.parquet"))
+  }
+
+  /** Stage the fixture as `numDrops` time-ordered file drops plus the
+    * watermark-advancing sentinel. Returns the source directory. */
+  def stageDrops(spark: SparkSession, sfDir: String, workDir: String,
+                 numDrops: Int = 4): String = {
+    val srcDir = Paths.get(workDir, "drops")
+    Files.createDirectories(srcDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val n = ev.count()
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val withIdx = ev.withColumn("_rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      stageDropFile(withIdx.filter(col("_rn").between(lo, hi)).drop("_rn"),
+        srcDir, f"drop_$i%02d")
+    }
+    import spark.implicits._
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 24 * 3600 * 1000)
+    stageDropFile(
+      Seq((-1L, sentinelTs, -1L, Sentinel, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      srcDir, f"drop_$numDrops%02d_sentinel")
+    srcDir.toString
+  }
+
+  /** Run both streams over the staged drops; returns
+    * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
+  def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
+    val srcDir = stageDrops(spark, sfDir, workDir)
+    val outT = s"$workDir/sink_tumbling"
+    val outC = s"$workDir/sink_coedges"
+
+    def source(): DataFrame = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1") // one drop per micro-batch
+      .parquet(srcDir)
+
+    def authorship(df: DataFrame): DataFrame =
+      df.select(col("user_id").as("group"), col("event_type").as("member"),
+        col("ts"))
+
+    val qT = EventStreams.tumblingCounts(source())
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_tumbling")
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outT)
+      }.start()
+    val qC = EventStreams.incrementalCoEdges(authorship(source()), "1 hour")
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_coedges")
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outC)
+      }.start()
+    try {
+      qT.processAllAvailable()
+      qC.processAllAvailable()
+    } finally { qT.stop(); qC.stop() }
+
+    val batchEvents = Tables.events(spark, sfDir)
+
+    // tumbling: every real window emitted once with identical counts;
+    // double sums compared within 1e-6 (stream/batch partial-agg order)
+    val streamT = spark.read.parquet(outT)
+      .filter(col("event_type") =!= Sentinel)
+      .select(col("win_start"), col("event_type"),
+        col("n_events").as("s_n"), col("sum_value").as("s_sum"))
+    val batchT = EventStreams.tumblingCounts(batchEvents)
+      .select(col("win_start"), col("event_type"),
+        col("n_events").as("b_n"), col("sum_value").as("b_sum"))
+    val tumblingRows = batchT.count()
+    val tumblingBad = batchT.join(streamT, Seq("win_start", "event_type"), "full_outer")
+      .filter(col("b_n").isNull || col("s_n").isNull ||
+        col("b_n") =!= col("s_n") ||
+        abs(col("b_sum") - col("s_sum")) > 1e-6)
+      .count()
+
+    // coedges: accumulated pair stream re-aggregated == batch twin,
+    // exact (q64's aggregation grain)
+    def aggPairs(df: DataFrame): DataFrame = df
+      .groupBy(col("group"), col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(unix_micros(col("pair_ts"))).as("last_pair_us"))
+    val streamC = aggPairs(spark.read.parquet(outC))
+    val batchC = aggPairs(
+      EventStreams.incrementalCoEdges(authorship(batchEvents), "1 hour"))
+    val coedgeRows = batchC.count()
+    val coedgeBad =
+      streamC.except(batchC).count() + batchC.except(streamC).count()
+
+    (tumblingBad, coedgeBad, tumblingRows, coedgeRows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val workDir = args.lift(1).getOrElse(
+      Files.createTempDirectory("graft_stream").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (tBad, cBad, tRows, cRows) = run(spark, sfDir, workDir)
+    def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
+    println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
+      s"tumbling_windows=$tRows coedge_groups=$cRows sf=$sfDir")
+    spark.stop()
+    if (tBad + cBad > 0) sys.exit(1)
+  }
+}

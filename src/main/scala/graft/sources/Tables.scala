@@ -96,9 +96,10 @@ object Ingest {
     * relation, `src/python/personal_network.py:18-23`). Partitioned
     * read when bounds are given: each of `numPartitions` executors
     * pulls its own key range, the 100 TB-era alternative to a
-    * single-connection scan. Untestable in this environment (zero
-    * egress, no database) — the call is a direct passthrough to
-    * Spark's built-in JDBC provider. */
+    * single-connection scan. Passthrough to Spark's built-in JDBC
+    * provider; integration-tested in-process against embedded Apache
+    * Derby (JdbcIngestSpec) — no network database exists in this
+    * sandbox. */
   def jdbc(spark: SparkSession, url: String, table: String,
            props: java.util.Properties = new java.util.Properties(),
            partitionColumn: Option[String] = None,
