@@ -67,6 +67,31 @@ object GraphQueries {
     })
   }
 
+  /** Session-scoped BUCKETED physical copy of the lineitem membership
+    * columns, bucketed (and sorted) by the join key `l_orderkey` — the
+    * 100×-scale answer for the whole spine family: the q15 self-join
+    * then plans with ZERO shuffle exchanges (both sides co-partitioned
+    * by bucket; the bucketing also satisfies the pair-dedup
+    * aggregation's ClusteredDistribution since {l_orderkey} ⊆
+    * {l_orderkey, l_suppkey}). Written once per (session, dir) via
+    * [[graft.sources.Ingest.writeBucketed]]. */
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def bucketedMembership(s: SparkSession, d: String): DataFrame = {
+    bucketedTables.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val table = bucketedTables.getOrElseUpdate((s, d), {
+      val tbl = s"graft_li_bucketed_${Integer.toHexString(d.hashCode)}"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      graft.sources.Ingest.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        tbl, s"$path/$tbl", "l_orderkey", buckets = 16,
+        sortKey = Some("l_orderkey"))
+      tbl
+    })
+    s.table(table)
+  }
+
   /** Evict and unpersist this session's materialized spine(s). Callers
     * that need a fully clean block manager (specs, session teardown)
     * use this; normal operation relies on the one-dir bound above. */
@@ -93,6 +118,22 @@ object GraphQueries {
     // operator form is CoOccur.weightedEdges).
     "q15_cosupply_edges" -> { (s, d) =>
       pairYears(s, d).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("orders_together"))
+        .select(col("a").as("s1"), col("b").as("s2"), col("orders_together"))
+    },
+
+    // q15's semantics rebuilt from the BUCKETED physical design: the
+    // expensive self-join reads the bucketed table and plans with no
+    // shuffle exchange on the join — the only shuffle left is the
+    // final (a, b) edge aggregation, which no physical layout keyed on
+    // l_orderkey can absorb. Same oracle as q15.
+    "q71_bucketed_spine" -> { (s, d) =>
+      val m = bucketedMembership(s, d).distinct()
+      m.select(col("l_orderkey"), col("l_suppkey").as("a"))
+        .join(m.select(col("l_orderkey"), col("l_suppkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("orders_together"))
         .select(col("a").as("s1"), col("b").as("s2"), col("orders_together"))
     },
@@ -263,6 +304,16 @@ object GraphQueries {
     "q16_first_coship" ->
       s"""WITH $coShipSql
          |SELECT s1, s2, orders_together, first_year FROM e""".stripMargin,
+
+    // identical semantics to q15 — the bucketed layout must be a pure
+    // physical change
+    "q71_bucketed_spine" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT a1.l_suppkey AS s1, a2.l_suppkey AS s2,
+        |  CAST(count(*) AS BIGINT) AS orders_together
+        |FROM a a1 JOIN a a2 ON a1.l_orderkey = a2.l_orderkey
+        |                   AND a1.l_suppkey < a2.l_suppkey
+        |GROUP BY s1, s2""".stripMargin,
 
     "q17_supplier_triangles" ->
       s"""WITH $coShipSql,

@@ -92,6 +92,24 @@ object Ingest {
     Seq(content).toDF("value").coalesce(1).write.mode("overwrite").text(path)
   }
 
+  /** Bucketed-table write path (SURVEY.md §4 physical design): persist
+    * a fact table pre-hash-partitioned (and optionally sorted) on its
+    * join key, so every downstream join/aggregation keyed on a subset
+    * of the bucket key reads it JOIN-READY — Catalyst's
+    * EnsureRequirements sees the bucketing as a satisfied
+    * HashPartitioning and inserts no shuffle exchange. At 100 TB this
+    * converts the co-membership self-join (the engine's hottest
+    * pattern) from "re-shuffle the largest table per query" to a
+    * scan. Demonstrated end-to-end by q71_bucketed_spine and
+    * BucketingSpec. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketKey: String, buckets: Int = 32,
+                    sortKey: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, bucketKey)
+    sortKey.fold(w)(w.sortBy(_)).saveAsTable(table)
+  }
+
   /** JDBC source (S12 — the reference's Postgres `author_network`
     * relation, `src/python/personal_network.py:18-23`). Partitioned
     * read when bounds are given: each of `numPartitions` executors

@@ -40,4 +40,27 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
         s"bucketed=$bucketedEx plain=$plainEx\n$plan")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("q71 bucketed spine: the self-join plans with zero exchanges (SMJ path)") {
+    // disable broadcast so the co-partitioned sort-merge path is what's
+    // audited — the realistic shape at 100 TB where nothing broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q71_bucketed_spine")(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // exactly ONE shuffle survives: the final (a, b) edge aggregation.
+      // The join and the per-side distinct ride the bucketing. (AQE's
+      // plan string repeats the plan under "== Initial Plan ==" — count
+      // the final section only.)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val ex = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(ex == 1, s"expected 1 exchange (final agg), got $ex\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
