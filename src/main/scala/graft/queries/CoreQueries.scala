@@ -305,10 +305,15 @@ object CoreQueries {
     // multiply is monotone, not a hash, and the "sample" degenerates
     // to `key < threshold`. 1103515245 (glibc LCG) wraps from key=2
     // up and stays in int64 for keys below ~8.3e9; measured sample
-    // fraction is 9.95-10.0% at sf0.001/0.01/0.1.
+    // fraction is 9.95-10.0% at sf0.001/0.01/0.1. Keys are guarded
+    // non-negative: Spark's pmod maps into [0, m) where DuckDB's %
+    // keeps the sign, so a negative key would silently diverge — the
+    // guard makes the parity contract independent of the fixture's
+    // key range.
     "q67_hash_sample" -> { (s, d) =>
       Tables.lineitem(s, d)
-        .filter(pmod(col("l_orderkey") * 1103515245L, lit(2147483647L))
+        .filter(col("l_orderkey") >= 0 &&
+          pmod(col("l_orderkey") * 1103515245L, lit(2147483647L))
           < 214748365L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"),
@@ -545,7 +550,8 @@ object CoreQueries {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_qty
         |FROM lineitem
-        |WHERE (l_orderkey * 1103515245) % 2147483647 < 214748365
+        |WHERE l_orderkey >= 0
+        |  AND (l_orderkey * 1103515245) % 2147483647 < 214748365
         |GROUP BY l_returnflag""".stripMargin,
 
     "q62_window_ranks" ->

@@ -143,15 +143,18 @@ object EventQueries {
     // The multiplier must WRAP the modulus for small ids (1103515245;
     // a non-wrapping multiply is monotone and the k-th smallest hash
     // becomes a constant independent of cardinality — measured here:
-    // est 147.5 / 1525 vs true 150 / 1500 at sf0.01 / sf0.1). Null ids
-    // are excluded up front: Spark ranks null h first, DuckDB last.
+    // est 147.5 / 1525 vs true 150 / 1500 at sf0.01 / sf0.1). Null AND
+    // negative ids are excluded up front: Spark ranks null h first
+    // where DuckDB ranks it last, and Spark's pmod maps negatives into
+    // [0, m) where DuckDB's % keeps the sign — both would silently
+    // break hash parity on fixtures with such keys.
     // The sketch shape is the 100 TB point: per group only the k
     // smallest hashes survive the shuffle, like any mergeable sketch.
     "q69_kmv_distinct" -> { (s, d) =>
       val k = 64
       val m = 2147483647L
       val hashed = Tables.events(s, d)
-        .filter(col("user_id").isNotNull)
+        .filter(col("user_id").isNotNull && col("user_id") >= 0)
         .select(col("event_type"),
           pmod(col("user_id") * 1103515245L, lit(m)).as("h"))
         .distinct()
@@ -173,7 +176,7 @@ object EventQueries {
     "q69_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |             (user_id * 1103515245) % 2147483647 AS h FROM events
-        |           WHERE user_id IS NOT NULL),
+        |           WHERE user_id IS NOT NULL AND user_id >= 0),
         |r AS (SELECT event_type, h,
         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
         |      FROM h),

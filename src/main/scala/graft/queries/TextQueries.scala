@@ -125,9 +125,14 @@ object TextQueries {
         Seq(col("doc_id")), Seq(col("score").desc, col("word")), 3)
     },
 
-    // Edit-distance blocking (author-disambiguation primitive,
-    // reference archive/links.md): near-identical customer names among
-    // consecutive keys — levenshtein is built-in on both engines.
+    // Edit-distance PRIMITIVE demo (author-disambiguation building
+    // block, reference archive/links.md): levenshtein is built-in on
+    // both engines. The consecutive-key join (k2 = k1 + 1) exists only
+    // to give the oracle a deterministic, linear-sized pair set — it
+    // is NOT a usable blocking scheme (it inspects one arbitrary pair
+    // per key; don't copy it). The real scheme — normalized-key
+    // blocking → candidate pairs → verify → connected components →
+    // survivor — is Dedup.resolveEntities, tested in DedupSpec.
     "q49_name_edit_distance" -> { (s, d) =>
       val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
       val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))

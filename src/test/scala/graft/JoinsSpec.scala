@@ -57,6 +57,61 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       (2L, 99L, Some(9.0))))
   }
 
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** 10⁴ lines on one hyper-key + a disjoint uniform tail — the
+    * planted-skew fixture (SURVEY.md §4). */
+  private def skewedBig = ((1L to 10000L).map(_ => 42L) ++ (10001L to 12000L))
+    .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+
+  test("AQE splits the planted hyper-key's shuffle partition (skew join)") {
+    val right = ((1L to 12000L) :+ 42L).distinct.map(k => (k, k * 2)).toDF("k", "v")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ path
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // low thresholds: the constant hyper-key compresses extremely
+      // well in shuffle blocks, so the skewed partition is only a few
+      // KB at fixture scale
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB") {
+      val j = skewedBig.join(right, "k")
+      assert(j.collect().length == 12000) // 10000 hot + 2000 tail matches
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    }
+  }
+
+  test("saltedJoin spreads the hyper-key across partitions; unsalted concentrates it") {
+    val small = Seq((42L, "hot"), (7L, "cold")).toDF("k", "tag")
+    def hotRowsPerPartition(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.withColumn("pid", spark_partition_id())
+        .filter(col("k") === 42L)
+        .groupBy(col("pid")).count()
+        .select(col("count")).as[Long].collect().toSeq
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false", // isolate the salting
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val unsalted = hotRowsPerPartition(skewedBig.join(small, "k"))
+      val salted = hotRowsPerPartition(Joins.saltedJoin(skewedBig, small, "k", 8))
+      assert(salted.sum == unsalted.sum) // same join result cardinality
+      assert(unsalted.size == 1 && unsalted.head == 10000L,
+        s"expected one straggler partition of 10000, got $unsalted")
+      assert(salted.size >= 2, s"salt did not spread the hot key: $salted")
+      assert(salted.max <= 6000, s"residual straggler after salting: $salted")
+    }
+  }
+
   test("fkClosedSample keeps exactly the FK-matching child rows") {
     val child = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("fk", "v")
     val keys = Seq(1L, 3L).toDF("k")
