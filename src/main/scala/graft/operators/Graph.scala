@@ -244,6 +244,73 @@ object Graph {
           .when(l.getField(period) > r.getField(period), 1)
           .otherwise(0))).as("by_period"))
 
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** D3 force-layout JSON export (G9's second format — the reference's
+    * `jsNets.scala:115-1207` renders its nets through a browser force
+    * layout): `{"nodes":[{"id","label"}],"links":[{"source","target",
+    * "weight"}]}`, the exact shape `d3.forceSimulation`/`forceLink`
+    * consumes. Bounded graphs only — collects to the driver by design,
+    * like [[toGexf]]. */
+  def toForceJson(vertices: DataFrame, edges: DataFrame): String = {
+    val vs = vertices.select(col("id").cast("string"), col("label").cast("string"))
+      .collect().map(r =>
+        s"""{"id":"${jsonEscape(r.getString(0))}","label":"${jsonEscape(r.getString(1))}"}""")
+    val es = edges.select(col("src").cast("string"), col("dst").cast("string"),
+        col("weight").cast("double"))
+      .collect().map(r =>
+        s"""{"source":"${jsonEscape(r.getString(0))}","target":"${jsonEscape(r.getString(1))}","weight":${r.getDouble(2)}}""")
+    s"""{"nodes":[${vs.mkString(",")}],"links":[${es.mkString(",")}]}"""
+  }
+
+  /** Standalone HTML page with an interactive force-directed rendering
+    * of the graph — the reference's second export format (its notebook
+    * emits GEXF + a D3 v3 force viewer, `jsNets.scala:218-310`).
+    * The graph data is EMBEDDED as [[toForceJson]] JSON; the only
+    * external reference is the public d3 CDN script tag, exactly as
+    * the reference page has (the artifact is for a browser, not for
+    * this engine to load). Writable through
+    * [[graft.sources.Ingest.writeSingleText]]. */
+  def toForceHtml(vertices: DataFrame, edges: DataFrame,
+                  title: String = "graft network"): String = {
+    val data = toForceJson(vertices, edges)
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${title}</title>
+       |<script src="https://d3js.org/d3.v7.min.js"></script>
+       |<style>circle{fill:#69b;stroke:#fff}line{stroke:#999;stroke-opacity:.6}text{font:10px sans-serif}</style>
+       |</head><body><svg width="960" height="600"></svg>
+       |<script>
+       |const graph = ${data};
+       |const svg = d3.select("svg"), W = +svg.attr("width"), H = +svg.attr("height");
+       |const sim = d3.forceSimulation(graph.nodes)
+       |  .force("link", d3.forceLink(graph.links).id(d => d.id)
+       |    .strength(d => Math.min(1, d.weight / 10)))
+       |  .force("charge", d3.forceManyBody().strength(-60))
+       |  .force("center", d3.forceCenter(W / 2, H / 2));
+       |const link = svg.append("g").selectAll("line").data(graph.links).join("line")
+       |  .attr("stroke-width", d => Math.sqrt(d.weight));
+       |const node = svg.append("g").selectAll("circle").data(graph.nodes).join("circle")
+       |  .attr("r", 5).call(d3.drag()
+       |    .on("start", (e, d) => { if (!e.active) sim.alphaTarget(.3).restart(); d.fx = d.x; d.fy = d.y; })
+       |    .on("drag", (e, d) => { d.fx = e.x; d.fy = e.y; })
+       |    .on("end", (e, d) => { if (!e.active) sim.alphaTarget(0); d.fx = null; d.fy = null; }));
+       |node.append("title").text(d => d.label);
+       |sim.on("tick", () => {
+       |  link.attr("x1", d => d.source.x).attr("y1", d => d.source.y)
+       |      .attr("x2", d => d.target.x).attr("y2", d => d.target.y);
+       |  node.attr("cx", d => d.x).attr("cy", d => d.y);
+       |});
+       |</script></body></html>""".stripMargin
+  }
+
   /** GEXF XML export (U6, reference `StaticNet.scala:451-465`) for
     * bounded (ego-net-sized) graphs: collects to the driver by design —
     * callers cap the net size, as the reference does. */

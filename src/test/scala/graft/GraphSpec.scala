@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, explode}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Graph
@@ -69,5 +70,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.sources.Ingest.writeSingleText(spark, xml, out)
     val back = spark.read.text(out).collect().map(_.getString(0)).mkString("\n")
     assert(back.contains("<gexf") && back.contains("alice"))
+  }
+
+  test("toForceJson emits valid D3 nodes/links JSON (round-trips through a JSON reader)") {
+    val vs = Seq((1L, "alice \"a\""), (2L, "bob")).toDF("id", "label")
+    val es = Seq((1L, 2L, 3L)).toDF("src", "dst", "weight")
+    val json = Graph.toForceJson(vs, es)
+    // validate with a real JSON parser: read back via Spark
+    val parsed = spark.read.json(Seq(json).toDS)
+    val nodes = parsed.select(explode(col("nodes")).as("n"))
+      .select(col("n.id"), col("n.label")).as[(String, String)].collect().toSet
+    assert(nodes == Set(("1", "alice \"a\""), ("2", "bob")))
+    val links = parsed.select(explode(col("links")).as("l"))
+      .select(col("l.source"), col("l.target"), col("l.weight"))
+      .as[(String, String, Double)].collect().toSet
+    assert(links == Set(("1", "2", 3.0)))
+  }
+
+  test("toForceHtml embeds the graph and a force-layout script") {
+    val vs = Seq((1L, "alice"), (2L, "bob")).toDF("id", "label")
+    val es = Seq((1L, 2L, 3L)).toDF("src", "dst", "weight")
+    val html = Graph.toForceHtml(vs, es, "t")
+    assert(html.contains("forceSimulation") && html.contains("\"label\":\"alice\""))
+    val out = java.nio.file.Files.createTempDirectory("d3").toString + "/net.html"
+    graft.sources.Ingest.writeSingleText(spark, html, out)
+    val back = spark.read.text(out).collect().map(_.getString(0)).mkString("\n")
+    assert(back.contains("<!DOCTYPE html>") && back.contains("forceSimulation"))
   }
 }
