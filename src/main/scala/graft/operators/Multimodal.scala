@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   * stage actually touches it, and partitioning by `media_id` keeps
   * decode work co-located with the metadata it produces.
   *
-  * The actual codecs (JPEG/PNG decode, audio resample, video frame
-  * extraction) are NOT implemented — this container has no media
-  * libraries. Every op below takes the codec as a function parameter
-  * with a STUB default (deterministic fake derived from the byte
-  * content) so the Spark-side contract — schema, batching, partition
-  * shape, null behavior — is real and tested, and a real codec drops in
-  * without touching the dataflow. The PySpark twin would be
-  * `mapInPandas` with Arrow batches; the Scala-native form is
-  * `mapPartitions`, which likewise amortizes per-batch codec setup.
+  * Codecs are function parameters, decoupled from the dataflow. For
+  * IMAGES a REAL codec is provided ([[imageIoProbe]],
+  * [[imageHistogramFeatures]]): the JDK's `javax.imageio` decodes
+  * PNG/JPEG/BMP/GIF with no external libraries, so the decode path is
+  * genuinely exercised end-to-end (MultimodalSpec round-trips real PNG
+  * bytes). Audio resample and video frame extraction have no JDK
+  * codec — those default to a STUB (deterministic fake derived from
+  * the byte content) so the Spark-side contract — schema, batching,
+  * partition shape, null behavior — is still real and tested, and a
+  * native codec drops in without touching the dataflow. The PySpark
+  * twin would be `mapInPandas` with Arrow batches; the Scala-native
+  * form is `mapPartitions`, which likewise amortizes per-batch codec
+  * setup.
   */
 object Multimodal {
 
@@ -35,6 +39,64 @@ object Multimodal {
     else Decoded(m.media_id, m.media_type,
       width = 16 * (1 + (b(0) & 0x3f)), height = 16 * (1 + (b(1) & 0x3f)),
       n_frames = 1 + (b(2) & 0x7f), ok = true)
+  }
+
+  /** REAL image probe on the JDK's `javax.imageio` — no external
+    * libraries: decodes PNG/JPEG/BMP/GIF payloads to their true pixel
+    * dimensions (`n_frames` = 1: ImageIO reads stills). Undecodable or
+    * empty payloads come back `ok = false`, same contract as the stub.
+    * Drop-in `probe` argument for [[decode]]. */
+  def imageIoProbe(m: Media): Decoded = {
+    if (m.content == null || m.content.isEmpty)
+      Decoded(m.media_id, m.media_type, 0, 0, 0, ok = false)
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.content))
+      if (img == null) Decoded(m.media_id, m.media_type, 0, 0, 0, ok = false)
+      else Decoded(m.media_id, m.media_type, img.getWidth, img.getHeight,
+        n_frames = 1, ok = true)
+    } catch {
+      case _: java.io.IOException =>
+        Decoded(m.media_id, m.media_type, 0, 0, 0, ok = false)
+    }
+  }
+
+  /** REAL image feature extractor (JDK-only): normalized 16-bin
+    * luminance histogram over the decoded pixels — a genuine
+    * content-derived `ARRAY<FLOAT>` embedding that feeds the
+    * [[Similarity]] ops. Undecodable payloads yield the zero vector.
+    * Same per-partition streaming shape as [[features]]. */
+  def imageHistogramFeatures(media: Dataset[Media], bins: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val v = new Array[Float](bins)
+        val img =
+          if (m.content == null || m.content.isEmpty) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          catch { case _: java.io.IOException => null }
+        if (img != null) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              v((lum * bins) / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toFloat
+          var i = 0
+          while (i < bins) { v(i) /= n; i += 1 }
+        }
+        (m.media_id, v)
+      }
+    }.toDF("media_id", "embedding")
   }
 
   /** Decode pass: one codec instance per partition (the expensive part

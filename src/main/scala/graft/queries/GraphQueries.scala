@@ -92,25 +92,42 @@ object GraphQueries {
     s.table(table)
   }
 
-  /** Evict and unpersist this session's materialized spine(s). Callers
-    * that need a fully clean block manager (specs, session teardown)
-    * use this; normal operation relies on the one-dir bound above. */
-  def invalidateSpine(s: SparkSession): Unit =
+  /** Evict and unpersist this session's materialized views (pair spine
+    * + thresholded edge set). Callers that need a fully clean block
+    * manager (specs, session teardown) use this; normal operation
+    * relies on the one-dir bound above. */
+  def invalidateSpine(s: SparkSession): Unit = {
     spine.keys.filter(_._1 == s).foreach { k =>
       spine.remove(k).foreach(graft.Checkpoints.release)
     }
+    strongCache.keys.filter(_._1 == s).foreach { k =>
+      strongCache.remove(k).foreach(graft.Checkpoints.release)
+    }
+  }
 
   private def coShip(s: SparkSession, d: String): DataFrame =
     pairYears(s, d).filter(col("yr").isNotNull) // oracles inner-join orders
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("weight"), min(col("yr")).as("first_yr"))
 
-  /** Thresholded edge set shared by the iterative queries — a cheap
-    * aggregation over the materialized spine. */
-  private def strongEdges(s: SparkSession, d: String): DataFrame =
-    graft.Checkpoints.checkpoint(
-      coShip(s, d).filter(col("weight") >= MinWeight)
-        .select(col("a"), col("b"), col("first_yr").as("year")))
+  /** Thresholded edge set shared by the iterative queries (q17, q34,
+    * q35) — an aggregation over the materialized spine, itself cached
+    * as a second PINNED materialized view with the same one-dir bound
+    * and [[invalidateSpine]] hook, so one bench pass builds it once
+    * instead of once per consumer. */
+  private val strongCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def strongEdges(s: SparkSession, d: String): DataFrame = {
+    strongCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    strongCache.getOrElseUpdate((s, d), {
+      strongCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        strongCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      graft.Checkpoints.checkpointPinned(
+        coShip(s, d).filter(col("weight") >= MinWeight)
+          .select(col("a"), col("b"), col("first_yr").as("year")))
+    })
+  }
 
   val defs: Map[String, Q] = Map(
     // G1+G6: distinct co-membership pairs, weighted by shared groups

@@ -27,8 +27,10 @@ class CheckpointHygieneSpec extends AnyFunSuite with SparkTestBase {
       Checkpoints.releaseAll(spark)
     }
     assert(Checkpoints.trackedCount(spark, includePinned = false) == 0)
+    // at most the two pinned materialized views (pair spine +
+    // thresholded edge set) may remain
     val afterRun = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(afterRun.size <= 1, s"stale non-spine blocks: $afterRun")
+    assert(afterRun.size <= 2, s"stale non-spine blocks: $afterRun")
 
     GraphQueries.invalidateSpine(spark)
     val afterInvalidate = spark.sparkContext.getPersistentRDDs.keySet -- before

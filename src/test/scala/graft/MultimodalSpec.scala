@@ -44,4 +44,46 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames(1L) == Seq(0, 4, 8)) // n_frames=10, stride 4
     assert(!frames.contains(3L))
   }
+
+  /** Real PNG bytes rendered via the JDK (no external libs). */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageIoProbe decodes REAL PNG payloads to true dimensions through the same dataflow") {
+    val real = Seq(
+      Media(10L, "image", pngBytes(40, 25, 0xffffff)),
+      Media(11L, "image", pngBytes(8, 8, 0x000000)),
+      Media(12L, "image", Array[Byte](1, 2, 3)) // not an image → ok=false
+    ).toDS()
+    val got = Multimodal.decode(real, Multimodal.imageIoProbe)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(10L) == Decoded(10L, "image", 40, 25, 1, ok = true))
+    assert(got(11L) == Decoded(11L, "image", 8, 8, 1, ok = true))
+    assert(!got(12L).ok)
+    // and the downstream metadata ops run unchanged on real decodes
+    val r = Multimodal.resizeMeta(
+        Multimodal.decode(real, Multimodal.imageIoProbe), maxSide = 20)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(x => x._1 -> (x._4, x._5)).toMap
+    assert(r(10L) == (20, 13)) // 40x25 capped to 20, ratio kept (round)
+  }
+
+  test("imageHistogramFeatures extracts content-derived luminance histograms") {
+    val real = Seq(
+      Media(20L, "image", pngBytes(10, 10, 0xffffff)), // all white → top bin
+      Media(21L, "image", pngBytes(10, 10, 0x000000)), // all black → bottom bin
+      Media(22L, "image", null)                        // null → zero vector
+    ).toDS()
+    val v = Multimodal.imageHistogramFeatures(real, bins = 16)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(v(20L)(15) == 1.0f && v(20L).take(15).forall(_ == 0f))
+    assert(v(21L)(0) == 1.0f && v(21L).drop(1).forall(_ == 0f))
+    assert(v(22L).forall(_ == 0f))
+  }
 }
