@@ -33,6 +33,7 @@ object Explain {
     "q28_cosine_topk",      // brute-force baseline: broadcast queries
     "q42_important_parts",  // broadcast global-total scalar
     "q51_ann_ivf_topk",     // broadcast centroid assignment
+    "q72_embed_neardup_ivf", // broadcast centroid assignment (same as q51)
     "q56_embed_neardup",    // exact all-pairs baseline (documented)
     "q66_tfidf_topterms")   // broadcast corpus-size scalar
 

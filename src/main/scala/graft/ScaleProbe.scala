@@ -41,6 +41,14 @@ object ScaleProbe {
       val queries = emb.filter(col("vec_id") % 20 === 0)
       time(Similarity.signLshTopK(emb, queries, "vec_id", "embedding", 5).count())
     }
+    def neardup(dir: String): (Double, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      time(Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4).count())
+    }
+    def neardupIvf(dir: String): (Double, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      time(Similarity.cosinePairsIvf(emb, "vec_id", "embedding", 0.4).count())
+    }
 
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
@@ -48,14 +56,23 @@ object ScaleProbe {
     // time the SECOND run at each size: the first big-corpus run carries
     // Janino codegen for AQE-specialized plan shapes the small corpus
     // never produced, which would otherwise read as fake superlinearity
-    jaccard(base); ann(base)
+    jaccard(base); ann(base); neardupIvf(base)
     val (jb, _) = jaccard(base); jaccard(big); val (jB, nB) = jaccard(big)
     val (ab, _) = ann(base); ann(big); val (aB, nA) = ann(big)
+    val (db, _) = neardupIvf(base); neardupIvf(big); val (dB, nD) = neardupIvf(big)
     val nDocs = spark.read.parquet(s"$big/documents.parquet").count().toDouble /
       spark.read.parquet(s"$base/documents.parquet").count()
     println(f"[probe] data ratio ${nDocs}%.0fx")
-    println(f"[probe] jaccard: $jb%.1fs -> $jB%.1fs (${jB / jb}%.1fx, $nB pairs)")
-    println(f"[probe] ann:     $ab%.1fs -> $aB%.1fs (${aB / ab}%.1fx, $nA results)")
+    println(f"[probe] jaccard:     $jb%.1fs -> $jB%.1fs (${jB / jb}%.1fx, $nB pairs)")
+    println(f"[probe] ann:         $ab%.1fs -> $aB%.1fs (${aB / ab}%.1fx, $nA results)")
+    println(f"[probe] neardup-ivf: $db%.1fs -> $dB%.1fs (${dB / db}%.1fx, $nD pairs)")
+    // sign-LSH near-dup at this LOW threshold is the documented
+    // anti-example (random band collisions 2^-3: ~quadratic, 31x at
+    // 10x); run it only when asked
+    if (args.contains("--lsh")) {
+      val (lb, _) = neardup(base); val (lB, nL) = neardup(big)
+      println(f"[probe] neardup-lsh: $lb%.1fs -> $lB%.1fs (${lB / lb}%.1fx, $nL pairs)")
+    }
     spark.stop()
   }
 }

@@ -61,16 +61,27 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
-  /** LSH-bucketed embedding near-dup — the 100 TB path for
-    * [[cosinePairs]]. Candidate pairs are generated ONLY from vectors
-    * sharing a sign-LSH band bucket (one shuffle on (band, bkey), pair
-    * count bounded by bucket sizes), then verified with the exact
-    * codegen [[ArrayCosine]] kernel at the same `round(cos,4) >= minCos`
-    * threshold — so every emitted pair is exactly as correct as the
-    * brute-force baseline; only recall is approximate. Defaults
-    * (24 planes, bands of 3 → 8 bands) give ≥ 0.9 expected recall at
-    * the cos 0.4 decision boundary (collision prob 1-(1-(1-θ/π)³)⁸)
-    * and near-1 for true near-duplicates.
+  /** Sign-LSH-bucketed embedding near-dup: candidate pairs ONLY from
+    * vectors sharing a band bucket (one shuffle on (band, bkey)), then
+    * verified with the exact codegen [[ArrayCosine]] kernel at the same
+    * `round(cos,4) >= minCos` threshold — every emitted pair is exactly
+    * as correct as the brute-force baseline; only recall is
+    * approximate.
+    *
+    * REGIME MATH (be honest about when this scales): a random pair's
+    * band-collision probability is 2^-rowsPerBand (sign bits are 50/50
+    * for orthogonal vectors), so expected candidates have a floor of
+    * `bands · n²/2 · 2^-rowsPerBand`. For HIGH thresholds (true
+    * near-dup, cos ≥ 0.8, per-bit match ≥ 0.8) rowsPerBand 16+ with
+    * 32+ bands keeps boundary recall high AND random collisions at the
+    * ~1e-3 level — near-linear in practice. For LOW thresholds like
+    * this fixture's 0.4 (per-bit 0.63 vs random 0.5 — barely
+    * discriminable), no banding choice separates the two: the defaults
+    * (24 planes, bands of 3 → ≥ 0.9 boundary recall) admit ~50% of
+    * random pairs and the join degrades toward all-pairs as n grows
+    * (measured 31× work at 10× data, ScaleProbe). THE low-threshold
+    * scale path is [[cosinePairsIvf]]: data-adaptive cells with
+    * bounded occupancy, linear candidate growth at constant cell size.
     *
     * SimilaritySpec asserts recall against the oracle-checked
     * [[cosinePairs]] output on the sf0.01 fixture. */
@@ -136,18 +147,14 @@ object Similarity {
     * Centroids are deterministic: the `k` lowest-id vectors seed the
     * cells, refined by `lloydIters` rounds of mean-recentering — no RNG
     * state, reproducible across runs. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
-              vec: String, topK: Int, cells: Int = 16, nprobe: Int = 4,
-              lloydIters: Int = 2): DataFrame = {
-    val c = graft.Checkpoints.checkpoint(corpus.select(col(id).as("n_id"),
-      VectorFns.toDoubleArr(col(vec)).as("cv")))
-
-    // deterministic seeds: lowest-id vectors
+  /** Deterministic Lloyd centroids over a (n_id, cv) corpus: the `k`
+    * lowest-id vectors seed the cells, refined by `iters` rounds of
+    * mean-recentering — no RNG state, reproducible. Superseded rounds
+    * release their checkpoint blocks eagerly. */
+  private def lloydCentroids(c: DataFrame, cells: Int, iters: Int): DataFrame = {
     var centroids = graft.Checkpoints.checkpoint(c.orderBy(col("n_id")).limit(cells)
       .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr")))
-    // Lloyd refinement: assign → elementwise mean per cell; each round's
-    // centroid set supersedes the previous — release it eagerly
-    (0 until lloydIters).foreach { _ =>
+    (0 until iters).foreach { _ =>
       val assigned = assignCells(c, centroids, 1)
       val refined = graft.Checkpoints.checkpoint(assigned.join(c, "n_id")
         .select(col("cell"), posexplode(col("cv")))
@@ -160,7 +167,15 @@ object Similarity {
       graft.Checkpoints.release(centroids)
       centroids = refined
     }
+    centroids
+  }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, topK: Int, cells: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val c = graft.Checkpoints.checkpoint(corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    val centroids = lloydCentroids(c, cells, lloydIters)
     val index = assignCells(c, centroids, 1) // (n_id, cell)
     val q = queries.select(col(id).as("q_id"),
       VectorFns.toDoubleArr(col(vec)).as("qv"))
@@ -175,6 +190,48 @@ object Similarity {
         round(ArrayCosine.cosine(col("qv"), col("cv")), 4).as("cos"))
     Relational.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id")), topK)
+  }
+
+  /** IVF-bucketed embedding near-dup — THE low-threshold 100 TB path
+    * (see the regime math on [[cosinePairsLsh]]). Vectors are assigned
+    * to their `nprobe` nearest Lloyd cells; candidate pairs come only
+    * from vectors sharing a cell; the exact codegen [[ArrayCosine]]
+    * verify applies the same `round(cos,4) >= minCos` threshold as the
+    * brute-force baseline. Cell COUNT scales with the corpus
+    * (`max(4, n / targetCellSize)` — one extra count job), so cell
+    * occupancy stays ~constant and expected candidates grow LINEARLY:
+    * cells · (nprobe·targetCellSize)²/2 ∝ n·targetCellSize·nprobe².
+    * Unlike data-oblivious hyperplanes, cells adapt to the data's
+    * cluster structure, which is what separates near-dup pairs from
+    * the random background at thresholds sign-LSH cannot discriminate.
+    * Recall comes from multi-probe assignment (`nprobe` ≥ 2: boundary
+    * vectors sit in every cell they straddle); SimilaritySpec measures
+    * it against the oracle-checked [[cosinePairs]] at sf0.01.
+    * Measured: 10× corpus → 5.8× work (ScaleProbe) vs 31× for the
+    * sign-LSH variant at the same threshold. Remaining superlinear
+    * term: centroid ASSIGNMENT is n·cells = n²/targetCellSize cosines
+    * (fully parallel, broadcast centroids); past ~10⁸ vectors insert a
+    * coarse-quantizer level (assign to √cells super-cells first) the
+    * same way FAISS IVF does — the candidate-generation shape is
+    * unchanged. */
+  def cosinePairsIvf(emb: DataFrame, id: String, vec: String,
+                     minCos: Double, targetCellSize: Int = 256,
+                     nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val c = graft.Checkpoints.checkpoint(emb.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    val cells = math.max(4L, c.count() / targetCellSize).toInt
+    val centroids = lloydCentroids(c, cells, lloydIters)
+    val assigned = assignCells(c, centroids, nprobe) // (n_id, cell)
+    val cand = assigned.select(col("cell"), col("n_id").as("id_a"))
+      .join(assigned.select(col("cell"), col("n_id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(c.select(col("n_id").as("id_a"), col("cv").as("va")), "id_a")
+      .join(c.select(col("n_id").as("id_b"), col("cv").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(ArrayCosine.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** Nearest `take` centroid cells per vector (by cosine, deterministic

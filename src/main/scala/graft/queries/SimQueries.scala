@@ -50,6 +50,14 @@ object SimQueries {
     // pairs).
     "q70_embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+    },
+
+    // IVF-bucketed embedding near-dup — the LOW-threshold 100 TB path
+    // (data-adaptive cells, constant occupancy, linear candidate
+    // growth; see Similarity.cosinePairsLsh regime math). Rows-only;
+    // SimilaritySpec asserts recall vs q56's oracle-checked pairs.
+    "q72_embed_neardup_ivf" -> { (s, d) =>
+      Similarity.cosinePairsIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     }
   )
 

@@ -49,6 +49,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"LSH near-dup recall $recall of ${exactPairs.size}")
   }
 
+  test("cosinePairsIvf recalls the oracle-checked exact near-dup pairs") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exactPairs = pairSet(
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val ivfPairs = pairSet(
+      Similarity.cosinePairsIvf(emb, "vec_id", "embedding", 0.4))
+    assert((ivfPairs -- exactPairs).isEmpty) // precision exact by construction
+    val recall = (ivfPairs & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"IVF near-dup recall $recall of ${exactPairs.size}")
+  }
+
   test("cosinePairs finds exactly the known identical/orthogonal pairs") {
     // v1 == v2 (cos 1), v3 orthogonal to both, v4 = -v1 (cos -1)
     val vecs = Seq(
