@@ -166,6 +166,23 @@ object GraphQueries {
       CoOccur.personalNet(strongEdges(s, d))
     },
 
+    // G2: hierarchy root closure — the reference's central recursive
+    // getRootFos (App.scala:21-35) as a bulk fixpoint. The star
+    // schema's supplier -> nation -> region chain is the 3-level
+    // hierarchy (node ids offset into disjoint spaces); every node
+    // resolves to its region root, regions resolve to themselves.
+    // Oracle = the unrolled join (the hierarchy is acyclic and fixed
+    // depth, so recursion and unrolling agree).
+    "q19_root_closure" -> { (s, d) =>
+      val supEdges = Tables.supplier(s, d)
+        .select((col("s_suppkey") + 10000L).as("child"),
+          (col("s_nationkey") + 1000L).as("parent"))
+      val natEdges = Tables.nation(s, d)
+        .select((col("n_nationkey") + 1000L).as("child"),
+          col("n_regionkey").cast("long").as("parent"))
+      Graph.rootClosure(supEdges.unionByName(natEdges))
+    },
+
     // U2: h-index as a custom partial-aggregating Aggregator.
     "q18_supplier_hindex" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -344,6 +361,17 @@ object GraphQueries {
          |SELECT ap.ego, ap.a1, ap.a2,
          |  CAST(greatest(ap.py, ed2.y) AS BIGINT) AS year
          |FROM ap JOIN ed ed2 ON ap.a1 = ed2.a AND ap.a2 = ed2.b""".stripMargin,
+
+    "q19_root_closure" ->
+      """WITH sn AS (SELECT s_suppkey + 10000 AS node, n_regionkey AS root
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |nn AS (SELECT n_nationkey + 1000 AS node, n_regionkey AS root
+        |       FROM nation),
+        |rr AS (SELECT DISTINCT n_regionkey AS node, n_regionkey AS root
+        |       FROM nation)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root
+        |FROM (SELECT * FROM sn UNION ALL SELECT * FROM nn
+        |      UNION ALL SELECT * FROM rr)""".stripMargin,
 
     "q18_supplier_hindex" ->
       """WITH v AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS v,
