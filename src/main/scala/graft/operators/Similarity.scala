@@ -208,12 +208,11 @@ object Similarity {
     * vectors sit in every cell they straddle); SimilaritySpec measures
     * it against the oracle-checked [[cosinePairs]] at sf0.01.
     * Measured: 10× corpus → 5.8× work (ScaleProbe) vs 31× for the
-    * sign-LSH variant at the same threshold. Remaining superlinear
-    * term: centroid ASSIGNMENT is n·cells = n²/targetCellSize cosines
-    * (fully parallel, broadcast centroids); past ~10⁸ vectors insert a
-    * coarse-quantizer level (assign to √cells super-cells first) the
-    * same way FAISS IVF does — the candidate-generation shape is
-    * unchanged. */
+    * sign-LSH variant at the same threshold. Centroid ASSIGNMENT
+    * auto-switches past 64 cells to the two-level coarse-quantizer
+    * route ([[assignCellsHierarchical]]): n·superProbe·√cells cosines
+    * instead of n·cells, FAISS-IVF-style, leaving the
+    * candidate-generation shape unchanged. */
   def cosinePairsIvf(emb: DataFrame, id: String, vec: String,
                      minCos: Double, targetCellSize: Int = 256,
                      nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
@@ -221,7 +220,11 @@ object Similarity {
       VectorFns.toDoubleArr(col(vec)).as("cv")))
     val cells = math.max(4L, c.count() / targetCellSize).toInt
     val centroids = lloydCentroids(c, cells, lloydIters)
-    val assigned = assignCells(c, centroids, nprobe) // (n_id, cell)
+    // past ~64 cells, flat assignment's n·cells cosines dominate — use
+    // the two-level coarse-quantizer route (n·superProbe·√cells)
+    val assigned =
+      if (cells > 64) assignCellsHierarchical(c, centroids, nprobe)
+      else assignCells(c, centroids, nprobe) // (n_id, cell)
     val cand = assigned.select(col("cell"), col("n_id").as("id_a"))
       .join(assigned.select(col("cell"), col("n_id").as("id_b")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
@@ -237,9 +240,43 @@ object Similarity {
   /** Nearest `take` centroid cells per vector (by cosine, deterministic
     * tie-break on cell id). Centroids are broadcast — there are never
     * many. */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame,
-                          take: Int): DataFrame = {
+  private[graft] def assignCells(vecs: DataFrame, centroids: DataFrame,
+                                 take: Int): DataFrame = {
     val scored = vecs.crossJoin(broadcast(centroids))
+      .select(col("n_id"), col("cell"),
+        ArrayCosine.cosine(col("cv"), col("ctr")).as("sim"))
+    Relational.topKPerGroup(scored, Seq(col("n_id")),
+      Seq(col("sim").desc, col("cell")), take)
+      .select(col("n_id"), col("cell"))
+  }
+
+  /** Two-level (coarse-quantizer) cell assignment — the FAISS-style
+    * answer to flat assignment's n·cells cosine cost: cluster the
+    * CENTROIDS into ~√cells super-cells, route each vector to its
+    * `superProbe` nearest super-cells, and score only the centroids
+    * living there — n·superProbe·√cells cosines instead of n·cells.
+    * With `superProbe` = number of super-cells this is EXACTLY flat
+    * assignment (every centroid scored; SimilaritySpec asserts the
+    * equivalence); smaller superProbe trades a little assignment
+    * recall for the √cells factor. */
+  private[graft] def assignCellsHierarchical(vecs: DataFrame, centroids: DataFrame,
+                                             take: Int, superProbe: Int = 4): DataFrame = {
+    val asCorpus = centroids.select(col("cell").as("n_id"), col("ctr").as("cv"))
+    val nSupers = math.max(2L,
+      math.round(math.sqrt(asCorpus.count().toDouble))).toInt
+    val supers = lloydCentroids(asCorpus, nSupers, iters = 1)
+      .select(col("cell").as("sup"), col("ctr"))
+    val centToSuper = assignCells(asCorpus,
+        supers.select(col("sup").as("cell"), col("ctr")), 1)
+      .select(col("n_id").as("cell"), col("cell").as("sup"))
+    val vecToSuper = assignCells(vecs,
+        supers.select(col("sup").as("cell"), col("ctr")),
+        math.min(superProbe, nSupers))
+      .select(col("n_id"), col("cell").as("sup"))
+    // score each vector only against centroids of its probed supers
+    val candCentroids = vecToSuper
+      .join(broadcast(centToSuper.join(centroids, "cell")), "sup")
+    val scored = candCentroids.join(vecs, "n_id")
       .select(col("n_id"), col("cell"),
         ArrayCosine.cosine(col("cv"), col("ctr")).as("sim"))
     Relational.topKPerGroup(scored, Seq(col("n_id")),

@@ -61,6 +61,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"IVF near-dup recall $recall of ${exactPairs.size}")
   }
 
+  test("hierarchical cell assignment probing all supers equals flat assignment") {
+    import graft.functions.VectorFns
+    val c = emb.select(col("vec_id").as("n_id"),
+      VectorFns.toDoubleArr(col("embedding")).as("cv"))
+    val centroids = c.orderBy(col("n_id")).limit(20)
+      .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr"))
+      .cache()
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long)].collect().toSet
+    val flat = asSet(Similarity.assignCells(c, centroids, 2))
+    // superProbe >= number of supers (ceil(sqrt(20)) = 4-5) → exact
+    val full = asSet(Similarity.assignCellsHierarchical(c, centroids, 2,
+      superProbe = 20))
+    assert(full == flat)
+    // default probing still recovers most assignments
+    val probed = asSet(Similarity.assignCellsHierarchical(c, centroids, 2))
+    val overlap = (probed & flat).size.toDouble / flat.size
+    assert(overlap >= 0.7, s"hierarchical assignment overlap $overlap")
+    centroids.unpersist()
+  }
+
   test("cosinePairs finds exactly the known identical/orthogonal pairs") {
     // v1 == v2 (cos 1), v3 orthogonal to both, v4 = -v1 (cos -1)
     val vecs = Seq(
