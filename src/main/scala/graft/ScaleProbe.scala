@@ -70,6 +70,7 @@ object ScaleProbe {
     // anti-example (random band collisions 2^-3: ~quadratic, 31x at
     // 10x); run it only when asked
     if (args.contains("--lsh")) {
+      neardup(base); neardup(big) // same second-run methodology as above
       val (lb, _) = neardup(base); val (lB, nL) = neardup(big)
       println(f"[probe] neardup-lsh: $lb%.1fs -> $lB%.1fs (${lB / lb}%.1fx, $nL pairs)")
     }

@@ -48,9 +48,12 @@ object StreamRun {
   private def stageDropFile(df: DataFrame, destDir: Path, name: String): Unit = {
     val tmp = Files.createTempDirectory("graft_drop").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file in $tmp"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      finally listing.close() // Files.list holds an open DirectoryStream
     Files.move(part, destDir.resolve(s"$name.parquet"))
   }
 
@@ -129,9 +132,12 @@ object StreamRun {
       .select(col("win_start"), col("event_type"),
         col("n_events").as("b_n"), col("sum_value").as("b_sum"))
     val tumblingRows = batchT.count()
+    // null-safe mismatch predicate: `abs(NULL - x) > eps` is NULL (row
+    // silently dropped), so one-sided-null sums need their own disjunct
     val tumblingBad = batchT.join(streamT, Seq("win_start", "event_type"), "full_outer")
       .filter(col("b_n").isNull || col("s_n").isNull ||
         col("b_n") =!= col("s_n") ||
+        (col("b_sum").isNull =!= col("s_sum").isNull) ||
         abs(col("b_sum") - col("s_sum")) > 1e-6)
       .count()
 

@@ -244,15 +244,7 @@ object Graph {
           .when(l.getField(period) > r.getField(period), 1)
           .otherwise(0))).as("by_period"))
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEscape(s: String): String = graft.Strings.jsonEscape(s)
 
   /** D3 force-layout JSON export (G9's second format — the reference's
     * `jsNets.scala:115-1207` renders its nets through a browser force

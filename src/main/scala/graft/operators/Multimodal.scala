@@ -56,7 +56,11 @@ object Multimodal {
       else Decoded(m.media_id, m.media_type, img.getWidth, img.getHeight,
         n_frames = 1, ok = true)
     } catch {
-      case _: java.io.IOException =>
+      // NonFatal, not just IOException: JDK image readers throw
+      // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds) on
+      // malformed/exotic payloads, and the contract is ok=false — a
+      // poison row must not kill the query
+      case scala.util.control.NonFatal(_) =>
         Decoded(m.media_id, m.media_type, 0, 0, 0, ok = false)
     }
   }
@@ -75,7 +79,7 @@ object Multimodal {
           if (m.content == null || m.content.isEmpty) null
           else try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img != null) {
           val (w, h) = (img.getWidth, img.getHeight)
           var y = 0

@@ -80,7 +80,9 @@ object GraphQueries {
   private def bucketedMembership(s: SparkSession, d: String): DataFrame = {
     bucketedTables.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val table = bucketedTables.getOrElseUpdate((s, d), {
-      val tbl = s"graft_li_bucketed_${Integer.toHexString(d.hashCode)}"
+      // full sanitized dir, not a 32-bit hash: colliding hashCodes of
+      // two dirs would silently serve one dir's data for the other
+      val tbl = s"graft_li_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val path = java.nio.file.Files
         .createTempDirectory("graft_bucketed").toString
       graft.sources.Ingest.writeBucketed(
