@@ -100,6 +100,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental edge-weight maintenance: foreachBatch upsert converges to batch weights") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val ms = MemoryStream[Authorship]
+    // the materialized-view upsert pattern: each micro-batch's new
+    // pairs are merged into keyed weight state (in production: a
+    // keyed parquet/Delta MERGE; here: a driver map, same contract)
+    val state = scala.collection.concurrent.TrieMap[(Long, Long, Long), Long]()
+    val q = EventStreams.incrementalCoEdges(ms.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.groupBy("group", "a", "b").count()
+          .collect().foreach { r =>
+            val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+            state.updateWith(k)(prev => Some(prev.getOrElse(0L) + r.getLong(3)))
+          }
+      }.start()
+    try {
+      val rows = Seq(
+        Authorship(1L, 10L, ts("2024-01-01 10:00:00")),
+        Authorship(1L, 11L, ts("2024-01-01 10:01:00")),
+        Authorship(1L, 12L, ts("2024-01-01 10:02:00")),
+        Authorship(2L, 10L, ts("2024-01-01 10:03:00")),
+        Authorship(2L, 11L, ts("2024-01-01 10:04:00")))
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      // batch twin on the SAME data (unified code): final MV state must
+      // equal the from-scratch weights
+      val batch = EventStreams.incrementalCoEdges(rows.toDF())
+        .groupBy($"group", $"a", $"b").count()
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      assert(state.toMap == batch)
+      assert(batch.values.sum == 4L) // (10,11),(10,12),(11,12) in g1 + (10,11) in g2
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode aggregation") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
