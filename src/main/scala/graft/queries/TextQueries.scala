@@ -45,6 +45,49 @@ object TextQueries {
           (lit(1.0) - stopRatio), 4).as("quality"))
     },
 
+    // Deterministic STRATIFIED sample — the training-mix primitive
+    // (fixed quota per stratum, e.g. balanced sources): per source,
+    // keep exactly the 20 docs ranked first by the established LCG
+    // hash (q67's multiplier; same >= 0 guard and exact-integer
+    // cross-engine parity), tie-broken by doc_id. Unlike q67's
+    // Bernoulli sample the quota is exact per group, and unlike
+    // df.sample the result is partitioning-independent.
+    "q73_stratified_sample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= 0)
+        .withColumn("h", pmod(col("doc_id") * 1103515245L, lit(2147483647L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("doc_id"), col("rk"))
+    },
+
+    // Per-stratum quality filter — the curation step after q21's
+    // scoring: keep each source's top quality quartile
+    // (percent_rank <= 0.25 over a TOTAL order: quality desc, doc_id).
+    // percent_rank is (rank-1)/(n-1) in both engines — exact integer
+    // division in doubles, cross-engine stable.
+    "q74_quality_stratum" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = TextFns.norm(col("text"))
+      val w = TextFns.words(n)
+      val nw = size(w).cast("long")
+      val stopRatio = round(
+        TextFns.stopCount(w, TextFns.langProfiles.toMap.apply("en"))
+          .cast("double") / nw, 4)
+      val quality = round(least(lit(1.0), nw.cast("double") / 100.0) *
+        (lit(1.0) - stopRatio), 4)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), quality.as("quality"))
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("pr") <= 0.25)
+        .select(col("source"), col("doc_id"), col("quality"))
+    },
+
     // Language-ID heuristic vs the labeled lang column.
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
@@ -249,6 +292,29 @@ object TextQueries {
          |  round(least(1.0, CAST(n_words AS DOUBLE) / 100.0)
          |    * (1.0 - stop_ratio), 4) AS quality
          |FROM f""".stripMargin,
+
+    "q73_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  (doc_id * 1103515245) % 2147483647 AS h
+        |  FROM documents WHERE doc_id >= 0),
+        |r AS (SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |    AS BIGINT) AS rk FROM h)
+        |SELECT source, doc_id, rk FROM r WHERE rk <= 20""".stripMargin,
+
+    "q74_quality_stratum" ->
+      s"""WITH t AS (SELECT doc_id, source, ${normSql("text")} AS n,
+         |  string_split(${normSql("text")}, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  round(least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
+         |    * (1.0 - round(CAST(len(list_filter(w,
+         |        x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+         |        / len(w), 4)), 4) AS quality
+         |  FROM t),
+         |r AS (SELECT source, doc_id, quality,
+         |  percent_rank() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS pr FROM q)
+         |SELECT source, doc_id, quality FROM r WHERE pr <= 0.25""".stripMargin,
 
     "q22_lang_id" ->
       s"""WITH t AS (SELECT lang,
