@@ -88,6 +88,46 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("quality"))
     },
 
+    // Context-window CHUNK PLAN — the long-document splitting step of
+    // an LLM ingest pipeline: each doc becomes chunks of up to 50
+    // tokens with stride 40 (10-token overlap), as pure relational
+    // metadata (doc_id, chunk_idx, start_tok, n_tok) — no text bytes
+    // move until a downstream stage slices them, so the scan prunes
+    // `text` for planning-only consumers... of this query's output.
+    // One explode, no shuffle except the driver-side sink.
+    "q75_chunk_plan" -> { (s, d) =>
+      val nw = size(TextFns.words(TextFns.norm(col("text")))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nw.as("n_words"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"),
+          posexplode(sequence(lit(0L), col("n_words") - 1, lit(40L))))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").as("start_tok"),
+          least(lit(50L), col("n_words") - col("col")).as("n_tok"))
+    },
+
+    // Per-source TOKEN BUDGET selection — the "fill N tokens from each
+    // source" training-mix step: docs are taken in deterministic
+    // LCG-hash order (q67's multiplier) and kept while the source's
+    // RUNNING token total stays within budget. Exact integer window
+    // sum — cross-engine stable.
+    "q76_token_budget" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 800L
+      val nTok = size(TextFns.words(TextFns.norm(col("text")))).cast("long")
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("source"), nTok.as("n_tok"),
+          pmod(col("doc_id") * 1103515245L, lit(2147483647L)).as("h"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tok") <= budget)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+    },
+
     // Language-ID heuristic vs the labeled lang column.
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
@@ -315,6 +355,32 @@ object TextQueries {
          |  percent_rank() OVER (PARTITION BY source
          |    ORDER BY quality DESC, doc_id) AS pr FROM q)
          |SELECT source, doc_id, quality FROM r WHERE pr <= 0.25""".stripMargin,
+
+    "q75_chunk_plan" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT)
+         |    AS n_words FROM documents),
+         |g AS (SELECT doc_id, n_words,
+         |  unnest(generate_series(0, n_words - 1, 40)) AS start_tok
+         |  FROM t WHERE n_words > 0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |    - 1 AS BIGINT) AS chunk_idx,
+         |  start_tok,
+         |  least(50, n_words - start_tok) AS n_tok
+         |FROM g""".stripMargin,
+
+    "q76_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT)
+         |    AS n_tok,
+         |  (doc_id * 1103515245) % 2147483647 AS h
+         |  FROM documents WHERE doc_id >= 0),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum_tok FROM t)
+         |SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM c WHERE cum_tok <= 800""".stripMargin,
 
     "q22_lang_id" ->
       s"""WITH t AS (SELECT lang,
