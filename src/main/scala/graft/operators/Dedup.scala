@@ -126,6 +126,12 @@ object Dedup {
       .join(prefix.select(col(idCol).as("id_b"), col("sz").as("zb"),
         col("rnk").as("rb"), col("hk")), Seq("hk"))
       .filter(col("id_a") < col("id_b") &&
+        // LENGTH filter (PPJoin Lemma 1): jaccard >= t forces
+        // min(za,zb) >= t·max(za,zb) (overlap <= min, union >= max) —
+        // prunes size-mismatched pairs before the distinct. Same
+        // exact-integer t' form as the positional filter below.
+        least(col("za"), col("zb")) * 100000L >=
+          lit(tScaled) * greatest(col("za"), col("zb")) &&
         (lit(1) + least(col("za") - col("ra"), col("zb") - col("rb"))) *
           lit(100000L + tScaled) >= lit(tScaled) * (col("za") + col("zb")))
       .select(col("id_a"), col("id_b")).distinct()
