@@ -128,6 +128,25 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
     },
 
+    // Repetition signals — the Gopher-rule quality filters a training
+    // pipeline runs besides q21's length/stopword features: top-word
+    // concentration (max term frequency / doc length) and type-token
+    // ratio (distinct words / words). High concentration or low TTR
+    // marks boilerplate/degenerate text. One explode + one groupBy.
+    "q77_repetition_signals" -> { (s, d) =>
+      val w = TextFns.words(TextFns.norm(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(w).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(max(col("c")).cast("double") / sum(col("c")), 4)
+            .as("top_word_ratio"),
+          round(count(lit(1)).cast("double") / sum(col("c")), 4)
+            .as("type_token_ratio"))
+    },
+
     // Language-ID heuristic vs the labeled lang column.
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
@@ -381,6 +400,16 @@ object TextQueries {
          |    ROWS UNBOUNDED PRECEDING) AS cum_tok FROM t)
          |SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          |FROM c WHERE cum_tok <= 800""".stripMargin,
+
+    "q77_repetition_signals" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  unnest(string_split(${normSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |f AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_ratio,
+         |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS type_token_ratio
+         |FROM f GROUP BY doc_id""".stripMargin,
 
     "q22_lang_id" ->
       s"""WITH t AS (SELECT lang,
