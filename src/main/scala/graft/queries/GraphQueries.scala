@@ -199,6 +199,16 @@ object GraphQueries {
       Graph.connectedComponents(strongEdges(s, d).select(col("a"), col("b")))
     },
 
+    // The O(log n) large-star/small-star contraction (the general-
+    // topology 100 TB path that q34's label propagation defers to)
+    // under the SAME recursive-CTE oracle: both algorithms must land
+    // on identical components.
+    "q78_components_star" -> { (s, d) =>
+      Graph.connectedComponentsStar(
+        strongEdges(s, d).select(col("a"), col("b")))
+        .select(col("v"), col("comp"))
+    },
+
     // Ego BFS to depth 2 (one distributed job per level, frontier as a
     // DataFrame — the reference's crawl without driver round-trips).
     "q35_ego_bfs" -> { (s, d) =>
@@ -384,6 +394,19 @@ object GraphQueries {
         |FROM v GROUP BY l_suppkey""".stripMargin,
 
     "q34_cosupply_components" ->
+      s"""WITH RECURSIVE $coShipSql,
+         |ed AS (SELECT s1 AS a, s2 AS b FROM e
+         |       WHERE orders_together >= $MinWeight),
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION SELECT b AS s, a AS d FROM ed),
+         |verts AS (SELECT DISTINCT s AS v FROM adj),
+         |reach(v, u) AS (SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s)
+         |SELECT v, CAST(min(u) AS BIGINT) AS comp FROM reach GROUP BY v""".stripMargin,
+
+    // star contraction must produce exactly the label-prop components
+    "q78_components_star" ->
       s"""WITH RECURSIVE $coShipSql,
          |ed AS (SELECT s1 AS a, s2 AS b FROM e
          |       WHERE orders_together >= $MinWeight),
