@@ -41,6 +41,36 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("co-bucketed two-table join (lineitem ⋈ orders) plans without exchanges") {
+    val warehouse = java.nio.file.Files.createTempDirectory("wh2").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS li_b2"); spark.sql("DROP TABLE IF EXISTS ord_b2")
+    try {
+      val d = "/root/testdata/sf0.001"
+      graft.sources.Ingest.writeBucketed(
+        graft.sources.Tables.lineitem(spark, d)
+          .select("l_orderkey", "l_quantity"),
+        "li_b2", s"$warehouse/li_b2", "l_orderkey", 8, Some("l_orderkey"))
+      graft.sources.Ingest.writeBucketed(
+        graft.sources.Tables.orders(spark, d)
+          .select("o_orderkey", "o_custkey"),
+        "ord_b2", s"$warehouse/ord_b2", "o_orderkey", 8, Some("o_orderkey"))
+      val j = spark.table("li_b2").join(spark.table("ord_b2"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      j.collect()
+      val finalPlan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("SortMergeJoin"), finalPlan)
+      val ex = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(ex == 0, s"co-bucketed join still exchanges ($ex)\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b2"); spark.sql("DROP TABLE IF EXISTS ord_b2")
+    }
+  }
+
   test("q71 bucketed spine: the self-join plans with zero exchanges (SMJ path)") {
     // disable broadcast so the co-partitioned sort-merge path is what's
     // audited — the realistic shape at 100 TB where nothing broadcasts

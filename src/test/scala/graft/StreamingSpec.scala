@@ -215,6 +215,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates (backfill mode)") {
+    // the production catch-up pattern: process everything currently in
+    // the source in bounded micro-batches, then stop — what a 100 TB
+    // backfill run uses instead of a forever-running query
+    val dir = java.nio.file.Files.createTempDirectory("avnow").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(300).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.tumblingCounts(EventStreams.readStream(spark, dir))
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val n = spark.table("avnow").agg(sum($"n_events")).as[Long].head()
+      assert(n == 300)
+    } finally q.stop()
+  }
+
   test("sessionCounts (unified API) splits on the gap in batch mode") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
