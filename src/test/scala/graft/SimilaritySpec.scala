@@ -36,6 +36,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full == exact)
   }
 
+  test("sign-LSH ANN recall; multi-probe recovers at least as much as single-probe") {
+    val single = topSet(Similarity.signLshTopK(emb, queries, "vec_id",
+      "embedding", 5, multiProbe = false))
+    val multi = topSet(Similarity.signLshTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe ${recall(multi)} < single ${recall(single)}")
+    assert(recall(multi) >= 0.5, s"LSH ANN recall ${recall(multi)}")
+  }
+
   test("cosinePairsLsh recalls the oracle-checked exact near-dup pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
