@@ -147,6 +147,28 @@ object TextQueries {
             .as("type_token_ratio"))
     },
 
+    // LEAKAGE-SAFE train/val/test split — the assignment step of a
+    // training pipeline done right: the split is keyed on each doc's
+    // DEDUP-GROUP canonical id (min doc_id over the q24 80-char-prefix
+    // group), so exact near-duplicates can never straddle train and
+    // test; buckets are the established LCG hash → 80/10/10. Split
+    // follows the canonical id BY CONSTRUCTION, not by luck.
+    "q79_leakage_safe_split" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"),
+          substring(TextFns.norm(col("text")), 1, 80).as("dk"))
+        .withColumn("canon",
+          min(col("doc_id")).over(Window.partitionBy(col("dk"))))
+        .withColumn("bucket",
+          pmod(col("canon") * 1103515245L, lit(2147483647L)) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("canon"), col("split"))
+    },
+
     // Language-ID heuristic vs the labeled lang column.
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
@@ -410,6 +432,19 @@ object TextQueries {
          |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_ratio,
          |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS type_token_ratio
          |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q79_leakage_safe_split" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  substr(${normSql("text")}, 1, 80) AS dk
+         |  FROM documents WHERE doc_id >= 0),
+         |c AS (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY dk) AS canon FROM t),
+         |b AS (SELECT doc_id, canon,
+         |  ((canon * 1103515245) % 2147483647) % 100 AS bucket FROM c)
+         |SELECT doc_id, canon,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "q22_lang_id" ->
       s"""WITH t AS (SELECT lang,
