@@ -313,8 +313,7 @@ object CoreQueries {
     "q67_hash_sample" -> { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") >= 0 &&
-          pmod(col("l_orderkey") * 1103515245L, lit(2147483647L))
-          < 214748365L)
+          lcgHash(col("l_orderkey")) < 214748365L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"),
           round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
@@ -546,12 +545,12 @@ object CoreQueries {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q67_hash_sample" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey >= 0
-        |  AND (l_orderkey * 1103515245) % 2147483647 < 214748365
+        |  AND ${lcgHashSql("l_orderkey")} < 214748365
         |GROUP BY l_returnflag""".stripMargin,
 
     "q62_window_ranks" ->

@@ -152,11 +152,10 @@ object EventQueries {
     // smallest hashes survive the shuffle, like any mergeable sketch.
     "q69_kmv_distinct" -> { (s, d) =>
       val k = 64
-      val m = 2147483647L
+      val m = LcgMod
       val hashed = Tables.events(s, d)
         .filter(col("user_id").isNotNull && col("user_id") >= 0)
-        .select(col("event_type"),
-          pmod(col("user_id") * 1103515245L, lit(m)).as("h"))
+        .select(col("event_type"), lcgHash(col("user_id")).as("h"))
         .distinct()
       val ranked = hashed.withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -174,8 +173,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q69_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT event_type,
-        |             (user_id * 1103515245) % 2147483647 AS h FROM events
+      s"""WITH h AS (SELECT DISTINCT event_type,
+        |             ${lcgHashSql("user_id")} AS h FROM events
         |           WHERE user_id IS NOT NULL AND user_id >= 0),
         |r AS (SELECT event_type, h,
         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn

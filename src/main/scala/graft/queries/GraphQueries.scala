@@ -338,6 +338,18 @@ object GraphQueries {
       |             CAST(min(yr) AS BIGINT) AS first_year
       |      FROM j GROUP BY s1, s2)""".stripMargin
 
+  private lazy val componentsOracleSql =
+    s"""WITH RECURSIVE $coShipSql,
+       |ed AS (SELECT s1 AS a, s2 AS b FROM e
+       |       WHERE orders_together >= $MinWeight),
+       |adj AS (SELECT a AS s, b AS d FROM ed
+       |        UNION SELECT b AS s, a AS d FROM ed),
+       |verts AS (SELECT DISTINCT s AS v FROM adj),
+       |reach(v, u) AS (SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s)
+       |SELECT v, CAST(min(u) AS BIGINT) AS comp FROM reach GROUP BY v""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q15_cosupply_edges" ->
       """WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
@@ -393,30 +405,12 @@ object GraphQueries {
         |  CAST(count(*) FILTER (WHERE v >= rn) AS BIGINT) AS h_index
         |FROM v GROUP BY l_suppkey""".stripMargin,
 
-    "q34_cosupply_components" ->
-      s"""WITH RECURSIVE $coShipSql,
-         |ed AS (SELECT s1 AS a, s2 AS b FROM e
-         |       WHERE orders_together >= $MinWeight),
-         |adj AS (SELECT a AS s, b AS d FROM ed
-         |        UNION SELECT b AS s, a AS d FROM ed),
-         |verts AS (SELECT DISTINCT s AS v FROM adj),
-         |reach(v, u) AS (SELECT v, v FROM verts
-         |  UNION
-         |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s)
-         |SELECT v, CAST(min(u) AS BIGINT) AS comp FROM reach GROUP BY v""".stripMargin,
-
-    // star contraction must produce exactly the label-prop components
-    "q78_components_star" ->
-      s"""WITH RECURSIVE $coShipSql,
-         |ed AS (SELECT s1 AS a, s2 AS b FROM e
-         |       WHERE orders_together >= $MinWeight),
-         |adj AS (SELECT a AS s, b AS d FROM ed
-         |        UNION SELECT b AS s, a AS d FROM ed),
-         |verts AS (SELECT DISTINCT s AS v FROM adj),
-         |reach(v, u) AS (SELECT v, v FROM verts
-         |  UNION
-         |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s)
-         |SELECT v, CAST(min(u) AS BIGINT) AS comp FROM reach GROUP BY v""".stripMargin,
+    // ONE oracle string for BOTH component queries: q34 (label
+    // propagation) and q78 (star contraction) are graded against the
+    // same recursive CTE by construction — the two algorithms cannot
+    // silently drift onto different gates.
+    "q34_cosupply_components" -> componentsOracleSql,
+    "q78_components_star" -> componentsOracleSql,
 
     "q35_ego_bfs" ->
       s"""WITH $coShipSql,

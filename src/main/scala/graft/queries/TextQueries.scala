@@ -18,6 +18,23 @@ object TextQueries {
   private def normSql(c: String) =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
+  // Quality-score pieces shared by q21 (reports them) and q74 (filters
+  // on them) — ONE definition per engine side, so the quartile filter
+  // can never drift from the reported score.
+  private def stopRatioCol(w: org.apache.spark.sql.Column,
+                           nw: org.apache.spark.sql.Column) =
+    round(TextFns.stopCount(w, TextFns.langProfiles.toMap.apply("en"))
+      .cast("double") / nw, 4)
+  private def qualityCol(nw: org.apache.spark.sql.Column,
+                         stopRatio: org.apache.spark.sql.Column) =
+    round(least(lit(1.0), nw.cast("double") / 100.0) *
+      (lit(1.0) - stopRatio), 4)
+  private val stopRatioSql =
+    "round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to')))" +
+      " AS DOUBLE) / len(w), 4)"
+  private def qualitySql(nWords: String, stopRatio: String) =
+    s"round(least(1.0, CAST($nWords AS DOUBLE) / 100.0) * (1.0 - $stopRatio), 4)"
+
   val defs: Map[String, Q] = Map(
     // Tokenization stats: whitespace tokens vs BPE-ish regex tokens.
     "q20_token_stats" -> { (s, d) =>
@@ -34,15 +51,12 @@ object TextQueries {
       val n = TextFns.norm(col("text"))
       val w = TextFns.words(n)
       val nw = size(w).cast("long")
-      val stopRatio = round(
-        TextFns.stopCount(w, TextFns.langProfiles.toMap.apply("en"))
-          .cast("double") / nw, 4)
+      val stopRatio = stopRatioCol(w, nw)
       Tables.documents(s, d).select(
         col("doc_id"), nw.as("n_words"),
         stopRatio.as("stop_ratio"),
         round((length(n) - (nw - 1)).cast("double") / nw, 4).as("avg_word_len"),
-        round(least(lit(1.0), nw.cast("double") / 100.0) *
-          (lit(1.0) - stopRatio), 4).as("quality"))
+        qualityCol(nw, stopRatio).as("quality"))
     },
 
     // Deterministic STRATIFIED sample — the training-mix primitive
@@ -56,7 +70,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       Tables.documents(s, d)
         .filter(col("doc_id") >= 0)
-        .withColumn("h", pmod(col("doc_id") * 1103515245L, lit(2147483647L)))
+        .withColumn("h", lcgHash(col("doc_id")))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
           .cast("long"))
@@ -74,11 +88,7 @@ object TextQueries {
       val n = TextFns.norm(col("text"))
       val w = TextFns.words(n)
       val nw = size(w).cast("long")
-      val stopRatio = round(
-        TextFns.stopCount(w, TextFns.langProfiles.toMap.apply("en"))
-          .cast("double") / nw, 4)
-      val quality = round(least(lit(1.0), nw.cast("double") / 100.0) *
-        (lit(1.0) - stopRatio), 4)
+      val quality = qualityCol(nw, stopRatioCol(w, nw))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), quality.as("quality"))
         .withColumn("pr", percent_rank().over(
@@ -100,8 +110,14 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), nw.as("n_words"))
         .filter(col("n_words") > 0)
+        // starts bounded by n_words - (overlap + 1): a start within the
+        // last `overlap` tokens would yield a chunk fully contained in
+        // its predecessor (duplicated training tokens); the bound still
+        // covers every token — the last kept start is > n_words - 51,
+        // so its 50-token window reaches the end
         .select(col("doc_id"), col("n_words"),
-          posexplode(sequence(lit(0L), col("n_words") - 1, lit(40L))))
+          posexplode(sequence(lit(0L),
+            greatest(col("n_words") - 11, lit(0L)), lit(40L))))
         .select(col("doc_id"),
           col("pos").cast("long").as("chunk_idx"),
           col("col").as("start_tok"),
@@ -120,7 +136,7 @@ object TextQueries {
       Tables.documents(s, d)
         .filter(col("doc_id") >= 0)
         .select(col("doc_id"), col("source"), nTok.as("n_tok"),
-          pmod(col("doc_id") * 1103515245L, lit(2147483647L)).as("h"))
+          lcgHash(col("doc_id")).as("h"))
         .withColumn("cum_tok", sum(col("n_tok")).over(
           Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -161,8 +177,7 @@ object TextQueries {
           substring(TextFns.norm(col("text")), 1, 80).as("dk"))
         .withColumn("canon",
           min(col("doc_id")).over(Window.partitionBy(col("dk"))))
-        .withColumn("bucket",
-          pmod(col("canon") * 1103515245L, lit(2147483647L)) % 100)
+        .withColumn("bucket", lcgHash(col("canon")) % 100)
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))
@@ -363,20 +378,17 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, ${normSql("text")} AS n,
          |  string_split(${normSql("text")}, ' ') AS w FROM documents),
          |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-         |  round(CAST(len(list_filter(w,
-         |    x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(w), 4)
-         |    AS stop_ratio,
+         |  $stopRatioSql AS stop_ratio,
          |  round(CAST(length(n) - (len(w) - 1) AS DOUBLE) / len(w), 4)
          |    AS avg_word_len
          |  FROM t)
          |SELECT doc_id, n_words, stop_ratio, avg_word_len,
-         |  round(least(1.0, CAST(n_words AS DOUBLE) / 100.0)
-         |    * (1.0 - stop_ratio), 4) AS quality
+         |  ${qualitySql("n_words", "stop_ratio")} AS quality
          |FROM f""".stripMargin,
 
     "q73_stratified_sample" ->
-      """WITH h AS (SELECT source, doc_id,
-        |  (doc_id * 1103515245) % 2147483647 AS h
+      s"""WITH h AS (SELECT source, doc_id,
+        |  ${lcgHashSql("doc_id")} AS h
         |  FROM documents WHERE doc_id >= 0),
         |r AS (SELECT source, doc_id,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
@@ -387,10 +399,7 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, source, ${normSql("text")} AS n,
          |  string_split(${normSql("text")}, ' ') AS w FROM documents),
          |q AS (SELECT doc_id, source,
-         |  round(least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
-         |    * (1.0 - round(CAST(len(list_filter(w,
-         |        x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
-         |        / len(w), 4)), 4) AS quality
+         |  ${qualitySql("len(w)", stopRatioSql)} AS quality
          |  FROM t),
          |r AS (SELECT source, doc_id, quality,
          |  percent_rank() OVER (PARTITION BY source
@@ -402,7 +411,8 @@ object TextQueries {
          |  CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT)
          |    AS n_words FROM documents),
          |g AS (SELECT doc_id, n_words,
-         |  unnest(generate_series(0, n_words - 1, 40)) AS start_tok
+         |  unnest(generate_series(0, greatest(n_words - 11, 0), 40))
+         |    AS start_tok
          |  FROM t WHERE n_words > 0)
          |SELECT doc_id,
          |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
@@ -415,7 +425,7 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, source,
          |  CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT)
          |    AS n_tok,
-         |  (doc_id * 1103515245) % 2147483647 AS h
+         |  ${lcgHashSql("doc_id")} AS h
          |  FROM documents WHERE doc_id >= 0),
          |c AS (SELECT source, doc_id, n_tok,
          |  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -440,7 +450,7 @@ object TextQueries {
          |c AS (SELECT doc_id,
          |  min(doc_id) OVER (PARTITION BY dk) AS canon FROM t),
          |b AS (SELECT doc_id, canon,
-         |  ((canon * 1103515245) % 2147483647) % 100 AS bucket FROM c)
+         |  (${lcgHashSql("canon")}) % 100 AS bucket FROM c)
          |SELECT doc_id, canon,
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
