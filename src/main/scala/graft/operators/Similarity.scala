@@ -207,8 +207,9 @@ object Similarity {
     * Recall comes from multi-probe assignment (`nprobe` ≥ 2: boundary
     * vectors sit in every cell they straddle); SimilaritySpec measures
     * it against the oracle-checked [[cosinePairs]] at sf0.01.
-    * Measured: 10× corpus → 5.8× work (ScaleProbe) vs 31× for the
-    * sign-LSH variant at the same threshold. Centroid ASSIGNMENT
+    * Measured (ScaleProbe): 10× corpus → 3.9× work, vs 31× for the
+    * sign-LSH variant at the same threshold (5.8× before the
+    * coarse-quantizer assignment landed). Centroid ASSIGNMENT
     * auto-switches past 64 cells to the two-level coarse-quantizer
     * route ([[assignCellsHierarchical]]): n·superProbe·√cells cosines
     * instead of n·cells, FAISS-IVF-style, leaving the
