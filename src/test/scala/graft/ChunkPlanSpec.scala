@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the q75 chunk plan that the oracle's
+  * hash-match cannot express (both engines could agree on a wrong
+  * plan): every token covered, no gaps, and no chunk fully contained
+  * in its predecessor (the redundancy class fixed after review). */
+class ChunkPlanSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("chunks cover [0, n_words) with overlap and no subset chunks") {
+    val plan = SparkEntry.queries("q75_chunk_plan")(
+        spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(plan.nonEmpty)
+    plan.foreach { case (doc, chunks) =>
+      // chunk indexes are dense from 0
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong), s"doc $doc")
+      // first chunk starts at token 0
+      assert(chunks.head._3 == 0L, s"doc $doc")
+      chunks.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, n1), (_, _, s2, n2)) =>
+          assert(s2 == s1 + 40, s"doc $doc stride")      // fixed stride
+          assert(s2 < s1 + n1, s"doc $doc gap")          // overlapping
+          assert(s2 + n2 > s1 + n1, s"doc $doc subset chunk") // new tokens
+        case _ => ()
+      }
+      assert(chunks.forall(_._4 > 0), s"doc $doc empty chunk")
+    }
+    // coverage checked against an INDEPENDENT token count (q20's
+    // n_ws_tokens): the last chunk must reach exactly the doc end
+    val nWords = SparkEntry.queries("q20_token_stats")(
+        spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_ws_tokens").as[(Long, Long)].collect().toMap
+    plan.foreach { case (doc, chunks) =>
+      val end = chunks.map(c => c._3 + c._4).max
+      assert(end == nWords(doc), s"doc $doc covers $end of ${nWords(doc)}")
+    }
+  }
+}
