@@ -108,7 +108,7 @@ object Similarity {
     * shipped as literal arrays — per-row hash generation of plane
     * components showed up as the dominant ANN cost (16 planes × dims
     * hashes per vector). Seeded, so sketches are reproducible. */
-  private def planes(numPlanes: Int, dims: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  private[graft] def planes(numPlanes: Int, dims: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dims)(rnd.nextGaussian()))
   }

@@ -21,8 +21,12 @@ object SimQueries {
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
     },
 
-    // Sign-LSH bucketed ANN top-5 (rows-only: xxhash64 planes have no
-    // DuckDB twin). Same query subset, candidates from band buckets.
+    // Sign-LSH bucketed ANN top-5. Same query subset, candidates from
+    // band buckets (multi-probe). Oracle-checked: the seeded hyperplanes
+    // are driver-side literals, so the SAME doubles are embedded in the
+    // DuckDB SQL and the bucket assignment replays exactly
+    // (list_inner_product is a sequential left fold, bit-identical to
+    // Spark's aggregate∘zip_with — verified empirically).
     "q29_ann_lsh_topk" -> { (s, d) =>
       Similarity.signLshTopK(
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
@@ -45,9 +49,8 @@ object SimQueries {
 
     // LSH-bucketed embedding near-dup — the 100 TB path: candidates
     // only from sign-LSH band buckets, exact ArrayCosine verify at the
-    // same >= 0.4 threshold (rows-only: seeded hyperplanes have no
-    // DuckDB twin; SimilaritySpec asserts recall vs q56's oracle-checked
-    // pairs).
+    // same >= 0.4 threshold. Oracle-checked via literal-plane replay
+    // (see q29); SimilaritySpec additionally asserts recall vs q56.
     "q70_embed_neardup_lsh" -> { (s, d) =>
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     },
@@ -60,6 +63,31 @@ object SimQueries {
       Similarity.cosinePairsIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     }
   )
+
+  /** The seeded hyperplanes as a DuckDB VALUES list `(pidx, pv)`. Each
+    * component is emitted as `(<shortest-round-trip repr>)::DOUBLE` —
+    * a BARE decimal literal would parse as DECIMAL(17,16) and lose the
+    * low bits, flipping near-zero projection signs. With the element
+    * cast, DuckDB's `list_inner_product` is a sequential left fold over
+    * exactly the doubles Spark folds in `signLshBuckets`, so the sign
+    * bits (and hence every bucket key) replay bit-identically. */
+  private def planesValues(numPlanes: Int, dims: Int): String =
+    Similarity.planes(numPlanes, dims).zipWithIndex.map { case (p, i) =>
+      s"($i, [" + p.map(x => s"($x)::DOUBLE").mkString(",") + "])"
+    }.mkString(",\n")
+
+  /** Shared oracle head for the sign-LSH family: embeddings as DOUBLE[]
+    * plus per-vector band keys bkey = Σ_r bit(b·rpb + r)·2^r — the SQL
+    * twin of `Similarity.signLshBuckets`. */
+  private def lshBitsSql(numPlanes: Int, rowsPerBand: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |p(pidx, pv) AS (VALUES
+       |${planesValues(numPlanes, dims = 64)}),
+       |bits AS (SELECT vec_id, pidx // $rowsPerBand AS band,
+       |    CAST(sum(CASE WHEN list_inner_product(v, pv) > 0
+       |      THEN (1 << (pidx % $rowsPerBand)) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM e CROSS JOIN p GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q28_cosine_topk" ->
@@ -80,6 +108,39 @@ object SimQueries {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin,
+
+    // signLshTopK(k=5, numPlanes=16, rowsPerBand=4, multiProbe): the
+    // query side probes its own bucket plus the 4 Hamming-1 keys.
+    "q29_ann_lsh_topk" ->
+      s"""WITH ${lshBitsSql(numPlanes = 16, rowsPerBand = 4)},
+         |qb AS (SELECT vec_id AS q_id, band,
+         |    unnest([bkey, xor(bkey, 1), xor(bkey, 2),
+         |            xor(bkey, 4), xor(bkey, 8)]) AS qkey
+         |  FROM bits WHERE vec_id % 20 = 0),
+         |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+         |  FROM qb q JOIN bits c
+         |    ON q.band = c.band AND q.qkey = c.bkey AND q.q_id <> c.vec_id),
+         |scored AS (SELECT q_id, n_id,
+         |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+         |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+         |            JOIN e ec ON cand.n_id = ec.vec_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+
+    // cosinePairsLsh(minCos=0.4, numPlanes=24, rowsPerBand=3): band
+    // bucket join for candidates, exact rounded-cosine verify.
+    "q70_embed_neardup_lsh" ->
+      s"""WITH ${lshBitsSql(numPlanes = 24, rowsPerBand = 3)},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bits a JOIN bits b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+         |FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+         |          JOIN e eb ON cand.id_b = eb.vec_id
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin
   )
 }
