@@ -39,11 +39,19 @@ object TextFns {
     size(filter(wordsCol, w => w.isInCollection(stops)))
 
   /** Polynomial rolling-hash fingerprint of a string:
-    * fold(acc*31 + ascii(char)) mod 1e9+7. A content fingerprint that
-    * is reproducible in any engine (no engine-specific hash). */
-  def rollingFingerprint(c: Column): Column =
+    * fold(acc*mult + ascii(char)) mod `mod`. A content hash that is
+    * reproducible in any engine (no engine-specific hash) — the
+    * cross-engine replacement for xxhash64 wherever a DuckDB oracle
+    * must recompute the same value (q23 fingerprint, q26 minhash,
+    * q27/q60 simhash word hashes). All-nonnegative exact int64
+    * arithmetic: acc < mod < 2^30, mult ≤ 37 → acc·mult + 255 ≪ 2^63
+    * on both engines. */
+  def polyHash(c: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     aggregate(split(c, ""), lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L)))
+      (acc, ch) => pmod(acc * lit(mult) + ascii(ch), lit(mod)))
+
+  /** q23's document fingerprint — [[polyHash]] at its defaults. */
+  def rollingFingerprint(c: Column): Column = polyHash(c)
 
   /** Parse the reference's tuple-strings `"('CAN', 'Grande Prairie')"`
     * (Affiliations_FC country column, parsed ad hoc in

@@ -150,19 +150,60 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, hk)
-    * where hk = xxhash64(shingle) — the string is hashed ONCE and the
-    * `numPerms` permutations hash the 8-byte value, not the string
-    * (numPerms× cheaper on the hot path; the composition is still a
-    * uniform 64-bit family). One exploded pass, `numPerms`
-    * min-aggregates — map-side combine keeps the shuffle at one row
-    * per doc. */
+  /** Prime modulus of the portable shingle/word hash ([[docShingleKeys]])
+    * and the affine minhash permutations — shared with the generated
+    * DuckDB oracle SQL (TextQueries q26), so signatures replay
+    * cross-engine. 2^31 - 1 keeps every product a_i·k < 2^61: exact on
+    * both engines (DuckDB RAISES on BIGINT overflow where Spark wraps). */
+  private[graft] val MinhashMod = 2147483647L
+
+  /** Per-permutation affine constants (a_i ∈ [1, M), b_i ∈ [0, M)) —
+    * seeded-deterministic, generated ONCE on the driver and embedded as
+    * literals in both the Spark plan and the oracle SQL. A prefix is
+    * stable in `n`: perms(8) == perms(32).take(8). */
+  private[graft] def minhashPerms(n: Int): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(20260812L)
+    Seq.fill(n)((1L + r.nextInt((MinhashMod - 1).toInt).toLong,
+                 r.nextInt(MinhashMod.toInt).toLong))
+  }
+
+  /** Distinct (id, shingle-KEY) pairs with an engine-portable long key:
+    * per-word polynomial hash (fold(acc·31 + ascii) mod 1e9+7, the q23
+    * fingerprint family) combined across the n-gram with the same
+    * fold — every step is exact nonnegative int64 arithmetic a DuckDB
+    * oracle recomputes verbatim. Same window-lead shape as
+    * [[docShingles]] (the words are hashed BEFORE the leads, so the
+    * n-gram combine touches 3 longs, not 3 strings). */
+  def docShingleKeys(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val base = df.select(col(idCol),
+        posexplode(TextFns.words(TextFns.norm(col(textCol)))).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), TextFns.polyHash(col("w")).as("h0"))
+    val withLeads = (1 until n).foldLeft(base)((acc, k) =>
+      acc.withColumn(s"h$k", lead(col("h0"), k).over(w)))
+    withLeads.filter(col(s"h${n - 1}").isNotNull)
+      .select(col(idCol),
+        (1 until n).foldLeft(col("h0"))((acc, k) =>
+          pmod(acc * lit(31L) + col(s"h$k"), lit(1000000007L))).as("shk"))
+      .distinct()
+  }
+
+  /** MinHash signatures: sig[i] = min over shingle keys k of
+    * (a_i·k + b_i) mod (2^31 - 1) — the portable affine family over
+    * [[docShingleKeys]], with literal per-permutation constants
+    * ([[minhashPerms]]) so a DuckDB oracle replays the signatures
+    * exactly (the xxhash64 original had no cross-engine twin). One
+    * exploded pass, `numPerms` min-aggregates — map-side combine keeps
+    * the shuffle at one row per doc; the permutations hash an 8-byte
+    * key, never the shingle string. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numPerms: Int = 32, shingleN: Int = 3): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, shingleN)
-      .select(col(idCol), xxhash64(col("sh")).as("hk"))
-    val aggs = (0 until numPerms)
-      .map(i => min(xxhash64(lit(i), col("hk"))).as(s"m$i"))
+    val sh = docShingleKeys(df, idCol, textCol, shingleN)
+    val aggs = minhashPerms(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("shk") * lit(a) + lit(b), lit(MinhashMod))).as(s"m$i")
+    }
     sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
@@ -197,11 +238,16 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, idCol: String,
                     numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val bands = numPerms / rowsPerBand
+    // band key = LCG fold over the band's signature slots (exact int64:
+    // h < 2^31, h·1103515245 < 2^62) — engine-portable where the
+    // original xxhash64-of-concat was not; slot values stay longs.
     val banded = sigs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")))))))
+        b => (0 until rowsPerBand).foldLeft(lit(0L)) { (h, r) =>
+          pmod(h * lit(1103515245L) +
+            element_at(col("sig"), b * lit(rowsPerBand) + lit(r + 1)),
+            lit(graft.queries.LcgMod))
+        })))
       .select(col(idCol), col("pos").as("band"), col("col").as("bkey"))
     banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
       .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),

@@ -315,8 +315,10 @@ object TextQueries {
           sum(size(col("entry.value"))).cast("long").as("n_positions"))
     },
 
-    // MinHash + LSH banding candidate pairs (rows-only check:
-    // xxhash64 has no DuckDB twin).
+    // MinHash + LSH banding candidate pairs. Oracle-checked: shingle
+    // keys, affine permutations, and band folds are all exact int64
+    // arithmetic with literal constants, replayed verbatim by the
+    // generated DuckDB SQL below.
     "q26_minhash_lsh" -> { (s, d) =>
       Dedup.lshCandidates(
         Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text"),
@@ -357,6 +359,46 @@ object TextQueries {
     }
   )
 
+  /** DuckDB twin of TextFns.polyHash over a word expression. */
+  private def wordHashSql(w: String, mult: Long = 31L,
+                          mod: Long = 1000000007L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * $mult + x) % $mod)"
+
+  /** Generated DuckDB twin of minhashSignatures ∘ lshCandidates (q26):
+    * per-word poly hash → 3-gram fold keys → 32 affine min-aggregates
+    * with the SAME literal constants as Dedup.minhashPerms → 8 band
+    * LCG folds → bucket self-join. Every step is exact nonnegative
+    * int64 arithmetic — hash parity is by construction, not luck. */
+  private def minhashLshSql: String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+       |           FROM documents),
+       |wh AS (SELECT doc_id, list_transform(ws, w -> ${wordHashSql("w")}) AS hs
+       |       FROM w),
+       |shk AS (SELECT DISTINCT doc_id,
+       |    (((hs[i] * 31 + hs[i+1]) % 1000000007) * 31 + hs[i+2]) % 1000000007 AS k
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i
+       |        FROM wh WHERE len(hs) >= 3)),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM shk GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
   private val shSql =
     s"""w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS words
        |      FROM documents),
@@ -366,6 +408,8 @@ object TextQueries {
        |             FROM w WHERE len(words) >= 3))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q26_minhash_lsh" -> minhashLshSql,
+
     "q20_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_ws_tokens,
