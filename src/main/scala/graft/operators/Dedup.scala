@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -307,7 +307,7 @@ object Dedup {
         col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
           .as("hamming"))
       // filter BEFORE distinct: a hot band bucket emits O(n²) far pairs
       // and the hamming cut discards them without a shuffle; distinct
@@ -317,22 +317,53 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over (distinct-word, count) pairs: bit j is the
-    * sign of the count-weighted sum of word-hash bit j. */
+  /** Bit width of [[simhash64]] signatures: 60 information-carrying
+    * bits (two engine-portable 30-bit polynomial word hashes), stored
+    * in a 64-bit long whose top 4 bits are structurally 0 — identical
+    * on both engines, so the 16-bit banding of [[simhashPairs]] and
+    * hamming distances are unaffected (band 3 simply carries 12 live
+    * bits). */
+  private[graft] val SimhashBits = 60
+
+  /** Engine-portable 60-bit word hash: two independent polynomial
+    * hashes (mults 31/37, prime moduli < 2^30), each POST-MIXED with
+    * one LCG multiply-mod, packed as mix(h31) · 2^30 + mix(h37) — the
+    * cross-engine replacement for xxhash64 that lets a DuckDB oracle
+    * replay simhash signatures exactly (q27/q60).
+    *
+    * The post-mix is load-bearing: a raw polynomial of a SHORT word
+    * (≤ 5 chars ⇒ value < 31⁴·122 ≈ 1e8) never wraps the ~2^30
+    * modulus, so the upper bits of each half would be 0 for most of
+    * the vocabulary and every document's simhash would agree on those
+    * dead bits — hamming distances collapse and the ≤ 3 cut floods
+    * with false pairs (measured: 394 pairs at sf0.001 unmixed vs 28
+    * with the mix — the latter tracking the 28 exact-Jaccard pairs). One multiply by 1103515245 (> modulus/255) wraps every
+    * nonzero value back across the range. Exact nonnegative int64:
+    * h < 2^30, h·1103515245 < 2^61; the mixed halves stay < 2^30 so
+    * the pack stays < 2^60. */
+  private[graft] def wordHash60(w: Column): Column = {
+    def mixed(mult: Long, mod: Long): Column =
+      pmod(TextFns.polyHash(w, mult, mod) * lit(1103515245L), lit(mod))
+    mixed(31L, 1000000007L) * lit(1073741824L) + mixed(37L, 998244353L)
+  }
+
+  /** SimHash over (distinct-word, count) pairs: bit j is the sign of
+    * the count-weighted sum of word-hash bit j, over the 60-bit
+    * portable [[wordHash60]]. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wc = df.select(col(idCol),
         explode(TextFns.words(TextFns.norm(col(textCol)))).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", wordHash60(col("w")))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"b$j")
     }
     wc.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }

@@ -325,7 +325,8 @@ object TextQueries {
         "doc_id")
     },
 
-    // 64-bit SimHash per document (rows-only check).
+    // SimHash per document (60 portable bits in a long) — oracle-
+    // checked via the generated double-polynomial word-hash twin.
     "q27_simhash" -> { (s, d) =>
       Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
     },
@@ -352,8 +353,8 @@ object TextQueries {
     },
 
     // SimHash near-dup pairs via 16-bit band buckets — pigeonhole-exact
-    // for hamming <= 3 (rows-only: xxhash64-based signatures; DedupSpec
-    // asserts banding ≡ brute force).
+    // for hamming <= 3; oracle-checked (portable signatures), and
+    // DedupSpec asserts banding ≡ brute force.
     "q60_simhash_neardup" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
     }
@@ -399,6 +400,31 @@ object TextQueries {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
 
+  /** Generated DuckDB twin of Dedup.simhash64 as CTEs ending in
+    * `sig(doc_id, simhash)`: distinct-word counts → the 60-bit packed
+    * double-polynomial word hash (Dedup.wordHash60) → per-bit
+    * count-weighted sign sums → signature assembly. Exact int64
+    * everywhere; bit extraction is `(hw >> j) & 1` on both engines. */
+  private def simhashSigSql: String =
+    s"""w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+       |           FROM documents),
+       |wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+       |wh AS (SELECT doc_id, cnt,
+       |    ((${wordHashSql("word", 31L, 1000000007L)}
+       |       * 1103515245) % 1000000007) * 1073741824
+       |      + ((${wordHashSql("word", 37L, 998244353L)}
+       |       * 1103515245) % 998244353) AS hw
+       |  FROM wc),
+       |bits AS (SELECT doc_id, j,
+       |    CASE WHEN sum(CASE WHEN (hw >> j) & 1 = 1 THEN cnt
+       |                       ELSE -cnt END) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   private val shSql =
     s"""w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS words
        |      FROM documents),
@@ -409,6 +435,23 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q26_minhash_lsh" -> minhashLshSql,
+
+    "q27_simhash" ->
+      s"""WITH $simhashSigSql
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    // simhashPairs(maxHamming=3): 16-bit band bucket join (pigeonhole-
+    // exact over 4 disjoint bands), hamming cut before distinct.
+    "q60_simhash_neardup" ->
+      s"""WITH $simhashSigSql,
+         |banded AS (SELECT doc_id, simhash, band,
+         |    (simhash >> (band * 16)) & 65535 AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q20_token_stats" ->
       s"""SELECT doc_id,

@@ -101,16 +101,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val fixture = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
     val banded = Dedup.simhashPairs(fixture, "doc_id", "text", 3)
-      .as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     // brute force over all signature pairs
     val sig = Dedup.simhash64(fixture, "doc_id", "text")
     val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
     val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
     val brute = a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("h"))
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("h"))
       .filter(col("h") <= 3)
-      .as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     assert(banded == brute)
     assert(banded.nonEmpty) // the corpus plants near-duplicates
   }
