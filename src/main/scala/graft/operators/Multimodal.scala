@@ -14,16 +14,17 @@ import org.apache.spark.sql.functions._
   * Codecs are function parameters, decoupled from the dataflow. For
   * IMAGES a REAL codec is provided ([[imageIoProbe]],
   * [[imageHistogramFeatures]]): the JDK's `javax.imageio` decodes
-  * PNG/JPEG/BMP/GIF with no external libraries, so the decode path is
-  * genuinely exercised end-to-end (MultimodalSpec round-trips real PNG
-  * bytes). Audio resample and video frame extraction have no JDK
-  * codec — those default to a STUB (deterministic fake derived from
-  * the byte content) so the Spark-side contract — schema, batching,
-  * partition shape, null behavior — is still real and tested, and a
-  * native codec drops in without touching the dataflow. The PySpark
-  * twin would be `mapInPandas` with Arrow batches; the Scala-native
-  * form is `mapPartitions`, which likewise amortizes per-batch codec
-  * setup.
+  * PNG/JPEG/BMP/GIF with no external libraries. For AUDIO likewise
+  * ([[audioProbe]], [[audioRmsFeatures]]): `javax.sound.sampled` ships
+  * WAV/AIFF/AU codecs. Both decode paths are genuinely exercised
+  * end-to-end (MultimodalSpec round-trips real PNG and real WAV
+  * bytes). Video frame extraction has no JDK codec — it defaults to a
+  * STUB (deterministic fake derived from the byte content) so the
+  * Spark-side contract — schema, batching, partition shape, null
+  * behavior — is still real and tested, and a native codec drops in
+  * without touching the dataflow. The PySpark twin would be
+  * `mapInPandas` with Arrow batches; the Scala-native form is
+  * `mapPartitions`, which likewise amortizes per-batch codec setup.
   */
 object Multimodal {
 
@@ -63,6 +64,100 @@ object Multimodal {
       case scala.util.control.NonFatal(_) =>
         Decoded(m.media_id, m.media_type, 0, 0, 0, ok = false)
     }
+  }
+
+  case class AudioMeta(media_id: Long, media_type: String,
+                       sample_rate: Int, channels: Int, n_frames: Long,
+                       ok: Boolean)
+
+  /** REAL audio probe on the JDK's `javax.sound.sampled` — no external
+    * libraries: the JDK ships WAV/AIFF/AU codecs, so a WAV payload
+    * decodes to its true sample rate, channel count, and frame length.
+    * Undecodable or empty payloads come back `ok = false` (the
+    * UnsupportedAudioFileException path), mirroring [[imageIoProbe]]'s
+    * contract. Video remains genuinely environment-blocked: the JDK
+    * has no video codec, so that media type stays on [[stubProbe]]. */
+  def audioProbe(m: Media): AudioMeta = {
+    if (m.content == null || m.content.isEmpty)
+      AudioMeta(m.media_id, m.media_type, 0, 0, 0L, ok = false)
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val fmt = ais.getFormat
+        AudioMeta(m.media_id, m.media_type, fmt.getSampleRate.toInt,
+          fmt.getChannels, ais.getFrameLength, ok = true)
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AudioMeta(m.media_id, m.media_type, 0, 0, 0L, ok = false)
+    }
+  }
+
+  /** Audio decode pass — same per-partition streaming shape as
+    * [[decode]], typed to the audio metadata contract. */
+  def decodeAudio(media: Dataset[Media],
+                  probe: Media => AudioMeta = audioProbe): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(probe))
+  }
+
+  /** REAL audio feature extractor (JDK-only): per-segment RMS energy
+    * over the decoded 16-bit PCM frames — a genuine content-derived
+    * `ARRAY<FLOAT>` embedding (the audio twin of
+    * [[imageHistogramFeatures]]). The payload is decoded ONCE per row
+    * inside the partition stream; undecodable or non-16-bit payloads
+    * yield the zero vector. */
+  def audioRmsFeatures(media: Dataset[Media], dims: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val v = new Array[Float](dims)
+        val samples: Array[Double] =
+          if (m.content == null || m.content.isEmpty) null
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                val out = new Array[Double](n)
+                var i = 0
+                while (i < n) {
+                  val lo = bytes(2 * i) & 0xff
+                  val hi = bytes(2 * i + 1).toInt
+                  out(i) =
+                    (if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                     else (hi << 8) | lo) / 32768.0
+                  i += 1
+                }
+                out
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (samples != null && samples.length > 0) {
+          val seg = math.max(1, samples.length / dims)
+          var d = 0
+          while (d < dims) {
+            val from = d * seg
+            val to = math.min(samples.length, from + seg)
+            if (from < to) {
+              var s = 0.0
+              var i = from
+              while (i < to) { s += samples(i) * samples(i); i += 1 }
+              v(d) = math.sqrt(s / (to - from)).toFloat
+            }
+            d += 1
+          }
+        }
+        (m.media_id, v)
+      }
+    }.toDF("media_id", "embedding")
   }
 
   /** REAL image feature extractor (JDK-only): normalized 16-bin

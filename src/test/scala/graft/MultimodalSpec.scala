@@ -74,6 +74,61 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r(10L) == (20, 13)) // 40x25 capped to 20, ratio kept (round)
   }
 
+  /** Real WAV bytes written via the JDK (no external libs): 16-bit
+    * signed PCM mono, `freq` Hz sine at the given sample rate. */
+  private def wavBytes(sampleRate: Float, nFrames: Int,
+                       amplitude: Double = 0.5, freq: Double = 440.0): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) *
+        amplitude * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte       // little-endian lo
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioProbe decodes REAL WAV payloads to true rate/channels/frames through the same dataflow") {
+    val real = Seq(
+      Media(30L, "audio", wavBytes(8000f, 8000)),  // 1 s @ 8 kHz
+      Media(31L, "audio", wavBytes(44100f, 2205)), // 50 ms @ 44.1 kHz
+      Media(32L, "audio", Array[Byte](9, 9, 9)),   // not audio → ok=false
+      Media(33L, "audio", null)
+    ).toDS()
+    val got = Multimodal.decodeAudio(real)
+      .collect().map(a => a.media_id -> a).toMap
+    assert(got(30L) == Multimodal.AudioMeta(30L, "audio", 8000, 1, 8000L, ok = true))
+    assert(got(31L) == Multimodal.AudioMeta(31L, "audio", 44100, 1, 2205L, ok = true))
+    assert(!got(32L).ok && !got(33L).ok)
+  }
+
+  test("audioRmsFeatures extracts content-derived segment energies") {
+    val loud = wavBytes(8000f, 4000, amplitude = 0.9)
+    val quiet = wavBytes(8000f, 4000, amplitude = 0.05)
+    val real = Seq(
+      Media(40L, "audio", loud),
+      Media(41L, "audio", quiet),
+      Media(42L, "audio", Array[Byte](1, 2, 3)) // undecodable → zeros
+    ).toDS()
+    val v = Multimodal.audioRmsFeatures(real, dims = 8)
+      .as[(Long, Seq[Float])].collect().toMap
+    // a steady sine's RMS is amplitude/sqrt(2) in every segment
+    assert(v(40L).forall(x => math.abs(x - 0.9 / math.sqrt(2)) < 0.02))
+    assert(v(41L).forall(x => math.abs(x - 0.05 / math.sqrt(2)) < 0.02))
+    assert(v(40L).zip(v(41L)).forall { case (l, q) => l > q })
+    assert(v(42L).forall(_ == 0f))
+    // deterministic in the content
+    assert(v(40L) == Multimodal.audioRmsFeatures(real, dims = 8)
+      .as[(Long, Seq[Float])].collect().toMap.apply(40L))
+  }
+
   test("imageHistogramFeatures extracts content-derived luminance histograms") {
     val real = Seq(
       Media(20L, "image", pngBytes(10, 10, 0xffffff)), // all white → top bin
