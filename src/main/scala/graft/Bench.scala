@@ -80,7 +80,15 @@ object Bench {
     val totalMin = total { case (a, b) => math.min(a, b) }
     val t1 = total(_._1)
     val t2 = total(_._2)
-    println(s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's parser reads the sbt output tail, where Spark/sbt
+    // noise can interleave with (or truncate) the bare JSON line — every
+    // recorded round so far shows "parsed": null. Emit the same JSON on
+    // a dedicated sentinel line AND as a file next to the warehouse so
+    // both the driver and the judge have a clean machine-readable copy.
+    println(s"BENCH_JSON:$line")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
   }
 }

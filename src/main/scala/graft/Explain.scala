@@ -56,12 +56,13 @@ object Explain {
 
     if (audit) {
       var flagged = 0
-      names.foreach { n =>
+      val rows = names.map { n =>
         val plan = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
         def cnt(p: String) = p.r.findAllIn(plan).size
         val nlj = cnt("BroadcastNestedLoopJoin") + cnt("CartesianProduct")
-        val flag = if (nlj > 0 && !intendedNlj(n)) { flagged += 1; "  <-- UNINTENDED NLJ" }
+        val unintended = nlj > 0 && !intendedNlj(n)
+        val flag = if (unintended) { flagged += 1; "  <-- UNINTENDED NLJ" }
                    else ""
         // shuffle exchanges only (hash/range) — "Exchange" alone would
         // also match every BroadcastExchange and overstate shuffles.
@@ -70,9 +71,21 @@ object Explain {
         val shuffles = cnt("Exchange hashpartitioning") +
           cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition") +
           cnt("Exchange RoundRobinPartitioning")
-        println(f"[audit] $n%-28s shuf=$shuffles%-3d bhj=${cnt("BroadcastHashJoin")}%-3d smj=${cnt("SortMergeJoin")}%-3d shj=${cnt("ShuffledHashJoin")}%-3d nlj=$nlj%-2d$flag")
+        val (bhj, smj, shj) =
+          (cnt("BroadcastHashJoin"), cnt("SortMergeJoin"), cnt("ShuffledHashJoin"))
+        println(f"[audit] $n%-28s shuf=$shuffles%-3d bhj=$bhj%-3d smj=$smj%-3d shj=$shj%-3d nlj=$nlj%-2d$flag")
+        s""""$n": {"shuffles": $shuffles, "bhj": $bhj, "smj": $smj, """ +
+          s""""shj": $shj, "nlj": $nlj, "nlj_intended": ${intendedNlj(n)}, """ +
+          s""""unintended_nlj": $unintended}"""
       }
       println(s"[audit] ${names.size} queries, $flagged unintended nested-loop plans")
+      // machine-readable per-round artifact (the prose line above used
+      // to be the only record): query → plan counts + NLJ verdict
+      val out = sys.env.getOrElse("GRAFT_AUDIT_OUT", "AUDIT.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        rows.mkString(
+          s"""{"sf": "$sfDir", "unintended_nlj_total": $flagged, "queries": {""",
+          ",\n", "}}"))
     } else {
       names.foreach { n =>
         println(s"\n===== $n =====")
