@@ -58,6 +58,11 @@ object CoreQueries {
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
           .cast("double").as("revenue"))
+      // GLOBAL top-k via partitionCols = lit(1): Spark warns about the
+      // single-partition window, but Spark 4 plans WindowGroupLimit —
+      // each task forwards only its local top 10, so the one reducer
+      // merges #partitions × 10 survivor rows, not the full aggregate.
+      // Scale-safe by construction; the warning is a false alarm here.
       Relational.topKPerGroup(rev, Seq(lit(1)),
           Seq(col("revenue").desc, col("l_orderkey")), 10)
         .drop("rn")

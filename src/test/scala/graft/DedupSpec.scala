@@ -62,6 +62,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("resolveEntities through star-contraction components is identical") {
+    // the O(log n) scale path must produce the same canonical mapping
+    // as label propagation — on the toy docs AND the real fixture
+    val star = Dedup.resolveEntities(docs, "doc_id", "text", 0.8,
+      starComponents = true).as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    val fixture = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val viaProp = Dedup.resolveEntities(fixture, "doc_id", "text", 0.4)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.resolveEntities(fixture, "doc_id", "text", 0.4,
+      starComponents = true).as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    assert(viaProp.exists { case (id, canon) => id != canon }) // non-trivial
+  }
+
   test("simhash is equal for identical docs, differs for unrelated") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
