@@ -45,8 +45,18 @@ object TextFns {
     * must recompute the same value (q23 fingerprint, q26 minhash,
     * q27/q60 simhash word hashes). All-nonnegative exact int64
     * arithmetic: acc < mod < 2^30, mult ≤ 37 → acc·mult + 255 ≪ 2^63
-    * on both engines. */
+    * on both engines. Runs as the native codegen [[PolyHash]] kernel;
+    * [[polyHashHof]] is the built-ins-only definition it must equal
+    * (TextVectorSpec asserts the equivalence). */
   def polyHash(c: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    PolyHash.hash(c, mult, mod)
+
+  /** The higher-order-function form of [[polyHash]] — the semantic
+    * definition (and the shape the DuckDB oracle SQL mirrors), kept as
+    * the equivalence reference for the codegen kernel. Interpreted
+    * per-character; not for hot paths. */
+  private[graft] def polyHashHof(c: Column, mult: Long = 31L,
+                                 mod: Long = 1000000007L): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => pmod(acc * lit(mult) + ascii(ch), lit(mod)))
 

@@ -29,6 +29,23 @@ class TextVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(got == ((97L * 31 + 98) * 31 + 99) % 1000000007) // 96354
   }
 
+  test("native PolyHash kernel equals the HOF definition, incl. empty and non-ASCII") {
+    val samples = Seq("", "a", "abc", "hello world", "käse crème 東京",
+      "x" * 300, "", "mixed ascii ünd mörε")
+    for ((mult, mod) <- Seq((31L, 1000000007L), (37L, 998244353L))) {
+      val df = samples.toDF("t")
+      val native = df.select(TextFns.polyHash($"t", mult, mod)).as[Long].collect()
+      val hof = df.select(TextFns.polyHashHof($"t", mult, mod)).as[Long].collect()
+      assert(native.toSeq == hof.toSeq, s"mult=$mult mod=$mod")
+    }
+    // and on the real corpus, per word (the q26/q27 hot-path shape)
+    val words = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(TextFns.words(TextFns.norm(col("text")))).as("w")).limit(5000)
+    val n = words.select(TextFns.polyHash($"w")).as[Long].collect()
+    val h = words.select(TextFns.polyHashHof($"w")).as[Long].collect()
+    assert(n.toSeq == h.toSeq)
+  }
+
   test("langId picks the profile with most stopword hits") {
     val got = Seq("der hund und die katze ist da", "the cat and the dog",
         "le chat et la maison")
