@@ -102,6 +102,35 @@ object Multimodal {
     media.mapPartitions(rows => rows.map(probe))
   }
 
+  /** Deterministic synthetic WAV (16-bit signed PCM mono sine),
+    * round-tripped through the JDK's own encoder — REAL container
+    * bytes, reproducible from the arguments alone. This is how the
+    * real audio codec gets under the driver's oracle gate (q80): each
+    * row synthesizes a WAV from its key, [[audioProbe]] REALLY parses
+    * it back, and the oracle predicts the recovered metadata
+    * arithmetically — an unfaithful codec round-trip mismatches.
+    * MultimodalSpec uses the same generator. */
+  def synthWav(sampleRate: Float, nFrames: Int, amplitude: Double = 0.5,
+               freq: Double = 440.0): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) *
+        amplitude * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian lo
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** REAL audio feature extractor (JDK-only): per-segment RMS energy
     * over the decoded 16-bit PCM frames — a genuine content-derived
     * `ARRAY<FLOAT>` embedding (the audio twin of

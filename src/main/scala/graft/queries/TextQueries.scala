@@ -357,6 +357,28 @@ object TextQueries {
     // DedupSpec asserts banding ≡ brute force.
     "q60_simhash_neardup" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+    },
+
+    // REAL audio decode under the oracle gate — strictly stronger than
+    // q63's stub check: each row synthesizes genuine WAV container
+    // bytes from its doc_id (Multimodal.synthWav, JDK encoder), the
+    // REAL javax.sound.sampled codec parses them back in the
+    // per-partition decode pass, and the oracle predicts the recovered
+    // sample rate / channels / frame count arithmetically. A codec that
+    // mis-parses the container (or a broken binary-column round trip)
+    // hash-mismatches.
+    "q80_audio_decode" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.Media(
+          id, "audio/wav",
+          graft.operators.Multimodal.synthWav(8000f, (100 + id % 400).toInt))))
+      graft.operators.Multimodal.decodeAudio(media).toDF()
+        .filter(col("ok"))
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"))
     }
   )
 
@@ -439,6 +461,15 @@ object TextQueries {
     "q27_simhash" ->
       s"""WITH $simhashSigSql
          |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    // The metadata the REAL WAV round-trip must recover, predicted
+    // arithmetically (doc_id >= 0, so % is exact on both engines).
+    "q80_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
 
     // simhashPairs(maxHamming=3): 16-bit band bucket join (pigeonhole-
     // exact over 4 disjoint bands), hamming cut before distinct.

@@ -74,26 +74,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r(10L) == (20, 13)) // 40x25 capped to 20, ratio kept (round)
   }
 
-  /** Real WAV bytes written via the JDK (no external libs): 16-bit
-    * signed PCM mono, `freq` Hz sine at the given sample rate. */
+  /** Real WAV bytes via the shared deterministic generator. */
   private def wavBytes(sampleRate: Float, nFrames: Int,
-                       amplitude: Double = 0.5, freq: Double = 440.0): Array[Byte] = {
-    val pcm = new Array[Byte](nFrames * 2)
-    for (i <- 0 until nFrames) {
-      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) *
-        amplitude * 32767).toInt
-      pcm(2 * i) = (s & 0xff).toByte       // little-endian lo
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
-      true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+                       amplitude: Double = 0.5, freq: Double = 440.0): Array[Byte] =
+    Multimodal.synthWav(sampleRate, nFrames, amplitude, freq)
 
   test("audioProbe decodes REAL WAV payloads to true rate/channels/frames through the same dataflow") {
     val real = Seq(
