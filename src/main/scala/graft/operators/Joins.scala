@@ -127,4 +127,41 @@ object Joins {
   def fkClosedSample(child: DataFrame, fk: String,
                      keys: DataFrame, key: String): DataFrame =
     child.join(keys, child(fk) === keys(key), "left_semi")
+
+  /** Interval join WITHOUT an equi-key: each point row pairs with every
+    * interval row whose `[start, end)` contains it. Spark plans the
+    * bare range predicate as a BroadcastNestedLoopJoin — O(points ×
+    * intervals) work that is the canonical 100 TB scale-killer. The
+    * bucketed rewrite makes it a hash join: points land in exactly one
+    * `bucketWidth`-sized bucket, intervals are exploded to every bucket
+    * they overlap, and the equi-join on bucket id sees each qualifying
+    * pair exactly once (the point's one bucket) before the exact range
+    * filter. Work becomes O(points + intervals × span/bucketWidth +
+    * true matches) and shuffles hash-partition on bucket id.
+    *
+    * Pick `bucketWidth` near the typical interval length: each interval
+    * explodes to ~2 buckets and per-bucket occupancy stays bounded.
+    * Columns pass through from both sides (caller keeps names
+    * disjoint); all three boundary columns are integer epoch-like
+    * values (exact arithmetic — no float bucket drift). NULL points or
+    * boundaries never match, as in the predicate form. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, startCol: String, endCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // exact floor-div on int64 (x - pmod is an exact multiple of w, so
+    // the double division is exact) — floor(c / w) would round the
+    // ratio in binary and can mis-bucket near boundaries
+    def bucket(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val p = points.withColumn("_bkt", bucket(col(pointCol)))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol)) // empty intervals match nothing
+      .withColumn("_bkt", explode(sequence(
+        bucket(col(startCol)),
+        bucket(col(endCol) - 1)))) // end is exclusive
+    p.join(iv, Seq("_bkt"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bkt")
+  }
 }

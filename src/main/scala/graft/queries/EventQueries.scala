@@ -125,6 +125,29 @@ object EventQueries {
           "attribute", "value")
     },
 
+    // Equi-key-free interval join (Joins.intervalJoin): every event —
+    // regardless of user — attributed to each 10-minute incident
+    // window opened by an 'error' event. The bare range predicate
+    // would plan as a BroadcastNestedLoopJoin (O(events × incidents));
+    // the bucketed rewrite joins on a derived bucket equi-key instead.
+    // Oracle is the plain theta join — the rewrite must be a pure
+    // physical change.
+    "q81_interval_attribution" -> { (s, d) =>
+      val winUs = 600000000L // 10 minutes
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      val incidents = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("outage_id"),
+          unix_micros(col("ts")).as("w_start_us"),
+          (unix_micros(col("ts")) + winUs).as("w_end_us"))
+      graft.operators.Joins.intervalJoin(
+          pts, incidents, "us", "w_start_us", "w_end_us", winUs)
+        .groupBy(col("outage_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+    },
+
     // Approximate sketches (HLL++): rows-only check — sketch internals
     // are engine-specific, so no cross-engine oracle; the spec-level
     // guarantee (estimate within rsd of exact) is asserted instead.
@@ -186,6 +209,16 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    "q81_interval_attribution" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
+        |o AS (SELECT event_id AS outage_id, epoch_us(ts) AS ws
+        |      FROM events WHERE event_type = 'error')
+        |SELECT o.outage_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM o JOIN e ON e.us >= o.ws AND e.us < o.ws + 600000000
+        |GROUP BY 1""".stripMargin,
 
     "q30_events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

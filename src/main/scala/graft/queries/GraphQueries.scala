@@ -131,6 +131,30 @@ object GraphQueries {
     })
   }
 
+  /** k-NN sparsification of the co-supply graph (q83/q84): each vertex
+    * keeps its `KnnK` strongest edges (ties broken by partner id, so
+    * fully deterministic), union'd undirected. The co-supply graph's
+    * density INVERTS with scale (complete at sf0.01, weight-sparse at
+    * sf0.1), so any absolute weight threshold degenerates at one end —
+    * per-vertex top-k yields a structurally interesting sparse graph
+    * at every SF, and is itself the standard similarity-graph
+    * construction (one window over the edge list, no extra shuffle
+    * shape). */
+  private val KnnK = 3
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val e = coShip(s, d)
+    val sym = e.select(col("a").as("s"), col("b").as("nbr"), col("weight"))
+      .unionByName(e.select(col("b").as("s"), col("a").as("nbr"),
+        col("weight")))
+    val byStrength = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("weight").desc, col("nbr"))
+    sym.withColumn("rn", row_number().over(byStrength))
+      .filter(col("rn") <= KnnK)
+      .select(least(col("s"), col("nbr")).as("a"),
+        greatest(col("s"), col("nbr")).as("b"))
+      .distinct()
+  }
+
   val defs: Map[String, Q] = Map(
     // G1+G6: distinct co-membership pairs, weighted by shared groups
     // (an aggregation over the materialized pair spine; the standalone
@@ -207,6 +231,24 @@ object GraphQueries {
       Graph.connectedComponentsStar(
         strongEdges(s, d).select(col("a"), col("b")))
         .select(col("v"), col("comp"))
+    },
+
+    // Per-vertex triangle participation over the k-NN co-supply graph
+    // — degree-ordered orientation bounds wedge fan-out by O(sqrt(m))
+    // per pivot (Graph.triangles scaladoc); oracle is the naive
+    // x<y<z 3-way self-join, which the orientation must reproduce
+    // exactly (each triangle found once, whatever its degree order).
+    "q83_triangle_counts" -> { (s, d) =>
+      Graph.triangleCounts(knnEdges(s, d))
+    },
+
+    // Common-neighbor link prediction ("people you may know"): NON-
+    // edges ranked by shared-neighbor count, Jaccard kept in exact
+    // integer ratio form (cn, union_size) for cross-engine parity.
+    "q84_link_prediction" -> { (s, d) =>
+      Graph.commonNeighbors(knnEdges(s, d), minCommon = 2L)
+        .select(col("u").as("s1"), col("v").as("s2"),
+          col("cn"), col("union_size"))
     },
 
     // Ego BFS to depth 2 (one distributed job per level, frontier as a
@@ -338,6 +380,17 @@ object GraphQueries {
       |             CAST(min(yr) AS BIGINT) AS first_year
       |      FROM j GROUP BY s1, s2)""".stripMargin
 
+  // DuckDB twin of [[knnEdges]] (composes after coShipSql's `e`)
+  private val knnSql =
+    s"""sym AS (SELECT s1 AS s, s2 AS nbr, orders_together AS w FROM e
+       |        UNION ALL
+       |        SELECT s2 AS s, s1 AS nbr, orders_together AS w FROM e),
+       |rk AS (SELECT s, nbr,
+       |         row_number() OVER (PARTITION BY s ORDER BY w DESC, nbr) AS rn
+       |       FROM sym),
+       |ed AS (SELECT DISTINCT least(s, nbr) AS a, greatest(s, nbr) AS b
+       |       FROM rk WHERE rn <= $KnnK)""".stripMargin
+
   private lazy val componentsOracleSql =
     s"""WITH RECURSIVE $coShipSql,
        |ed AS (SELECT s1 AS a, s2 AS b FROM e
@@ -411,6 +464,36 @@ object GraphQueries {
     // silently drift onto different gates.
     "q34_cosupply_components" -> componentsOracleSql,
     "q78_components_star" -> componentsOracleSql,
+
+    // naive form: ed is canonical (a < b) so each triangle appears
+    // exactly once as (x, y) (y, z) (x, z) with x < y < z
+    "q83_triangle_counts" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |                   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri)
+         |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM tv GROUP BY v""".stripMargin,
+
+    "q84_link_prediction" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION ALL SELECT b AS s, a AS d FROM ed),
+         |deg AS (SELECT s AS n, count(*) AS deg FROM adj GROUP BY s),
+         |wg AS (SELECT a1.d AS u, a2.d AS v, count(*) AS cn
+         |       FROM adj a1 JOIN adj a2 ON a1.s = a2.s AND a1.d < a2.d
+         |       GROUP BY 1, 2),
+         |nw AS (SELECT wg.u, wg.v, wg.cn FROM wg
+         |       LEFT JOIN ed ON wg.u = ed.a AND wg.v = ed.b
+         |       WHERE ed.a IS NULL AND wg.cn >= 2)
+         |SELECT nw.u AS s1, nw.v AS s2, CAST(nw.cn AS BIGINT) AS cn,
+         |  CAST(d1.deg + d2.deg - nw.cn AS BIGINT) AS union_size
+         |FROM nw JOIN deg d1 ON nw.u = d1.n
+         |        JOIN deg d2 ON nw.v = d2.n""".stripMargin,
 
     "q35_ego_bfs" ->
       s"""WITH $coShipSql,

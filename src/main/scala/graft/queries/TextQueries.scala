@@ -185,6 +185,32 @@ object TextQueries {
     },
 
     // Language-ID heuristic vs the labeled lang column.
+    // PII redaction — the curation step every training pipeline runs
+    // before text leaves quarantine. The corpus is synthetic word
+    // salad, so a deterministic contact line (email + phone derived
+    // from doc_id/source) is appended first and BOTH engines redact
+    // the same input: the oracle proves the regex semantics (count +
+    // global replace) match, not just that nothing matched. Patterns
+    // stay in the Java-regex ∩ RE2 common dialect (char classes,
+    // bounded repeats — no backrefs or lookaround).
+    "q82_pii_redaction" -> { (s, d) =>
+      val contact = concat(
+        lit("contact user"), col("doc_id"), lit("@mail-"), col("source"),
+        lit(".com tel +01-"),
+        lpad(pmod(col("doc_id") * 7919L, lit(10000000L)).cast("string"),
+          7, "0"))
+      val emailPat = "[a-z0-9]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\+[0-9]{2}-[0-9]{7}"
+      Tables.documents(s, d)
+        .withColumn("raw", concat_ws(" ", col("text"), contact))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(phonePat)).cast("long").as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"))
+    },
+
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
       Tables.documents(s, d)
@@ -573,6 +599,23 @@ object TextQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "q82_pii_redaction" ->
+      """WITH r AS (SELECT doc_id,
+        |    concat_ws(' ', text,
+        |      'contact user' || doc_id || '@mail-' || source || '.com tel +01-'
+        |      || lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0'))
+        |      AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\+[0-9]{2}-[0-9]{7}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{2}-[0-9]{7}', '<PHONE>', 'g') AS redacted
+        |FROM r""".stripMargin,
 
     "q22_lang_id" ->
       s"""WITH t AS (SELECT lang,

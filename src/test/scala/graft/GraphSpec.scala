@@ -97,4 +97,79 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val back = spark.read.text(out).collect().map(_.getString(0)).mkString("\n")
     assert(back.contains("<!DOCTYPE html>") && back.contains("forceSimulation"))
   }
+
+  // --- triangles / link prediction ---
+
+  private def randomEdges(seed: Int, n: Int, p: Double): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (for {
+      u <- 0L until n.toLong
+      v <- (u + 1) until n.toLong
+      if rnd.nextDouble() < p
+    } yield (u, v)).toSeq
+  }
+
+  test("triangles matches brute force on random graphs (degree ties included)") {
+    for (seed <- Seq(3, 17, 42)) {
+      val es = randomEdges(seed, 25, 0.18)
+      val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val verts = adj.keys.toSeq.sorted
+      val brute = (for {
+        x <- verts; y <- verts if y > x && adj(x)(y)
+        z <- verts if z > y && adj(x)(z) && adj(y)(z)
+      } yield (x, y, z)).toSet
+      // feed mixed orientation + a duplicate + a self-loop: must not care
+      val messy = es.map { case (u, v) => if ((u + v) % 2 == 0) (v, u) else (u, v) } ++
+        es.headOption.toSeq ++ Seq((1L, 1L))
+      val got = Graph.triangles(messy.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute, s"seed $seed: ${got.diff(brute)} / ${brute.diff(got)}")
+    }
+  }
+
+  test("triangleCounts on K4 plus a pendant edge") {
+    // K4: 4 triangles, every K4 vertex participates in 3; the pendant
+    // vertex participates in none (and is absent from the result)
+    val k4 = for { u <- 0L to 3L; v <- (u + 1) to 3L } yield (u, v)
+    val got = Graph.triangleCounts((k4 :+ ((3L, 9L))).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("commonNeighbors matches brute force and excludes existing edges") {
+    for (seed <- Seq(5, 23)) {
+      val es = randomEdges(seed, 20, 0.2)
+      val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val verts = adj.keys.toSeq.sorted
+      val brute = (for {
+        u <- verts; v <- verts
+        if v > u && !adj(u)(v)
+        cn = (adj(u) & adj(v)).size.toLong
+        if cn >= 1
+      } yield (u, v, cn, (adj(u) | adj(v)).size.toLong)).toSet
+      val got = Graph.commonNeighbors(es.toDF("a", "b"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute, s"seed $seed")
+    }
+  }
+
+  test("commonNeighbors maxDegree cap ignores super-hub pivots only") {
+    // star center 0 over leaves 1..5, plus chain 1-6-2: without a cap
+    // every leaf pair is a candidate via the center; capping the pivot
+    // degree at 3 drops the center, leaving only the chain's wedge
+    // (1,2) via pivot 6 — with cn counted over surviving pivots but
+    // degrees still the TRUE degrees
+    val es = (1L to 5L).map((0L, _)) ++ Seq((1L, 6L), (6L, 2L))
+    val capped = Graph.commonNeighbors(es.toDF("a", "b"), maxDegree = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // surviving pivots: 6 yields (1,2) [union 2+2-1=3]; 1 and 2 both
+    // yield (0,6) [cn=2, union 5+2-2=5]; the center (deg 5) pivots none
+    assert(capped == Set((1L, 2L, 1L, 3L), (0L, 6L, 2L, 5L)))
+    val uncapped = Graph.commonNeighbors(es.toDF("a", "b"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L, 2L, 2L))) // both 0 and 6 shared
+    assert(uncapped.size == 11) // all C(5,2) leaf pairs + (0,6)
+  }
 }

@@ -119,4 +119,30 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "x"), (3L, "z")))
   }
+
+  test("intervalJoin equals the range-predicate join (multi-bucket spans, " +
+       "negative starts, empty and boundary intervals)") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "t")
+    val ivs = ((1 to 40).map { i =>
+      val s = rnd.nextInt(1000).toLong - 20 // some negative starts
+      (100L + i, s, s + rnd.nextInt(150).toLong) // some empty (hi == lo)
+    } :+ ((999L, 100L, 150L))) // exact bucket-aligned boundaries
+      .toDF("iid", "lo", "hi")
+    val got = Joins.intervalJoin(pts, ivs, "t", "lo", "hi", 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val want = pts.join(ivs, col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("intervalJoin plans a hash join on the bucket key, never a nested loop") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((9L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val plan = Joins.intervalJoin(pts, ivs, "t", "lo", "hi", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
 }
