@@ -35,7 +35,8 @@ object Explain {
     "q51_ann_ivf_topk",     // broadcast centroid assignment
     "q72_embed_neardup_ivf", // broadcast centroid assignment (same as q51)
     "q56_embed_neardup",    // exact all-pairs baseline (documented)
-    "q66_tfidf_topterms")   // broadcast corpus-size scalar
+    "q66_tfidf_topterms",   // broadcast corpus-size scalar
+    "q86_weighted_sample")  // broadcast total-weight scalar (q42 shape)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -57,4 +57,38 @@ object Relational {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, sum(value).over(w))
   }
+
+  /** GLOBAL running sum of an int64 value over a total order, at scale.
+    * A bare `Window.orderBy` with no partition funnels EVERY row through
+    * one reducer — the global-cumsum scale-killer. Two-phase form
+    * instead: range-partition on the order key, run the window within
+    * each partition, and add broadcast exclusive per-partition offsets.
+    * Driver traffic is O(#partitions) partial sums (bounded like a loop
+    * guard — never O(rows)); every heavy step stays parallel.
+    *
+    * `orderCols` must be a TOTAL order (append a unique id); the result
+    * is then independent of where the sampled range boundaries land.
+    * The ranged input is checkpointed first: RangePartitioner samples
+    * boundaries per action, so the totals pass and the window pass must
+    * see the SAME physical partitioning, not two samples of it.
+    * Int64 values only — a float running sum is order-brittle in any
+    * engine. */
+  def globalCumsum(df: DataFrame, orderCols: Seq[Column], value: Column,
+                   as: String, numParts: Int = 32): DataFrame = {
+    val ranged = graft.Checkpoints.checkpoint(
+      df.repartitionByRange(numParts, orderCols: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("_pid"))
+      .agg(sum(value.cast("long")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap // exclusive prefix
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(as,
+        sum(value.cast("long")).over(w) +
+          coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
+      .drop("_pid")
+  }
 }

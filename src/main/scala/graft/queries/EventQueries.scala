@@ -148,6 +148,28 @@ object EventQueries {
           round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
     },
 
+    // Staged conversion funnel view → click → purchase: the first
+    // qualifying timestamp of each stage, each stage constrained to
+    // at-or-after the previous stage's pick (NOT three independent
+    // mins — a click before the first view must not count). Exact
+    // epoch-micro integers; per-user row, later stages null when the
+    // user never converts. Three keyed aggregations + left joins, no
+    // windows — partial-aggregable at any scale.
+    "q85_funnel_stages" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") >= col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") >= col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    },
+
     // Approximate sketches (HLL++): rows-only check — sketch internals
     // are engine-specific, so no cross-engine oracle; the spec-level
     // guarantee (estimate within rsd of exact) is asserted instead.
@@ -209,6 +231,20 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    "q85_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, CAST(min(us) AS BIGINT) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS click_us
+        |      FROM e JOIN v ON e.user_id = v.user_id AND e.us >= v.view_us
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS purchase_us
+        |      FROM e JOIN c ON e.user_id = c.user_id AND e.us >= c.click_us
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
 
     "q81_interval_attribution" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),

@@ -211,6 +211,27 @@ object TextQueries {
             phonePat, "<PHONE>").as("redacted"))
     },
 
+    // Weight-proportional SYSTEMATIC sampling (~200 docs, inclusion
+    // probability ∝ n_chars): walk the corpus in deterministic hash
+    // order, keep every doc whose cumulative weight straddles a stride
+    // boundary (stride = total/200). All-integer arithmetic — exactly
+    // reproducible cross-engine, unlike -ln(u)/w priority sampling.
+    // The global running sum uses Relational.globalCumsum (range-
+    // partition + broadcast offsets), NOT a single-partition window —
+    // this query exists as much for that operator's scale shape as for
+    // the sampler.
+    "q86_weighted_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("n_chars"))
+      val cum = graft.operators.Relational.globalCumsum(docs,
+        Seq(lcgHash(col("doc_id")), col("doc_id")), col("n_chars"), "cum")
+      val tot = docs.agg(sum(col("n_chars")).as("_tot"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("_stride", greatest(lit(1L), expr("_tot div 200")))
+        .filter(expr("cum div _stride") > expr("(cum - n_chars) div _stride"))
+        .select(col("doc_id"), col("n_chars"), col("cum"))
+    },
+
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
       Tables.documents(s, d)
@@ -599,6 +620,17 @@ object TextQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "q86_weighted_sample" ->
+      s"""WITH c AS (SELECT doc_id, n_chars,
+         |    sum(n_chars) OVER (ORDER BY ${lcgHashSql("doc_id")}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents WHERE doc_id >= 0),
+         |t AS (SELECT greatest(1, sum(n_chars) // 200) AS stride
+         |      FROM documents WHERE doc_id >= 0)
+         |SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+         |FROM c, t
+         |WHERE cum // stride > (cum - n_chars) // stride""".stripMargin,
 
     "q82_pii_redaction" ->
       """WITH r AS (SELECT doc_id,

@@ -26,4 +26,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .select("g", "id", "rn").as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 100L, 1L), (1L, 101L, 2L), (2L, 103L, 1L)))
   }
+
+  test("globalCumsum equals the single-partition window at every partition count") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "w")
+    // shuffled order key (id * 37 mod 501 is a permutation) — the range
+    // partitioner must not rely on input order
+    val key = pmod(col("id") * 37, lit(501L))
+    val want = rows.map { case (i, w) => (i * 37 % 501, i, w) }.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, c), (k, i, w)) => (k, i, w, c + w) }
+      .drop(1).map { case (_, i, _, c) => (i, c) }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Relational.globalCumsum(df, Seq(key, col("id")), col("w"),
+          "cum", numParts = parts)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"numParts=$parts")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
+  test("globalCumsum never plans a single-partition global window") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("id", "w")
+    val plan = Relational.globalCumsum(df, Seq(col("id")), col("w"), "cum", 8)
+      .queryExecution.executedPlan.toString
+    // the window must be keyed by the internal range-partition id, not
+    // an empty (global) partition spec
+    assert(plan.contains("_pid"), plan)
+    graft.Checkpoints.releaseAll(spark)
+  }
 }
