@@ -297,6 +297,54 @@ object Graph {
         (col("du") + col("dv") - col("cn")).as("union_size"))
   }
 
+  /** Integer-arithmetic PageRank over the symmetrized graph. Every
+    * operation is int64 floor arithmetic (ranks scaled by `scale`,
+    * damping 85/100), so the ranks are BIT-IDENTICAL on any engine —
+    * which is what lets an iterative centrality sit under a
+    * cross-engine oracle at all: float PageRank never hash-matches
+    * across engines because per-group summation order differs. The
+    * floor divisions leak a little probability mass per round (bounded
+    * by deg·iters ulps of `scale`), which perturbs absolute values but
+    * not the centrality ordering — the quantity of interest.
+    *
+    * Scale shape: per iteration one join (rank → out-share) + one
+    * groupBy (in-share sum) + one left join (teleport term), all keyed
+    * by vertex; rounds are checkpointed with eager release like every
+    * other loop here. The vertex count (one driver scalar, loop-guard
+    * bounded) prices the uniform teleport term. */
+  def pageRankInt(edges: DataFrame, a: String = "a", b: String = "b",
+                  iters: Int = 3,
+                  scale: Long = 1000000000000L): DataFrame = {
+    val und = edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
+    val adj = Checkpoints.checkpoint(
+      und.select(col("u").as("s"), col("v").as("d"))
+        .union(und.select(col("v").as("s"), col("u").as("d"))))
+    val verts = adj.select(col("s").as("vx")).distinct()
+    val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+    val n = verts.count() // bounded driver scalar: prices the teleport
+    val tele = (15L * (scale / n)) / 100L
+    var r = Checkpoints.checkpoint(
+      verts.withColumn("r", lit(scale / n)))
+    var i = 0
+    while (i < iters) {
+      val shares = r.join(deg, r("vx") === deg("s"))
+        .select(col("vx").as("sv"), expr("r div dg").as("share"))
+      val contrib = adj.join(shares, adj("s") === col("sv"))
+        .groupBy(adj("d").as("cv")).agg(sum(col("share")).as("m"))
+      val nxt = Checkpoints.checkpoint(
+        verts.join(contrib, verts("vx") === col("cv"), "left")
+          .select(col("vx"),
+            (lit(tele) + expr("(85 * coalesce(m, 0)) div 100")).as("r")))
+      Checkpoints.release(r)
+      r = nxt
+      i += 1
+    }
+    Checkpoints.release(adj)
+    r.select(col("vx").as("v"), col("r").as("rank_scaled"))
+  }
+
   /** Temporal (dynamic) edges — G7, the reference's DLink
     * (`DynamicNet.scala:251`): per-edge nested map year → attribute.
     * The CANONICAL form is relational long form (src, dst, year, n) —

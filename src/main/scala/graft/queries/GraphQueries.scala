@@ -251,6 +251,15 @@ object GraphQueries {
           col("cn"), col("union_size"))
     },
 
+    // Integer PageRank (3 rounds, damping 85/100, scale 1e12) on the
+    // k-NN spine — an ITERATIVE centrality under a full cross-engine
+    // oracle, possible only because every step is int64 floor
+    // arithmetic (Graph.pageRankInt scaladoc); the oracle is the same
+    // three rounds unrolled as plain CTEs.
+    "q87_pagerank" -> { (s, d) =>
+      Graph.pageRankInt(knnEdges(s, d))
+    },
+
     // Ego BFS to depth 2 (one distributed job per level, frontier as a
     // DataFrame — the reference's crawl without driver round-trips).
     "q35_ego_bfs" -> { (s, d) =>
@@ -391,6 +400,35 @@ object GraphQueries {
        |ed AS (SELECT DISTINCT least(s, nbr) AS a, greatest(s, nbr) AS b
        |       FROM rk WHERE rn <= $KnnK)""".stripMargin
 
+  // DuckDB twin of Graph.pageRankInt on the k-NN spine: the three
+  // integer rounds unrolled (no recursion needed — the iteration count
+  // is a fixed parameter of the query, not data-dependent)
+  private lazy val pageRankOracleSql: String = {
+    val S = "1000000000000"
+    def round(k: Int) =
+      s"""c$k AS (SELECT adj.d AS v, sum(r${k - 1}.r // deg.dg) AS m
+         |       FROM adj JOIN r${k - 1} ON adj.s = r${k - 1}.v
+         |                JOIN deg ON adj.s = deg.s
+         |       GROUP BY adj.d),
+         |r$k AS (SELECT verts.v,
+         |         (15 * ($S // nn.c)) // 100
+         |           + (85 * coalesce(c$k.m, 0)) // 100 AS r
+         |       FROM verts CROSS JOIN nn
+         |            LEFT JOIN c$k ON verts.v = c$k.v)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |adj AS (SELECT a AS s, b AS d FROM ed UNION ALL
+       |        SELECT b AS s, a AS d FROM ed),
+       |verts AS (SELECT DISTINCT s AS v FROM adj),
+       |nn AS (SELECT count(*) AS c FROM verts),
+       |deg AS (SELECT s, count(*) AS dg FROM adj GROUP BY s),
+       |r0 AS (SELECT v, $S // c AS r FROM verts, nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+  }
+
   private lazy val componentsOracleSql =
     s"""WITH RECURSIVE $coShipSql,
        |ed AS (SELECT s1 AS a, s2 AS b FROM e
@@ -464,6 +502,7 @@ object GraphQueries {
     // silently drift onto different gates.
     "q34_cosupply_components" -> componentsOracleSql,
     "q78_components_star" -> componentsOracleSql,
+    "q87_pagerank" -> pageRankOracleSql,
 
     // naive form: ed is canonical (a < b) so each triangle appears
     // exactly once as (x, y) (y, z) (x, z) with x < y < z

@@ -155,6 +155,30 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pageRankInt matches hand-computed integer rounds on a path") {
+    // path 0-1-2, scale 1e12, one round: r0 = 333333333333 each,
+    // tele = (15*333333333333)//100 = 49999999999; shares 0,2 → 1:
+    // 333333333333 each, 1 → 0 and 2: 166666666666
+    val es = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val got = Graph.pageRankInt(es, iters = 1).as[(Long, Long)]
+      .collect().toMap
+    assert(got(1L) == 49999999999L + 85L * 666666666666L / 100L)
+    assert(got(0L) == 49999999999L + 85L * 166666666666L / 100L)
+    assert(got(0L) == got(2L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("pageRankInt ranks the hub above leaves and roughly conserves mass") {
+    val star = (1L to 8L).map((0L, _)) ++ Seq((1L, 2L))
+    val got = Graph.pageRankInt(star.toDF("a", "b"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) > got(1L) && got(1L) > got(3L)) // hub > triangle leaf > plain leaf
+    val total = got.values.sum
+    // floor divisions only LEAK mass: total ≤ scale, within ~1% here
+    assert(total <= 1000000000000L && total > 990000000000L, total.toString)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("commonNeighbors maxDegree cap ignores super-hub pivots only") {
     // star center 0 over leaves 1..5, plus chain 1-6-2: without a cap
     // every leaf pair is a candidate via the center; capping the pivot
