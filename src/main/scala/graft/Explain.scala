@@ -36,7 +36,8 @@ object Explain {
     "q72_embed_neardup_ivf", // broadcast centroid assignment (same as q51)
     "q56_embed_neardup",    // exact all-pairs baseline (documented)
     "q66_tfidf_topterms",   // broadcast corpus-size scalar
-    "q86_weighted_sample")  // broadcast total-weight scalar (q42 shape)
+    "q86_weighted_sample",  // broadcast total-weight scalar (q42 shape)
+    "q88_bm25_topterms")    // broadcast corpus-stats scalar (q66 shape)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -278,6 +278,55 @@ object Multimodal {
         round(col("height") * col("scale")).cast("int").as("out_height"))
   }
 
+  case class Resized(media_id: Long, out_width: Int, out_height: Int,
+                     content: Array[Byte], ok: Boolean)
+
+  /** REAL pixel resize on the pure JDK (AWT `Graphics2D` bilinear draw
+    * + ImageIO PNG re-encode — no external libraries), completing the
+    * decode / feature-extract / RESIZE triple with an actual pixel
+    * transform where [[resizeMeta]] computes only the metadata. Aspect
+    * ratio preserved, longest side ≤ `maxSide`, never upscales.
+    * Same per-partition codec dataflow as [[decode]]: binary column
+    * in, re-encoded binary column out; undecodable or empty payloads
+    * come back `ok = false` with empty content (poison rows must not
+    * kill the pass). */
+  def imageResize(media: Dataset[Media], maxSide: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    require(maxSide > 0, "maxSide must be positive")
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val img =
+            if (m.content == null || m.content.isEmpty) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.content))
+          if (img == null)
+            Resized(m.media_id, 0, 0, Array.emptyByteArray, ok = false)
+          else {
+            val s = math.min(1.0,
+              maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+            val w = math.max(1, math.round(img.getWidth * s).toInt)
+            val h = math.max(1, math.round(img.getHeight * s).toInt)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Resized(m.media_id, w, h, bos.toByteArray, ok = true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Resized(m.media_id, 0, 0, Array.emptyByteArray, ok = false)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every `stride`-th frame index of decoded media —
     * pure relational explode, no bytes touched (scan prunes the binary
     * column entirely). */

@@ -251,6 +251,22 @@ object GraphQueries {
           col("cn"), col("union_size"))
     },
 
+    // Local clustering coefficient in exact integer ratio form:
+    // (v, n_triangles, n_wedges = deg·(deg−1)/2) — coefficient =
+    // n_triangles/n_wedges, left as the integer pair (q66 discipline).
+    // Every vertex of the spine appears, zero-filled.
+    "q89_clustering_coeff" -> { (s, d) =>
+      val ed = knnEdges(s, d)
+      val tc = Graph.triangleCounts(ed)
+      val adj = ed.select(col("a").as("v"), col("b"))
+        .unionByName(ed.select(col("b").as("v"), col("a").as("b")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      deg.join(tc, Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          expr("deg * (deg - 1) div 2").as("n_wedges"))
+    },
+
     // Integer PageRank (3 rounds, damping 85/100, scale 1e12) on the
     // k-NN spine — an ITERATIVE centrality under a full cross-engine
     // oracle, possible only because every step is int64 floor
@@ -516,6 +532,22 @@ object GraphQueries {
          |       UNION ALL SELECT z FROM tri)
          |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM tv GROUP BY v""".stripMargin,
+
+    "q89_clustering_coeff" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |                   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM tv GROUP BY v),
+         |adj AS (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed),
+         |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v)
+         |SELECT deg.v, coalesce(tc.n_triangles, 0) AS n_triangles,
+         |  CAST(deg * (deg - 1) // 2 AS BIGINT) AS n_wedges
+         |FROM deg LEFT JOIN tc ON deg.v = tc.v""".stripMargin,
 
     "q84_link_prediction" ->
       s"""WITH $coShipSql,

@@ -211,6 +211,44 @@ object TextQueries {
             phonePat, "<PHONE>").as("redacted"))
     },
 
+    // BM25 term scoring (k1=1.2, b=0.75) in EXACT RATIONAL form: with
+    // the log-free ratio idf (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1)
+    // and the saturation denominator multiplied through by 20·totdl,
+    // BM25 becomes the integer fraction
+    //   num = 44·tf·totdl·(2N−2df+1)
+    //   den = (2df+1)·(20·totdl·tf + 6·totdl + 18·dl·N)
+    // — bit-exact cross-engine (the q66 discipline, extended to the
+    // saturated form). Ranking divides once (one IEEE op, identical on
+    // both engines) with the term as tie-break; the emitted columns
+    // are the integers. Int64 headroom note: num < 44·tf·totdl·2N —
+    // fine into the billions of tokens; beyond that, scale the
+    // constants down or emit the double.
+    "q88_bm25_topterms" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.words(TextFns.norm(col("text")))).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfx = tf.groupBy(col("word")).agg(count(lit(1)).as("df_"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("totdl"))
+      val scored = tf.join(dl, "doc_id").join(dfx, "word")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("word"),
+          (lit(44L) * col("tf") * col("totdl") *
+            (lit(2L) * col("n_docs") - lit(2L) * col("df_") + lit(1L)))
+            .as("score_num"),
+          ((lit(2L) * col("df_") + lit(1L)) *
+            (lit(20L) * col("totdl") * col("tf") + lit(6L) * col("totdl") +
+              lit(18L) * col("dl") * col("n_docs"))).as("score_den"))
+      graft.operators.Relational.topKPerGroup(
+          scored.withColumn("ratio",
+            col("score_num").cast("double") / col("score_den").cast("double")),
+          Seq(col("doc_id")), Seq(col("ratio").desc, col("word")), 3)
+        .select(col("doc_id"), col("word"),
+          col("score_num"), col("score_den"), col("rn"))
+    },
+
     // Weight-proportional SYSTEMATIC sampling (~200 docs, inclusion
     // probability ∝ n_chars): walk the corpus in deterministic hash
     // order, keep every doc whose cumulative weight straddles a stride
@@ -620,6 +658,31 @@ object TextQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "q88_bm25_topterms" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM toks GROUP BY 1),
+         |dfx AS (SELECT word, CAST(count(*) AS BIGINT) AS df_
+         |        FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(dl) AS BIGINT) AS totdl FROM dl),
+         |scored AS (SELECT doc_id, word,
+         |    CAST(44 * tf * totdl * (2 * n_docs - 2 * df_ + 1) AS BIGINT)
+         |      AS score_num,
+         |    CAST((2 * df_ + 1) * (20 * totdl * tf + 6 * totdl
+         |      + 18 * dl * n_docs) AS BIGINT) AS score_den
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (word)
+         |       CROSS JOIN tot)
+         |SELECT doc_id, word, score_num, score_den, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE)
+         |             DESC, word) AS BIGINT) AS rn FROM scored)
+         |WHERE rn <= 3""".stripMargin,
 
     "q86_weighted_sample" ->
       s"""WITH c AS (SELECT doc_id, n_chars,

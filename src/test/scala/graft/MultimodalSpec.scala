@@ -125,4 +125,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(v(21L)(0) == 1.0f && v(21L).drop(1).forall(_ == 0f))
     assert(v(22L).forall(_ == 0f))
   }
+
+  test("imageResize REALLY rescales pixels: output re-decodes at target dims") {
+    val real = Seq(
+      Media(30L, "image", pngBytes(32, 16, 0x4080c0)), // downscale 2:1
+      Media(31L, "image", pngBytes(5, 3, 0xffffff)),   // already small: kept
+      Media(32L, "image", Array[Byte](9, 9, 9))        // garbage → ok=false
+    ).toDS()
+    val got = Multimodal.imageResize(real, maxSide = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(got(30L).ok && got(30L).out_width == 16 && got(30L).out_height == 8)
+    assert(got(31L).ok && got(31L).out_width == 5 && got(31L).out_height == 3)
+    assert(!got(32L).ok && got(32L).content.isEmpty)
+    // the bytes are a REAL re-encoded image, not pass-through metadata:
+    // decoding them yields the target dimensions and the same color
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(30L).content))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    assert((back.getRGB(8, 4) & 0xffffff) == 0x4080c0) // solid fill survives
+  }
 }
