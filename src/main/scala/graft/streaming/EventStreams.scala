@@ -94,6 +94,51 @@ object EventStreams {
                    event_type: String, value: Double, props: String)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  case class FunnelState(user_id: Long, view_us: Option[Long],
+                         click_us: Option[Long], purchase_us: Option[Long])
+
+  /** Streaming twin of the q85 staged funnel: per-user keyed state
+    * tracks the first view, the first click AT OR AFTER that view, and
+    * the first purchase at or after that click, advancing as events
+    * arrive. Events may arrive out of order WITHIN a batch (sorted
+    * here) but a cross-batch regression (an earlier view arriving
+    * after a click was accepted) is resolved exactly like the batch
+    * query only when stages re-qualify — the spec feeds in-order
+    * batches, matching the watermark contract of the other streams.
+    * Emits the updated per-user funnel row each batch (Update mode). */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(uid, None, None, None))
+          val usOf = (e: Event) => e.ts.getTime * 1000L +
+            (e.ts.getNanos / 1000L) % 1000L // epoch micros, like unix_micros
+          rows.toSeq.sortBy(e => (usOf(e), e.event_id)).foreach { e =>
+            val us = usOf(e)
+            e.event_type match {
+              case "view" if st.view_us.forall(us < _) =>
+                // an EARLIER first view resets the downstream stages
+                // that no longer qualify — recomputed on later events
+                val keptClick = st.click_us.filter(_ >= us)
+                st = FunnelState(uid, Some(us), keptClick,
+                  st.purchase_us.filter(p => keptClick.exists(_ <= p)))
+              case "click" if st.view_us.exists(_ <= us) &&
+                  st.click_us.forall(us < _) =>
+                st = st.copy(click_us = Some(us),
+                  purchase_us = st.purchase_us.filter(_ >= us))
+              case "purchase" if st.click_us.exists(_ <= us) &&
+                  st.purchase_us.forall(us < _) =>
+                st = st.copy(purchase_us = Some(us))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState (the reference-shaped "custom state" hook —
     * SURVEY.md §2.10). Emits an updated total per key per batch. */

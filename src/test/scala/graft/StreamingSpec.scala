@@ -71,6 +71,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelStages advances the staged funnel across batches like batch q85") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.funnelStages(ms.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 7 views then clicks; a click BEFORE the first
+      // view (user 8) must not open the click stage
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 7, "view"),
+        ev(2, "2024-01-01 10:05:00", 7, "click"),
+        ev(3, "2024-01-01 09:00:00", 8, "click"),
+        ev(4, "2024-01-01 09:30:00", 8, "view"))
+      q.processAllAvailable()
+      // batch 2: user 7 purchases; user 8's purchase without a
+      // qualifying click stays closed
+      ms.addData(
+        ev(5, "2024-01-01 10:10:00", 7, "purchase"),
+        ev(6, "2024-01-01 09:40:00", 8, "purchase"))
+      q.processAllAvailable()
+      val last = spark.table("funnel").as[EventStreams.FunnelState]
+        .collect().groupBy(_.user_id).view
+        .mapValues(_.maxBy(s => (s.view_us, s.click_us, s.purchase_us))).toMap
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(last(7L) == EventStreams.FunnelState(7L,
+        Some(us("2024-01-01 10:00:00")), Some(us("2024-01-01 10:05:00")),
+        Some(us("2024-01-01 10:10:00"))))
+      assert(last(8L) == EventStreams.FunnelState(8L,
+        Some(us("2024-01-01 09:30:00")), None, None))
+      // and the final state matches the oracle-checked batch twin (q85)
+      // on the same six events
+      val batch = Seq(
+        ev(1, "2024-01-01 10:00:00", 7, "view"),
+        ev(2, "2024-01-01 10:05:00", 7, "click"),
+        ev(3, "2024-01-01 09:00:00", 8, "click"),
+        ev(4, "2024-01-01 09:30:00", 8, "view"),
+        ev(5, "2024-01-01 10:10:00", 7, "purchase"),
+        ev(6, "2024-01-01 09:40:00", 8, "purchase")).toDS()
+      val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+      // match the fixture layout Tables.events expects: ts as raw nanos
+      batch.withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val twin = SparkEntry.queries("q85_funnel_stages")(spark, dir)
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+      assert(twin(7L) == ((7L, last(7L).view_us, last(7L).click_us,
+        last(7L).purchase_us)))
+      assert(twin(8L) == ((8L, last(8L).view_us, None, None)))
+    } finally q.stop()
+  }
+
   test("slidingCounts places an event in every overlapping window") {
     val batch = Seq(ev(1, "2024-01-01 10:07:00", 1)).toDF()
     val wins = EventStreams.slidingCounts(batch)
