@@ -170,6 +170,37 @@ object EventQueries {
       v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
     },
 
+    // First-order journey model: per-user event-type transition counts
+    // (lag over the user's exact timeline; '_start' marks session-less
+    // entry). The Markov-chain input every product-analytics stack
+    // derives — one window + one groupBy, integer-exact.
+    "q90_transition_matrix" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("prev",
+          coalesce(lag(col("event_type"), 1).over(byUser), lit("_start")))
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Retention cohorts: users grouped by first-active day, counted by
+    // distinct active-day offset — the classic triangle table. All
+    // date arithmetic in integer epoch days.
+    "q91_retention_cohorts" -> { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
     // Approximate sketches (HLL++): rows-only check — sketch internals
     // are engine-specific, so no cross-engine oracle; the spec-level
     // guarantee (estimate within rsd of exact) is asserted instead.
@@ -231,6 +262,26 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    "q90_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |l AS (SELECT event_type AS next,
+        |        coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id), '_start') AS prev
+        |      FROM e)
+        |SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
+    "q91_retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q85_funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
