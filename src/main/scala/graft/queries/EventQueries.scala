@@ -201,6 +201,27 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     },
 
+    // IQR outlier curation — the numeric analogue of the q74 quality-
+    // quartile text filter: per-type Tukey fences (q1/q3 exact
+    // percentiles, 1.5·IQR) broadcast back over the events, tallying
+    // the rows outside. The fences ride along in the output so a wrong
+    // bound hash-mismatches, not just a wrong count. Float parity:
+    // identical expression tree on both engines (the q45 percentile
+    // precedent), no reordering.
+    "q92_outlier_bounds" -> { (s, d) =>
+      val fences = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .select(col("event_type"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      Tables.events(s, d).join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("value") < col("lo") || col("value") > col("hi"),
+            lit(1))).as("n_outliers"))
+    },
+
     // Approximate sketches (HLL++): rows-only check — sketch internals
     // are engine-specific, so no cross-engine oracle; the spec-level
     // guarantee (estimate within rsd of exact) is asserted instead.
@@ -262,6 +283,20 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    "q92_outlier_bounds" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |             q3 + (q3 - q1) * 1.5 AS hi FROM q)
+        |SELECT e.event_type, b.lo, b.hi,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q90_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
