@@ -50,6 +50,42 @@ object ScaleProbe {
       time(Similarity.cosinePairsIvf(emb, "vec_id", "embedding", 0.4).count())
     }
 
+    // --- graph family (triangles / PageRank): runs on the fixtures
+    // alone. The 10x corpus is 10 DISJOINT id-offset copies of the real
+    // sf0.1 k-NN spine — degree structure (and so wedge fan-out) is
+    // preserved exactly, triangles scale exactly 10x, so the honest
+    // work ratio for these keyed-dataflow ops is ~10x wall or less
+    // (fixed per-round scheduling amortizes over more data).
+    {
+      import graft.operators.Graph
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val m = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val pairs = m.select(col("l_orderkey"), col("l_suppkey").as("s"))
+        .join(m.select(col("l_orderkey"), col("l_suppkey").as("nbr")),
+          Seq("l_orderkey"))
+        .filter(col("s") =!= col("nbr"))
+        .groupBy(col("s"), col("nbr")).agg(count(lit(1)).as("w"))
+      val byStrength = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("w").desc, col("nbr"))
+      val spine = pairs.withColumn("rn", row_number().over(byStrength))
+        .filter(col("rn") <= 3)
+        .select(least(col("s"), col("nbr")).as("a"),
+          greatest(col("s"), col("nbr")).as("b")).distinct()
+        .localCheckpoint()
+      val spine10 = (0L until 10L).map { k =>
+        spine.select((col("a") + k * 10000000L).as("a"),
+          (col("b") + k * 10000000L).as("b"))
+      }.reduce(_ union _).localCheckpoint()
+      def tri(e: DataFrame) = time(Graph.triangleCounts(e).count())
+      def pr(e: DataFrame) =
+        time(Graph.pageRankInt(e).agg(sum(col("rank_scaled"))).count())
+      tri(spine); pr(spine) // codegen warmup, same methodology as below
+      val (tb, _) = tri(spine); val (tB, nT) = tri(spine10)
+      val (pb, _) = pr(spine); val (pB, _) = pr(spine10)
+      println(f"[probe] triangles:   $tb%.1fs -> $tB%.1fs (${tB / tb}%.1fx, $nT verts, edges 10x)")
+      println(f"[probe] pagerank:    $pb%.1fs -> $pB%.1fs (${pB / pb}%.1fx, edges 10x)")
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }
