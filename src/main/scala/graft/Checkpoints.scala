@@ -52,8 +52,18 @@ object Checkpoints {
     * explicitly (e.g. the GraphQueries co-ship spine). */
   def checkpointPinned(df: DataFrame): DataFrame = doCheckpoint(df, pin = true)
 
-  private def doCheckpoint(df: DataFrame, pin: Boolean): DataFrame = {
-    if (disabled) df
+  /** Like [[checkpoint]] but applied EVEN in no-checkpoint audit mode —
+    * for a loop's INPUT relation when that input is itself an expensive
+    * audited-elsewhere subtree (e.g. the ER pair list feeding star
+    * contraction: the pair plan is audited via q25 and the loop via
+    * q78/q34, while an un-truncated loop would replicate the pair
+    * subtree ~4^rounds times and make planning alone intractable). */
+  def checkpointAlways(df: DataFrame): DataFrame =
+    doCheckpoint(df, pin = false, force = true)
+
+  private def doCheckpoint(df: DataFrame, pin: Boolean,
+                           force: Boolean = false): DataFrame = {
+    if (disabled && !force) df
     else {
       val cp = df.localCheckpoint()
       PlanBridge.checkpointRdd(cp).foreach { r =>

@@ -279,8 +279,12 @@ object Dedup {
   def resolveEntities(df: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double = 0.8,
                       starComponents: Boolean = false): DataFrame = {
-    val verified = ngramJaccardPairs(df, idCol, textCol, 3, minJaccard)
-      .select(col("id_a"), col("id_b"))
+    // pinned EVEN in no-checkpoint audit mode (Checkpoints scaladoc):
+    // the component loop's guards would otherwise re-plan and re-run
+    // the whole PPJoin subtree ~4^rounds times
+    val verified = graft.Checkpoints.checkpointAlways(
+      ngramJaccardPairs(df, idCol, textCol, 3, minJaccard)
+        .select(col("id_a"), col("id_b")))
     val comps =
       if (starComponents) Graph.connectedComponentsStar(verified, "id_a", "id_b")
       else Graph.connectedComponents(verified, "id_a", "id_b")

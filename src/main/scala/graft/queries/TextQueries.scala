@@ -270,6 +270,21 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"), col("cum"))
     },
 
+    // Entity resolution END-TO-END under the hash gate: near-dup pair
+    // generation (PPJoin, q25 semantics at jaccard >= 0.8) → O(log n)
+    // star-contraction components → canonical assignment + group size.
+    // Every doc appears (singletons are their own canonical). Oracle =
+    // naive pair SQL + recursive-CTE components — the whole
+    // resolveEntities dataflow must agree, not just the pair list.
+    "q93_entity_resolution" -> { (s, d) =>
+      val assign = Dedup.resolveEntities(Tables.documents(s, d),
+        "doc_id", "text", minJaccard = 0.8, starComponents = true)
+      val sizes = assign.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"))
+      assign.join(sizes, "canonical_id")
+        .select(col("doc_id"), col("canonical_id"), col("n_members"))
+    },
+
     "q22_lang_id" -> { (s, d) =>
       val w = TextFns.words(TextFns.norm(col("text")))
       Tables.documents(s, d)
@@ -658,6 +673,32 @@ object TextQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "q93_entity_resolution" ->
+      s"""WITH RECURSIVE $shSql,
+         |cnt AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ed AS (SELECT co.id_a AS a, co.id_b AS b
+         |       FROM co JOIN cnt ca ON co.id_a = ca.doc_id
+         |               JOIN cnt cb ON co.id_b = cb.doc_id
+         |       WHERE round(CAST(co.co AS DOUBLE)
+         |         / (ca.sz + cb.sz - co.co), 4) >= 0.8),
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION SELECT b AS s, a AS d FROM ed),
+         |verts AS (SELECT DISTINCT s AS v FROM adj),
+         |reach(v, u) AS (SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s),
+         |comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v),
+         |assign AS (SELECT d.doc_id,
+         |    CAST(coalesce(comp.c, d.doc_id) AS BIGINT) AS canonical_id
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.v),
+         |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT)
+         |            AS n_members FROM assign GROUP BY 1)
+         |SELECT a.doc_id, a.canonical_id, s.n_members
+         |FROM assign a JOIN sizes s ON a.canonical_id = s.canonical_id""".stripMargin,
 
     "q88_bm25_topterms" ->
       s"""WITH toks AS (SELECT doc_id,
