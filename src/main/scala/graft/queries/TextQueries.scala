@@ -270,6 +270,33 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"), col("cum"))
     },
 
+    // Chunk-grain (boilerplate) dedup — sub-document duplication that
+    // document-level dedup can't see: every q75-geometry chunk
+    // (50 tokens, stride 40) is fingerprinted with the portable
+    // polynomial hash and chunks whose fingerprint repeats anywhere in
+    // the corpus come back flagged with their copy count. The
+    // suffix-array substring-dedup capability at chunk resolution,
+    // as one fingerprint groupBy.
+    "q94_chunk_dedup" -> { (s, d) =>
+      val words = TextFns.words(TextFns.norm(col("text")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"),
+          size(words).cast("long").as("n_words"))
+        .filter(col("n_words") > 0)
+      val chunks = docs.select(col("doc_id"),
+          explode(sequence(lit(0L),
+            greatest(col("n_words") - 11, lit(0L)), lit(40L))).as("start_tok"),
+          col("w"))
+        .select(col("doc_id"), col("start_tok"),
+          TextFns.polyHash(array_join(
+            slice(col("w"), (col("start_tok") + 1).cast("int"), lit(50)), " "))
+            .as("fp"))
+      val dup = chunks.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+      chunks.join(dup, "fp")
+        .select(col("doc_id"), col("start_tok"), col("fp"), col("n_copies"))
+    },
+
     // Entity resolution END-TO-END under the hash gate: near-dup pair
     // generation (PPJoin, q25 semantics at jaccard >= 0.8) → O(log n)
     // star-contraction components → canonical assignment + group size.
@@ -673,6 +700,20 @@ object TextQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "q94_chunk_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |d AS (SELECT doc_id, ws, len(ws) AS nw FROM w WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, CAST(t.s AS BIGINT) AS start_tok,
+         |        array_to_string(ws[t.s + 1 : t.s + 50], ' ') AS chunk
+         |      FROM d, unnest(generate_series(0, greatest(nw - 11, 0), 40))
+         |             AS t(s)),
+         |f AS (SELECT doc_id, start_tok, ${wordHashSql("chunk")} AS fp FROM c),
+         |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM f
+         |      GROUP BY 1 HAVING count(*) > 1)
+         |SELECT f.doc_id, f.start_tok, f.fp, g.n_copies
+         |FROM f JOIN g USING (fp)""".stripMargin,
 
     "q93_entity_resolution" ->
       s"""WITH RECURSIVE $shSql,
