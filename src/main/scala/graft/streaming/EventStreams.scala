@@ -97,6 +97,37 @@ object EventStreams {
   case class FunnelState(user_id: Long, view_us: Option[Long],
                          click_us: Option[Long], purchase_us: Option[Long])
 
+  /** Epoch micros of an event's timestamp, matching `unix_micros`. */
+  private def eventMicros(e: Event): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+
+  case class LastType(user_id: Long, last_type: String)
+  case class Transition(user_id: Long, prev: String, next: String)
+
+  /** Streaming twin of the q90 journey model: per-user keyed state
+    * holds only the LAST event type; each arriving event emits one
+    * (prev, next) transition ('_start' before the first). Transitions
+    * are append-only facts — a downstream stateless groupBy count (or
+    * foreachBatch upsert) maintains the live matrix. Same in-batch
+    * sort / cross-batch in-order contract as [[funnelStages]]. */
+  def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[LastType]) =>
+          var last = state.getOption.map(_.last_type).getOrElse("_start")
+          val out = rows.toSeq.sortBy(e => (eventMicros(e), e.event_id))
+            .map { e =>
+              val t = Transition(uid, last, e.event_type)
+              last = e.event_type
+              t
+            }
+          state.update(LastType(uid, last))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the q85 staged funnel: per-user keyed state
     * tracks the first view, the first click AT OR AFTER that view, and
     * the first purchase at or after that click, advancing as events
@@ -113,10 +144,8 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(uid, None, None, None))
-          val usOf = (e: Event) => e.ts.getTime * 1000L +
-            (e.ts.getNanos / 1000L) % 1000L // epoch micros, like unix_micros
-          rows.toSeq.sortBy(e => (usOf(e), e.event_id)).foreach { e =>
-            val us = usOf(e)
+          rows.toSeq.sortBy(e => (eventMicros(e), e.event_id)).foreach { e =>
+            val us = eventMicros(e)
             e.event_type match {
               case "view" if st.view_us.forall(us < _) =>
                 // an EARLIER first view resets the downstream stages

@@ -123,6 +123,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitionStream accumulates the batch q90 transition matrix") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.transitionStream(ms.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq(ev(1, "2024-01-01 10:00:00", 7, "view"),
+        ev(2, "2024-01-01 10:05:00", 7, "click"),
+        ev(3, "2024-01-01 10:01:00", 8, "view"))
+      val b2 = Seq(ev(4, "2024-01-01 10:10:00", 7, "purchase"),
+        ev(5, "2024-01-01 10:11:00", 8, "view"),
+        ev(6, "2024-01-01 10:12:00", 8, "error"))
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("transitions")
+        .groupBy(col("prev"), col("next")).count()
+        .as[(String, String, Long)].collect().toSet
+      // cross-batch state carried: 7's click->purchase and 8's
+      // view->view span the batch boundary
+      assert(streamed == Set(
+        ("_start", "view", 2L), ("view", "click", 1L),
+        ("click", "purchase", 1L), ("view", "view", 1L),
+        ("view", "error", 1L)))
+      // and the aggregate equals the oracle-checked batch twin q90 on
+      // the same events (same fixture layout as the funnel test)
+      val dir = java.nio.file.Files.createTempDirectory("trans").toString
+      (b1 ++ b2).toDS().withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val twin = SparkEntry.queries("q90_transition_matrix")(spark, dir)
+        .as[(String, String, Long)].collect().toSet
+      assert(twin == streamed)
+    } finally q.stop()
+  }
+
   test("slidingCounts places an event in every overlapping window") {
     val batch = Seq(ev(1, "2024-01-01 10:07:00", 1)).toDF()
     val wins = EventStreams.slidingCounts(batch)
