@@ -39,6 +39,20 @@ class JdbcIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(parted.as[(Long, Long, Int)].collect().toSet == rows.toSet)
   }
 
+  test("writeJdbc lands and appends through the engine's own sink") {
+    val rows = Seq((10L, 20L, 2010), (10L, 30L, 2011))
+    Ingest.writeJdbc(rows.toDF("author1", "author2", "yr"),
+      url, "an_sink", props, numConnections = 2, batchSize = 2)
+    val back = Ingest.jdbc(spark, url, "an_sink", props)
+    assert(back.as[(Long, Long, Int)].collect().toSet == rows.toSet)
+
+    val more = Seq((20L, 30L, 2012))
+    Ingest.writeJdbc(more.toDF("author1", "author2", "yr"),
+      url, "an_sink", props, append = true)
+    val all = Ingest.jdbc(spark, url, "an_sink", props)
+    assert(all.as[(Long, Long, Int)].collect().toSet == (rows ++ more).toSet)
+  }
+
   test("partial partition spec is rejected") {
     intercept[IllegalArgumentException] {
       Ingest.jdbc(spark, url, "author_network", props,
