@@ -267,6 +267,37 @@ object GraphQueries {
           expr("deg * (deg - 1) div 2").as("n_wedges"))
     },
 
+    // Degree structure of the k-NN spine in one pass: the degree
+    // histogram plus the exact integer MOMENTS of degree–degree
+    // assortativity (per directed edge x=deg(src), y=deg(dst):
+    // Σxy, Σx, Σx², m) — Pearson r is a pure derivation from these,
+    // so the oracle checks the full computation with zero float risk
+    // (the q66/q84 ratio discipline applied to a network-science
+    // metric).
+    "q96_degree_structure" -> { (s, d) =>
+      val ed = knnEdges(s, d)
+      val adj = ed.select(col("a").as("s"), col("b").as("t"))
+        .unionByName(ed.select(col("b").as("s"), col("a").as("t")))
+      val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+      val moments = adj
+        .join(deg.select(col("s"), col("deg").as("dx")), "s")
+        .join(deg.select(col("s").as("t"), col("deg").as("dy")), "t")
+        .agg(sum(col("dx") * col("dy")).as("sum_xy"),
+          sum(col("dx")).as("sum_x"),
+          sum(col("dx") * col("dx")).as("sum_x2"),
+          count(lit(1)).as("m"))
+      // one relation: histogram rows + a single moments row (deg null)
+      hist.select(col("deg"), col("n_vertices"),
+          lit(null).cast("long").as("sum_xy"),
+          lit(null).cast("long").as("sum_x"),
+          lit(null).cast("long").as("sum_x2"),
+          lit(null).cast("long").as("m"))
+        .unionByName(moments.select(lit(null).cast("long").as("deg"),
+          lit(null).cast("long").as("n_vertices"),
+          col("sum_xy"), col("sum_x"), col("sum_x2"), col("m")))
+    },
+
     // Integer PageRank (3 rounds, damping 85/100, scale 1e12) on the
     // k-NN spine — an ITERATIVE centrality under a full cross-engine
     // oracle, possible only because every step is int64 floor
@@ -532,6 +563,29 @@ object GraphQueries {
          |       UNION ALL SELECT z FROM tri)
          |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM tv GROUP BY v""".stripMargin,
+
+    "q96_degree_structure" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |adj AS (SELECT a AS s, b AS t FROM ed
+         |        UNION ALL SELECT b AS s, a AS t FROM ed),
+         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+         |        FROM adj GROUP BY s),
+         |hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+         |         FROM deg GROUP BY deg),
+         |mom AS (SELECT CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+         |          CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+         |          CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+         |          CAST(count(*) AS BIGINT) AS m
+         |        FROM adj JOIN deg dx ON adj.s = dx.s
+         |                 JOIN deg dy ON adj.t = dy.s)
+         |SELECT deg, n_vertices, CAST(NULL AS BIGINT) AS sum_xy,
+         |  CAST(NULL AS BIGINT) AS sum_x, CAST(NULL AS BIGINT) AS sum_x2,
+         |  CAST(NULL AS BIGINT) AS m
+         |FROM hist
+         |UNION ALL
+         |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  sum_xy, sum_x, sum_x2, m FROM mom""".stripMargin,
 
     "q89_clustering_coeff" ->
       s"""WITH $coShipSql,

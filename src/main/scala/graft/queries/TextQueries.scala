@@ -270,6 +270,26 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"), col("cum"))
     },
 
+    // Cross-source contamination matrix — q65 generalized from
+    // "corpus vs one eval set" to every source pair: how many distinct
+    // 5-gram shingles each pair of sources shares. The corpus
+    // diagnostic that tells you WHICH feeds copy from each other
+    // before any of them is trusted as held-out. Distinct grain per
+    // (source, shingle) keeps the join skew-free; output is the upper
+    // triangle.
+    "q95_source_overlap" -> { (s, d) =>
+      val srcSh = Dedup.docShingles(
+          Tables.documents(s, d), "doc_id", "text", 5)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("sh")).distinct()
+      srcSh.select(col("source").as("src_a"), col("sh"))
+        .join(srcSh.select(col("source").as("src_b"), col("sh")), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+    },
+
     // Chunk-grain (boilerplate) dedup — sub-document duplication that
     // document-level dedup can't see: every q75-geometry chunk
     // (50 tokens, stride 40) is fingerprinted with the portable
@@ -700,6 +720,20 @@ object TextQueries {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "q95_source_overlap" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS words
+         |           FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS s
+         |        FROM (SELECT doc_id, words,
+         |                unnest(generate_series(1, len(words)-4)) AS i
+         |              FROM w WHERE len(words) >= 5)),
+         |ss AS (SELECT DISTINCT d.source, sh5.s
+         |       FROM sh5 JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_shingles
+         |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     "q94_chunk_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws

@@ -20,5 +20,15 @@ object SqlSurface {
     spark.udf.register("hindex", udaf(HIndexAgg))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "scala_udf")
+    // the engine's portable deterministic hashes, reachable from SQL:
+    // poly_hash(str) — the codegen polynomial kernel (q23/q94 family,
+    // defaults 31 / 1e9+7); lcg_hash(key) — the cross-engine LCG key
+    // scramble (q67/q69/q73 family). Both reproducible in any engine.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash",
+      exprs => graft.functions.PolyHash(exprs(0), 31L, 1000000007L),
+      "scala_udf")
+    spark.udf.register("lcg_hash",
+      (k: Long) => java.lang.Math.floorMod(k * 1103515245L, 2147483647L))
   }
 }

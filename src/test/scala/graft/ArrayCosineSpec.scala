@@ -49,4 +49,15 @@ class ArrayCosineSpec extends AnyFunSuite with SparkTestBase {
       .as[Double].head()
     assert(c == 1.0)
   }
+
+  test("SQL surface exposes the portable hashes (poly_hash, lcg_hash)") {
+    SqlSurface.register(spark, "/root/testdata/sf0.001")
+    // poly_hash('ab') = (0*31 + 97)*31 + 98 mod 1e9+7 = 3105
+    assert(spark.sql("SELECT poly_hash('ab')").as[Long].head() == 3105L)
+    // lcg_hash must equal the query surface's lcgHash column form
+    val fromSql = spark.sql("SELECT lcg_hash(42)").as[Long].head()
+    val fromCol = Seq(42L).toDF("k")
+      .select(graft.queries.lcgHash(col("k"))).as[Long].head()
+    assert(fromSql == fromCol)
+  }
 }
