@@ -256,6 +256,29 @@ object Graph {
       .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
 
+  /** Per-edge triangle support — how many triangles each undirected
+    * edge participates in (the k-truss building block: a k-truss keeps
+    * edges with support ≥ k−2; community cores survive, bridges fall
+    * away). One [[triangles]] pass + an explode of each triangle's
+    * three edges + a zero-filled join back to the edge set — exact
+    * integers, no iteration. */
+  def triangleSupport(edges: DataFrame, a: String = "a",
+                      b: String = "b"): DataFrame = {
+    val und = edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
+    val sup = triangles(edges, a, b)
+      .select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("y").as("u"), col("z").as("v")),
+        struct(col("x").as("u"), col("z").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    und.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Common-neighbor link prediction — rank NON-edges by shared
     * neighborhood (the classic social-network "people you may know"
     * primitive; Liben-Nowell & Kleinberg'03). For every vertex pair

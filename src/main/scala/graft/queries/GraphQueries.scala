@@ -267,6 +267,14 @@ object GraphQueries {
           expr("deg * (deg - 1) div 2").as("n_wedges"))
     },
 
+    // Per-edge triangle support on the k-NN spine — the k-truss
+    // building block (edges with support >= k-2 form the k-truss);
+    // zero-filled so bridge edges are visible, exact integers.
+    "q97_edge_support" -> { (s, d) =>
+      Graph.triangleSupport(knnEdges(s, d))
+        .select(col("u").as("s1"), col("v").as("s2"), col("support"))
+    },
+
     // Degree structure of the k-NN spine in one pass: the degree
     // histogram plus the exact integer MOMENTS of degree–degree
     // assortativity (per directed edge x=deg(src), y=deg(dst):
@@ -563,6 +571,21 @@ object GraphQueries {
          |       UNION ALL SELECT z FROM tri)
          |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM tv GROUP BY v""".stripMargin,
+
+    "q97_edge_support" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |                   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |te AS (SELECT x AS u, y AS v FROM tri
+         |       UNION ALL SELECT y, z FROM tri
+         |       UNION ALL SELECT x, z FROM tri),
+         |sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support
+         |        FROM te GROUP BY 1, 2)
+         |SELECT ed.a AS s1, ed.b AS s2,
+         |  coalesce(sup.support, 0) AS support
+         |FROM ed LEFT JOIN sup ON ed.a = sup.u AND ed.b = sup.v""".stripMargin,
 
     "q96_degree_structure" ->
       s"""WITH $coShipSql,

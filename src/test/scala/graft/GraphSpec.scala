@@ -137,6 +137,24 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("triangleSupport counts per-edge triangles, zero-filling bridges") {
+    // K4 (every edge in 2 triangles) + pendant 3-9 (support 0)
+    val k4 = for { u <- 0L to 3L; v <- (u + 1) to 3L } yield (u, v)
+    val got = Graph.triangleSupport((k4 :+ ((3L, 9L))).toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (k4.map { case (u, v) => (u, v, 2L) }.toSet + ((3L, 9L, 0L))))
+    // and against brute force on a random graph
+    val es = randomEdges(29, 18, 0.25)
+    val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val brute = es.map { case (u, v) =>
+      (u, v, (adj(u) & adj(v)).size.toLong)
+    }.toSet
+    val got2 = Graph.triangleSupport(es.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == brute)
+  }
+
   test("commonNeighbors matches brute force and excludes existing edges") {
     for (seed <- Seq(5, 23)) {
       val es = randomEdges(seed, 20, 0.2)
