@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Send forked `run` output STRAIGHT to stdout instead of through the
+// sbt logger: the logger prefixes every line with "[info] ", which
+// breaks any line-oriented JSON consumer of the bench/verify output
+// (a prefixed line never json-parses; see Bench.scala's BENCH_JSON
+// sentinel).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

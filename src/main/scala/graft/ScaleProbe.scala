@@ -86,6 +86,30 @@ object ScaleProbe {
       println(f"[probe] pagerank:    $pb%.1fs -> $pB%.1fs (${pB / pb}%.1fx, edges 10x)")
     }
 
+    // --- entity resolution end-to-end (q93's resolveEntities with the
+    // O(log n) star-contraction path): fixtures-only like the graph
+    // family. The 10x corpus is 10 id-offset copies with a per-copy
+    // word suffix ("w" -> "w_k"): within-copy shingle structure — and
+    // so near-dup density and component shapes — is preserved exactly,
+    // while cross-copy Jaccard drops to 0 (no fake 10-way duplicate
+    // groups from identical text). Honest growth for the PPJoin
+    // blocking + keyed CC pipeline is therefore ~linear.
+    {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val docs10 = (0L until 10L).map { k =>
+        docs.select((col("doc_id") + k * 100000000L).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k")))).as("text"))
+      }.reduce(_ union _).localCheckpoint()
+      def er(d: DataFrame) = time(
+        Dedup.resolveEntities(d, "doc_id", "text", 0.8,
+          starComponents = true).count())
+      er(docs); er(docs10) // codegen warmup at both sizes (see below)
+      val (eb, _) = er(docs); val (eB, nE) = er(docs10)
+      println(f"[probe] entity-res:  $eb%.1fs -> $eB%.1fs (${eB / eb}%.1fx, $nE docs grouped, data 10x)")
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }

@@ -368,6 +368,118 @@ object Graph {
     r.select(col("vx").as("v"), col("r").as("rank_scaled"))
   }
 
+  /** DIRECTED integer PageRank with explicit dangling-mass
+    * redistribution — the citation-graph centrality [[pageRankInt]]
+    * cannot express (it symmetrizes; the reference's
+    * `PaperReferences(citing, cited)` is directed — `models.scala:28`,
+    * with directional per-year citation counting
+    * `DynamicNet.scala:256-263`).
+    *
+    * Same int64 floor discipline as [[pageRankInt]] so the rounds
+    * unroll as exact cross-engine oracle CTEs:
+    *   tele      = (15 · (scale div n)) div 100
+    *   dsh_k     = (Σ r_{k−1} over dangling vertices) div n
+    *   share(s)  = r_{k−1}(s) div outdeg(s)
+    *   r_k(v)    = tele + (85 · (Σ_{s→v} share(s) + dsh_k)) div 100
+    * Dangling vertices (no out-edges — citation sinks, the oldest
+    * papers) surrender their whole mass to the uniform pool instead of
+    * silently leaking it; every vertex, sinks included, receives
+    * tele + the dangling share. Total mass is conserved modulo the
+    * documented floor leakage (each div discards < 1 unit per vertex
+    * per round — GraphSpec asserts the bound).
+    *
+    * Scale shape: per iteration one left join (rank → out-degree), a
+    * scalar aggregate for the dangling mass (1 row, broadcast cross
+    * join — never a driver collect), one join + groupBy for the
+    * in-shares, one left join for the recombination — all keyed by
+    * vertex. Rounds checkpoint with eager release like every loop
+    * here; the vertex count is the one bounded driver scalar. */
+  def pageRankDirectedInt(edges: DataFrame, src: String = "src",
+                          dst: String = "dst", iters: Int = 3,
+                          scale: Long = 1000000000000L): DataFrame = {
+    val e = Checkpoints.checkpoint(
+      edges.select(col(src).as("s"), col(dst).as("d"))
+        .filter(col("s").isNotNull && col("d").isNotNull &&
+          col("s") =!= col("d")).distinct())
+    val verts = e.select(col("s").as("vx"))
+      .union(e.select(col("d").as("vx"))).distinct()
+    val od = e.groupBy(col("s")).agg(count(lit(1)).as("odg"))
+    val n = verts.count() // bounded driver scalar: prices the teleport
+    val tele = (15L * (scale / n)) / 100L
+    var r = Checkpoints.checkpoint(verts.withColumn("r", lit(scale / n)))
+    var i = 0
+    while (i < iters) {
+      val withOd = r.join(od, r("vx") === od("s"), "left")
+      val dang = withOd.filter(col("odg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .select(expr(s"dm div $n").as("dsh"))
+      val shares = withOd.filter(col("odg").isNotNull)
+        .select(col("vx").as("sv"), expr("r div odg").as("share"))
+      val contrib = e.join(shares, e("s") === col("sv"))
+        .groupBy(e("d").as("cv")).agg(sum(col("share")).as("m"))
+      val nxt = Checkpoints.checkpoint(
+        verts.join(contrib, verts("vx") === col("cv"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("vx"),
+            (lit(tele) +
+              expr("(85 * (coalesce(m, 0) + dsh)) div 100")).as("r")))
+      Checkpoints.release(r)
+      r = nxt
+      i += 1
+    }
+    Checkpoints.release(e)
+    r.select(col("vx").as("v"), col("r").as("rank_scaled"))
+  }
+
+  /** k-truss decomposition by iterative peel over [[triangleSupport]]:
+    * drop every edge with support < k−2, recompute support on the
+    * surviving subgraph, repeat to fixpoint. The k-truss is the
+    * maximal subgraph where every edge closes ≥ k−2 triangles — the
+    * community-core extraction behind the reference's rendered
+    * coauthor nets (`StaticNet.scala:451`, `jsNets.scala`): cores
+    * survive the peel, bridges and pendant structure fall away.
+    *
+    * Integer state throughout (edge list + int64 supports), so the
+    * peel unrolls as exact oracle CTEs: fixture graphs reach fixpoint
+    * in a handful of rounds (GraphSpec asserts convergence within the
+    * oracle's unroll depth; the spec also checks ≡ brute-force peel on
+    * random graphs).
+    *
+    * Scale shape: each round is one [[triangles]] pass (degree-ordered
+    * orientation, O(Σ d_out²) wedges with the O(√m) celebrity bound) +
+    * one keyed groupBy + one keyed join — never all-pairs; rounds are
+    * localCheckpointed with eager release ([[graft.Checkpoints]]), the
+    * same loop discipline as [[connectedComponentsStar]]. The per-round
+    * edge count (the fixpoint guard) is the only driver scalar. Round
+    * count is O(peel depth), small on real graphs; each round only
+    * shrinks the edge set, so per-round cost is non-increasing. */
+  def kTruss(edges: DataFrame, k: Int, a: String = "a",
+             b: String = "b"): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var cur = Checkpoints.checkpoint(
+      edges.select(least(col(a), col(b)).as("u"),
+          greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
+    var m = cur.count()
+    var done = m == 0L
+    while (!done) {
+      val nxt = Checkpoints.checkpoint(
+        triangleSupport(cur, "u", "v")
+          .filter(col("support") >= k - 2).select(col("u"), col("v")))
+      val m2 = nxt.count()
+      if (m2 == m) { // fixpoint: nxt ≡ cur, drop the new copy
+        Checkpoints.release(nxt)
+        done = true
+      } else {
+        Checkpoints.release(cur)
+        cur = nxt
+        m = m2
+        done = m == 0L
+      }
+    }
+    cur
+  }
+
   /** Temporal (dynamic) edges — G7, the reference's DLink
     * (`DynamicNet.scala:251`): per-edge nested map year → attribute.
     * The CANONICAL form is relational long form (src, dst, year, n) —

@@ -149,11 +149,13 @@ object Joins {
                    pointCol: String, startCol: String, endCol: String,
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // exact floor-div on int64 (x - pmod is an exact multiple of w, so
-    // the double division is exact) — floor(c / w) would round the
-    // ratio in binary and can mis-bucket near boundaries
+    // exact floor-div on int64, in PURE integer arithmetic: x - pmod
+    // is an exact multiple of w (also for negatives), and `div` is
+    // integral division — no double rounding anywhere, so values past
+    // 2^53 bucket exactly. floor(c / w) or a double quotient would
+    // round the ratio in binary and can mis-bucket near boundaries.
     def bucket(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
     val p = points.withColumn("_bkt", bucket(col(pointCol)))
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // empty intervals match nothing

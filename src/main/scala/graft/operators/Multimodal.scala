@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * ([[audioProbe]], [[audioRmsFeatures]]): `javax.sound.sampled` ships
   * WAV/AIFF/AU codecs. Both decode paths are genuinely exercised
   * end-to-end (MultimodalSpec round-trips real PNG and real WAV
-  * bytes). Video frame extraction has no JDK codec — it defaults to a
-  * STUB (deterministic fake derived from the byte content) so the
-  * Spark-side contract — schema, batching, partition shape, null
-  * behavior — is still real and tested, and a native codec drops in
-  * without touching the dataflow. The PySpark twin would be
+  * bytes). For VIDEO the JDK ships no codec, but UNCOMPRESSED AVI is
+  * pure byte work: [[synthAvi]]/[[aviProbe]] write and re-walk a real
+  * RIFF/AVI chunk tree (validated magic, header dims, counted movi
+  * frames), so the container path is genuinely exercised (q100);
+  * COMPRESSED video stays on [[stubProbe]] (deterministic fake derived
+  * from the byte content) so the Spark-side contract — schema,
+  * batching, partition shape, null behavior — is still real and
+  * tested, and a native codec drops in without touching the dataflow. The PySpark twin would be
   * `mapInPandas` with Arrow batches; the Scala-native form is
   * `mapPartitions`, which likewise amortizes per-batch codec setup.
   */
@@ -225,6 +228,139 @@ object Multimodal {
         (m.media_id, v)
       }
     }.toDF("media_id", "embedding")
+  }
+
+  /** Deterministic synthetic uncompressed AVI (RIFF container, 24-bit
+    * DIB frames), hand-assembled pure-JDK bytes — the video twin of
+    * [[synthWav]]. This is how the VIDEO container path gets under the
+    * oracle gate (q100): each row synthesizes a real RIFF/AVI from its
+    * key, [[aviProbe]] REALLY walks the chunk tree back, and the
+    * oracle predicts the recovered dimensions and frame count
+    * arithmetically — a parser that mis-walks the container (or a
+    * broken binary round trip) hash-mismatches. Compressed video stays
+    * genuinely env-blocked (the JDK ships no codec); [[stubProbe]]
+    * remains the documented fallback for those payloads.
+    *
+    * Layout written (all sizes little-endian):
+    *   RIFF('AVI '
+    *     LIST('hdrl' avih(56) LIST('strl' strh(56) strf(40)))
+    *     LIST('movi' '00db'(frame) × nFrames))
+    * Frame payload is a bottom-up 24bpp DIB with 4-byte-aligned rows,
+    * pixel bytes deterministic in (x, y, frame index). */
+  def synthAvi(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive dims")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val rowBytes = ((width * 3 + 3) / 4) * 4 // DIB rows pad to 4 bytes
+    val frameSize = rowBytes * height
+    val aviHdrSz = 4 + (8 + 56) // 'hdrl' + avih chunk
+    val strlSz = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+    val hdrlListSz = aviHdrSz + 8 + strlSz
+    val moviSz = 4 + nFrames * (8 + frameSize)
+    val riffSz = 4 + (8 + hdrlListSz) + (8 + moviSz)
+    fcc("RIFF"); u32(riffSz); fcc("AVI ")
+    fcc("LIST"); u32(hdrlListSz); fcc("hdrl")
+    fcc("avih"); u32(56)
+    u32(33333); u32(0); u32(0); u32(0) // usec/frame, maxBps, pad, flags
+    u32(nFrames); u32(0); u32(1); u32(frameSize) // total, initial, streams, bufSz
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0) // dims + reserved
+    fcc("LIST"); u32(strlSz); fcc("strl")
+    fcc("strh"); u32(56)
+    fcc("vids"); fcc("DIB "); u32(0); u16(0); u16(0) // type, handler, flags, prio, lang
+    u32(0); u32(1); u32(30); u32(0); u32(nFrames) // initial, scale, rate, start, length
+    u32(frameSize); u32(0); u32(0) // bufSz, quality, sampleSize
+    u16(0); u16(0); u16(width); u16(height) // rcFrame
+    fcc("strf"); u32(40) // BITMAPINFOHEADER
+    u32(40); u32(width); u32(height); u16(1); u16(24)
+    u32(0); u32(frameSize); u32(0); u32(0); u32(0); u32(0)
+    fcc("LIST"); u32(moviSz); fcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fcc("00db"); u32(frameSize)
+      var y = 0
+      while (y < height) {
+        var xb = 0
+        while (xb < rowBytes) {
+          bos.write((xb + y + f) & 0xff)
+          xb += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL uncompressed-AVI probe: walks the RIFF chunk tree with no
+    * libraries at all — validates the RIFF/'AVI ' magic, reads
+    * width/height/declared frame count from the `avih` header, then
+    * walks the `movi` LIST counting actual frame chunks
+    * (`00db`/`00dc`). The counted frames must equal the declared
+    * count (a container whose index lies comes back `ok = false`, as
+    * do truncated or structurally invalid payloads). Drop-in `probe`
+    * argument for [[decode]], completing the image/audio/video codec
+    * triple for uncompressed input. */
+  def aviProbe(m: Media): Decoded = {
+    val b = m.content
+    def bad = Decoded(m.media_id, m.media_type, 0, 0, 0, ok = false)
+    if (b == null || b.length < 24) return bad
+    def u32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def fcc(off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    try {
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return bad
+      val end = math.min(b.length.toLong, 8L + u32(4))
+      var width, height, declared = -1
+      var counted = 0
+      var seenMovi = false
+      var off = 12L
+      while (off + 8 <= end) {
+        val id = fcc(off.toInt)
+        val sz = u32(off.toInt + 4).toLong & 0xffffffffL
+        if (off + 8 + sz > end) return bad // truncated chunk
+        if (id == "LIST") {
+          val listType = fcc(off.toInt + 8)
+          if (listType == "hdrl") {
+            // first avih inside hdrl carries the main header
+            var o2 = off + 12
+            val lend = off + 8 + sz
+            while (o2 + 8 <= lend && declared < 0) {
+              val cid = fcc(o2.toInt)
+              val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
+              if (cid == "avih" && csz >= 40) {
+                declared = u32(o2.toInt + 8 + 16)
+                width = u32(o2.toInt + 8 + 32)
+                height = u32(o2.toInt + 8 + 36)
+              }
+              o2 += 8 + csz + (csz & 1) // RIFF chunks pad to even
+            }
+          } else if (listType == "movi") {
+            seenMovi = true
+            var o2 = off + 12
+            val lend = off + 8 + sz
+            while (o2 + 8 <= lend) {
+              val cid = fcc(o2.toInt)
+              val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
+              if (o2 + 8 + csz > lend) return bad
+              if (cid.endsWith("db") || cid.endsWith("dc")) counted += 1
+              o2 += 8 + csz + (csz & 1)
+            }
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      if (width <= 0 || height <= 0 || !seenMovi || counted != declared) bad
+      else Decoded(m.media_id, m.media_type, width, height, counted, ok = true)
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
   }
 
   /** Decode pass: one codec instance per partition (the expensive part

@@ -70,16 +70,23 @@ object Relational {
     * is then independent of where the sampled range boundaries land.
     * The ranged input is checkpointed first: RangePartitioner samples
     * boundaries per action, so the totals pass and the window pass must
-    * see the SAME physical partitioning, not two samples of it.
+    * see the SAME physical partitioning, not two samples of it. The
+    * checkpoint is [[graft.Checkpoints.checkpointAlways]] because it is
+    * correctness-load-bearing, not a plan-size optimization: in
+    * no-checkpoint audit mode an identity checkpoint would let the two
+    * passes re-sample boundaries independently and silently misalign
+    * the offsets. NOTE: the totals pass runs a Spark job at
+    * DataFrame-CONSTRUCTION time (eager action, O(#partitions) rows to
+    * the driver) — building this plan executes the upstream subtree.
     * Int64 values only — a float running sum is order-brittle in any
     * engine. */
   def globalCumsum(df: DataFrame, orderCols: Seq[Column], value: Column,
                    as: String, numParts: Int = 32): DataFrame = {
-    val ranged = graft.Checkpoints.checkpoint(
+    val ranged = graft.Checkpoints.checkpointAlways(
       df.repartitionByRange(numParts, orderCols: _*)
         .withColumn("_pid", spark_partition_id()))
     val totals = ranged.groupBy(col("_pid"))
-      .agg(sum(value.cast("long")).as("_t"))
+      .agg(coalesce(sum(value.cast("long")), lit(0L)).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap // exclusive prefix

@@ -155,6 +155,30 @@ object GraphQueries {
       .distinct()
   }
 
+  /** Directed citation-style edges over the k-NN spine (q98): each
+    * undirected edge points from the supplier whose FIRST co-ship year
+    * is later (tie → higher key) to the earlier one — later work cites
+    * earlier, exactly the reference's `PaperReferences(citing, cited)`
+    * direction. First-seen year comes from the spine itself (min
+    * first_yr over a vertex's pairs), so the whole construction is one
+    * window-free pass over already-materialized relations. */
+  private def citationEdges(s: SparkSession, d: String): DataFrame = {
+    val e = coShip(s, d)
+    val fy = e.select(col("a").as("v"), col("first_yr"))
+      .unionByName(e.select(col("b").as("v"), col("first_yr")))
+      .groupBy(col("v")).agg(min(col("first_yr")).as("fy"))
+    val und = knnEdges(s, d)
+    val j = und
+      .join(fy.select(col("v").as("va"), col("fy").as("fya")),
+        col("a") === col("va"))
+      .join(fy.select(col("v").as("vb"), col("fy").as("fyb")),
+        col("b") === col("vb"))
+    val aCites = col("fya") > col("fyb") ||
+      (col("fya") === col("fyb") && col("a") > col("b"))
+    j.select(when(aCites, col("a")).otherwise(col("b")).as("src"),
+      when(aCites, col("b")).otherwise(col("a")).as("dst"))
+  }
+
   val defs: Map[String, Q] = Map(
     // G1+G6: distinct co-membership pairs, weighted by shared groups
     // (an aggregation over the materialized pair spine; the standalone
@@ -251,6 +275,18 @@ object GraphQueries {
           col("cn"), col("union_size"))
     },
 
+    // q84 with the HUB CAP exercised under the gate: pivots of degree
+    // > 4 generate no wedges (the O(d²) celebrity guard —
+    // commonNeighbors scaladoc), while union_size keeps TRUE degrees.
+    // The oracle replays the cap as a degree filter on the wedge
+    // pivot, so the cap's exact semantics — not just "fewer rows" —
+    // are hash-checked.
+    "q101_link_prediction_capped" -> { (s, d) =>
+      Graph.commonNeighbors(knnEdges(s, d), minCommon = 2L, maxDegree = 4L)
+        .select(col("u").as("s1"), col("v").as("s2"),
+          col("cn"), col("union_size"))
+    },
+
     // Local clustering coefficient in exact integer ratio form:
     // (v, n_triangles, n_wedges = deg·(deg−1)/2) — coefficient =
     // n_triangles/n_wedges, left as the integer pair (q66 discipline).
@@ -313,6 +349,39 @@ object GraphQueries {
     // three rounds unrolled as plain CTEs.
     "q87_pagerank" -> { (s, d) =>
       Graph.pageRankInt(knnEdges(s, d))
+    },
+
+    // DIRECTED citation-style PageRank (3 rounds, damping 85/100,
+    // scale 1e12) with explicit dangling-mass redistribution — the
+    // centrality q87 cannot express (pageRankInt symmetrizes; the
+    // reference's citation graph is directed, `models.scala:28`).
+    // Direction is citation-like and fully data-derived: each k-NN
+    // spine edge points from the YOUNGER supplier (later first co-ship
+    // year, tie → higher key) to the OLDER — later work cites earlier,
+    // so the oldest suppliers are genuine sinks and the dangling path
+    // is exercised on every round. Oracle: the same integer rounds
+    // unrolled as CTEs, dangling mass as a scalar per-round CTE.
+    "q98_citation_pagerank" -> { (s, d) =>
+      Graph.pageRankDirectedInt(citationEdges(s, d))
+    },
+
+    // k-truss community cores (k=4) by iterative peel over per-edge
+    // triangle support (q97 is the one-round building block; this is
+    // the fixpoint). Substrate: the co-ship graph at weight >=
+    // TrussMinWeight — the k-NN spine is triangle-starved by
+    // construction (per-vertex top-3 keeps few wedges closed; measured
+    // max support 2), while the weight-thresholded graph peels through
+    // a real cascade (7 rounds to fixpoint at sf0.1, 810 surviving
+    // core edges). Oracle: the peel unrolled — extra rounds past the
+    // fixpoint are no-ops on both engines, so the unroll depth only
+    // needs to COVER the fixture's peel depth (measured 7; unroll 10;
+    // GraphSpec asserts brute-force equivalence on random graphs).
+    "q99_ktruss" -> { (s, d) =>
+      Graph.kTruss(
+        coShip(s, d).filter(col("weight") >= TrussMinWeight)
+          .select(col("a"), col("b")),
+        k = 4)
+        .select(col("u").as("a"), col("v").as("b"))
     },
 
     // Ego BFS to depth 2 (one distributed job per level, frontier as a
@@ -484,6 +553,86 @@ object GraphQueries {
        |SELECT v, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
   }
 
+  // DuckDB twin of Graph.pageRankDirectedInt over [[citationEdges]]:
+  // the directed rounds unrolled, with the per-round dangling mass as
+  // a scalar CTE (NOT EXISTS anti-join on the out-degree relation) —
+  // every step the same int64 floor arithmetic as the Scala loop.
+  private lazy val directedPageRankOracleSql: String = {
+    val S = "1000000000000"
+    def round(k: Int) =
+      s"""d$k AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r${k - 1} r
+         |       WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.s = r.v)),
+         |c$k AS (SELECT de.d AS v, sum(r.r // od.odg) AS m
+         |       FROM de JOIN r${k - 1} r ON de.s = r.v
+         |               JOIN od ON de.s = od.s
+         |       GROUP BY de.d),
+         |r$k AS (SELECT verts.v,
+         |         (15 * ($S // nn.c)) // 100
+         |           + (85 * (coalesce(c$k.m, 0) + d$k.dm // nn.c)) // 100
+         |           AS r
+         |       FROM verts CROSS JOIN nn CROSS JOIN d$k
+         |            LEFT JOIN c$k ON verts.v = c$k.v)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |fy AS (SELECT v, min(first_year) AS fy FROM (
+       |         SELECT s1 AS v, first_year FROM e
+       |         UNION ALL SELECT s2 AS v, first_year FROM e) sv
+       |       GROUP BY v),
+       |de AS (SELECT
+       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
+       |              THEN ed.a ELSE ed.b END AS s,
+       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
+       |              THEN ed.b ELSE ed.a END AS d
+       |       FROM ed JOIN fy fa ON ed.a = fa.v JOIN fy fb ON ed.b = fb.v),
+       |verts AS (SELECT DISTINCT v FROM (
+       |            SELECT s AS v FROM de UNION ALL SELECT d FROM de) sv2),
+       |nn AS (SELECT count(*) AS c FROM verts),
+       |od AS (SELECT s, CAST(count(*) AS BIGINT) AS odg FROM de GROUP BY s),
+       |r0 AS (SELECT v, $S // c AS r FROM verts, nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+  }
+
+  /** q99 substrate threshold: co-ship edges this strong form a graph
+    * with genuine triangle structure at every tested SF (the k-NN
+    * spine is triangle-starved by construction). */
+  private val TrussMinWeight = 6
+
+  /** Unroll depth of the q99 oracle. Rounds past the fixpoint are
+    * no-ops on both engines, so this only needs to COVER the fixture
+    * peel depth at every tested SF (measured: sf0.01 fixpoint at round
+    * 0 — its co-ship graph is complete — and sf0.1 at round 7). */
+  private val KTrussUnroll = 10
+
+  // DuckDB twin of Graph.kTruss(k=4): the peel unrolled. Each round
+  // recomputes triangle support on the surviving canonical edge set
+  // (each triangle x<y<z appears exactly once as (x,y)(y,z)(x,z)) and
+  // keeps edges with support >= k-2 = 2. Every per-round CTE is
+  // MATERIALIZED: DuckDB inlines plain CTEs, and with each round
+  // referencing its predecessor ~9× the inlined unroll re-scans the
+  // base tables 9^rounds times (observed as fd exhaustion at depth 6);
+  // materialization makes each round evaluate exactly once.
+  private lazy val kTrussOracleSql: String = {
+    def round(i: Int) =
+      s"""tri$i AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |        FROM e$i e1 JOIN e$i e2 ON e2.u = e1.v
+         |                    JOIN e$i e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sup$i AS MATERIALIZED (SELECT u, v, count(*) AS c FROM (
+         |          SELECT x AS u, y AS v FROM tri$i
+         |          UNION ALL SELECT y, z FROM tri$i
+         |          UNION ALL SELECT x, z FROM tri$i) t$i GROUP BY u, v),
+         |e${i + 1} AS MATERIALIZED (SELECT ee.u, ee.v FROM e$i ee
+         |        JOIN sup$i s ON ee.u = s.u AND ee.v = s.v AND s.c >= 2)"""
+        .stripMargin
+    s"""WITH $coShipSql,
+       |e0 AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+       |      WHERE orders_together >= $TrussMinWeight),
+       |${(0 until KTrussUnroll).map(round).mkString(",\n")}
+       |SELECT u AS a, v AS b FROM e$KTrussUnroll""".stripMargin
+  }
+
   private lazy val componentsOracleSql =
     s"""WITH RECURSIVE $coShipSql,
        |ed AS (SELECT s1 AS a, s2 AS b FROM e
@@ -558,6 +707,10 @@ object GraphQueries {
     "q34_cosupply_components" -> componentsOracleSql,
     "q78_components_star" -> componentsOracleSql,
     "q87_pagerank" -> pageRankOracleSql,
+
+    "q98_citation_pagerank" -> directedPageRankOracleSql,
+
+    "q99_ktruss" -> kTrussOracleSql,
 
     // naive form: ed is canonical (a < b) so each triangle appears
     // exactly once as (x, y) (y, z) (x, z) with x < y < z
@@ -634,6 +787,24 @@ object GraphQueries {
          |deg AS (SELECT s AS n, count(*) AS deg FROM adj GROUP BY s),
          |wg AS (SELECT a1.d AS u, a2.d AS v, count(*) AS cn
          |       FROM adj a1 JOIN adj a2 ON a1.s = a2.s AND a1.d < a2.d
+         |       GROUP BY 1, 2),
+         |nw AS (SELECT wg.u, wg.v, wg.cn FROM wg
+         |       LEFT JOIN ed ON wg.u = ed.a AND wg.v = ed.b
+         |       WHERE ed.a IS NULL AND wg.cn >= 2)
+         |SELECT nw.u AS s1, nw.v AS s2, CAST(nw.cn AS BIGINT) AS cn,
+         |  CAST(d1.deg + d2.deg - nw.cn AS BIGINT) AS union_size
+         |FROM nw JOIN deg d1 ON nw.u = d1.n
+         |        JOIN deg d2 ON nw.v = d2.n""".stripMargin,
+
+    "q101_link_prediction_capped" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION ALL SELECT b AS s, a AS d FROM ed),
+         |deg AS (SELECT s AS n, count(*) AS deg FROM adj GROUP BY s),
+         |wg AS (SELECT a1.d AS u, a2.d AS v, count(*) AS cn
+         |       FROM adj a1 JOIN adj a2 ON a1.s = a2.s AND a1.d < a2.d
+         |       JOIN deg dp ON a1.s = dp.n AND dp.deg <= 4
          |       GROUP BY 1, 2),
          |nw AS (SELECT wg.u, wg.v, wg.cn FROM wg
          |       LEFT JOIN ed ON wg.u = ed.a AND wg.v = ed.b

@@ -135,16 +135,20 @@ object Ingest {
 
   /** JDBC sink — the write half of S12. Controls the two knobs that
     * matter at scale: writer parallelism (each task opens ONE
-    * connection, so a many-partition dataset is coalesced to
+    * connection, so a many-partition dataset is repartitioned to
     * `numConnections` instead of opening thousands) and the JDBC batch
-    * size. `truncate = true` asks Spark's overwrite to TRUNCATE rather
+    * size. `repartition`, not `coalesce`: coalesce propagates UP the
+    * plan without a shuffle boundary, collapsing the whole upstream
+    * stage to writer parallelism — one extra shuffle of the output
+    * rows keeps the expensive computation at full width.
+    * `truncate = true` asks Spark's overwrite to TRUNCATE rather
     * than DROP+CREATE, preserving the target's indexes and grants where
     * the dialect supports it. */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: java.util.Properties = new java.util.Properties(),
                 numConnections: Int = 8, batchSize: Int = 1000,
                 append: Boolean = false, truncate: Boolean = false): Unit =
-    df.coalesce(numConnections).write
+    df.repartition(numConnections).write
       .mode(if (append) "append" else "overwrite")
       .option("batchsize", batchSize.toString)
       .option("truncate", truncate.toString)

@@ -197,6 +197,81 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("pageRankDirectedInt matches hand-computed rounds with dangling redistribution") {
+    // directed chain 0→1→2: vertex 2 is dangling (a citation sink).
+    // n=3, r0 = 333333333333 each, tele = 49999999999.
+    // Round 1: dangling mass = r0(2), dsh = 333333333333 div 3 =
+    // 111111111111; contribs: 1 and 2 each receive 333333333333.
+    val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRankDirectedInt(es, iters = 1).as[(Long, Long)]
+      .collect().toMap
+    assert(got(0L) == 49999999999L + 85L * 111111111111L / 100L)
+    assert(got(1L) == 49999999999L + 85L * (333333333333L + 111111111111L) / 100L)
+    assert(got(2L) == got(1L)) // same in-share, same dangling share
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("pageRankDirectedInt conserves mass, rewards the cited, feeds sinks") {
+    // in-star: 1..8 all cite 0; 0 cites nothing (dangling sink)
+    val star = (1L to 8L).map((_, 0L)).toDF("src", "dst")
+    val got = Graph.pageRankDirectedInt(star, iters = 3).as[(Long, Long)]
+      .collect().toMap
+    val n = 9L
+    val scale = 1000000000000L
+    val tele = 15L * (scale / n) / 100L
+    // the cited sink towers over the citing leaves
+    assert(got(0L) > 5L * got(1L), got.toString)
+    // every vertex keeps at least the teleport floor; the sink also
+    // collects the dangling share, so it strictly exceeds it
+    assert(got.values.forall(_ >= tele))
+    assert(got(0L) > tele)
+    // floor divisions only LEAK mass: total ≤ scale, and the loop's
+    // few divs per vertex per round leak < 1 unit each
+    val total = got.values.sum
+    assert(total <= scale && total > scale - 4 * 3 * n - 100, total.toString)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("kTruss keeps the 4-clique core and sheds pendants and lone triangles") {
+    // 4-clique {0,1,2,3} + pendant (3,4) + a lone triangle {5,6,7}
+    // touching the clique at 3 via (3,5): k=4 keeps ONLY clique edges
+    // (each closes 2 triangles inside the clique); the lone triangle's
+    // edges have support 1 and peel away, cascading (3,5) with them.
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (3L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)).toDF("a", "b")
+    val got = Graph.kTruss(es, k = 4).as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("kTruss equals the brute-force peel on random graphs") {
+    def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val adj = cur.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupMap(_._1)(_._2).map { case (kk, vs) => kk -> vs.toSet }
+        val nxt = cur.filter { case (u, v) =>
+          (adj(u) & adj(v)).size >= k - 2 }
+        changed = nxt != cur
+        cur = nxt
+      }
+      cur
+    }
+    for (seed <- 1 to 4; k <- Seq(3, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (for {
+        u <- 0L until 12L; v <- (u + 1) until 12L
+        if rnd.nextDouble() < 0.35
+      } yield (u, v)).toSet
+      val got = Graph.kTruss(es.toSeq.toDF("a", "b"), k = k)
+        .as[(Long, Long)].collect().toSet
+      assert(got == brute(es, k), s"seed $seed k $k")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
   test("commonNeighbors maxDegree cap ignores super-hub pivots only") {
     // star center 0 over leaves 1..5, plus chain 1-6-2: without a cap
     // every leaf pair is a candidate via the center; capping the pivot

@@ -93,6 +93,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!got(32L).ok && !got(33L).ok)
   }
 
+  test("aviProbe decodes REAL synthesized RIFF/AVI containers through the decode dataflow") {
+    val good = Multimodal.synthAvi(16, 12, 5)
+    // header lies about the frame count → the counted movi chunks
+    // disagree with avih.dwTotalFrames → ok=false.
+    // Layout: RIFF(12) LIST-hdr(12) avih-hdr(8) → avih data at 32;
+    // dwTotalFrames at data+16 = byte 48.
+    val lying = good.clone(); lying(48) = (lying(48) + 1).toByte
+    val badMagic = good.clone(); badMagic(2) = 'X'.toByte
+    val truncated = good.take(good.length - 7)
+    val real = Seq(
+      Media(50L, "video/avi", good),
+      Media(51L, "video/avi", Multimodal.synthAvi(8, 6, 1)),
+      Media(52L, "video/avi", lying),
+      Media(53L, "video/avi", badMagic),
+      Media(54L, "video/avi", truncated),
+      Media(55L, "video/avi", null)
+    ).toDS()
+    val got = Multimodal.decode(real, Multimodal.aviProbe)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(50L) == Decoded(50L, "video/avi", 16, 12, 5, ok = true))
+    assert(got(51L) == Decoded(51L, "video/avi", 8, 6, 1, ok = true))
+    assert(!got(52L).ok && !got(53L).ok && !got(54L).ok && !got(55L).ok)
+  }
+
   test("audioRmsFeatures extracts content-derived segment energies") {
     val loud = wavBytes(8000f, 4000, amplitude = 0.9)
     val quiet = wavBytes(8000f, 4000, amplitude = 0.05)
