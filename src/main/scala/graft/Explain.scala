@@ -38,7 +38,8 @@ object Explain {
     "q66_tfidf_topterms",   // broadcast corpus-size scalar
     "q86_weighted_sample",  // broadcast total-weight scalar (q42 shape)
     "q88_bm25_topterms",    // broadcast corpus-stats scalar (q66 shape)
-    "q98_citation_pagerank") // broadcast dangling-mass scalar, 1 row/round
+    "q98_citation_pagerank", // broadcast dangling-mass scalar, 1 row/round
+    "q104_citation_hits")   // broadcast L1-total scalar, 1 row/half-round
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -480,6 +480,111 @@ object Graph {
     cur
   }
 
+  /** Integer HITS (hubs and authorities) on a DIRECTED graph — the
+    * mutually-recursive counterpart of [[pageRankDirectedInt]]: an
+    * authority is pointed to by good hubs, a hub points to good
+    * authorities, a distinction that only exists once direction does
+    * (a symmetrized graph collapses the two into eigenvector
+    * centrality). Per half-round:
+    *   a_raw(v) = Σ_{s→v} h(s);  a(v) = (a_raw(v) · scale) div Σ a_raw
+    *   h_raw(v) = Σ_{v→d} a(d);  h(v) = (h_raw(v) · scale) div Σ h_raw
+    * The classic L2 normalization is replaced by integer L1 rescaling
+    * to `scale` — same ranking fixpoint, but every step stays exact
+    * int64 floor arithmetic, so the rounds unroll as cross-engine
+    * oracle CTEs (the q87/q98 discipline). Overflow headroom: values
+    * are ≤ scale after each rescale, so raw sums are ≤ maxdeg · scale
+    * and the rescale multiply is ≤ maxdeg · scale² — scale 1e6 holds
+    * to maxdeg ~9e6.
+    *
+    * Scale shape: each half-round is one keyed join + one groupBy +
+    * one scalar aggregate (1-row broadcast cross join, never a driver
+    * collect) + one left join — all keyed by vertex, checkpointed with
+    * eager release. Sources (no in-edges) get authority 0, sinks hub
+    * 0, exactly as in the float formulation. */
+  def hitsInt(edges: DataFrame, src: String = "src", dst: String = "dst",
+              iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val e = Checkpoints.checkpoint(
+      edges.select(col(src).as("s"), col(dst).as("d"))
+        .filter(col("s").isNotNull && col("d").isNotNull &&
+          col("s") =!= col("d")).distinct())
+    val verts = e.select(col("s").as("vx"))
+      .union(e.select(col("d").as("vx"))).distinct()
+    var h = Checkpoints.checkpoint(verts.withColumn("h", lit(scale)))
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val araw = e.join(h, e("s") === h("vx"))
+        .groupBy(e("d").as("av")).agg(sum(col("h")).as("ar"))
+      val atot = araw.agg(coalesce(sum(col("ar")), lit(1L)).as("at"))
+      val an = Checkpoints.checkpoint(
+        verts.join(araw, verts("vx") === col("av"), "left")
+          .crossJoin(broadcast(atot))
+          .select(col("vx"),
+            expr(s"(coalesce(ar, 0) * $scale) div at").as("a")))
+      if (a != null) Checkpoints.release(a)
+      a = an
+      val hraw = e.join(a, e("d") === a("vx"))
+        .groupBy(e("s").as("hv")).agg(sum(col("a")).as("hr"))
+      val htot = hraw.agg(coalesce(sum(col("hr")), lit(1L)).as("ht"))
+      val hn = Checkpoints.checkpoint(
+        verts.join(hraw, verts("vx") === col("hv"), "left")
+          .crossJoin(broadcast(htot))
+          .select(col("vx"),
+            expr(s"(coalesce(hr, 0) * $scale) div ht").as("h")))
+      Checkpoints.release(h)
+      h = hn
+      i += 1
+    }
+    Checkpoints.release(e)
+    a.join(h, Seq("vx"))
+      .select(col("vx").as("v"), col("a").as("authority"),
+        col("h").as("hub"))
+  }
+
+  /** k-core decomposition by iterative degree peel: drop every vertex
+    * with degree < k (and its edges), recompute degrees, repeat to
+    * fixpoint — the degree-based sibling of [[kTruss]] (a k-truss is
+    * always inside the (k−1)-core; cores are the cheap first cut,
+    * trusses the cohesive refinement). Returns the surviving edge set.
+    *
+    * Scale shape: each round is one degree groupBy + two semi-joins —
+    * strictly cheaper than a truss round (no triangle enumeration);
+    * same checkpoint-with-release loop discipline, edge count as the
+    * fixpoint guard (the only driver scalar). The edge set only
+    * shrinks, so per-round cost is non-increasing; round count is the
+    * peel depth (measured 9 at sf0.1 on the q103 substrate). */
+  def kCore(edges: DataFrame, k: Int, a: String = "a",
+            b: String = "b"): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    var cur = Checkpoints.checkpoint(
+      edges.select(least(col(a), col(b)).as("u"),
+          greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
+    var m = cur.count()
+    var done = m == 0L
+    while (!done) {
+      val deg = cur.select(col("u").as("n"))
+        .union(cur.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select(col("n"))
+      val nxt = Checkpoints.checkpoint(cur
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+      val m2 = nxt.count()
+      if (m2 == m) { // fixpoint: nxt ≡ cur, drop the new copy
+        Checkpoints.release(nxt)
+        done = true
+      } else {
+        Checkpoints.release(cur)
+        cur = nxt
+        m = m2
+        done = m == 0L
+      }
+    }
+    cur
+  }
+
   /** Temporal (dynamic) edges — G7, the reference's DLink
     * (`DynamicNet.scala:251`): per-edge nested map year → attribute.
     * The CANONICAL form is relational long form (src, dst, year, n) —

@@ -365,6 +365,46 @@ object GraphQueries {
       Graph.pageRankDirectedInt(citationEdges(s, d))
     },
 
+    // Integer HITS over the citation spine — hubs (surveys: cite many
+    // good authorities) vs authorities (seminal: cited by good hubs),
+    // the directed-centrality pair q98's PageRank can't separate.
+    // Exact int64 L1-rescaled rounds (Graph.hitsInt), unrolled as
+    // oracle CTEs with the per-half-round totals as scalar CTEs.
+    "q104_citation_hits" -> { (s, d) =>
+      Graph.hitsInt(citationEdges(s, d))
+    },
+
+    // DIRECTIONAL per-year citation counting over the citation spine —
+    // the reference's DynamicNet per-year citation aggregation
+    // (`DynamicNet.scala:256-263`) re-expressed: each directed edge
+    // (citing → cited) contributes its pair's per-year co-ship counts
+    // to the CITED side only. One keyed join + one groupBy over the
+    // materialized spine; direction from [[citationEdges]].
+    "q102_citations_by_year" -> { (s, d) =>
+      val ty = pairYears(s, d).filter(col("yr").isNotNull)
+        .groupBy(col("a"), col("b"), col("yr")).agg(count(lit(1)).as("n"))
+      citationEdges(s, d)
+        .join(ty, least(col("src"), col("dst")) === col("a") &&
+          greatest(col("src"), col("dst")) === col("b"))
+        .groupBy(col("dst"), col("yr"))
+        .agg(sum(col("n")).as("cites_received"))
+        .select(col("dst").as("cited"), col("yr"), col("cites_received"))
+    },
+
+    // k-core (k=25) by iterative degree peel on the same weight>=6
+    // substrate as q99 — the cheap cohesion cut (no triangle work; a
+    // k-truss always sits inside the (k-1)-core). Measured peel depth
+    // 9 at sf0.1 (13915 surviving edges, 824 vertices); sf0.01's
+    // complete co-ship graph is its own 25-core (fixpoint round 0).
+    // Oracle: the peel unrolled 12 MATERIALIZED rounds.
+    "q103_kcore" -> { (s, d) =>
+      Graph.kCore(
+        coShip(s, d).filter(col("weight") >= TrussMinWeight)
+          .select(col("a"), col("b")),
+        k = KCoreK)
+        .select(col("u").as("a"), col("v").as("b"))
+    },
+
     // k-truss community cores (k=4) by iterative peel over per-edge
     // triangle support (q97 is the one-round building block; this is
     // the fixpoint). Substrate: the co-ship graph at weight >=
@@ -557,16 +597,21 @@ object GraphQueries {
   // the directed rounds unrolled, with the per-round dangling mass as
   // a scalar CTE (NOT EXISTS anti-join on the out-degree relation) —
   // every step the same int64 floor arithmetic as the Scala loop.
+  // Every round CTE MATERIALIZED: d$k and c$k each reference r${k-1},
+  // so inlining doubles the expansion per round (8x by round 3, each
+  // expansion dragging the co-ship subtree with it — the q99 fd
+  // lesson, seen here as a disk-full temp spill at sf0.1).
   private lazy val directedPageRankOracleSql: String = {
     val S = "1000000000000"
     def round(k: Int) =
-      s"""d$k AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r${k - 1} r
+      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(r.r), 0) AS dm
+         |       FROM r${k - 1} r
          |       WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.s = r.v)),
-         |c$k AS (SELECT de.d AS v, sum(r.r // od.odg) AS m
+         |c$k AS MATERIALIZED (SELECT de.d AS v, sum(r.r // od.odg) AS m
          |       FROM de JOIN r${k - 1} r ON de.s = r.v
          |               JOIN od ON de.s = od.s
          |       GROUP BY de.d),
-         |r$k AS (SELECT verts.v,
+         |r$k AS MATERIALIZED (SELECT verts.v,
          |         (15 * ($S // nn.c)) // 100
          |           + (85 * (coalesce(c$k.m, 0) + d$k.dm // nn.c)) // 100
          |           AS r
@@ -574,21 +619,13 @@ object GraphQueries {
          |            LEFT JOIN c$k ON verts.v = c$k.v)""".stripMargin
     s"""WITH $coShipSql,
        |$knnSql,
-       |fy AS (SELECT v, min(first_year) AS fy FROM (
-       |         SELECT s1 AS v, first_year FROM e
-       |         UNION ALL SELECT s2 AS v, first_year FROM e) sv
-       |       GROUP BY v),
-       |de AS (SELECT
-       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
-       |              THEN ed.a ELSE ed.b END AS s,
-       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
-       |              THEN ed.b ELSE ed.a END AS d
-       |       FROM ed JOIN fy fa ON ed.a = fa.v JOIN fy fb ON ed.b = fb.v),
-       |verts AS (SELECT DISTINCT v FROM (
+       |$citationEdgeSql,
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
        |            SELECT s AS v FROM de UNION ALL SELECT d FROM de) sv2),
        |nn AS (SELECT count(*) AS c FROM verts),
-       |od AS (SELECT s, CAST(count(*) AS BIGINT) AS odg FROM de GROUP BY s),
-       |r0 AS (SELECT v, $S // c AS r FROM verts, nn),
+       |od AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS odg
+       |      FROM de GROUP BY s),
+       |r0 AS MATERIALIZED (SELECT v, $S // c AS r FROM verts, nn),
        |${round(1)},
        |${round(2)},
        |${round(3)}
@@ -599,6 +636,14 @@ object GraphQueries {
     * with genuine triangle structure at every tested SF (the k-NN
     * spine is triangle-starved by construction). */
   private val TrussMinWeight = 6
+
+  /** q103 k-core threshold (peel depth 9 at sf0.1 on the
+    * [[TrussMinWeight]] substrate — a real cascade, non-empty core). */
+  private val KCoreK = 25
+
+  /** Unroll depth of the q103 oracle (must cover the measured peel
+    * depth 9; rounds past the fixpoint are no-ops on both engines). */
+  private val KCoreUnroll = 12
 
   /** Unroll depth of the q99 oracle. Rounds past the fixpoint are
     * no-ops on both engines, so this only needs to COVER the fixture
@@ -631,6 +676,80 @@ object GraphQueries {
        |      WHERE orders_together >= $TrussMinWeight),
        |${(0 until KTrussUnroll).map(round).mkString(",\n")}
        |SELECT u AS a, v AS b FROM e$KTrussUnroll""".stripMargin
+  }
+
+  // DuckDB twin of the q98 citation-edge construction, shared by the
+  // q98 and q102 oracles (fy = first co-ship year per vertex; de =
+  // directed edges, younger endpoint cites older).
+  // MATERIALIZED throughout: de/fy sit above iterative unrolls that
+  // reference them once per round — inlined, DuckDB would re-expand
+  // the 485k-row co-ship self-join per reference (observed at sf0.1
+  // as a temp-spill disk-full failure on q98 before materialization).
+  private val citationEdgeSql =
+    """fy AS MATERIALIZED (SELECT v, min(first_year) AS fy FROM (
+      |         SELECT s1 AS v, first_year FROM e
+      |         UNION ALL SELECT s2 AS v, first_year FROM e) sv
+      |       GROUP BY v),
+      |de AS MATERIALIZED (SELECT
+      |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
+      |              THEN ed.a ELSE ed.b END AS s,
+      |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
+      |              THEN ed.b ELSE ed.a END AS d
+      |       FROM ed JOIN fy fa ON ed.a = fa.v JOIN fy fb ON ed.b = fb.v)"""
+      .stripMargin
+
+  // DuckDB twin of Graph.kCore(k=25) on the weight>=6 substrate: the
+  // degree peel unrolled (MATERIALIZED for the same inlining reason as
+  // the q99 oracle).
+  private lazy val kCoreOracleSql: String = {
+    def round(i: Int) =
+      s"""d$i AS (SELECT n, count(*) AS dg FROM (
+         |          SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i) x$i
+         |        GROUP BY n),
+         |k$i AS (SELECT n FROM d$i WHERE dg >= $KCoreK),
+         |e${i + 1} AS MATERIALIZED (SELECT ee.u, ee.v FROM e$i ee
+         |        JOIN k$i ka ON ee.u = ka.n
+         |        JOIN k$i kb ON ee.v = kb.n)""".stripMargin
+    s"""WITH $coShipSql,
+       |e0 AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+       |      WHERE orders_together >= $TrussMinWeight),
+       |${(0 until KCoreUnroll).map(round).mkString(",\n")}
+       |SELECT u AS a, v AS b FROM e$KCoreUnroll""".stripMargin
+  }
+
+  // DuckDB twin of Graph.hitsInt over [[citationEdges]]: two unrolled
+  // rounds, each half-round's L1 total as a scalar CTE — every step
+  // the same int64 floor arithmetic as the Scala loop.
+  private lazy val hitsOracleSql: String = {
+    val S = "1000000"
+    // MATERIALIZED like the q98 rounds: each raw/total/rescaled CTE is
+    // referenced twice downstream, so inlining doubles per half-round
+    def round(k: Int) =
+      s"""ar$k AS MATERIALIZED (SELECT de.d AS v, sum(h${k - 1}.h) AS ar
+         |       FROM de JOIN h${k - 1} ON de.s = h${k - 1}.v GROUP BY de.d),
+         |at$k AS (SELECT coalesce(sum(ar), 1) AS t FROM ar$k),
+         |a$k AS MATERIALIZED (SELECT verts.v,
+         |         (coalesce(ar$k.ar, 0) * $S) // at$k.t AS a
+         |       FROM verts CROSS JOIN at$k
+         |            LEFT JOIN ar$k ON verts.v = ar$k.v),
+         |hr$k AS MATERIALIZED (SELECT de.s AS v, sum(a$k.a) AS hr
+         |       FROM de JOIN a$k ON de.d = a$k.v GROUP BY de.s),
+         |ht$k AS (SELECT coalesce(sum(hr), 1) AS t FROM hr$k),
+         |h$k AS MATERIALIZED (SELECT verts.v,
+         |         (coalesce(hr$k.hr, 0) * $S) // ht$k.t AS h
+         |       FROM verts CROSS JOIN ht$k
+         |            LEFT JOIN hr$k ON verts.v = hr$k.v)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |$citationEdgeSql,
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |            SELECT s AS v FROM de UNION ALL SELECT d FROM de) sv2),
+       |h0 AS MATERIALIZED (SELECT v, CAST($S AS BIGINT) AS h FROM verts),
+       |${round(1)},
+       |${round(2)}
+       |SELECT a2.v, CAST(a2.a AS BIGINT) AS authority,
+       |  CAST(h2.h AS BIGINT) AS hub
+       |FROM a2 JOIN h2 ON a2.v = h2.v""".stripMargin
   }
 
   private lazy val componentsOracleSql =
@@ -711,6 +830,22 @@ object GraphQueries {
     "q98_citation_pagerank" -> directedPageRankOracleSql,
 
     "q99_ktruss" -> kTrussOracleSql,
+
+    "q102_citations_by_year" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |$citationEdgeSql,
+         |ty AS (SELECT s1, s2, yr, CAST(count(*) AS BIGINT) AS n
+         |       FROM j GROUP BY 1, 2, 3)
+         |SELECT de.d AS cited, ty.yr,
+         |  CAST(sum(ty.n) AS BIGINT) AS cites_received
+         |FROM de JOIN ty ON least(de.s, de.d) = ty.s1
+         |               AND greatest(de.s, de.d) = ty.s2
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q103_kcore" -> kCoreOracleSql,
+
+    "q104_citation_hits" -> hitsOracleSql,
 
     // naive form: ed is canonical (a < b) so each triangle appears
     // exactly once as (x, y) (y, z) (x, z) with x < y < z

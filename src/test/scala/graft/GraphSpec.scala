@@ -245,6 +245,65 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("hitsInt separates hubs from authorities on a directed bipartite graph") {
+    // hubs 0,1 each cite authorities 10,11,12; one extra edge 0→13.
+    // Sources get authority 0, pure sinks hub 0 — and a hub citing
+    // more (0) outranks a hub citing fewer (1), while authorities
+    // cited by both (10..12) outrank the one cited once (13).
+    val es = Seq((0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L),
+      (1L, 10L), (1L, 11L), (1L, 12L)).toDF("src", "dst")
+    val got = Graph.hitsInt(es, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // round 1: a(10..12) = 2e12 div 7e6 = 285714, a(13) = 142857;
+    // h1(0) = 999999e6 div 1857141 = 538461, h1(1) = 461538.
+    // round 2: a2(10..12) = 999999e6 div 3538458 = 282608, a2(13) =
+    // 538461e6 div 3538458 = 152173; h2(0) = 999997e6 div 1847821 =
+    // 541176, h2(1) = 847824e6 div 1847821 = 458823.
+    assert(got(0L) == (0L, 541176L))
+    assert(got(1L) == (0L, 458823L))
+    assert(got(10L)._1 > got(13L)._1 && got(10L)._2 == 0L)
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("kCore peels cascades: pendant chains unravel, the clique core stays") {
+    // 4-clique {0,1,2,3} + chain 3-4-5-6: for k=3 the chain unravels
+    // end-first over several rounds (6 drops, then 5, then 4), leaving
+    // exactly the clique — the cascade the fixpoint loop must follow.
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kCore(es, k = 3).as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("kCore equals the brute-force peel on random graphs") {
+    def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val deg = cur.toSeq.flatMap { case (u, v) => Seq(u, v) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val nxt = cur.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+        changed = nxt != cur
+        cur = nxt
+      }
+      cur
+    }
+    for (seed <- 1 to 4; k <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed + 100)
+      val es = (for {
+        u <- 0L until 12L; v <- (u + 1) until 12L
+        if rnd.nextDouble() < 0.25
+      } yield (u, v)).toSet
+      val got = Graph.kCore(es.toSeq.toDF("a", "b"), k = k)
+        .as[(Long, Long)].collect().toSet
+      assert(got == brute(es, k), s"seed $seed k $k")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
   test("kTruss equals the brute-force peel on random graphs") {
     def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
       var cur = edges
