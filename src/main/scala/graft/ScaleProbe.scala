@@ -84,6 +84,31 @@ object ScaleProbe {
       val (pb, _) = pr(spine); val (pB, _) = pr(spine10)
       println(f"[probe] triangles:   $tb%.1fs -> $tB%.1fs (${tB / tb}%.1fx, $nT verts, edges 10x)")
       println(f"[probe] pagerank:    $pb%.1fs -> $pB%.1fs (${pB / pb}%.1fx, edges 10x)")
+
+      // iterative peel + directed walk (r6 operators) on the
+      // triangle-rich weight>=6 substrate (the q99/q103 choice — the
+      // k-NN spine is triangle-starved by construction); disjoint
+      // copies preserve peel depth exactly, so rounds don't grow with
+      // data and the honest ratio is ~linear or better
+      val strong = pairs.filter(col("w") >= 6)
+        .select(least(col("s"), col("nbr")).as("a"),
+          greatest(col("s"), col("nbr")).as("b")).distinct()
+        .localCheckpoint()
+      val strong10 = (0L until 10L).map { k =>
+        strong.select((col("a") + k * 10000000L).as("a"),
+          (col("b") + k * 10000000L).as("b"))
+      }.reduce(_ union _).localCheckpoint()
+      def truss(e: DataFrame) = time(Graph.kTruss(e, k = 4).count())
+      // canonical a<b orientation as the directed graph: a real DAG
+      // with genuine dangling vertices (locally-minimal ids)
+      def dpr(e: DataFrame) = time(Graph.pageRankDirectedInt(
+        e.select(col("a").as("src"), col("b").as("dst")))
+        .agg(sum(col("rank_scaled"))).count())
+      truss(strong); dpr(strong) // codegen warmup
+      val (kb, _) = truss(strong); val (kB, nK) = truss(strong10)
+      val (db2, _) = dpr(strong); val (dB2, _) = dpr(strong10)
+      println(f"[probe] ktruss:      $kb%.1fs -> $kB%.1fs (${kB / kb}%.1fx, $nK core edges, edges 10x)")
+      println(f"[probe] dir-pagerank:$db2%.1fs -> $dB2%.1fs (${dB2 / db2}%.1fx, edges 10x)")
     }
 
     // --- entity resolution end-to-end (q93's resolveEntities with the
