@@ -347,6 +347,10 @@ object Graph {
     val verts = adj.select(col("s").as("vx")).distinct()
     val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("dg"))
     val n = verts.count() // bounded driver scalar: prices the teleport
+    if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
+      Checkpoints.release(adj)
+      return verts.select(col("vx").as("v"), lit(0L).as("rank_scaled"))
+    }
     val tele = (15L * (scale / n)) / 100L
     var r = Checkpoints.checkpoint(
       verts.withColumn("r", lit(scale / n)))
@@ -405,6 +409,10 @@ object Graph {
       .union(e.select(col("d").as("vx"))).distinct()
     val od = e.groupBy(col("s")).agg(count(lit(1)).as("odg"))
     val n = verts.count() // bounded driver scalar: prices the teleport
+    if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
+      Checkpoints.release(e)
+      return verts.select(col("vx").as("v"), lit(0L).as("rank_scaled"))
+    }
     val tele = (15L * (scale / n)) / 100L
     var r = Checkpoints.checkpoint(verts.withColumn("r", lit(scale / n)))
     var i = 0
@@ -503,6 +511,7 @@ object Graph {
     * 0, exactly as in the float formulation. */
   def hitsInt(edges: DataFrame, src: String = "src", dst: String = "dst",
               iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hitsInt needs at least one iteration")
     val e = Checkpoints.checkpoint(
       edges.select(col(src).as("s"), col(dst).as("d"))
         .filter(col("s").isNotNull && col("d").isNotNull &&

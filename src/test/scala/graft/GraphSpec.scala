@@ -245,6 +245,22 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("iterative centralities survive empty and self-loop-only inputs") {
+    // self-loops filter to an EMPTY graph — the scale/0 teleport trap
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.pageRankDirectedInt(loops).count() == 0L)
+    assert(Graph.pageRankInt(
+      loops.select(col("src").as("a"), col("dst").as("b"))).count() == 0L)
+    assert(Graph.hitsInt(loops).count() == 0L)
+    assert(Graph.kTruss(
+      loops.select(col("src").as("a"), col("dst").as("b")), k = 3)
+      .count() == 0L)
+    assert(Graph.kCore(
+      loops.select(col("src").as("a"), col("dst").as("b")), k = 1)
+      .count() == 0L)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("hitsInt separates hubs from authorities on a directed bipartite graph") {
     // hubs 0,1 each cite authorities 10,11,12; one extra edge 0→13.
     // Sources get authority 0, pure sinks hub 0 — and a hub citing
