@@ -383,13 +383,21 @@ object Graph {
     * unroll as exact cross-engine oracle CTEs:
     *   tele      = (15 · (scale div n)) div 100
     *   dsh_k     = (Σ r_{k−1} over dangling vertices) div n
-    *   share(s)  = r_{k−1}(s) div outdeg(s)
-    *   r_k(v)    = tele + (85 · (Σ_{s→v} share(s) + dsh_k)) div 100
+    *   share(s→v) = (r_{k−1}(s) · w(s→v)) div W(s),  W(s) = Σ out-weights
+    *   r_k(v)    = tele + (85 · (Σ_{s→v} share(s→v) + dsh_k)) div 100
+    * With no `weightCol` every w is 1 and W(s) = outdeg(s), so the
+    * per-edge share reduces to exactly r div outdeg — the unweighted
+    * form. A weight column (citation multiplicity — the reference
+    * counts citations WITH multiplicity, `DynamicNet.scala:256-263`)
+    * splits each vertex's mass proportionally instead (non-positive
+    * weights drop the edge, like a null endpoint). Int64 headroom:
+    * the per-edge multiply is ≤ scale · w, so weights are safe to
+    * ~9e6 at the default scale.
     * Dangling vertices (no out-edges — citation sinks, the oldest
     * papers) surrender their whole mass to the uniform pool instead of
     * silently leaking it; every vertex, sinks included, receives
     * tele + the dangling share. Total mass is conserved modulo the
-    * documented floor leakage (each div discards < 1 unit per vertex
+    * documented floor leakage (each div discards < 1 unit per EDGE
     * per round — GraphSpec asserts the bound).
     *
     * Scale shape: per iteration one left join (rank → out-degree), a
@@ -400,14 +408,16 @@ object Graph {
     * here; the vertex count is the one bounded driver scalar. */
   def pageRankDirectedInt(edges: DataFrame, src: String = "src",
                           dst: String = "dst", iters: Int = 3,
-                          scale: Long = 1000000000000L): DataFrame = {
+                          scale: Long = 1000000000000L,
+                          weightCol: String = ""): DataFrame = {
+    val w = if (weightCol.isEmpty) lit(1L) else col(weightCol).cast("long")
     val e = Checkpoints.checkpoint(
-      edges.select(col(src).as("s"), col(dst).as("d"))
+      edges.select(col(src).as("s"), col(dst).as("d"), w.as("w"))
         .filter(col("s").isNotNull && col("d").isNotNull &&
-          col("s") =!= col("d")).distinct())
+          col("s") =!= col("d") && col("w") > 0).distinct())
     val verts = e.select(col("s").as("vx"))
       .union(e.select(col("d").as("vx"))).distinct()
-    val od = e.groupBy(col("s")).agg(count(lit(1)).as("odg"))
+    val ow = e.groupBy(col("s")).agg(sum(col("w")).as("tw"))
     val n = verts.count() // bounded driver scalar: prices the teleport
     if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
       Checkpoints.release(e)
@@ -417,14 +427,15 @@ object Graph {
     var r = Checkpoints.checkpoint(verts.withColumn("r", lit(scale / n)))
     var i = 0
     while (i < iters) {
-      val withOd = r.join(od, r("vx") === od("s"), "left")
-      val dang = withOd.filter(col("odg").isNull)
+      val withOw = r.join(ow, r("vx") === ow("s"), "left")
+      val dang = withOw.filter(col("tw").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
         .select(expr(s"dm div $n").as("dsh"))
-      val shares = withOd.filter(col("odg").isNotNull)
-        .select(col("vx").as("sv"), expr("r div odg").as("share"))
+      val shares = withOw.filter(col("tw").isNotNull)
+        .select(col("vx").as("sv"), col("r"), col("tw"))
       val contrib = e.join(shares, e("s") === col("sv"))
-        .groupBy(e("d").as("cv")).agg(sum(col("share")).as("m"))
+        .select(e("d").as("cv"), expr("(r * w) div tw").as("share"))
+        .groupBy(col("cv")).agg(sum(col("share")).as("m"))
       val nxt = Checkpoints.checkpoint(
         verts.join(contrib, verts("vx") === col("cv"), "left")
           .crossJoin(broadcast(dang))

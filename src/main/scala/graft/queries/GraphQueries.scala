@@ -167,7 +167,11 @@ object GraphQueries {
     val fy = e.select(col("a").as("v"), col("first_yr"))
       .unionByName(e.select(col("b").as("v"), col("first_yr")))
       .groupBy(col("v")).agg(min(col("first_yr")).as("fy"))
+    // weight = the pair's co-ship count (citation MULTIPLICITY — the
+    // reference counts citations with multiplicity); q98/q104 ignore
+    // it, q105 splits rank mass proportionally by it
     val und = knnEdges(s, d)
+      .join(e.select(col("a"), col("b"), col("weight")), Seq("a", "b"))
     val j = und
       .join(fy.select(col("v").as("va"), col("fy").as("fya")),
         col("a") === col("va"))
@@ -176,7 +180,8 @@ object GraphQueries {
     val aCites = col("fya") > col("fyb") ||
       (col("fya") === col("fyb") && col("a") > col("b"))
     j.select(when(aCites, col("a")).otherwise(col("b")).as("src"),
-      when(aCites, col("b")).otherwise(col("a")).as("dst"))
+      when(aCites, col("b")).otherwise(col("a")).as("dst"),
+      col("weight"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -372,6 +377,16 @@ object GraphQueries {
     // oracle CTEs with the per-half-round totals as scalar CTEs.
     "q104_citation_hits" -> { (s, d) =>
       Graph.hitsInt(citationEdges(s, d))
+    },
+
+    // q98 weighted by citation MULTIPLICITY: each citing vertex splits
+    // its rank mass proportionally to per-pair co-ship counts instead
+    // of uniformly — the reference counts citations WITH multiplicity
+    // (`DynamicNet.scala:256-263`), so this is the faithful rank. Same
+    // int64 discipline; per-edge share (r·w) div W(s) unrolls in the
+    // oracle exactly like the uniform form.
+    "q105_citation_pagerank_weighted" -> { (s, d) =>
+      Graph.pageRankDirectedInt(citationEdges(s, d), weightCol = "weight")
     },
 
     // DIRECTIONAL per-year citation counting over the citation spine —
@@ -694,8 +709,10 @@ object GraphQueries {
       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
       |              THEN ed.a ELSE ed.b END AS s,
       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
-      |              THEN ed.b ELSE ed.a END AS d
-      |       FROM ed JOIN fy fa ON ed.a = fa.v JOIN fy fb ON ed.b = fb.v)"""
+      |              THEN ed.b ELSE ed.a END AS d,
+      |         ew.orders_together AS w
+      |       FROM ed JOIN fy fa ON ed.a = fa.v JOIN fy fb ON ed.b = fb.v
+      |               JOIN e ew ON ed.a = ew.s1 AND ed.b = ew.s2)"""
       .stripMargin
 
   // DuckDB twin of Graph.kCore(k=25) on the weight>=6 substrate: the
@@ -715,6 +732,41 @@ object GraphQueries {
        |      WHERE orders_together >= $TrussMinWeight),
        |${(0 until KCoreUnroll).map(round).mkString(",\n")}
        |SELECT u AS a, v AS b FROM e$KCoreUnroll""".stripMargin
+  }
+
+  // DuckDB twin of the WEIGHTED directed PageRank (q105): identical to
+  // directedPageRankOracleSql except out-degree becomes total
+  // out-weight and the per-edge share is (r · w) div W(s).
+  private lazy val weightedPageRankOracleSql: String = {
+    val S = "1000000000000"
+    def round(k: Int) =
+      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(r.r), 0) AS dm
+         |       FROM r${k - 1} r
+         |       WHERE NOT EXISTS (SELECT 1 FROM ow WHERE ow.s = r.v)),
+         |c$k AS MATERIALIZED (SELECT de.d AS v,
+         |         sum((r.r * de.w) // ow.tw) AS m
+         |       FROM de JOIN r${k - 1} r ON de.s = r.v
+         |               JOIN ow ON de.s = ow.s
+         |       GROUP BY de.d),
+         |r$k AS MATERIALIZED (SELECT verts.v,
+         |         (15 * ($S // nn.c)) // 100
+         |           + (85 * (coalesce(c$k.m, 0) + d$k.dm // nn.c)) // 100
+         |           AS r
+         |       FROM verts CROSS JOIN nn CROSS JOIN d$k
+         |            LEFT JOIN c$k ON verts.v = c$k.v)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |$citationEdgeSql,
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |            SELECT s AS v FROM de UNION ALL SELECT d FROM de) sv2),
+       |nn AS (SELECT count(*) AS c FROM verts),
+       |ow AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS tw
+       |      FROM de GROUP BY s),
+       |r0 AS MATERIALIZED (SELECT v, $S // c AS r FROM verts, nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
   }
 
   // DuckDB twin of Graph.hitsInt over [[citationEdges]]: two unrolled
@@ -846,6 +898,8 @@ object GraphQueries {
     "q103_kcore" -> kCoreOracleSql,
 
     "q104_citation_hits" -> hitsOracleSql,
+
+    "q105_citation_pagerank_weighted" -> weightedPageRankOracleSql,
 
     // naive form: ed is canonical (a < b) so each triangle appears
     // exactly once as (x, y) (y, z) (x, z) with x < y < z

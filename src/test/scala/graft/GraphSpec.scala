@@ -211,6 +211,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("pageRankDirectedInt splits mass by edge weight when given one") {
+    // 0 cites 1 (w=3) and 2 (w=1): 1 gets 3/4 of 0's mass, 2 gets 1/4.
+    // n=3, r0 = 333333333333, tele = 49999999999; 1 and 2 dangle →
+    // dsh = 666666666666 div 3 = 222222222222.
+    // share(0→1) = (r0·3) div 4 = 249999999999,
+    // share(0→2) = r0 div 4 = 83333333333.
+    val es = Seq((0L, 1L, 3L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankDirectedInt(es, iters = 1, weightCol = "w")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 49999999999L +
+      85L * (249999999999L + 222222222222L) / 100L)
+    assert(got(2L) == 49999999999L +
+      85L * (83333333333L + 222222222222L) / 100L)
+    assert(got(0L) == 49999999999L + 85L * 222222222222L / 100L)
+    assert(got(1L) > got(2L))
+    // weight 1 everywhere ≡ the unweighted form, bit for bit
+    val uw = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val w1 = uw.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    assert(Graph.pageRankDirectedInt(uw, iters = 2)
+      .as[(Long, Long)].collect().toMap ==
+      Graph.pageRankDirectedInt(w1, iters = 2, weightCol = "w")
+        .as[(Long, Long)].collect().toMap)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("pageRankDirectedInt conserves mass, rewards the cited, feeds sinks") {
     // in-star: 1..8 all cite 0; 0 cites nothing (dangling sink)
     val star = (1L to 8L).map((_, 0L)).toDF("src", "dst")
