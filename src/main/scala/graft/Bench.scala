@@ -99,6 +99,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries":$qsShort,"errors":$errs,"total_pass1":${f3(t1)},"total_pass2":${f3(t2)},"sf":"$sfDir"}"""
     spark.stop()
-    println(s"BENCH_JSON:$compact")
+    // The driver json-parses LINES out of its 2000-byte tail window — a
+    // prefixed line never json-parses, so the bare compact object must
+    // be the absolute final stdout line (after spark.stop(), which can
+    // itself log).
+    println(compact)
   }
 }

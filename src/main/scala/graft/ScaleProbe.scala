@@ -72,9 +72,16 @@ object ScaleProbe {
         .select(least(col("s"), col("nbr")).as("a"),
           greatest(col("s"), col("nbr")).as("b")).distinct()
         .localCheckpoint()
+      // per-copy offset derived from the ACTUAL max id: a hard-coded
+      // stride would silently overlap copies on a larger fixture,
+      // creating cross-copy edges that break the "peel depth
+      // preserved" premise of the probe
+      def idStride(e: DataFrame): Long =
+        e.agg(greatest(max(col("a")), max(col("b"))).cast("long")).head.getLong(0) + 1L
+      val spineStride = idStride(spine)
       val spine10 = (0L until 10L).map { k =>
-        spine.select((col("a") + k * 10000000L).as("a"),
-          (col("b") + k * 10000000L).as("b"))
+        spine.select((col("a") + k * spineStride).as("a"),
+          (col("b") + k * spineStride).as("b"))
       }.reduce(_ union _).localCheckpoint()
       def tri(e: DataFrame) = time(Graph.triangleCounts(e).count())
       def pr(e: DataFrame) =
@@ -94,9 +101,10 @@ object ScaleProbe {
         .select(least(col("s"), col("nbr")).as("a"),
           greatest(col("s"), col("nbr")).as("b")).distinct()
         .localCheckpoint()
+      val strongStride = idStride(strong)
       val strong10 = (0L until 10L).map { k =>
-        strong.select((col("a") + k * 10000000L).as("a"),
-          (col("b") + k * 10000000L).as("b"))
+        strong.select((col("a") + k * strongStride).as("a"),
+          (col("b") + k * strongStride).as("b"))
       }.reduce(_ union _).localCheckpoint()
       def truss(e: DataFrame) = time(Graph.kTruss(e, k = 4).count())
       // canonical a<b orientation as the directed graph: a real DAG
@@ -109,6 +117,19 @@ object ScaleProbe {
       val (db2, _) = dpr(strong); val (dB2, _) = dpr(strong10)
       println(f"[probe] ktruss:      $kb%.1fs -> $kB%.1fs (${kB / kb}%.1fx, $nK core edges, edges 10x)")
       println(f"[probe] dir-pagerank:$db2%.1fs -> $dB2%.1fs (${dB2 / db2}%.1fx, edges 10x)")
+
+      // k-core peel + HITS (the remaining r6 iterative ops): same
+      // disjoint-copies protocol — peel depth / iteration count is
+      // copy-invariant, so the honest ratio is ~linear
+      def core(e: DataFrame) = time(Graph.kCore(e, k = 25).count())
+      def hits(e: DataFrame) = time(Graph.hitsInt(
+        e.select(col("a").as("src"), col("b").as("dst")))
+        .agg(sum(col("hub"))).count())
+      core(strong); hits(strong) // codegen warmup
+      val (cb, _) = core(strong); val (cB, nC) = core(strong10)
+      val (hb, _) = hits(strong); val (hB, _) = hits(strong10)
+      println(f"[probe] kcore:       $cb%.1fs -> $cB%.1fs (${cB / cb}%.1fx, $nC core verts, edges 10x)")
+      println(f"[probe] hits:        $hb%.1fs -> $hB%.1fs (${hB / hb}%.1fx, edges 10x)")
     }
 
     // --- entity resolution end-to-end (q93's resolveEntities with the
@@ -122,8 +143,10 @@ object ScaleProbe {
     {
       val docs = spark.read.parquet(s"$base/documents.parquet")
         .select(col("doc_id"), col("text")).localCheckpoint()
+      val docStride = // same max-id-derived stride as the graph family
+        docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) + 1L
       val docs10 = (0L until 10L).map { k =>
-        docs.select((col("doc_id") + k * 100000000L).as("doc_id"),
+        docs.select((col("doc_id") + k * docStride).as("doc_id"),
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, lit(s"_$k")))).as("text"))
       }.reduce(_ union _).localCheckpoint()

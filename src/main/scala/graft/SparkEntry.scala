@@ -32,4 +32,11 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     groups.map(_._2).reduce(_ ++ _)
+
+  /** Data-DEPENDENT oracles, computed at Verify time with the live
+    * session (the IVF literal-centroid replay for q51/q72): merged over
+    * [[oracleSql]] before the dump, so the driver's DuckDB pass sees
+    * SQL whose literals were produced from the same `sfDir` it checks. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    SimQueries.dynamicOracles(spark, sfDir)
 }

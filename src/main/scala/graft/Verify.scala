@@ -34,7 +34,17 @@ object Verify {
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
     def q(s: String): String = "\"" + Strings.jsonEscape(s) + "\""
-    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
+    // data-dependent oracles (IVF literal-centroid replay) are computed
+    // here with the live session; a failure degrades those queries to
+    // the rows-only check instead of sinking the whole dump
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    Checkpoints.releaseAll(spark)
+    val json = (SparkEntry.oracleSql ++ dynamic).filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

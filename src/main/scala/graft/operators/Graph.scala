@@ -335,6 +335,15 @@ object Graph {
     * by vertex; rounds are checkpointed with eager release like every
     * other loop here. The vertex count (one driver scalar, loop-guard
     * bounded) prices the uniform teleport term. */
+  /** 0-row (v, rank_scaled) frame whose lineage touches only the RAW
+    * edge input — the empty-graph return for the PageRank variants.
+    * Deriving it from the loop's released checkpoint instead would
+    * violate [[Checkpoints.release]]'s contract (truncated lineage is
+    * unrecoverable if a consumer re-executes). `vExpr` fixes the vertex
+    * column's type to match the non-empty path's output. */
+  private def emptyRanks(edges: DataFrame, vExpr: org.apache.spark.sql.Column): DataFrame =
+    edges.limit(0).select(vExpr.as("v"), lit(0L).as("rank_scaled"))
+
   def pageRankInt(edges: DataFrame, a: String = "a", b: String = "b",
                   iters: Int = 3,
                   scale: Long = 1000000000000L): DataFrame = {
@@ -348,8 +357,11 @@ object Graph {
     val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("dg"))
     val n = verts.count() // bounded driver scalar: prices the teleport
     if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
+      // the empty result must NOT derive from the released checkpoint
+      // (release contract: truncated lineage cannot be re-executed), so
+      // rebuild a 0-row frame of the same shape from the raw input
       Checkpoints.release(adj)
-      return verts.select(col("vx").as("v"), lit(0L).as("rank_scaled"))
+      return emptyRanks(edges, least(col(a), col(b)))
     }
     val tele = (15L * (scale / n)) / 100L
     var r = Checkpoints.checkpoint(
@@ -420,8 +432,10 @@ object Graph {
     val ow = e.groupBy(col("s")).agg(sum(col("w")).as("tw"))
     val n = verts.count() // bounded driver scalar: prices the teleport
     if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
+      // see pageRankInt: never return a frame derived from the
+      // released checkpoint
       Checkpoints.release(e)
-      return verts.select(col("vx").as("v"), lit(0L).as("rank_scaled"))
+      return emptyRanks(edges, col(src))
     }
     val tele = (15L * (scale / n)) / 100L
     var r = Checkpoints.checkpoint(verts.withColumn("r", lit(scale / n)))

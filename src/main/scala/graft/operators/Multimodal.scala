@@ -334,6 +334,11 @@ object Multimodal {
             while (o2 + 8 <= lend && declared < 0) {
               val cid = fcc(o2.toInt)
               val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
+              // same bound discipline as the movi walk: a declared size
+              // overrunning the list would otherwise read ADJACENT
+              // in-array bytes as header fields (in-bounds misread, no
+              // exception to catch)
+              if (o2 + 8 + csz > lend) return bad
               if (cid == "avih" && csz >= 40) {
                 declared = u32(o2.toInt + 8 + 16)
                 width = u32(o2.toInt + 8 + 32)

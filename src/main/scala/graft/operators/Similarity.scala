@@ -147,10 +147,23 @@ object Similarity {
     * Centroids are deterministic: the `k` lowest-id vectors seed the
     * cells, refined by `lloydIters` rounds of mean-recentering — no RNG
     * state, reproducible across runs. */
+  /** Recentering means are computed over round(x·2^32) LONGS: integer
+    * sums are order-independent, so the centroid doubles come out
+    * bit-identical across executions — double summation is NOT
+    * associative and shuffle-fetch arrival order varies run to run,
+    * which would make `avg(double)` centroids differ in their low bits
+    * between the Verify query run and the oracle-literal run (see
+    * [[collectedCentroids]]). Quantization error ~2^-33 per component
+    * is irrelevant to cluster geometry; the sum is exact while cell
+    * occupancy stays < 2^31 rows (adaptive cells hold occupancy near
+    * `targetCellSize`, so this is structural, not a fixture accident). */
+  private val MeanScale = 4294967296d // 2^32
+
   /** Deterministic Lloyd centroids over a (n_id, cv) corpus: the `k`
     * lowest-id vectors seed the cells, refined by `iters` rounds of
-    * mean-recentering — no RNG state, reproducible. Superseded rounds
-    * release their checkpoint blocks eagerly. */
+    * exact-integer mean-recentering — no RNG state, bit-reproducible
+    * (see [[MeanScale]]). Superseded rounds release their checkpoint
+    * blocks eagerly. */
   private def lloydCentroids(c: DataFrame, cells: Int, iters: Int): DataFrame = {
     var centroids = graft.Checkpoints.checkpoint(c.orderBy(col("n_id")).limit(cells)
       .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr")))
@@ -159,7 +172,8 @@ object Similarity {
       val refined = graft.Checkpoints.checkpoint(assigned.join(c, "n_id")
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(round(col("col") * MeanScale).cast("long")).cast("double")
+          / count(lit(1)) / MeanScale).as("m"))
         .groupBy(col("cell"))
         .agg(map_from_entries(array_sort(
           collect_list(struct(col("pos"), col("m"))))).as("mm"))
@@ -168,6 +182,25 @@ object Similarity {
       centroids = refined
     }
     centroids
+  }
+
+  /** The Lloyd centroids [[ivfTopK]]/[[cosinePairsIvf]] compute,
+    * collected to the driver (≤ `cells` rows — bounded, never the
+    * corpus) — the literal feed for the q51/q72 DuckDB oracle replay.
+    * Exact-integer recentering ([[MeanScale]]) makes two executions of
+    * the pipeline bit-identical, so the centroids collected HERE equal
+    * the ones the query recomputes inside Verify. */
+  def collectedCentroids(emb: DataFrame, id: String, vec: String,
+                         cells: Int, lloydIters: Int): Seq[(Long, Seq[Double])] = {
+    val c = graft.Checkpoints.checkpoint(emb.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    val cents = lloydCentroids(c, cells, lloydIters)
+    val rows = cents.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    graft.Checkpoints.release(cents)
+    graft.Checkpoints.release(c)
+    rows
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,

@@ -33,8 +33,9 @@ object SimQueries {
     },
 
     // IVF ANN top-5: inverted-file cells with deterministic Lloyd
-    // centroids, nprobe=4 of 16 (rows-only; SimilaritySpec asserts
-    // recall vs exact and full-probe ≡ exact).
+    // centroids, nprobe=4 of 16. Oracle-checked via literal-CENTROID
+    // replay (see dynamicOracles); SimilaritySpec additionally asserts
+    // recall vs exact and full-probe ≡ exact.
     "q51_ann_ivf_topk" -> { (s, d) =>
       Similarity.ivfTopK(
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
@@ -57,8 +58,9 @@ object SimQueries {
 
     // IVF-bucketed embedding near-dup — the LOW-threshold 100 TB path
     // (data-adaptive cells, constant occupancy, linear candidate
-    // growth; see Similarity.cosinePairsLsh regime math). Rows-only;
-    // SimilaritySpec asserts recall vs q56's oracle-checked pairs.
+    // growth; see Similarity.cosinePairsLsh regime math). Oracle-checked
+    // via literal-centroid replay (dynamicOracles); SimilaritySpec
+    // additionally asserts recall vs q56's oracle-checked pairs.
     "q72_embed_neardup_ivf" -> { (s, d) =>
       Similarity.cosinePairsIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     }
@@ -143,4 +145,92 @@ object SimQueries {
          |          JOIN e eb ON cand.id_b = eb.vec_id
          |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin
   )
+
+  /** Collected Lloyd centroids as a DuckDB VALUES list `(cell, ctr)` —
+    * same literal convention as [[planesValues]] (shortest round-trip
+    * repr with an element DOUBLE cast, so no decimal-parse bit loss). */
+  private def centroidValues(cents: Seq[(Long, Seq[Double])]): String =
+    cents.map { case (cell, ctr) =>
+      s"($cell, [" + ctr.map(x => s"($x)::DOUBLE").mkString(",") + "])"
+    }.mkString(",\n")
+
+  /** Shared oracle head for the IVF family: embeddings as DOUBLE[],
+    * centroid literals, and the UNROUNDED vector↔centroid cosine —
+    * written as three sequential `list_inner_product` folds
+    * (dot/(√na·√nb)), which mirrors ArrayCosine's single index-order
+    * pass bit-for-bit (each accumulator folds 0..n-1 independently), so
+    * the `sim DESC, cell` assignment ranking replays exactly.
+    * MATERIALIZED: `sim` is referenced twice downstream and DuckDB
+    * would otherwise inline (recompute) it per reference. */
+  private def ivfSimSql(cents: Seq[(Long, Seq[Double])]): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cent(cell, ctr) AS (VALUES
+       |${centroidValues(cents)}),
+       |sim AS MATERIALIZED (SELECT e.vec_id AS n_id, c.cell,
+       |    list_inner_product(v, ctr) /
+       |      (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(ctr, ctr))) AS sim
+       |  FROM e CROSS JOIN cent c)""".stripMargin
+
+  /** Data-dependent oracles for the IVF family (q51/q72), generated at
+    * Verify time with the live session: the Lloyd centroids are
+    * COMPUTED in Spark, collected, and embedded as literals, so DuckDB
+    * replays cell assignment, candidate generation, and the
+    * rounded-cosine verify exactly — the q29/q70 literal-plane trick
+    * extended to data-dependent state. The centroid computation itself
+    * stays covered by SimilaritySpec (full-probe ≡ exact; recall
+    * floors vs the oracle-checked exact baselines). */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val emb = Tables.embeddings(s, d)
+    // q51 = ivfTopK(topK=5, cells=16, nprobe=4, lloydIters=2)
+    val c51 = Similarity.collectedCentroids(emb, "vec_id", "embedding",
+      cells = 16, lloydIters = 2)
+    val q51 =
+      s"""WITH ${ivfSimSql(c51)},
+         |idx AS (SELECT n_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn FROM sim)
+         |  WHERE arn <= 1),
+         |probes AS (SELECT n_id AS q_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn
+         |    FROM sim WHERE n_id % 20 = 0)
+         |  WHERE arn <= 4),
+         |cand AS (SELECT DISTINCT p.q_id, i.n_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell AND p.q_id <> i.n_id),
+         |scored AS (SELECT q_id, n_id,
+         |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+         |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+         |            JOIN e ec ON cand.n_id = ec.vec_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin
+    // q72 = cosinePairsIvf(minCos=0.4, targetCellSize=256, nprobe=2,
+    // lloydIters=2) — cells are data-adaptive; past 64 cells the engine
+    // switches to two-level assignment, which this replay does not
+    // mirror → keep the rows-only check there (not reached at the
+    // driver's SFs: sf0.1 is 5000/256 → 19 cells).
+    val cells72 = math.max(4L, emb.count() / 256).toInt
+    val q72map =
+      if (cells72 > 64) Map.empty[String, String]
+      else {
+        val c72 = Similarity.collectedCentroids(emb, "vec_id", "embedding",
+          cells = cells72, lloydIters = 2)
+        Map("q72_embed_neardup_ivf" ->
+          s"""WITH ${ivfSimSql(c72)},
+             |asg AS (SELECT n_id, cell FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY n_id
+             |      ORDER BY sim DESC, cell) AS arn FROM sim)
+             |  WHERE arn <= 2),
+             |cand AS (SELECT DISTINCT a.n_id AS id_a, b.n_id AS id_b
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id)
+             |SELECT id_a, id_b,
+             |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+             |FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+             |          JOIN e eb ON cand.id_b = eb.vec_id
+             |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin)
+      }
+    Map("q51_ann_ivf_topk" -> q51) ++ q72map
+  }
 }

@@ -93,6 +93,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     centroids.unpersist()
   }
 
+  test("collectedCentroids is bit-reproducible across executions") {
+    // The q51/q72 oracle replay feeds centroids collected in one
+    // execution into SQL checked against a SECOND execution's output —
+    // valid only if Lloyd is bit-deterministic. Exact-integer
+    // recentering makes it so (double avg would vary with shuffle
+    // arrival order in its low bits); this gate catches any regression
+    // back to order-dependent float accumulation.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = Similarity.collectedCentroids(emb, "vec_id", "embedding", 16, 2)
+    val b = Similarity.collectedCentroids(emb, "vec_id", "embedding", 16, 2)
+    assert(a.size == 16)
+    assert(a == b, "two Lloyd executions diverged bit-wise")
+  }
+
   test("cosinePairs finds exactly the known identical/orthogonal pairs") {
     // v1 == v2 (cos 1), v3 orthogonal to both, v4 = -v1 (cos -1)
     val vecs = Seq(
