@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * bytes). For VIDEO the JDK ships no codec, but UNCOMPRESSED AVI is
   * pure byte work: [[synthAvi]]/[[aviProbe]] write and re-walk a real
   * RIFF/AVI chunk tree (validated magic, header dims, counted movi
-  * frames), so the container path is genuinely exercised (q100);
-  * COMPRESSED video stays on [[stubProbe]] (deterministic fake derived
-  * from the byte content) so the Spark-side contract — schema,
+  * frames), so the container path is genuinely exercised (q100), and
+  * MJPEG — JPEG-compressed frame chunks inside that container — gets
+  * REAL per-frame pixel decode through the JDK's JPEG codec
+  * ([[synthMjpegAvi]]/[[mjpegProbe]], q106); only bitstream codecs the
+  * JDK lacks (H.264 etc.) stay on [[stubProbe]] (deterministic fake
+  * derived from the byte content) so the Spark-side contract — schema,
   * batching, partition shape, null behavior — is still real and
   * tested, and a native codec drops in without touching the dataflow. The PySpark twin would be
   * `mapInPandas` with Arrow batches; the Scala-native form is
@@ -294,6 +297,180 @@ object Multimodal {
       f += 1
     }
     bos.toByteArray
+  }
+
+  /** Uniform-gray single-component JPEG, encoded by the JDK's own
+    * `javax.imageio` writer at compression quality 1.0. At quality 1.0
+    * the quantization tables are all ones and a CONSTANT image has
+    * only a DC coefficient, so the decode round-trip reproduces the
+    * gray value EXACTLY (verified for all 256 values across
+    * non-multiple-of-8 dims; MultimodalSpec pins it) — which is what
+    * lets a genuinely compressed frame sit under an arithmetic oracle
+    * (q106). */
+  private[graft] def jpegGray(width: Int, height: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.getRaster.setSample(x, y, 0, v & 0xff); x += 1 }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG AVI: the same RIFF container layout
+    * as [[synthAvi]], but each movi chunk is `00dc` holding a REAL
+    * JPEG ([[jpegGray]], frame f uniform at `(base + 17·f) mod 256`) —
+    * a genuinely COMPRESSED video payload the JDK can actually decode,
+    * one step past q100's uncompressed containers. Chunk sizes vary
+    * per frame (JPEG entropy coding), so the movi walk exercises real
+    * variable-size chunk arithmetic including odd-size padding. */
+  def synthMjpegAvi(width: Int, height: Int, nFrames: Int,
+                    base: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive dims")
+    val frames = (0 until nFrames)
+      .map(f => jpegGray(width, height, (base + 17 * f) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val aviHdrSz = 4 + (8 + 56)
+    val strlSz = 4 + (8 + 56) + (8 + 40)
+    val hdrlListSz = aviHdrSz + 8 + strlSz
+    val moviSz = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+    val riffSz = 4 + (8 + hdrlListSz) + (8 + moviSz)
+    fcc("RIFF"); u32(riffSz); fcc("AVI ")
+    fcc("LIST"); u32(hdrlListSz); fcc("hdrl")
+    fcc("avih"); u32(56)
+    u32(33333); u32(0); u32(0); u32(0)
+    u32(nFrames); u32(0); u32(1); u32(frames.map(_.length).max)
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    fcc("LIST"); u32(strlSz); fcc("strl")
+    fcc("strh"); u32(56)
+    fcc("vids"); fcc("MJPG"); u32(0); u16(0); u16(0)
+    u32(0); u32(1); u32(30); u32(0); u32(nFrames)
+    u32(frames.map(_.length).max); u32(0); u32(0)
+    u16(0); u16(0); u16(width); u16(height)
+    fcc("strf"); u32(40)
+    u32(40); u32(width); u32(height); u16(1); u16(24)
+    fcc("MJPG") // biCompression: the MJPEG fourcc
+    u32(0); u32(0); u32(0); u32(0); u32(0)
+    fcc("LIST"); u32(moviSz); fcc("movi")
+    frames.foreach { fr =>
+      fcc("00dc"); u32(fr.length)
+      bos.write(fr)
+      if ((fr.length & 1) == 1) bos.write(0) // RIFF pads to even
+    }
+    bos.toByteArray
+  }
+
+  case class VideoStats(media_id: Long, media_type: String, width: Int,
+                        height: Int, n_frames: Int, pix_sum: Long,
+                        ok: Boolean)
+
+  /** REAL MJPEG decode: walks the RIFF/AVI chunk tree like
+    * [[aviProbe]], then decodes EVERY `00dc` frame chunk as a JPEG via
+    * `javax.imageio` and sums EVERY decoded pixel sample into
+    * `pix_sum` — per-frame pixel decode of a genuinely compressed
+    * container, not just header walking. ok = false when the container
+    * is malformed, a frame fails to decode, frame dims disagree with
+    * the avih header, or counted frames ≠ declared — the same lying-
+    * header discipline as [[aviProbe]]. */
+  def mjpegProbe(m: Media): VideoStats = {
+    val b = m.content
+    def bad = VideoStats(m.media_id, m.media_type, 0, 0, 0, 0L, ok = false)
+    if (b == null || b.length < 24) return bad
+    def u32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def fcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    try {
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return bad
+      val end = math.min(b.length.toLong, 8L + u32(4))
+      var width, height, declared = -1
+      var counted = 0
+      var pixSum = 0L
+      var seenMovi = false
+      var off = 12L
+      while (off + 8 <= end) {
+        val id = fcc(off.toInt)
+        val sz = u32(off.toInt + 4).toLong & 0xffffffffL
+        if (off + 8 + sz > end) return bad
+        if (id == "LIST") {
+          val listType = fcc(off.toInt + 8)
+          val lend = off + 8 + sz
+          if (listType == "hdrl") {
+            var o2 = off + 12
+            while (o2 + 8 <= lend && declared < 0) {
+              val cid = fcc(o2.toInt)
+              val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
+              if (o2 + 8 + csz > lend) return bad
+              if (cid == "avih" && csz >= 40) {
+                declared = u32(o2.toInt + 8 + 16)
+                width = u32(o2.toInt + 8 + 32)
+                height = u32(o2.toInt + 8 + 36)
+              }
+              o2 += 8 + csz + (csz & 1)
+            }
+          } else if (listType == "movi") {
+            seenMovi = true
+            var o2 = off + 12
+            while (o2 + 8 <= lend) {
+              val cid = fcc(o2.toInt)
+              val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
+              if (o2 + 8 + csz > lend) return bad
+              if (cid.endsWith("dc") || cid.endsWith("db")) {
+                counted += 1
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(
+                    b, (o2 + 8).toInt, csz.toInt))
+                if (img == null) return bad
+                if (img.getWidth != width || img.getHeight != height)
+                  return bad // frame disagrees with the container header
+                val raster = img.getRaster
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    pixSum += raster.getSample(x, y, 0)
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              o2 += 8 + csz + (csz & 1)
+            }
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      if (width <= 0 || height <= 0 || !seenMovi || counted != declared) bad
+      else VideoStats(m.media_id, m.media_type, width, height, counted,
+        pixSum, ok = true)
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
+  }
+
+  /** Video decode pass — same per-partition streaming shape as
+    * [[decode]], typed to the per-frame pixel-stats contract. */
+  def decodeVideo(media: Dataset[Media],
+                  probe: Media => VideoStats = mjpegProbe): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(probe))
   }
 
   /** REAL uncompressed-AVI probe: walks the RIFF chunk tree with no

@@ -575,6 +575,33 @@ object TextQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
+    },
+
+    // REAL COMPRESSED-video decode under the oracle gate — one step
+    // past q100's container walk: each row synthesizes an MJPEG AVI
+    // (real JPEG bytes per frame chunk, frame f uniform gray at
+    // (id%251 + 17f) mod 256), the JDK's actual JPEG codec decodes
+    // EVERY frame in the per-partition pass, and pix_sum sums EVERY
+    // decoded pixel sample. At quality 1.0 uniform-gray JPEG
+    // round-trips exactly (MultimodalSpec pins all 256 values), so the
+    // oracle predicts the decoded pixel sum arithmetically — a codec
+    // that doesn't really decode pixels cannot fake it.
+    "q106_mjpeg_decode" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.Media(
+          id, "video/x-msvideo",
+          graft.operators.Multimodal.synthMjpegAvi(
+            (8 + (id % 4) * 4).toInt, (6 + (id % 3) * 2).toInt,
+            (1 + id % 5).toInt, (id % 251).toInt))))
+      graft.operators.Multimodal.decodeVideo(media).toDF()
+        .filter(col("ok"))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("pix_sum"))
     }
   )
 
@@ -674,6 +701,22 @@ object TextQueries {
         |  CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS width,
         |  CAST(6 + (doc_id % 3) * 2 AS BIGINT) AS height,
         |  CAST(1 + doc_id % 5 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // The pixel sums the REAL per-frame JPEG decode must recover:
+    // frame f of doc_id is uniform gray (doc_id%251 + 17f) mod 256, so
+    // pix_sum = w·h·Σ_f value — exact because quality-1.0 uniform-gray
+    // JPEG round-trips losslessly (MultimodalSpec pins all 256 values).
+    "q106_mjpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS width,
+        |  CAST(6 + (doc_id % 3) * 2 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
+        |  CAST((8 + (doc_id % 4) * 4) * (6 + (doc_id % 3) * 2) *
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST(doc_id % 5 AS BIGINT)),
+        |      f -> (doc_id % 251 + 17 * f) % 256))
+        |    AS BIGINT) AS pix_sum
         |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // simhashPairs(maxHamming=3): 16-bit band bucket join (pigeonhole-

@@ -117,6 +117,74 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!got(52L).ok && !got(53L).ok && !got(54L).ok && !got(55L).ok)
   }
 
+  test("jpegGray round-trips every gray value exactly at quality 1.0") {
+    // The q106 oracle's premise: a quality-1.0 uniform-gray JPEG
+    // decodes to EXACTLY the encoded value (all-ones quantization
+    // tables + constant block = DC-only spectrum). Pin it for all 256
+    // values on a non-multiple-of-8 frame size.
+    (0 until 256).foreach { v =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.jpegGray(12, 10, v)))
+      assert(img.getWidth == 12 && img.getHeight == 10)
+      (0 until 10).foreach { y =>
+        (0 until 12).foreach { x =>
+          assert(img.getRaster.getSample(x, y, 0) == v,
+            s"value $v broke at ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("mjpegProbe REALLY decodes compressed frame pixels through the decode dataflow") {
+    // 3 frames at base 100 → uniform values 100, 117, 134; pix_sum is
+    // the exact sum of EVERY decoded pixel sample
+    val good = Multimodal.synthMjpegAvi(16, 12, 3, base = 100)
+    val expectedSum = 16L * 12L * (100L + 117L + 134L)
+    // same lying-header byte as the aviProbe spec: dwTotalFrames at 48
+    val lying = good.clone(); lying(48) = (lying(48) + 1).toByte
+    val badMagic = good.clone(); badMagic(2) = 'X'.toByte
+    val truncated = good.take(good.length - 7)
+    // corrupt a frame's JPEG entropy payload: find the first 00dc
+    // chunk and zero 16 bytes mid-frame → ImageIO must fail or the
+    // uniform premise break, never silently pass
+    val corrupt = good.clone()
+    val movi = {
+      var i = 0; var at = -1
+      while (at < 0 && i < corrupt.length - 4) {
+        if (corrupt(i) == '0'.toByte && corrupt(i + 1) == '0'.toByte &&
+            corrupt(i + 2) == 'd'.toByte && corrupt(i + 3) == 'c'.toByte) at = i
+        i += 1
+      }
+      at
+    }
+    assert(movi > 0)
+    // chunk size sits at fourcc+4 (little-endian); the entropy-coded
+    // scan lives at the END of the JPEG — stomp 16 bytes just before
+    // the EOI marker so the pixel data itself is damaged (the header
+    // region contains APP0/table bytes that can be pixel-neutral)
+    val csz = (corrupt(movi + 4) & 0xff) | ((corrupt(movi + 5) & 0xff) << 8) |
+      ((corrupt(movi + 6) & 0xff) << 16) | ((corrupt(movi + 7) & 0xff) << 24)
+    (0 until 16).foreach(k => corrupt(movi + 8 + csz - 20 + k) = 0x55.toByte)
+    val real = Seq(
+      Media(60L, "video/x-msvideo", good),
+      Media(61L, "video/x-msvideo", Multimodal.synthMjpegAvi(8, 6, 1, 0)),
+      Media(62L, "video/x-msvideo", lying),
+      Media(63L, "video/x-msvideo", badMagic),
+      Media(64L, "video/x-msvideo", truncated),
+      Media(65L, "video/x-msvideo", null)
+    ).toDS()
+    val got = Multimodal.decodeVideo(real).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(got(60L) == Multimodal.VideoStats(60L, "video/x-msvideo",
+      16, 12, 3, expectedSum, ok = true))
+    assert(got(61L) == Multimodal.VideoStats(61L, "video/x-msvideo",
+      8, 6, 1, 8L * 6L * 0L, ok = true))
+    assert(!got(62L).ok && !got(63L).ok && !got(64L).ok && !got(65L).ok)
+    // the corrupted-entropy frame must not produce the clean sum
+    val c = Multimodal.mjpegProbe(Media(66L, "video/x-msvideo", corrupt))
+    assert(!c.ok || c.pix_sum != expectedSum)
+  }
+
   test("audioRmsFeatures extracts content-derived segment energies") {
     val loud = wavBytes(8000f, 4000, amplitude = 0.9)
     val quiet = wavBytes(8000f, 4000, amplitude = 0.05)
