@@ -132,6 +132,41 @@ object ScaleProbe {
       println(f"[probe] hits:        $hb%.1fs -> $hB%.1fs (${hB / hb}%.1fx, edges 10x)")
     }
 
+    // --- skew survival (q107's substrate): one key holds ~20% of
+    // lineitem rows; with broadcast and AQE skew handling disabled the
+    // unsalted shuffle join runs its hot key in ONE straggler task,
+    // the salted form spreads it over 32. Recorded so the salted
+    // path's advantage is a measured number, not a claim. (AQE's
+    // runtime skew split is the default remedy — this measures the
+    // explicit rewrite used when the hot key is known in advance.)
+    {
+      import graft.operators.Joins
+      val conf = spark.conf
+      val saveBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val saveSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+          .filter(col("l_orderkey") >= 0)
+          .select(when(col("l_orderkey") % 5 === 0, lit(1L))
+            .otherwise(col("l_suppkey")).as("k"), col("l_quantity"))
+          .localCheckpoint()
+        val sup = spark.read.parquet(s"$base/supplier.parquet")
+          .select(col("s_suppkey").as("k"), col("s_nationkey"))
+        def agg(j: DataFrame) = j.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+        def unsalted() = time(agg(li.join(sup, "k")).count())
+        def salted() = time(agg(Joins.saltedJoin(li, sup, "k", 32)).count())
+        unsalted(); salted() // codegen warmup
+        val (ub, _) = unsalted(); val (sb, _) = salted()
+        println(f"[probe] skew-join:   unsalted $ub%.1fs vs salted $sb%.1fs (${ub / sb}%.1fx speedup, hot key ~20%%)")
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saveBroadcast)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", saveSkew)
+      }
+    }
+
     // --- entity resolution end-to-end (q93's resolveEntities with the
     // O(log n) star-contraction path): fixtures-only like the graph
     // family. The 10x corpus is 10 id-offset copies with a per-copy

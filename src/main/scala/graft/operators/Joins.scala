@@ -111,10 +111,15 @@ object Joins {
     * AQE's runtime skew-join split usually covers this; the explicit
     * form is for pathological keys known in advance (SURVEY.md §4).
     * Small side grows ×factor — keep it broadcast-sized. */
+  /** The deterministic salt [[saltedJoin]] derives from the big side's
+    * full row — exposed so JoinsSpec can assert the partition-spread
+    * property on exactly the production formula. */
+  private[graft] def saltExpr(big: DataFrame, factor: Int) =
+    pmod(xxhash64(struct(big.columns.map(col): _*)), lit(factor))
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int = 8): DataFrame = {
-    val salted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(factor)))
+    val salted = big.withColumn("_salt", saltExpr(big, factor))
     val exploded = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")

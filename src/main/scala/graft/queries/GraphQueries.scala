@@ -540,6 +540,30 @@ object GraphQueries {
           round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
     },
 
+    // Skew SURVIVAL on a pathologically hot key (SURVEY §7.4.1's
+    // mega-author case, synthesized): every 5th order's lines collapse
+    // onto supplier key 1, so ONE key holds ~20% of lineitem — the
+    // shape that turns an unsalted shuffle join into a single
+    // straggler task. Same salted path as q61 at factor 32; oracle is
+    // the plain join (salting must stay a pure physical rewrite).
+    // JoinsSpec asserts the partition-spread property on the same salt
+    // formula; ScaleProbe records the salted-vs-unsalted wall times
+    // with broadcast and AQE skew handling disabled. doc/hash
+    // contract: % needs key >= 0 on both engines.
+    "q107_skewed_salted_join" -> { (s, d) =>
+      val skewed = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") >= 0)
+        .select(when(col("l_orderkey") % 5 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("k"), col("l_quantity"))
+      graft.operators.Joins.saltedJoin(skewed,
+          Tables.supplier(s, d).select(col("s_suppkey").as("k"),
+            col("s_nationkey")),
+          "k", factor = 32)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+    },
+
     // Scalar-aggregate comparison (TPC-H Q11): groups whose share of a
     // GLOBAL aggregate exceeds a threshold (broadcast scalar join).
     // All-decimal arithmetic with an integer-scaled comparison
@@ -1068,6 +1092,17 @@ object GraphQueries {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    "q107_skewed_salted_join" ->
+      """WITH li AS (SELECT
+        |    CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_suppkey END AS k,
+        |    l_quantity
+        |  FROM lineitem WHERE l_orderkey >= 0)
+        |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM li JOIN supplier ON k = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
 
     "q42_important_parts" ->
