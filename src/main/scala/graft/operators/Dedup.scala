@@ -210,6 +210,70 @@ object Dedup {
         array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Plain-Scala per-document twin of [[minhashSignatures]] — the
+    * row-local form the STREAMING near-dup path computes inside a
+    * flatMap, where the batch window/groupBy machinery isn't
+    * available. Bit-equal to the batch dataflow by construction: same
+    * norm order (regexp → trim → lower), the same [[graft.functions.PolyHash]]
+    * kernel per word, the same shingle fold and distinct, the same
+    * affine [[minhashPerms]] — and StreamingSpec asserts the equality
+    * against [[minhashSignatures]] on a real corpus. Returns null when
+    * the doc has fewer than `shingleN` words (such docs have no batch
+    * signature row either). */
+  def localMinhashSig(text: String, numPerms: Int = 32,
+                      shingleN: Int = 3): Array[Long] = {
+    if (text == null) return null
+    val norm = text.replaceAll("\\s+", " ").trim
+      .toLowerCase(java.util.Locale.ROOT)
+    val ws = norm.split(" ", -1)
+    if (ws.length < shingleN) return null
+    val hs = ws.map(w => graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w),
+      31L, 1000000007L))
+    val keys = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i + shingleN <= hs.length) {
+      var acc = hs(i)
+      var k = 1
+      while (k < shingleN) {
+        acc = math.floorMod(acc * 31L + hs(i + k), 1000000007L)
+        k += 1
+      }
+      keys.add(acc)
+      i += 1
+    }
+    val perms = minhashPerms(numPerms)
+    val sig = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) {
+      val (a, b) = perms(p)
+      var m = Long.MaxValue
+      keys.foreach { k =>
+        val v = math.floorMod(k * a + b, MinhashMod)
+        if (v < m) m = v
+      }
+      sig(p) = m
+      p += 1
+    }
+    sig
+  }
+
+  /** Row-local twin of [[lshCandidates]]' band-key fold (same LCG
+    * constants), for the streaming path. */
+  def localBandKeys(sig: Array[Long], rowsPerBand: Int = 4): Array[Long] = {
+    val bands = sig.length / rowsPerBand
+    Array.tabulate(bands) { b =>
+      var h = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = math.floorMod(h * 1103515245L + sig(b * rowsPerBand + r),
+          graft.queries.LcgMod)
+        r += 1
+      }
+      h
+    }
+  }
+
   /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
     * matching signature slots is an unbiased estimator of the true
     * Jaccard (each slot matches with probability J). Joins the

@@ -586,6 +586,22 @@ object TextQueries {
     // round-trips exactly (MultimodalSpec pins all 256 values), so the
     // oracle predicts the decoded pixel sum arithmetically — a codec
     // that doesn't really decode pixels cannot fake it.
+    // Banded near-dup DROP decision — the batch twin of the STREAMING
+    // LSH dedup (EventStreams.bandedNearDup): LSH candidate pairs
+    // filtered to signature agreement >= 16/32 slots (est_jaccard >=
+    // 0.5 — exact: n/32 is dyadic), grouped per dropped doc to its
+    // min-id canonical. StreamingSpec asserts the stream's distinct
+    // (doc_id, dup_of) set equals this query's pre-grouping pair set.
+    "q108_banded_neardup_drop" -> { (s, d) =>
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      val cand = Dedup.lshCandidates(sigs, "doc_id")
+      Dedup.minhashEstimate(cand, sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).as("dup_of"),
+          count(lit(1)).as("n_dup_sources"))
+    },
+
     "q106_mjpeg_decode" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -628,7 +644,17 @@ object TextQueries {
     val bands = (0 until 8).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+    s"""WITH ${minhashBandsBody(mins, bands)}
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** The shared CTE chain of the minhash family (q26/q108): word
+    * hashes → shingle keys → 32-slot signatures (`sig`, columns
+    * m0..m31) → 8 band keys (`bands`). */
+  private def minhashBandsBody(mins: String, bands: String): String =
+    s"""w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
        |           FROM documents),
        |wh AS (SELECT doc_id, list_transform(ws, w -> ${wordHashSql("w")}) AS hs
        |       FROM w),
@@ -639,10 +665,37 @@ object TextQueries {
        |sig AS (SELECT doc_id,
        |    $mins
        |  FROM shk GROUP BY doc_id),
-       |bands AS ($bands)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+       |bands AS ($bands)""".stripMargin
+
+  /** Generated DuckDB twin of the q108 banded near-dup drop decision:
+    * q26's candidate pairs, filtered to signature agreement on ≥ 16 of
+    * 32 slots (the integer form of est_jaccard ≥ 0.5), grouped to the
+    * per-dropped-doc canonical. Also the batch side of the STREAMING
+    * parity gate (EventStreams.bandedNearDup ≡ this pair set). */
+  private def bandedNearDupSql: String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${minhashBandsBody(mins, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |m AS (SELECT id_a, id_b, ($matches) AS matches
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b)
+       |SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of,
+       |  CAST(count(*) AS BIGINT) AS n_dup_sources
+       |FROM m WHERE matches >= 16 GROUP BY id_b""".stripMargin
   }
 
   /** Generated DuckDB twin of Dedup.simhash64 as CTEs ending in
@@ -680,6 +733,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q26_minhash_lsh" -> minhashLshSql,
+
+    "q108_banded_neardup_drop" -> bandedNearDupSql,
 
     "q27_simhash" ->
       s"""WITH $simhashSigSql

@@ -168,6 +168,72 @@ object EventStreams {
       }
   }
 
+  case class DocText(doc_id: Long, text: String)
+  case class BandedDoc(band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
+  case class DupHit(doc_id: Long, dup_of: Long, band: Int)
+  case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** Streaming BANDED near-duplicate detection — the LSH sibling of
+    * [[dedupEvents]]'s exact-key dedup, closing the one LLM-pipeline
+    * operator with no streaming twin (SURVEY §2.10 + §2.11 dedup
+    * family). Each arriving doc computes its minhash signature
+    * ROW-LOCALLY (`Dedup.localMinhashSig` — bit-equal to the batch
+    * signatures, asserted by StreamingSpec) and explodes to its band
+    * buckets; per-BUCKET keyed state holds the (doc_id, sig) pairs
+    * seen so far, and a new doc emits a [[DupHit]] against every
+    * earlier doc in the bucket agreeing on ≥ `minMatches` of
+    * `numPerms` signature slots — the same integer decision as the
+    * batch `est_jaccard >= minMatches/numPerms` filter, so distinct
+    * (doc_id, dup_of) downstream is EXACTLY the batch q108 pair set
+    * (StreamingSpec asserts the parity).
+    *
+    * Scale shape: state is per band bucket (the same partitioning the
+    * batch LSH join shuffles on), bounded by bucket occupancy — in
+    * production the state would evict on an event-time timeout at the
+    * dedup horizon, exactly where `dropDuplicatesWithinWatermark`
+    * bounds ITS state; the fixture corpus is bounded so the spec runs
+    * NoTimeout. In-order contract: docs arrive in doc_id order across
+    * batches (sorted within each batch here), like the other stateful
+    * streams. */
+  def bandedNearDup(docs: Dataset[DocText], minMatches: Int = 16,
+                    numPerms: Int = 32, rowsPerBand: Int = 4): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { d =>
+      val sig = graft.operators.Dedup.localMinhashSig(d.text, numPerms)
+      if (sig == null) Iterator.empty
+      else {
+        val sigSeq: Seq[Long] = sig.toIndexedSeq
+        graft.operators.Dedup.localBandKeys(sig, rowsPerBand)
+          .iterator.zipWithIndex
+          .map { case (bk, b) => BandedDoc(b, bk, d.doc_id, sigSeq) }
+      }
+    }
+    banded.groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val hits = List.newBuilder[DupHit]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            seen.foreach { case (id0, sig0) =>
+              if (id0 < r.doc_id) {
+                var m = 0
+                var i = 0
+                while (i < sig0.length) {
+                  if (sig0(i) == r.sig(i)) m += 1
+                  i += 1
+                }
+                if (m >= minMatches) hits += DupHit(r.doc_id, id0, key._1)
+              }
+            }
+            seen = (r.doc_id, r.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          hits.result().iterator
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState (the reference-shaped "custom state" hook —
     * SURVEY.md §2.10). Emits an updated total per key per batch. */

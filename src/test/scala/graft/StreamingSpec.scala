@@ -321,6 +321,66 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("localMinhashSig equals the batch minhashSignatures on a real corpus") {
+    // the streaming near-dup path computes signatures row-locally; the
+    // parity below is only meaningful if the two formulations are
+    // bit-equal on real text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text")
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    val local = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      Option(graft.operators.Dedup.localMinhashSig(t)).map(s => id -> s.toSeq)
+    }.toMap
+    assert(local.keySet == batch.keySet)
+    local.foreach { case (id, s) =>
+      assert(s == batch(id), s"signature diverged for doc $id")
+    }
+    assert(local.nonEmpty)
+  }
+
+  test("bandedNearDup stream equals the batch q108 pair set") {
+    implicit val ctx = spark.sqlContext
+    // synthetic corpus with PLANTED near-dup clusters: docs in a
+    // cluster share all but one word, singletons are disjoint — so the
+    // parity is exercised on real hits, not a vacuous empty set
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}x$i").mkString(" ")
+    val docs = (
+      (0 until 6).map(i => EventStreams.DocText(10L + i,
+        words(1, 30) + s" tail$i")) ++ // cluster: 30 shared + 1 own word
+      (0 until 6).map(i => EventStreams.DocText(30L + i,
+        words(2, 25) + s" end$i")) ++ // second cluster
+      (0 until 8).map(i => EventStreams.DocText(50L + i,
+        words(100 + i, 20))) // disjoint singletons
+    ).sortBy(_.doc_id)
+    val ms = MemoryStream[EventStreams.DocText]
+    val q = EventStreams.bandedNearDup(ms.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // in-order arrival across 3 micro-batches (the stream contract)
+      docs.grouped(7).foreach { b =>
+        ms.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup").select($"doc_id", $"dup_of")
+        .distinct().as[(Long, Long)].collect().toSet
+      val docsDf = docs.toDF()
+      val sigs = graft.operators.Dedup
+        .minhashSignatures(docsDf, "doc_id", "text")
+      val batch = graft.operators.Dedup
+        .minhashEstimate(
+          graft.operators.Dedup.lshCandidates(sigs, "doc_id"), sigs, "doc_id")
+        .filter($"est_jaccard" >= 0.5)
+        .select($"id_b", $"id_a").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "planted clusters produced no batch pairs")
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch}, " +
+          s"only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("sessionCounts (unified API) splits on the gap in batch mode") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
