@@ -107,6 +107,29 @@ object GraphQueries {
     }
   }
 
+  /** Register the graph layer as composable temp VIEWS so a SQL-only
+    * user reaches it from `spark.sql` (q109; SURVEY §7.1, the q57 move
+    * extended to the operator layer): the co-ship edge spine, its k-NN
+    * sparsification, per-vertex triangle counts, and connected
+    * components over the k-NN spine. The edge views are lazy logical
+    * plans (SQL composing them gets full Catalyst optimization over
+    * the pinned spine materialization underneath); the components view
+    * is the star-contraction loop's final round — iterative results
+    * register as materialized-by-construction views, exactly like the
+    * reference's exported net tables. */
+  private[graft] def registerGraphViews(s: SparkSession, d: String): Unit = {
+    coShip(s, d)
+      .select(col("a"), col("b"), col("weight"),
+        col("first_yr").as("first_year"))
+      .createOrReplaceTempView("coship_edges")
+    knnEdges(s, d).createOrReplaceTempView("knn_edges")
+    Graph.triangleCounts(knnEdges(s, d))
+      .createOrReplaceTempView("triangle_counts")
+    Graph.connectedComponentsStar(knnEdges(s, d))
+      .select(col("v"), col("comp"))
+      .createOrReplaceTempView("components")
+  }
+
   private def coShip(s: SparkSession, d: String): DataFrame =
     pairYears(s, d).filter(col("yr").isNotNull) // oracles inner-join orders
       .groupBy(col("a"), col("b"))
@@ -540,6 +563,25 @@ object GraphQueries {
           round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
     },
 
+    // Pure-SQL composition over the REGISTERED graph views — proves a
+    // SQL-only user reaches the graph layer (components, triangles)
+    // without touching the Scala API: per component, vertex count and
+    // total triangle participation. Oracle composes the recursive-CTE
+    // components twin with the naive-3-join triangle twin on the same
+    // k-NN substrate.
+    "q109_graph_views_sql" -> { (s, d) =>
+      registerGraphViews(s, d)
+      s.sql("""SELECT c.comp,
+              |  CAST(count(*) AS BIGINT) AS n_vertices,
+              |  CAST(coalesce(sum(t.n_triangles), 0) AS BIGINT)
+              |    AS total_triangles,
+              |  CAST(count(CASE WHEN t.n_triangles IS NULL THEN 1 END)
+              |    AS BIGINT) AS n_triangle_free
+              |FROM components c
+              |LEFT JOIN triangle_counts t ON c.v = t.v
+              |GROUP BY c.comp""".stripMargin)
+    },
+
     // Skew SURVIVAL on a pathologically hot key (SURVEY §7.4.1's
     // mega-author case, synthesized): every 5th order's lines collapse
     // onto supplier key 1, so ONE key holds ~20% of lineitem — the
@@ -924,6 +966,34 @@ object GraphQueries {
     "q104_citation_hits" -> hitsOracleSql,
 
     "q105_citation_pagerank_weighted" -> weightedPageRankOracleSql,
+
+    // components (recursive CTE) x triangle counts (naive 3-join),
+    // both over the k-NN substrate — the q109 SQL-view composition
+    "q109_graph_views_sql" ->
+      s"""WITH RECURSIVE $coShipSql,
+         |$knnSql,
+         |adj AS (SELECT a AS s, b AS d FROM ed
+         |        UNION SELECT b AS s, a AS d FROM ed),
+         |verts AS (SELECT DISTINCT s AS v FROM adj),
+         |reach(v, u) AS (SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s),
+         |comp AS (SELECT v, CAST(min(u) AS BIGINT) AS comp
+         |         FROM reach GROUP BY v),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |                   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM tv GROUP BY v)
+         |SELECT c.comp, CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(coalesce(sum(tc.n_triangles), 0) AS BIGINT)
+         |    AS total_triangles,
+         |  CAST(count(CASE WHEN tc.n_triangles IS NULL THEN 1 END)
+         |    AS BIGINT) AS n_triangle_free
+         |FROM comp c LEFT JOIN tc ON c.v = tc.v
+         |GROUP BY c.comp""".stripMargin,
 
     // naive form: ed is canonical (a < b) so each triangle appears
     // exactly once as (x, y) (y, z) (x, z) with x < y < z

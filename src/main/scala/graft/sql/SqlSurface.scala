@@ -17,6 +17,10 @@ object SqlSurface {
 
   def register(spark: SparkSession, dir: String): Unit = {
     Tables.registerAll(spark, dir)
+    // the graph layer as composable views (coship_edges, knn_edges,
+    // triangle_counts, components) — a SQL-only user reaches the
+    // operator layer too (q109)
+    graft.queries.GraphQueries.registerGraphViews(spark, dir)
     spark.udf.register("hindex", udaf(HIndexAgg))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "scala_udf")
