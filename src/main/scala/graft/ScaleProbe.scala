@@ -135,8 +135,12 @@ object ScaleProbe {
     // --- skew survival (q107's substrate): one key holds ~20% of
     // lineitem rows; with broadcast and AQE skew handling disabled the
     // unsalted shuffle join runs its hot key in ONE straggler task,
-    // the salted form spreads it over 32. Recorded so the salted
-    // path's advantage is a measured number, not a claim. (AQE's
+    // the salted form spreads it over 32. Recorded per TASK, not just
+    // wall: at local[32] the reduce-side join of this shape is cheap
+    // enough that wall time is scan-dominated and nearly identical —
+    // the straggler shows up as the max/median TASK-duration ratio,
+    // which is exactly what turns into a stuck executor when reducers
+    // have real work (wide rows, spill, network) on a cluster. (AQE's
     // runtime skew split is the default remedy — this measures the
     // explicit rewrite used when the hot key is known in advance.)
     {
@@ -144,26 +148,73 @@ object ScaleProbe {
       val conf = spark.conf
       val saveBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
       val saveSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+      val saveCoalesce =
+        conf.get("spark.sql.adaptive.coalescePartitions.enabled")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      // coalescing merges the COLD partitions up to the advisory size,
+      // hiding the hot one at probe scale; at 100 TB the hot key
+      // exceeds any coalescing target, so off = the honest regime
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       try {
+        // x16 amplification: at raw sf0.1 the hot key is only ~120k
+        // rows and every task finishes in milliseconds — no straggler
+        // to observe. At ~10M rows the hot partition carries ~22% of
+        // the join while the other 31 carry ~2.5% each, which is the
+        // regime the salt exists for.
         val li = spark.read.parquet(s"$base/lineitem.parquet")
           .filter(col("l_orderkey") >= 0)
           .select(when(col("l_orderkey") % 5 === 0, lit(1L))
             .otherwise(col("l_suppkey")).as("k"), col("l_quantity"))
+          .withColumn("rep", explode(sequence(lit(0), lit(15))))
           .localCheckpoint()
         val sup = spark.read.parquet(s"$base/supplier.parquet")
           .select(col("s_suppkey").as("k"), col("s_nationkey"))
         def agg(j: DataFrame) = j.groupBy(col("s_nationkey"))
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
-        def unsalted() = time(agg(li.join(sup, "k")).count())
-        def salted() = time(agg(Joins.saltedJoin(li, sup, "k", 32)).count())
+        // per-task (stage, shuffle-read RECORDS) capture: the straggler
+        // is the one reduce task of the join stage that receives the
+        // hot key's rows — max/median shuffle-read within that stage
+        // is the skew itself, deterministic and free of timing noise.
+        // Records, not bytes: the hot partition is a single repeated
+        // key and lz4-compresses far better than mixed partitions,
+        // which deflates a byte-based ratio.
+        val tasks =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              tasks.add((t.stageId,
+                t.taskMetrics.shuffleReadMetrics.recordsRead))
+        }
+        def measured(f: => Long): (Double, Double) = {
+          tasks.clear()
+          spark.sparkContext.addSparkListener(listener)
+          val (wall, _) = time(f)
+          Thread.sleep(1000) // listener bus drains async
+          spark.sparkContext.removeSparkListener(listener)
+          val byStage = tasks.toArray(Array.empty[(Int, Long)])
+            .groupBy(_._1).values
+          val reduceStage = // the stage reading the big shuffle
+            if (byStage.isEmpty) Array.empty[Long]
+            else byStage.maxBy(_.map(_._2).sum).map(_._2).sorted
+          val ratio =
+            if (reduceStage.isEmpty) 0.0
+            else reduceStage.last.toDouble /
+              math.max(1L, reduceStage(reduceStage.length / 2))
+          (wall, ratio)
+        }
+        def unsalted() = measured(agg(li.join(sup, "k")).count())
+        def salted() = measured(agg(Joins.saltedJoin(li, sup, "k", 32)).count())
         unsalted(); salted() // codegen warmup
-        val (ub, _) = unsalted(); val (sb, _) = salted()
-        println(f"[probe] skew-join:   unsalted $ub%.1fs vs salted $sb%.1fs (${ub / sb}%.1fx speedup, hot key ~20%%)")
+        val (ub, us) = unsalted(); val (sb, ss) = salted()
+        println(f"[probe] skew-join:   unsalted reduce-read max/median $us%.1fx vs salted $ss%.1fx (wall $ub%.1fs vs $sb%.1fs, hot key ~20%%)")
       } finally {
         conf.set("spark.sql.autoBroadcastJoinThreshold", saveBroadcast)
         conf.set("spark.sql.adaptive.skewJoin.enabled", saveSkew)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          saveCoalesce)
       }
     }
 
