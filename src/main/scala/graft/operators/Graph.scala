@@ -171,7 +171,15 @@ object Graph {
         .select(col("v").as("u"), col("m").as("v"))
       val kept = if (large) rewired
         else rewired.union(mins.select(col("mu").as("u"), col("m").as("v")))
-      Checkpoints.checkpoint(kept.filter(col("u") =!= col("v")).distinct())
+      // checkpointAlways, not checkpoint: the fixpoint guard below
+      // EXECUTES every round (count + except), so in no-checkpoint
+      // audit mode an untruncated round isn't just a long plan string —
+      // it's ~4^rounds of re-planned re-execution, intractable past a
+      // few rounds (the q109 knn substrate takes more rounds than the
+      // q78 strong substrate and hung the audit). Rounds share one
+      // dataflow shape, so truncating loses no audit signal; the
+      // per-round shape is audited via q78's plan.
+      Checkpoints.checkpointAlways(kept.filter(col("u") =!= col("v")).distinct())
     }
 
     var i = 0

@@ -125,8 +125,14 @@ object GraphQueries {
     knnEdges(s, d).createOrReplaceTempView("knn_edges")
     Graph.triangleCounts(knnEdges(s, d))
       .createOrReplaceTempView("triangle_counts")
-    Graph.connectedComponentsStar(knnEdges(s, d))
-      .select(col("v"), col("comp"))
+    // checkpointAlways, not checkpoint: in no-checkpoint AUDIT mode the
+    // star-contraction loop's result is an untruncated ~2^rounds plan,
+    // and composing it into the q109 SQL makes planning intractable —
+    // the same lesson as the ER pair list (Checkpoints.checkpointAlways
+    // scaladoc). The loop ITSELF stays audited through q78.
+    graft.Checkpoints.checkpointAlways(
+        Graph.connectedComponentsStar(knnEdges(s, d))
+          .select(col("v"), col("comp")))
       .createOrReplaceTempView("components")
   }
 
