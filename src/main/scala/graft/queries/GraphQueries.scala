@@ -122,16 +122,19 @@ object GraphQueries {
       .select(col("a"), col("b"), col("weight"),
         col("first_yr").as("first_year"))
       .createOrReplaceTempView("coship_edges")
-    knnEdges(s, d).createOrReplaceTempView("knn_edges")
-    Graph.triangleCounts(knnEdges(s, d))
-      .createOrReplaceTempView("triangle_counts")
+    // one materialization of the k-NN window, shared by all three
+    // consumers (the raw view, the triangle pass, the component loop)
+    // instead of three window computations over the spine
+    val knn = graft.Checkpoints.checkpointAlways(knnEdges(s, d))
+    knn.createOrReplaceTempView("knn_edges")
+    Graph.triangleCounts(knn).createOrReplaceTempView("triangle_counts")
     // checkpointAlways, not checkpoint: in no-checkpoint AUDIT mode the
     // star-contraction loop's result is an untruncated ~2^rounds plan,
     // and composing it into the q109 SQL makes planning intractable —
     // the same lesson as the ER pair list (Checkpoints.checkpointAlways
     // scaladoc). The loop ITSELF stays audited through q78.
     graft.Checkpoints.checkpointAlways(
-        Graph.connectedComponentsStar(knnEdges(s, d))
+        Graph.connectedComponentsStar(knn)
           .select(col("v"), col("comp")))
       .createOrReplaceTempView("components")
   }
