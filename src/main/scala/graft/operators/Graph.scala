@@ -102,6 +102,58 @@ object Graph {
     visited
   }
 
+  /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
+    * relaxation — the weighted sibling of [[egoBfs]] (which measures
+    * hops): dist_k(v) = min(dist_{k-1}(v), min over in-edges (u,v) of
+    * dist_{k-1}(u) + w(u,v)), `rounds` fixed rounds over undirected
+    * edges. All-int64 arithmetic, so the rounds unroll as EXACT DuckDB
+    * CTEs (the q87/q98 discipline applied to path costs — float
+    * shortest paths never hash-match cross-engine).
+    *
+    * The distance frontier is kept SPARSE (only reached vertices carry
+    * a row — no INF sentinels), so each round is one keyed join +
+    * union + groupBy-min over the reached set, checkpointed with eager
+    * release like every loop here. Fixed `rounds` (a query parameter,
+    * like PageRank's iteration count) rather than a convergence guard:
+    * distances are exact for every vertex within `rounds` hops of the
+    * source, the oracle unrolls the same count, and the audit pays
+    * plan strings only — no data-dependent giant-plan re-execution.
+    * At 100 TB this is the standard ~diameter-bounded relaxation; a
+    * full-convergence variant would add the cached-count guard used by
+    * [[kCore]]. Returns (v, dist) for vertices reached within
+    * `rounds` hops (source included at dist 0). */
+  def shortestPathsInt(edges: DataFrame, source: Long, rounds: Int,
+                       a: String = "a", b: String = "b",
+                       w: String = "w"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = Checkpoints.checkpoint(
+      edges.select(col(a).as("u"), col(b).as("v"), col(w).cast("long").as("wt"))
+        .union(edges.select(col(b).as("u"), col(a).as("v"),
+          col(w).cast("long").as("wt")))
+        .filter(col("u") =!= col("v") && col("wt") >= 0L)
+        .groupBy(col("u"), col("v")).agg(min(col("wt")).as("wt")))
+    var dist = Checkpoints.checkpoint(Seq((source, 0L)).toDF("v", "dist"))
+    var i = 0
+    while (i < rounds) {
+      // explicit aliases: in no-checkpoint audit mode dist's lineage
+      // CONTAINS sym after round 1, so dataframe-qualified column refs
+      // become an ambiguous self-join
+      val relaxed = dist.alias("dd").join(sym.alias("ss"),
+          col("dd.v") === col("ss.u"))
+        .select(col("ss.v").as("v"),
+          (col("dd.dist") + col("ss.wt")).as("dist"))
+      val next = Checkpoints.checkpoint(
+        dist.select(col("v"), col("dist")).union(relaxed)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist")))
+      Checkpoints.release(dist)
+      dist = next
+      i += 1
+    }
+    Checkpoints.release(sym)
+    dist
+  }
+
   /** Connected components by min-label propagation — the clustering
     * step of duplicate-entity resolution (SURVEY.md §2.11): candidate
     * pairs from LSH become edges, components become entity groups.

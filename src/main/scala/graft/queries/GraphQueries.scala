@@ -572,6 +572,22 @@ object GraphQueries {
           round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
     },
 
+    // Single-source weighted shortest paths (bounded Bellman-Ford,
+    // 4 relaxation rounds) from the spine's minimum vertex, edge cost
+    // = 1 + 1000 div co-ship weight (strong ties are short). All-int64
+    // so the oracle unrolls the same 4 rounds exactly; the frontier
+    // stays sparse (no INF sentinels). The source is a bounded driver
+    // scalar, like the loop parameters of the other iterative queries.
+    "q110_shortest_paths" -> { (s, d) =>
+      val e = coShip(s, d)
+      val wk = knnEdges(s, d)
+        .join(e.select(col("a"), col("b"), col("weight")), Seq("a", "b"))
+        .select(col("a"), col("b"),
+          (lit(1L) + expr("1000 div weight")).as("w"))
+      val src = wk.agg(least(min(col("a")), min(col("b")))).head.getLong(0)
+      Graph.shortestPathsInt(wk, src, rounds = 4)
+    },
+
     // Pure-SQL composition over the REGISTERED graph views — proves a
     // SQL-only user reaches the graph layer (components, triangles)
     // without touching the Scala API: per component, vertex count and
@@ -975,6 +991,36 @@ object GraphQueries {
     "q104_citation_hits" -> hitsOracleSql,
 
     "q105_citation_pagerank_weighted" -> weightedPageRankOracleSql,
+
+    // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the
+    // weighted k-NN spine, sparse frontier (union + group-min), source
+    // = the spine's min vertex — every step exact int64
+    "q110_shortest_paths" -> {
+      def round(k: Int) =
+        s"""d$k AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+           |  SELECT v, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT wsym.v, d${k - 1}.dist + wsym.wt
+           |  FROM d${k - 1} JOIN wsym ON d${k - 1}.v = wsym.u)
+           |  GROUP BY v)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |wk AS (SELECT ed.a, ed.b,
+         |         1 + 1000 // e.orders_together AS w
+         |       FROM ed JOIN e ON ed.a = e.s1 AND ed.b = e.s2),
+         |wsym AS (SELECT u, v, CAST(min(w) AS BIGINT) AS wt FROM (
+         |        SELECT a AS u, b AS v, w FROM wk
+         |        UNION ALL SELECT b, a, w FROM wk)
+         |        WHERE u <> v GROUP BY u, v),
+         |src AS (SELECT least(min(a), min(b)) AS s FROM wk),
+         |d0 AS MATERIALIZED (SELECT s AS v, CAST(0 AS BIGINT) AS dist
+         |                    FROM src),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT v, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin
+    },
 
     // components (recursive CTE) x triangle counts (naive 3-join),
     // both over the k-NN substrate — the q109 SQL-view composition

@@ -186,6 +186,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("shortestPathsInt relaxes through the cheap detour, not the direct edge") {
+    // 1-2 (w 1), 2-3 (w 1), 1-3 (w 5), 3-4 (w 2): from source 1 the
+    // best route to 3 is the 2-hop detour (cost 2), so 4 lands at 4 —
+    // a result a hop-count BFS cannot produce
+    val es = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+      .toDF("a", "b", "w")
+    val got = Graph.shortestPathsInt(es, source = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L))
+    // bounded rounds: with 1 round, 3 is still on the direct edge and
+    // 4 is unreached; more rounds only improve distances
+    val one = Graph.shortestPathsInt(es, source = 1L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    // parallel edges keep the cheapest; negative weights are dropped
+    val multi = Seq((1L, 2L, 7L), (1L, 2L, 3L), (2L, 3L, -1L))
+      .toDF("a", "b", "w")
+    val m = Graph.shortestPathsInt(multi, source = 1L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 0L, 2L -> 3L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("pageRankInt ranks the hub above leaves and roughly conserves mass") {
     val star = (1L to 8L).map((0L, _)) ++ Seq((1L, 2L))
     val got = Graph.pageRankInt(star.toDF("a", "b"), iters = 3)
