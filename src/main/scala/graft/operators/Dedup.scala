@@ -210,6 +210,44 @@ object Dedup {
         array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Sorted-neighborhood blocking — the SORT-based member of the
+    * blocking family (PPJoin prefix blocks, MinHash/SimHash bands,
+    * name-prefix blocks, and this: the classic merge-purge strategy,
+    * Hernández & Stolfo SIGMOD'95): records are globally ranked by a
+    * sort key, and candidate pairs are records within `window`
+    * positions of each other. Where PREFIX blocks degenerate when one
+    * block is huge, the sorted window emits exactly n·window
+    * candidates no matter how values cluster — the complementary
+    * trade (misses pairs whose keys sort far apart).
+    *
+    * 100 TB shape: the global rank comes from
+    * [[Relational.globalCumsum]] — a range-partitioned two-phase
+    * prefix sum, never a single-partition window — and rank adjacency
+    * is ONE equi-join on (rank + exploded offset), so nothing is ever
+    * all-pairs: sort + n·window, fully parallel.
+    *
+    * Returns (id_a, key_a, id_b, key_b, gap) with id_a the earlier
+    * record in (key, id) sort order and gap ∈ [1, window]; callers
+    * verify (e.g. levenshtein, q111) exactly as with any other
+    * blocking source. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              window: Int): DataFrame = {
+    val ranked = Relational.globalCumsum(
+      df.select(col(idCol), col(keyCol)),
+      Seq(col(keyCol), col(idCol)), lit(1L), "rnk")
+    val l = ranked
+      .select(col(idCol).as("id_a"), col(keyCol).as("key_a"), col("rnk"))
+      .withColumn("gap", explode(sequence(lit(1), lit(window))))
+      .withColumn("rnk_b", col("rnk") + col("gap"))
+      .drop("rnk")
+    val r = ranked
+      .select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+        col("rnk").as("rnk_b"))
+    l.join(r, "rnk_b")
+      .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"),
+        col("gap").cast("long").as("gap"))
+  }
+
   /** Plain-Scala per-document twin of [[minhashSignatures]] — the
     * row-local form the STREAMING near-dup path computes inside a
     * flatMap, where the batch window/groupBy machinery isn't

@@ -451,6 +451,23 @@ object TextQueries {
         .filter(col("dist") <= 1)
     },
 
+    // Sorted-neighborhood blocking (merge-purge) on the q49 substrate
+    // — the SORT-based blocking family member: global (name, id) rank
+    // via the range-partitioned two-phase prefix sum, candidates =
+    // records within 5 rank positions, same levenshtein <= 1 verify.
+    // Complementary recall trade to q49's prefix blocks: window pairs
+    // never blow up on a hot prefix, but miss pairs sorting far
+    // apart. Oracle replays the rank with a window function.
+    "q111_sorted_neighborhood" -> { (s, d) =>
+      Dedup.sortedNeighborhoodPairs(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", window = 5)
+        .select(least(col("id_a"), col("id_b")).as("k1"),
+          greatest(col("id_a"), col("id_b")).as("k2"),
+          levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 1)
+    },
+
     // The reference STORES abstracts as JSON inverted indexes
     // (`PaperAbstractsInvertedIndex.txt`: {"IndexLength":N,
     // "InvertedIndex":{word:[positions]}}). Round-trip that exact
@@ -1051,6 +1068,17 @@ object TextQueries {
         |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
         | AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q111_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey, c_name,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+        |  FROM customer),
+        |cand AS (SELECT a.c_custkey AS ka, a.c_name AS na,
+        |    b.c_custkey AS kb, b.c_name AS nb
+        |  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 5)
+        |SELECT least(ka, kb) AS k1, greatest(ka, kb) AS k2,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin,
 
     "q54_inverted_index" ->
       s"""WITH p AS (SELECT DISTINCT doc_id,

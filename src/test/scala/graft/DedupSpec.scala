@@ -112,6 +112,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sortedNeighborhoodPairs emits exactly the rank-window pairs") {
+    import org.apache.spark.sql.functions._
+    // keys crafted so sort order differs from id order, with a tie
+    // broken by id (two "mm" rows)
+    val rows = Seq((10L, "aa"), (3L, "mm"), (7L, "mm"), (1L, "zz"),
+      (5L, "bb"), (8L, "cc")).toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(rows, "id", "k", window = 2)
+      .select($"id_a", $"id_b", $"gap").as[(Long, Long, Long)]
+      .collect().toSet
+    // sort order: aa(10) bb(5) cc(8) mm(3) mm(7) zz(1) → ranks 1..6
+    val ranked = Seq(10L, 5L, 8L, 3L, 7L, 1L)
+    val want = (for {
+      i <- ranked.indices; g <- 1 to 2; if i + g < ranked.length
+    } yield (ranked(i), ranked(i + g), g.toLong)).toSet
+    assert(got == want)
+    // window is a hard cap: no pair 3+ positions apart
+    assert(!got.exists(_._3 > 2) && got.size == 9)
+  }
+
   test("simhashPairs banding is pigeonhole-exact vs brute force") {
     import org.apache.spark.sql.functions._
     val fixture = graft.sources.Tables
