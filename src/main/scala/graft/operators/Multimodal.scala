@@ -381,34 +381,32 @@ object Multimodal {
                         height: Int, n_frames: Int, pix_sum: Long,
                         ok: Boolean)
 
-  /** REAL MJPEG decode: walks the RIFF/AVI chunk tree like
-    * [[aviProbe]], then decodes EVERY `00dc` frame chunk as a JPEG via
-    * `javax.imageio` and sums EVERY decoded pixel sample into
-    * `pix_sum` — per-frame pixel decode of a genuinely compressed
-    * container, not just header walking. ok = false when the container
-    * is malformed, a frame fails to decode, frame dims disagree with
-    * the avih header, or counted frames ≠ declared — the same lying-
-    * header discipline as [[aviProbe]]. */
-  def mjpegProbe(m: Media): VideoStats = {
-    val b = m.content
-    def bad = VideoStats(m.media_id, m.media_type, 0, 0, 0, 0L, ok = false)
-    if (b == null || b.length < 24) return bad
+  /** Walk an MJPEG AVI and decode every frame chunk as a JPEG —
+    * the shared core of [[mjpegProbe]] and [[videoFrameFeatures]].
+    * Returns None when the container is malformed, a frame fails to
+    * decode, frame dims disagree with the avih header, or counted
+    * frames ≠ declared (the [[aviProbe]] lying-header discipline).
+    * One media's frames are held at once — bounded by frame count ×
+    * frame size, the per-row working set of any video codec. */
+  private def decodeMjpegFrames(
+      b: Array[Byte]): Option[(Int, Int, Seq[java.awt.image.BufferedImage])] = {
+    if (b == null || b.length < 24) return None
     def u32(off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
     def fcc(off: Int): String = new String(b, off, 4, "US-ASCII")
     try {
-      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return bad
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
       val end = math.min(b.length.toLong, 8L + u32(4))
       var width, height, declared = -1
-      var counted = 0
-      var pixSum = 0L
       var seenMovi = false
+      val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+      var counted = 0
       var off = 12L
       while (off + 8 <= end) {
         val id = fcc(off.toInt)
         val sz = u32(off.toInt + 4).toLong & 0xffffffffL
-        if (off + 8 + sz > end) return bad
+        if (off + 8 + sz > end) return None
         if (id == "LIST") {
           val listType = fcc(off.toInt + 8)
           val lend = off + 8 + sz
@@ -417,7 +415,7 @@ object Multimodal {
             while (o2 + 8 <= lend && declared < 0) {
               val cid = fcc(o2.toInt)
               val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
-              if (o2 + 8 + csz > lend) return bad
+              if (o2 + 8 + csz > lend) return None
               if (cid == "avih" && csz >= 40) {
                 declared = u32(o2.toInt + 8 + 16)
                 width = u32(o2.toInt + 8 + 32)
@@ -431,25 +429,16 @@ object Multimodal {
             while (o2 + 8 <= lend) {
               val cid = fcc(o2.toInt)
               val csz = u32(o2.toInt + 4).toLong & 0xffffffffL
-              if (o2 + 8 + csz > lend) return bad
+              if (o2 + 8 + csz > lend) return None
               if (cid.endsWith("dc") || cid.endsWith("db")) {
                 counted += 1
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(
                     b, (o2 + 8).toInt, csz.toInt))
-                if (img == null) return bad
+                if (img == null) return None
                 if (img.getWidth != width || img.getHeight != height)
-                  return bad // frame disagrees with the container header
-                val raster = img.getRaster
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    pixSum += raster.getSample(x, y, 0)
-                    x += 1
-                  }
-                  y += 1
-                }
+                  return None // frame disagrees with the container header
+                frames += img
               }
               o2 += 8 + csz + (csz & 1)
             }
@@ -457,12 +446,85 @@ object Multimodal {
         }
         off += 8 + sz + (sz & 1)
       }
-      if (width <= 0 || height <= 0 || !seenMovi || counted != declared) bad
-      else VideoStats(m.media_id, m.media_type, width, height, counted,
-        pixSum, ok = true)
+      if (width <= 0 || height <= 0 || !seenMovi || counted != declared)
+        None
+      else Some((width, height, frames.result()))
     } catch {
-      case scala.util.control.NonFatal(_) => bad
+      case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** REAL MJPEG decode: walks the RIFF/AVI chunk tree like
+    * [[aviProbe]], then decodes EVERY `00dc` frame chunk as a JPEG via
+    * `javax.imageio` and sums EVERY decoded pixel sample into
+    * `pix_sum` — per-frame pixel decode of a genuinely compressed
+    * container, not just header walking. ok = false on the
+    * [[decodeMjpegFrames]] failure conditions. */
+  def mjpegProbe(m: Media): VideoStats =
+    decodeMjpegFrames(m.content) match {
+      case None =>
+        VideoStats(m.media_id, m.media_type, 0, 0, 0, 0L, ok = false)
+      case Some((w, h, frames)) =>
+        var pixSum = 0L
+        frames.foreach { img =>
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { pixSum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+        }
+        VideoStats(m.media_id, m.media_type, w, h, frames.length, pixSum,
+          ok = true)
+    }
+
+  /** Per-FRAME feature extraction: decode every MJPEG frame and emit a
+    * normalized luminance histogram per (media, frame) — the video
+    * member of the embedding extractors ([[imageHistogramFeatures]] /
+    * [[audioRmsFeatures]]), completing the video → embedding pipeline
+    * that feeds the [[Similarity]] ops. DOUBLE bins so exact values
+    * (a uniform frame is exactly 1.0 in one bin) survive the engine
+    * boundary for the q112 oracle. Undecodable payloads yield no rows
+    * (the frame grain has no place for a zero-vector sentinel). */
+  def videoFrameFeatures(media: Dataset[Media], bins: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeMjpegFrames(m.content) match {
+          case None => Iterator.empty
+          case Some((w, h, frames)) =>
+            frames.iterator.zipWithIndex.map { case (img, f) =>
+              val v = new Array[Double](bins)
+              // single-band (grayscale) frames read the raster sample
+              // directly: TYPE_BYTE_GRAY is a LINEAR color space and
+              // getRGB would gamma-convert to sRGB, so the rec601 fold
+              // of getRGB is NOT the stored gray value
+              val gray = img.getRaster.getNumBands == 1
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val lum =
+                    if (gray) img.getRaster.getSample(x, y, 0)
+                    else {
+                      val rgb = img.getRGB(x, y)
+                      (((rgb >> 16) & 0xff) * 299 +
+                        ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                    }
+                  v((lum * bins) / 256) += 1d
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (w * h).toDouble
+              var i = 0
+              while (i < bins) { v(i) /= n; i += 1 }
+              (m.media_id, f.toLong, v)
+            }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "embedding")
   }
 
   /** Video decode pass — same per-partition streaming shape as

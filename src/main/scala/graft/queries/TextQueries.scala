@@ -619,6 +619,32 @@ object TextQueries {
           count(lit(1)).as("n_dup_sources"))
     },
 
+    // Per-FRAME video embeddings — the full video → embedding pipeline
+    // under the gate: MJPEG frames REALLY decoded by the JDK JPEG
+    // codec, per-frame 16-bin luminance histogram at the (media,
+    // frame) grain. Frames are uniform gray, so each histogram is
+    // EXACTLY one-hot at bin value//16; the output flattens the
+    // nonzero bins (driver-hash convention: arrays become scalar
+    // columns, the q13 move) so the oracle predicts (bin, weight)
+    // arithmetically — a feature extractor that didn't really decode
+    // pixels can't reproduce it.
+    "q112_video_frame_embeddings" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.Media(
+          id, "video/x-msvideo",
+          graft.operators.Multimodal.synthMjpegAvi(
+            (8 + (id % 4) * 4).toInt, (6 + (id % 3) * 2).toInt,
+            (1 + id % 5).toInt, (id % 251).toInt))))
+      graft.operators.Multimodal.videoFrameFeatures(media)
+        .select(col("media_id"), col("frame_idx"),
+          posexplode(col("embedding")))
+        .filter(col("col") > 0d)
+        .select(col("media_id"), col("frame_idx"),
+          col("pos").cast("long").as("bin"), col("col").as("weight"))
+    },
+
     "q106_mjpeg_decode" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -1068,6 +1094,20 @@ object TextQueries {
         |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
         | AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // The one-hot histograms the REAL per-frame decode must recover:
+    // frame f of doc_id is uniform gray v = (doc_id%251 + 17f) mod 256
+    // and every pixel's rec601 luminance of (v,v,v) is exactly v, so
+    // the normalized 16-bin histogram is 1.0 at bin v//16.
+    "q112_video_frame_embeddings" ->
+      """SELECT media_id, frame_idx,
+        |  CAST((((media_id % 251) + 17 * frame_idx) % 256) // 16
+        |    AS BIGINT) AS bin,
+        |  CAST(1.0 AS DOUBLE) AS weight
+        |FROM (SELECT doc_id AS media_id,
+        |        unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT)))
+        |          AS frame_idx
+        |      FROM documents WHERE doc_id >= 0)""".stripMargin,
 
     "q111_sorted_neighborhood" ->
       """WITH r AS (SELECT c_custkey, c_name,

@@ -185,6 +185,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!c.ok || c.pix_sum != expectedSum)
   }
 
+  test("videoFrameFeatures emits one-hot luminance histograms per decoded frame") {
+    // frames uniform at 100, 117, 134 → bins 6, 7, 8 exactly (raster
+    // samples, not gamma-converted getRGB — the linear-gray trap)
+    val good = Multimodal.synthMjpegAvi(16, 12, 3, base = 100)
+    val rows = Multimodal.videoFrameFeatures(
+        Seq(Media(70L, "video/x-msvideo", good)).toDS())
+      .orderBy($"frame_idx")
+      .as[(Long, Long, Seq[Double])].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((70L, 0L), (70L, 1L), (70L, 2L)))
+    val expectBins = Seq(100 / 16, 117 / 16, 134 / 16)
+    rows.zip(expectBins).foreach { case ((_, _, emb), bin) =>
+      assert(emb.length == 16)
+      assert(emb(bin) == 1.0, s"bin $bin not hot: $emb")
+      assert(emb.sum == 1.0)
+    }
+    // malformed container → no rows, not a poison exception
+    val broken = good.take(good.length - 5)
+    assert(Multimodal.videoFrameFeatures(
+      Seq(Media(71L, "video/x-msvideo", broken)).toDS()).count() == 0L)
+  }
+
   test("audioRmsFeatures extracts content-derived segment energies") {
     val loud = wavBytes(8000f, 4000, amplitude = 0.9)
     val quiet = wavBytes(8000f, 4000, amplitude = 0.05)
