@@ -98,4 +98,28 @@ object Relational {
           coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
       .drop("_pid")
   }
+
+  /** EXACT distributed quantiles without a global single-partition
+    * sort — the scale-correct form of "value at percentile p": rows
+    * get a GLOBAL value rank from [[globalCumsum]] (range partition +
+    * per-partition window + broadcast offsets), and quantile p is the
+    * value at rank ceil(p·n). Ties need no tiebreak: every row at a
+    * given global rank carries the same value, so the result is
+    * deterministic however ties land. Target ranks are priced by one
+    * bounded driver count (the q110-source convention); Scala's IEEE
+    * `ceil(p·n)` matches the oracle's DOUBLE arithmetic bit-for-bit.
+    * Returns (p, v) — one row per requested probability (nearest-rank
+    * definition, not interpolated; q45 covers the interpolated form). */
+  def exactQuantiles(df: DataFrame, value: Column,
+                     probs: Seq[Double]): DataFrame = {
+    val vals = df.select(value.as("v"))
+    val n = vals.count()
+    val ranked = globalCumsum(vals, Seq(col("v")), lit(1L), "rnk")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = probs.map(p => (p, math.max(1L, math.ceil(p * n).toLong)))
+      .toDF("p", "tr")
+    ranked.join(broadcast(targets), col("rnk") === col("tr"))
+      .select(col("p"), col("v"))
+  }
 }

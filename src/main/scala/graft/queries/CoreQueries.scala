@@ -297,6 +297,19 @@ object CoreQueries {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))
     },
 
+    // EXACT nearest-rank quantiles at scale — q45's interpolated form
+    // needs the whole group on one pass; this one computes a GLOBAL
+    // value rank via the range-partitioned two-phase prefix sum (the
+    // q86 machinery) and picks the value at rank ceil(p*n): no
+    // single-partition sort anywhere, no interpolation arithmetic to
+    // diverge between engines (the selected value is read, not
+    // computed). Oracle replays the rank with a window function.
+    "q113_exact_quantiles" -> { (s, d) =>
+      graft.operators.Relational.exactQuantiles(
+        Tables.lineitem(s, d), col("l_extendedprice"),
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+    },
+
     // O3 "sample" — the reference only WISHED for random sampling
     // (`MagDwarf.scala:66` comment; `shuf -n 1000` shell scripts).
     // Implemented as a deterministic Bernoulli sample via Knuth
@@ -548,6 +561,21 @@ object CoreQueries {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // nearest-rank quantiles: the ::DOUBLE casts force the SAME IEEE
+    // p*n product Scala computes — a DECIMAL p would round ceil
+    // differently exactly when p*n lands on an integer
+    "q113_exact_quantiles" ->
+      """WITH o AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rnk
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS c FROM lineitem),
+        |t AS (SELECT p, greatest(1, CAST(ceil(p * c) AS BIGINT)) AS tr
+        |      FROM (SELECT unnest([(0.01)::DOUBLE, (0.25)::DOUBLE,
+        |                           (0.5)::DOUBLE, (0.75)::DOUBLE,
+        |                           (0.99)::DOUBLE]) AS p) ps
+        |      CROSS JOIN n)
+        |SELECT t.p, o.v FROM t JOIN o ON o.rnk = t.tr""".stripMargin,
 
     "q67_hash_sample" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,

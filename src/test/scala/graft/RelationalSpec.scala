@@ -46,6 +46,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("exactQuantiles picks the nearest-rank value, ties and extremes included") {
+    val rnd = new scala.util.Random(29)
+    // duplicates on purpose: nearest-rank must be tie-indifferent
+    val vals = (1 to 400).map(_ => rnd.nextInt(40).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val sorted = vals.sorted
+    val probs = Seq(0.0025, 0.25, 0.5, 0.75, 1.0)
+    val want = probs.map(p =>
+      p -> sorted(math.max(1, math.ceil(p * 400).toInt) - 1)).toMap
+    val got = Relational.exactQuantiles(df, col("v"), probs)
+      .as[(Double, Double)].collect().toMap
+    assert(got == want)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("globalCumsum never plans a single-partition global window") {
     val df = (1L to 50L).map(i => (i, i)).toDF("id", "w")
     val plan = Relational.globalCumsum(df, Seq(col("id")), col("w"), "cum", 8)
