@@ -102,6 +102,46 @@ object Graph {
     visited
   }
 
+  /** Multi-source BFS — hop distances from MANY sources in ONE
+    * dataflow (the landmark / closeness-centrality pattern): state is
+    * (src, v, level) keyed by vertex, one relaxation join per level,
+    * min-level merge — [[egoBfs]] generalized so k sources cost one
+    * loop, not k loops (at 100 TB the per-round scheduling dominates,
+    * so batching sources into the same rounds is the scale move; state
+    * grows as sources × reach, partitioned by vertex like everything
+    * else). Bounded `depth` like [[shortestPathsInt]]'s fixed rounds:
+    * exact within the horizon, oracle-unrollable, audit pays plan
+    * strings only. Returns (src, v, level), level = hop distance,
+    * sources included at level 0. */
+  def multiSourceBfs(edges: DataFrame, sources: Seq[Long], depth: Int,
+                     a: String = "a", b: String = "b"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Checkpoints.checkpoint(
+      edges.select(col(a).as("s"), col(b).as("d"))
+        .union(edges.select(col(b).as("s"), col(a).as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    var dist = Checkpoints.checkpoint(sources.toDF("src")
+      .select(col("src"), col("src").as("v"), lit(0L).as("level")))
+    var i = 0
+    while (i < depth) {
+      // aliases for the same audit-mode ambiguity reason as
+      // shortestPathsInt: dist's untruncated lineage contains adj
+      val relaxed = dist.alias("dd").join(adj.alias("aa"),
+          col("dd.v") === col("aa.s"))
+        .select(col("dd.src").as("src"), col("aa.d").as("v"),
+          (col("dd.level") + 1L).as("level"))
+      val next = Checkpoints.checkpoint(
+        dist.select(col("src"), col("v"), col("level")).union(relaxed)
+          .groupBy(col("src"), col("v")).agg(min(col("level")).as("level")))
+      Checkpoints.release(dist)
+      dist = next
+      i += 1
+    }
+    Checkpoints.release(adj)
+    dist
+  }
+
   /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
     * relaxation — the weighted sibling of [[egoBfs]] (which measures
     * hops): dist_k(v) = min(dist_{k-1}(v), min over in-edges (u,v) of

@@ -588,6 +588,19 @@ object GraphQueries {
       Graph.shortestPathsInt(wk, src, rounds = 4)
     },
 
+    // Multi-source BFS (landmark distances): hop levels from the 3
+    // lowest spine vertices in ONE loop, depth 3 — the closeness /
+    // landmark-embedding primitive. Sources are a bounded driver
+    // scalar (3 ids); the oracle unrolls the same 3 min-level rounds.
+    "q114_multi_source_bfs" -> { (s, d) =>
+      val e = knnEdges(s, d)
+      val srcs = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Graph.multiSourceBfs(e, srcs, depth = 3)
+    },
+
     // Pure-SQL composition over the REGISTERED graph views — proves a
     // SQL-only user reaches the graph layer (components, triangles)
     // without touching the Scala API: per component, vertex count and
@@ -991,6 +1004,30 @@ object GraphQueries {
     "q104_citation_hits" -> hitsOracleSql,
 
     "q105_citation_pagerank_weighted" -> weightedPageRankOracleSql,
+
+    // multi-source BFS unrolled: 3 MATERIALIZED min-level rounds from
+    // the 3 lowest spine vertices — hop BFS is weight-1 relaxation
+    "q114_multi_source_bfs" -> {
+      def round(k: Int) =
+        s"""m$k AS MATERIALIZED (SELECT src, v, min(level) AS level FROM (
+           |  SELECT src, v, level FROM m${k - 1}
+           |  UNION ALL
+           |  SELECT m${k - 1}.src, badj.d AS v, m${k - 1}.level + 1
+           |  FROM m${k - 1} JOIN badj ON m${k - 1}.v = badj.s)
+           |  GROUP BY src, v)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |badj AS (SELECT a AS s, b AS d FROM ed
+         |         UNION SELECT b AS s, a AS d FROM ed),
+         |srcs AS (SELECT v FROM (SELECT DISTINCT s AS v FROM badj)
+         |         ORDER BY v LIMIT 3),
+         |m0 AS MATERIALIZED (SELECT v AS src, v, CAST(0 AS BIGINT) AS level
+         |                    FROM srcs),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT src, v, CAST(level AS BIGINT) AS level FROM m3""".stripMargin
+    },
 
     // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the
     // weighted k-NN spine, sparse frontier (union + group-min), source

@@ -209,6 +209,27 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("multiSourceBfs tracks per-source hop levels independently") {
+    // path 1-2-3-4-5 plus chord 1-4: from source 1, 4 is 2 hops (via
+    // the chord); from source 5, 4 is 1 hop and 1 is 2 hops (chord
+    // back) — per-source levels must not bleed into each other
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("a", "b")
+    val got = Graph.multiSourceBfs(es, Seq(1L, 5L), depth = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 4L) -> 1L,
+      (1L, 3L) -> 2L, (1L, 5L) -> 2L,
+      (5L, 5L) -> 0L, (5L, 4L) -> 1L,
+      (5L, 3L) -> 2L, (5L, 1L) -> 2L))
+    // depth caps the horizon: with depth 1 only direct neighbors
+    val one = Graph.multiSourceBfs(es, Seq(1L), depth = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("pageRankInt ranks the hub above leaves and roughly conserves mass") {
     val star = (1L to 8L).map((0L, _)) ++ Seq((1L, 2L))
     val got = Graph.pageRankInt(star.toDF("a", "b"), iters = 3)
