@@ -99,6 +99,54 @@ object Relational {
       .drop("_pid")
   }
 
+  /** Z-order (Morton) key over two nonnegative 16-bit dimensions: bit
+    * i of `x` lands at position 2i, bit i of `y` at 2i+1, so nearby
+    * (x, y) points share key prefixes — the lakehouse data-layout move
+    * for MULTI-dimensional scan pruning: sort/partition by the z-key
+    * and a range of keys bounds a rectangle in BOTH dimensions at
+    * once, where sorting by (x, y) prunes only x. Pure composed bit
+    * arithmetic (no UDF, whole-stage codegen keeps it in the scan
+    * stage), replayed verbatim by the q116 oracle. */
+  def zorderKey(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(x.bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Per-key integer EWMA over each key's time-ordered events:
+    * e_0 = x_0, e_k = (num·x_k + (den−num)·e_{k−1}) floordiv den — the
+    * exponentially-weighted moving average with α = num/den kept in
+    * exact int64, so the order-dependent recursion is oracle-checkable
+    * (DuckDB replays it as `list_reduce` over the same ordered list;
+    * float EWMA would drift per-engine). The BATCH form of per-entity
+    * custom state (the streaming sibling is flatMapGroupsWithState):
+    * `groupByKey.mapGroups` holds ONE key's events in memory — the
+    * standard per-entity sessionization bound, partitioned by key like
+    * every stateful op here. Ordering inside a group is (orderUs, id)
+    * — a total order, so the fold is deterministic. Returns
+    * (key, n_events, ewma). */
+  def ewmaInt(df: DataFrame, key: Column, orderUs: Column, id: Column,
+              value: Column, num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > num, "need 0 < num/den < 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("long"), orderUs.cast("long"), id.cast("long"),
+        value.cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var e = rows.head._4
+        var i = 1
+        while (i < rows.length) {
+          e = Math.floorDiv(num * rows(i)._4 + (den - num) * e, den)
+          i += 1
+        }
+        (k, rows.length.toLong, e)
+      }
+      .toDF("key", "n_events", "ewma")
+  }
+
   /** EXACT distributed quantiles without a global single-partition
     * sort — the scale-correct form of "value at percentile p": rows
     * get a GLOBAL value rank from [[globalCumsum]] (range partition +

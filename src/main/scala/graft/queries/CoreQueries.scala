@@ -297,6 +297,24 @@ object CoreQueries {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))
     },
 
+    // Z-order layout audit: Morton-bucket the (partkey, suppkey) plane
+    // (>> 18: each bucket is a 512x512 rectangle) and report per-bucket
+    // extents — the multi-dimensional clustering a lakehouse sorts by
+    // so one key range prunes BOTH dimensions. The per-bucket min/max
+    // columns ARE the pruning guarantee the oracle hash-checks.
+    "q116_zorder_layout" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey").between(0, 65535) &&
+          col("l_suppkey").between(0, 65535))
+        .withColumn("zbucket", shiftright(
+          graft.operators.Relational.zorderKey(
+            col("l_partkey"), col("l_suppkey")), 18))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+          min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+    },
+
     // EXACT nearest-rank quantiles at scale — q45's interpolated form
     // needs the whole group on one pass; this one computes a GLOBAL
     // value rank via the range-partitioned two-phase prefix sum (the
@@ -561,6 +579,23 @@ object CoreQueries {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // the Morton interleave replayed bit-for-bit as SQL bit arithmetic
+    "q116_zorder_layout" -> {
+      val z = (0 until 16).map(i =>
+        s"(((l_partkey & ${1L << i}) << $i) | ((l_suppkey & ${1L << i}) << ${i + 1}))")
+        .mkString(" | ")
+      s"""SELECT ($z) >> 18 AS zbucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(l_partkey) AS BIGINT) AS min_p,
+         |  CAST(max(l_partkey) AS BIGINT) AS max_p,
+         |  CAST(min(l_suppkey) AS BIGINT) AS min_s,
+         |  CAST(max(l_suppkey) AS BIGINT) AS max_s
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 0 AND 65535
+         |  AND l_suppkey BETWEEN 0 AND 65535
+         |GROUP BY 1""".stripMargin
+    },
 
     // nearest-rank quantiles: the ::DOUBLE casts force the SAME IEEE
     // p*n product Scala computes — a DECIMAL p would round ceil

@@ -21,6 +21,22 @@ object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // Per-user integer EWMA (α = 1/4) over the time-ordered event
+    // stream — the BATCH form of per-entity custom state
+    // (groupByKey.mapGroups; the streaming sibling is
+    // flatMapGroupsWithState). The order-dependent recursion stays
+    // exact int64 cents (floor both engines: round would tie-break
+    // differently), so DuckDB replays it as list_reduce over the same
+    // (ts, event_id)-ordered list.
+    "q115_user_ewma" -> { (s, d) =>
+      graft.operators.Relational.ewmaInt(
+          Tables.events(s, d),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          floor(col("value") * 100), num = 1L, den = 4L)
+        .select(col("key").as("user_id"), col("n_events"),
+          col("ewma").as("ewma_cents"))
+    },
+
     // from_json over the props column + per-type aggregates.
     "q30_events_json" -> { (s, d) =>
       Tables.events(s, d)
@@ -269,6 +285,16 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // list_reduce without an init uses the first element — exactly
+    // e_0 = x_0; floor division (//) matches the Scala floorDiv
+    "q115_user_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(list_reduce(
+        |    list(CAST(floor(value * 100) AS BIGINT)
+        |         ORDER BY epoch_us(ts), event_id),
+        |    (acc, v) -> (1 * v + 3 * acc) // 4) AS BIGINT) AS ewma_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q69_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
         |             ${lcgHashSql("user_id")} AS h FROM events

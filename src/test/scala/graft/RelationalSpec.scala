@@ -62,6 +62,48 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("ewmaInt folds in time order with floor semantics") {
+    // key 1: x = 100, 200, 60 in ts order (ids break the ts tie) →
+    // e = 100; (200 + 3*100)//4 = 125; (60 + 3*125)//4 = 108
+    // key 2: single event → its own value
+    // key 3: negative values — floorDiv, not truncation:
+    // e = -5; (-10 + 3*-5)//4 = floor(-6.25) = -7
+    val rows = Seq(
+      (1L, 10L, 1L, 100L), (1L, 20L, 2L, 200L), (1L, 20L, 3L, 60L),
+      (2L, 5L, 4L, 42L),
+      (3L, 1L, 5L, -5L), (3L, 2L, 6L, -10L)
+    ).toDF("k", "us", "id", "x")
+    val got = Relational.ewmaInt(rows, col("k"), col("us"), col("id"),
+        col("x"), num = 1L, den = 4L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((3L, 108L)), 2L -> ((1L, 42L)),
+      3L -> ((2L, -7L))))
+  }
+
+  test("zorderKey interleaves bits and buckets bound both dimensions") {
+    // hand-computed Morton values
+    val pts = Seq((3L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L),
+      (5L, 6L)).toDF("x", "y")
+    val got = pts.select(Relational.zorderKey(col("x"), col("y")))
+      .as[Long].collect().toSeq
+    // (3,1): x bits 0,1 → pos 0,2; y bit 0 → pos 1 ⇒ 0b0111 = 7
+    // (5,6): x 101 → pos 0,4; y 110 → pos 3,5 ⇒ 0b111001 = 57
+    assert(got == Seq(7L, 0L, 0x55555555L, 0xAAAAAAAAL, 57L))
+    // locality: every >>18 bucket of a random scatter spans ≤ 512 in
+    // BOTH dims — the two-dimensional pruning guarantee
+    val rnd = new scala.util.Random(31)
+    val scatter = (1 to 2000)
+      .map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+    val spans = scatter
+      .withColumn("zb", shiftright(Relational.zorderKey(col("x"), col("y")), 18))
+      .groupBy(col("zb"))
+      .agg((max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"))
+      .agg(max(greatest(col("dx"), col("dy")))).as[Long].head()
+    assert(spans <= 511L, s"bucket spans $spans > 511")
+  }
+
   test("globalCumsum never plans a single-partition global window") {
     val df = (1L to 50L).map(i => (i, i)).toDF("id", "w")
     val plan = Relational.globalCumsum(df, Seq(col("id")), col("w"), "cum", 8)
