@@ -234,6 +234,35 @@ object EventStreams {
       }
   }
 
+  case class EwmaState(user_id: Long, n_events: Long, ewma: Long)
+
+  /** Streaming twin of the q115 per-user integer EWMA
+    * (`Relational.ewmaInt`): keyed state holds (count, ewma) and each
+    * arriving event advances e ← (num·x + (den−num)·e) floordiv den —
+    * the SAME exact-int64 recursion as the batch fold, so after any
+    * prefix of in-order batches the state equals the batch operator on
+    * the same prefix (StreamingSpec asserts it). Same in-batch sort /
+    * cross-batch in-order contract as [[funnelStages]]. */
+  def ewmaStream(events: Dataset[Event], num: Long = 1L,
+                 den: Long = 4L): Dataset[EwmaState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(e => (eventMicros(e), e.event_id)).foreach { e =>
+            val x = math.floor(e.value * 100).toLong
+            st =
+              if (st == null) EwmaState(uid, 1L, x)
+              else EwmaState(uid, st.n_events + 1,
+                Math.floorDiv(num * x + (den - num) * st.ewma, den))
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState (the reference-shaped "custom state" hook —
     * SURVEY.md §2.10). Emits an updated total per key per batch. */

@@ -381,6 +381,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("ewmaStream state equals the batch ewmaInt on every prefix") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, v = 1.00),
+      ev(2, "2024-01-01 10:01:00", 1, v = 2.00),
+      ev(3, "2024-01-01 10:02:00", 1, v = 0.60),
+      ev(4, "2024-01-01 10:00:30", 2, v = 0.42),
+      ev(5, "2024-01-01 10:03:00", 2, v = 3.00))
+    val ms = MemoryStream[Event]
+    val q = EventStreams.ewmaStream(ms.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("update").start()
+    try {
+      Seq(evs.take(3), evs.drop(3)).foreach { batch =>
+        ms.addData(batch: _*); q.processAllAvailable()
+        // latest state per user (n_events strictly grows, so the max
+        // struct IS the latest update row) vs the batch fold on the
+        // SAME prefix
+        val seen = evs.takeWhile(e => e.event_id <= batch.last.event_id)
+        val streamed = spark.table("ewma")
+          .groupBy($"user_id")
+          .agg(max(struct($"n_events", $"ewma")).as("st"))
+          .select($"user_id", $"st.n_events", $"st.ewma")
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        val batchGot = graft.operators.Relational.ewmaInt(
+            seen.toDF(), $"user_id", unix_micros($"ts"), $"event_id",
+            floor($"value" * 100), 1L, 4L)
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        assert(streamed == batchGot, s"prefix ${seen.map(_.event_id)}")
+      }
+    } finally q.stop()
+  }
+
   test("sessionCounts (unified API) splits on the gap in batch mode") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
