@@ -130,6 +130,27 @@ object ScaleProbe {
       val (hb, _) = hits(strong); val (hB, _) = hits(strong10)
       println(f"[probe] kcore:       $cb%.1fs -> $cB%.1fs (${cB / cb}%.1fx, $nC core verts, edges 10x)")
       println(f"[probe] hits:        $hb%.1fs -> $hB%.1fs (${hB / hb}%.1fx, edges 10x)")
+
+      // r7 bounded-round walks: fixed rounds make the honest ratio the
+      // per-round data growth alone (disjoint copies: sources replicate
+      // per copy for msbfs via the per-copy min vertices)
+      def sssp(e: DataFrame) = {
+        val w = e.withColumn("w", lit(1L) + pmod(col("a") + col("b"), lit(7L)))
+        val src = w.agg(least(min(col("a")), min(col("b")))).head.getLong(0)
+        time(Graph.shortestPathsInt(w, src, rounds = 4).count())
+      }
+      def msbfs(e: DataFrame) = {
+        val srcs = e.select(col("a").as("v"))
+          .union(e.select(col("b").as("v")))
+          .distinct().orderBy(col("v")).limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        time(Graph.multiSourceBfs(e, srcs, depth = 3).count())
+      }
+      sssp(strong); msbfs(strong) // codegen warmup
+      val (pb2, _) = sssp(strong); val (pB2, _) = sssp(strong10)
+      val (mb, _) = msbfs(strong); val (mB, _) = msbfs(strong10)
+      println(f"[probe] sssp:        $pb2%.1fs -> $pB2%.1fs (${pB2 / pb2}%.1fx, edges 10x)")
+      println(f"[probe] msbfs:       $mb%.1fs -> $mB%.1fs (${mB / mb}%.1fx, edges 10x)")
     }
 
     // --- skew survival (q107's substrate): one key holds ~20% of
