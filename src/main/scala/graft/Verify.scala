@@ -36,9 +36,13 @@ object Verify {
     def q(s: String): String = "\"" + Strings.jsonEscape(s) + "\""
     // data-dependent oracles (IVF literal-centroid replay) are computed
     // here with the live session; a failure degrades those queries to
-    // the rows-only check instead of sinking the whole dump
+    // the rows-only check instead of sinking the whole dump. Skipped
+    // entirely when a subset run filters their queries out — the Lloyd
+    // pipelines are the only oracle-side computation with real cost.
+    val dynamicKeys = Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf")
     val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      if (!dynamicKeys.exists(only)) Map.empty[String, String]
+      else try SparkEntry.dynamicOracleSql(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
         Map.empty[String, String]
