@@ -40,7 +40,8 @@ object Explain {
     "q88_bm25_topterms",    // broadcast corpus-stats scalar (q66 shape)
     "q98_citation_pagerank", // broadcast dangling-mass scalar, 1 row/round
     "q104_citation_hits",   // broadcast L1-total scalar, 1 row/half-round
-    "q105_citation_pagerank_weighted") // dangling scalar (q98 shape)
+    "q105_citation_pagerank_weighted", // dangling scalar (q98 shape)
+    "q117_grouped_quantiles") // broadcast groups(≤5)×probs(4) target grid
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -315,6 +315,31 @@ object CoreQueries {
           min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
     },
 
+    // GROUPED nearest-rank quantiles — q113's global form per group:
+    // ranks partition by the group key (ordinary windows, fully
+    // parallel — the single-partition hazard only exists for the
+    // GLOBAL rank, which q113's two-phase form handles), value at
+    // rank ceil(p*n_g) read per group, never interpolated.
+    "q117_grouped_quantiles" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val ranked = li.withColumn("rnk", row_number().over(w).cast("long"))
+      // target ranks computed on the TINY side (groups × probs), so
+      // the pick is a broadcast HASH join on (group, rank) — a
+      // mixed-side ceil(p·n) predicate would plan a nested loop
+      val targets = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(Seq(0.25, 0.5, 0.75, 0.99).toDF("p"))
+        .select(col("rf"), col("p"),
+          greatest(lit(1L), ceil(col("p") * col("n")).cast("long")).as("tr"))
+      ranked.join(broadcast(targets),
+          col("l_returnflag") === col("rf") && col("rnk") === col("tr"))
+        .select(col("l_returnflag"), col("p"), col("v"))
+    },
+
     // EXACT nearest-rank quantiles at scale — q45's interpolated form
     // needs the whole group on one pass; this one computes a GLOBAL
     // value rank via the range-partitioned two-phase prefix sum (the
@@ -579,6 +604,18 @@ object CoreQueries {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // grouped nearest-rank: same DOUBLE-p discipline as q113
+    "q117_grouped_quantiles" ->
+      """WITH o AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rnk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |t AS (SELECT unnest([(0.25)::DOUBLE, (0.5)::DOUBLE,
+        |                     (0.75)::DOUBLE, (0.99)::DOUBLE]) AS p)
+        |SELECT o.l_returnflag, t.p, o.v
+        |FROM o JOIN t ON o.rnk = greatest(1, CAST(ceil(t.p * o.n) AS BIGINT))""".stripMargin,
 
     // the Morton interleave replayed bit-for-bit as SQL bit arithmetic
     "q116_zorder_layout" -> {
