@@ -71,11 +71,16 @@ object EventStreams {
     * drops self-pairs. Downstream, a grouped count maintains edge
     * weights incrementally (the batch twin is `CoOccur.weightedEdges`).
     *
-    * Note: Spark's StreamingJoinHelper logs a benign
-    * "Error trying to extract state constraint" WARN for the `a < b`
-    * predicate (it probes every `<` conjunct as a potential time
-    * constraint); state cleanup still derives from the two time-range
-    * predicates. */
+    * The pair-uniqueness predicate is written `least(a,b) = a AND
+    * a != b` rather than the equivalent `a < b`: StreamingJoinHelper
+    * probes every inequality conjunct of a stream-stream join condition
+    * as a potential time constraint and logs an "Error trying to
+    * extract state constraint" WARN on `a < b` (two non-time
+    * attributes); the equality form is skipped by the probe, so the two
+    * canonical time-range conjuncts are analyzed cleanly and state
+    * eviction bounds derive without noise. StreamingSpec asserts the
+    * state PLATEAUS (rows evicted, no growth) under an advancing
+    * watermark. */
   def incrementalCoEdges(authorship: DataFrame,
                          watermark: String = "1 hour"): DataFrame = {
     val l = authorship.select(col("group").as("g"), col("member").as("a"),
@@ -85,7 +90,7 @@ object EventStreams {
     l.join(r, col("g") === col("g2") &&
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $watermark") &&
         col("ts_b") >= col("ts_a") - expr(s"INTERVAL $watermark"))
-      .filter(col("a") < col("b"))
+      .filter(least(col("a"), col("b")) === col("a") && col("a") =!= col("b"))
       .select(col("g").as("group"), col("a"), col("b"),
         greatest(col("ts_a"), col("ts_b")).as("pair_ts"))
   }
@@ -104,67 +109,108 @@ object EventStreams {
   case class LastType(user_id: Long, last_type: String)
   case class Transition(user_id: Long, prev: String, next: String)
 
+  /** Per-key state for the watermark-ordered stateful twins: the folded
+    * summary so far plus the events the watermark has not yet passed. */
+  case class Pending[S](folded: Option[S], buf: List[Event])
+
+  /** Shared buffer-until-watermark machinery for the order-dependent
+    * stateful twins ([[ewmaStream]]/[[funnelStages]]/[[transitionStream]]).
+    *
+    * An order-dependent fold applied at ARRIVAL order silently diverges
+    * from its batch twin when a late event lands in a later micro-batch.
+    * Instead, each key buffers incoming events in state and folds ONLY
+    * the events whose event time the watermark has passed, in
+    * (event-time, event_id) order — at that point no yet-to-arrive row
+    * may precede them (rows older than the watermark are dropped by
+    * Spark before reaching the function, the standard watermark
+    * contract), so the fold order equals the batch twin's event-time
+    * order under ANY arrival order within the watermark delay. Buffered
+    * events carry an event-time timeout at the earliest pending row, so
+    * they fold (and emit) when the watermark passes even if the key
+    * never sees another row. State is bounded by the watermark delay
+    * per key — the same bound every watermarked stateful op here has. */
+  private def foldRipe[S, O](rows: Iterator[Event],
+                             state: GroupState[Pending[S]])(
+      fold: (Option[S], Seq[Event]) => (S, List[O])): Iterator[O] = {
+    val prev = state.getOption.getOrElse(Pending[S](None, Nil))
+    val buf = prev.buf ::: rows.toList
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (ripe, wait) = buf.partition(e => eventMicros(e) < wmUs)
+    val out =
+      if (ripe.isEmpty) { state.update(prev.copy(buf = wait)); Nil }
+      else {
+        val (s2, os) = fold(prev.folded,
+          ripe.sortBy(e => (eventMicros(e), e.event_id)))
+        state.update(Pending(Some(s2), wait))
+        os
+      }
+    if (wait.nonEmpty)
+      state.setTimeoutTimestamp(wait.iterator.map(eventMicros).min / 1000L + 1L)
+    out.iterator
+  }
+
   /** Streaming twin of the q90 journey model: per-user keyed state
-    * holds only the LAST event type; each arriving event emits one
-    * (prev, next) transition ('_start' before the first). Transitions
-    * are append-only facts — a downstream stateless groupBy count (or
-    * foreachBatch upsert) maintains the live matrix. Same in-batch
-    * sort / cross-batch in-order contract as [[funnelStages]]. */
-  def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
+    * holds the LAST folded event type; each event past the watermark
+    * emits one (prev, next) transition ('_start' before the first).
+    * Transitions are append-only facts — a downstream stateless groupBy
+    * count (or foreachBatch upsert) maintains the live matrix. Late /
+    * out-of-order arrival within the watermark delay is handled by the
+    * [[foldRipe]] buffer: emission waits for the watermark, then folds
+    * in event-time order, matching the batch twin exactly. */
+  def transitionStream(events: Dataset[Event],
+                       watermark: String = "10 minutes"): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastType, Transition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[LastType]) =>
-          var last = state.getOption.map(_.last_type).getOrElse("_start")
-          val out = rows.toSeq.sortBy(e => (eventMicros(e), e.event_id))
-            .map { e =>
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Pending[LastType], Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Pending[LastType]]) =>
+          foldRipe(rows, state) { (st0: Option[LastType], ordered) =>
+            var last = st0.map(_.last_type).getOrElse("_start")
+            val out = ordered.map { e =>
               val t = Transition(uid, last, e.event_type)
               last = e.event_type
               t
             }
-          state.update(LastType(uid, last))
-          out.iterator
+            (LastType(uid, last), out.toList)
+          }
       }
   }
 
   /** Streaming twin of the q85 staged funnel: per-user keyed state
     * tracks the first view, the first click AT OR AFTER that view, and
-    * the first purchase at or after that click, advancing as events
-    * arrive. Events may arrive out of order WITHIN a batch (sorted
-    * here) but a cross-batch regression (an earlier view arriving
-    * after a click was accepted) is resolved exactly like the batch
-    * query only when stages re-qualify — the spec feeds in-order
-    * batches, matching the watermark contract of the other streams.
-    * Emits the updated per-user funnel row each batch (Update mode). */
-  def funnelStages(events: Dataset[Event]): Dataset[FunnelState] = {
+    * the first purchase at or after that click. Events fold through the
+    * [[foldRipe]] watermark buffer, so the stage machine always advances
+    * in event-time order regardless of arrival order — a click arriving
+    * a batch BEFORE its qualifying view still opens the funnel, exactly
+    * like the batch twin. Emits the updated per-user funnel row on each
+    * eviction (Update mode). */
+  def funnelStages(events: Dataset[Event],
+                   watermark: String = "10 minutes"): Dataset[FunnelState] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelState](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(uid, None, None, None))
-          rows.toSeq.sortBy(e => (eventMicros(e), e.event_id)).foreach { e =>
-            val us = eventMicros(e)
-            e.event_type match {
-              case "view" if st.view_us.forall(us < _) =>
-                // an EARLIER first view resets the downstream stages
-                // that no longer qualify — recomputed on later events
-                val keptClick = st.click_us.filter(_ >= us)
-                st = FunnelState(uid, Some(us), keptClick,
-                  st.purchase_us.filter(p => keptClick.exists(_ <= p)))
-              case "click" if st.view_us.exists(_ <= us) &&
-                  st.click_us.forall(us < _) =>
-                st = st.copy(click_us = Some(us),
-                  purchase_us = st.purchase_us.filter(_ >= us))
-              case "purchase" if st.click_us.exists(_ <= us) &&
-                  st.purchase_us.forall(us < _) =>
-                st = st.copy(purchase_us = Some(us))
-              case _ => ()
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Pending[FunnelState], FunnelState](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Pending[FunnelState]]) =>
+          foldRipe(rows, state) { (st0: Option[FunnelState], ordered) =>
+            var st = st0.getOrElse(FunnelState(uid, None, None, None))
+            ordered.foreach { e =>
+              val us = eventMicros(e)
+              e.event_type match {
+                case "view" if st.view_us.forall(us < _) =>
+                  st = st.copy(view_us = Some(us))
+                case "click" if st.view_us.exists(_ <= us) &&
+                    st.click_us.forall(us < _) =>
+                  st = st.copy(click_us = Some(us))
+                case "purchase" if st.click_us.exists(_ <= us) &&
+                    st.purchase_us.forall(us < _) =>
+                  st = st.copy(purchase_us = Some(us))
+                case _ => ()
+              }
             }
+            (st, List(st))
           }
-          state.update(st)
-          Iterator(st)
       }
   }
 
@@ -192,9 +238,11 @@ object EventStreams {
     * production the state would evict on an event-time timeout at the
     * dedup horizon, exactly where `dropDuplicatesWithinWatermark`
     * bounds ITS state; the fixture corpus is bounded so the spec runs
-    * NoTimeout. In-order contract: docs arrive in doc_id order across
-    * batches (sorted within each batch here), like the other stateful
-    * streams. */
+    * NoTimeout. Arrival-order-independent: a new doc is compared
+    * against EVERY bucket resident and the hit is emitted as
+    * (max id, min id), so the distinct pair set equals the batch q108
+    * set whatever order docs arrive in (StreamingSpec shuffles the
+    * arrival order to assert it). */
   def bandedNearDup(docs: Dataset[DocText], minMatches: Int = 16,
                     numPerms: Int = 32, rowsPerBand: Int = 4): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
@@ -217,14 +265,16 @@ object EventStreams {
           val hits = List.newBuilder[DupHit]
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
             seen.foreach { case (id0, sig0) =>
-              if (id0 < r.doc_id) {
+              if (id0 != r.doc_id) {
                 var m = 0
                 var i = 0
                 while (i < sig0.length) {
                   if (sig0(i) == r.sig(i)) m += 1
                   i += 1
                 }
-                if (m >= minMatches) hits += DupHit(r.doc_id, id0, key._1)
+                if (m >= minMatches)
+                  hits += DupHit(math.max(id0, r.doc_id),
+                    math.min(id0, r.doc_id), key._1)
               }
             }
             seen = (r.doc_id, r.sig) :: seen
@@ -238,28 +288,32 @@ object EventStreams {
 
   /** Streaming twin of the q115 per-user integer EWMA
     * (`Relational.ewmaInt`): keyed state holds (count, ewma) and each
-    * arriving event advances e ← (num·x + (den−num)·e) floordiv den —
-    * the SAME exact-int64 recursion as the batch fold, so after any
-    * prefix of in-order batches the state equals the batch operator on
-    * the same prefix (StreamingSpec asserts it). Same in-batch sort /
-    * cross-batch in-order contract as [[funnelStages]]. */
-  def ewmaStream(events: Dataset[Event], num: Long = 1L,
-                 den: Long = 4L): Dataset[EwmaState] = {
+    * event past the watermark advances e ← (num·x + (den−num)·e)
+    * floordiv den — the SAME exact-int64 recursion as the batch fold.
+    * The recursion is order-dependent, so events fold through the
+    * [[foldRipe]] watermark buffer in event-time order: after the
+    * watermark passes a set of events the state equals the batch
+    * operator on exactly that set, under ANY arrival order within the
+    * watermark delay (StreamingSpec asserts it with shuffled batches). */
+  def ewmaStream(events: Dataset[Event], num: Long = 1L, den: Long = 4L,
+                 watermark: String = "10 minutes"): Dataset[EwmaState] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[EwmaState, EwmaState](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
-          var st = state.getOption.orNull
-          rows.toSeq.sortBy(e => (eventMicros(e), e.event_id)).foreach { e =>
-            val x = math.floor(e.value * 100).toLong
-            st =
-              if (st == null) EwmaState(uid, 1L, x)
-              else EwmaState(uid, st.n_events + 1,
-                Math.floorDiv(num * x + (den - num) * st.ewma, den))
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Pending[EwmaState], EwmaState](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Pending[EwmaState]]) =>
+          foldRipe(rows, state) { (st0: Option[EwmaState], ordered) =>
+            var st = st0.orNull
+            ordered.foreach { e =>
+              val x = math.floor(e.value * 100).toLong
+              st =
+                if (st == null) EwmaState(uid, 1L, x)
+                else EwmaState(uid, st.n_events + 1,
+                  Math.floorDiv(num * x + (den - num) * st.ewma, den))
+            }
+            (st, List(st))
           }
-          state.update(st)
-          Iterator(st)
       }
   }
 

@@ -71,48 +71,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  test("funnelStages advances the staged funnel across batches like batch q85") {
+  test("funnelStages matches batch q85 under cross-batch OUT-OF-ORDER arrival") {
     implicit val ctx = spark.sqlContext
+    // the six real events, delivered SCRAMBLED across batches: user 7's
+    // purchase arrives first, its click second, its view LAST — the
+    // arrival-order fold would leave user 7's funnel permanently closed;
+    // the watermark-ordered fold must open all three stages
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "view"),
+      ev(2, "2024-01-01 10:05:00", 7, "click"),
+      ev(3, "2024-01-01 09:00:00", 8, "click"),
+      ev(4, "2024-01-01 09:30:00", 8, "view"),
+      ev(5, "2024-01-01 10:10:00", 7, "purchase"),
+      ev(6, "2024-01-01 09:40:00", 8, "purchase"))
     val ms = MemoryStream[Event]
-    val q = EventStreams.funnelStages(ms.toDS())
+    val q = EventStreams.funnelStages(ms.toDS(), watermark = "2 hours")
       .writeStream.format("memory").queryName("funnel")
       .outputMode("update").start()
     try {
-      // batch 1: user 7 views then clicks; a click BEFORE the first
-      // view (user 8) must not open the click stage
-      ms.addData(
-        ev(1, "2024-01-01 10:00:00", 7, "view"),
-        ev(2, "2024-01-01 10:05:00", 7, "click"),
-        ev(3, "2024-01-01 09:00:00", 8, "click"),
-        ev(4, "2024-01-01 09:30:00", 8, "view"))
-      q.processAllAvailable()
-      // batch 2: user 7 purchases; user 8's purchase without a
-      // qualifying click stays closed
-      ms.addData(
-        ev(5, "2024-01-01 10:10:00", 7, "purchase"),
-        ev(6, "2024-01-01 09:40:00", 8, "purchase"))
+      ms.addData(evs(4), evs(2)); q.processAllAvailable() // purchase, click
+      ms.addData(evs(1), evs(5)); q.processAllAvailable() // click, purchase
+      ms.addData(evs(0), evs(3)); q.processAllAvailable() // the views, last
+      // nothing may emit before the watermark passes the buffered events
+      assert(spark.table("funnel").isEmpty,
+        "funnel emitted before the watermark passed")
+      // flush: a far-future sentinel advances the watermark past all
+      // real events, firing the event-time timeouts that fold them
+      ms.addData(ev(99, "2024-01-01 14:00:00", 999, "view"))
       q.processAllAvailable()
       val last = spark.table("funnel").as[EventStreams.FunnelState]
-        .collect().groupBy(_.user_id).view
+        .collect().filter(_.user_id != 999L).groupBy(_.user_id).view
         .mapValues(_.maxBy(s => (s.view_us, s.click_us, s.purchase_us))).toMap
       def us(s: String) = ts(s).getTime * 1000L
       assert(last(7L) == EventStreams.FunnelState(7L,
         Some(us("2024-01-01 10:00:00")), Some(us("2024-01-01 10:05:00")),
         Some(us("2024-01-01 10:10:00"))))
+      // user 8's click PRECEDES its first view in event time → closed
       assert(last(8L) == EventStreams.FunnelState(8L,
         Some(us("2024-01-01 09:30:00")), None, None))
       // and the final state matches the oracle-checked batch twin (q85)
       // on the same six events
-      val batch = Seq(
-        ev(1, "2024-01-01 10:00:00", 7, "view"),
-        ev(2, "2024-01-01 10:05:00", 7, "click"),
-        ev(3, "2024-01-01 09:00:00", 8, "click"),
-        ev(4, "2024-01-01 09:30:00", 8, "view"),
-        ev(5, "2024-01-01 10:10:00", 7, "purchase"),
-        ev(6, "2024-01-01 09:40:00", 8, "purchase")).toDS()
       val dir = java.nio.file.Files.createTempDirectory("funnel").toString
       // match the fixture layout Tables.events expects: ts as raw nanos
-      batch.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      evs.toDS().withColumn("ts", expr("unix_micros(ts) * 1000"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val twin = SparkEntry.queries("q85_funnel_stages")(spark, dir)
         .as[(Long, Option[Long], Option[Long], Option[Long])]
@@ -123,26 +124,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  test("transitionStream accumulates the batch q90 transition matrix") {
+  test("transitionStream matches batch q90 under cross-batch OUT-OF-ORDER arrival") {
     implicit val ctx = spark.sqlContext
+    // event-time journeys: 7: view→click→purchase; 8: view→view→error.
+    // Delivered scrambled: each user's LAST event arrives first, so the
+    // arrival-order fold would invent transitions like purchase→view.
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "view"),
+      ev(2, "2024-01-01 10:05:00", 7, "click"),
+      ev(3, "2024-01-01 10:01:00", 8, "view"),
+      ev(4, "2024-01-01 10:10:00", 7, "purchase"),
+      ev(5, "2024-01-01 10:11:00", 8, "view"),
+      ev(6, "2024-01-01 10:12:00", 8, "error"))
     val ms = MemoryStream[Event]
-    val q = EventStreams.transitionStream(ms.toDS())
+    val q = EventStreams.transitionStream(ms.toDS(), watermark = "2 hours")
       .writeStream.format("memory").queryName("transitions")
       .outputMode("append").start()
     try {
-      val b1 = Seq(ev(1, "2024-01-01 10:00:00", 7, "view"),
-        ev(2, "2024-01-01 10:05:00", 7, "click"),
-        ev(3, "2024-01-01 10:01:00", 8, "view"))
-      val b2 = Seq(ev(4, "2024-01-01 10:10:00", 7, "purchase"),
-        ev(5, "2024-01-01 10:11:00", 8, "view"),
-        ev(6, "2024-01-01 10:12:00", 8, "error"))
-      ms.addData(b1: _*); q.processAllAvailable()
-      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(evs(3), evs(5)); q.processAllAvailable()
+      ms.addData(evs(1), evs(4)); q.processAllAvailable()
+      ms.addData(evs(0), evs(2)); q.processAllAvailable()
+      assert(spark.table("transitions").isEmpty,
+        "transitions emitted before the watermark passed")
+      ms.addData(ev(99, "2024-01-01 14:00:00", 999, "view")) // flush
+      q.processAllAvailable()
       val streamed = spark.table("transitions")
+        .filter(col("user_id") =!= 999L)
         .groupBy(col("prev"), col("next")).count()
         .as[(String, String, Long)].collect().toSet
-      // cross-batch state carried: 7's click->purchase and 8's
-      // view->view span the batch boundary
       assert(streamed == Set(
         ("_start", "view", 2L), ("view", "click", 1L),
         ("click", "purchase", 1L), ("view", "view", 1L),
@@ -150,7 +159,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // and the aggregate equals the oracle-checked batch twin q90 on
       // the same events (same fixture layout as the funnel test)
       val dir = java.nio.file.Files.createTempDirectory("trans").toString
-      (b1 ++ b2).toDS().withColumn("ts", expr("unix_micros(ts) * 1000"))
+      evs.toDS().withColumn("ts", expr("unix_micros(ts) * 1000"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val twin = SparkEntry.queries("q90_transition_matrix")(spark, dir)
         .as[(String, String, Long)].collect().toSet
@@ -184,6 +193,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // batch1 pair + the two pairs the batch2 arrival creates with
       // buffered state; group 2 has one member → no pair
       assert(got == Set((1L, 10L, 11L), (1L, 10L, 12L), (1L, 11L, 12L)))
+    } finally q.stop()
+  }
+
+  test("incrementalCoEdges join state PLATEAUS under an advancing watermark") {
+    // the interval self-join buffers both sides in the state store;
+    // StreamingJoinHelper cannot analyze the pushed-down `a < b`
+    // conjunct (it logs a WARN and skips it), but the two canonical
+    // time-range conjuncts still yield eviction bounds — this test
+    // PROVES eviction: with event time advancing 40 min per batch and a
+    // 1-hour watermark, state rows must stop growing and rows must be
+    // removed, instead of accumulating one batch's rows forever
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Authorship]
+    val q = EventStreams.incrementalCoEdges(ms.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("coedges_state")
+      .outputMode("append").start()
+    try {
+      val base = ts("2024-01-01 00:00:00").getTime
+      val totals = (0 until 12).map { i =>
+        val t = new Timestamp(base + i * 40L * 60 * 1000)
+        ms.addData((0 until 4).map(m => Authorship(1L, i * 10L + m, t)): _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators(0).numRowsTotal
+      }
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "join state never evicted a row")
+      // plateau: the tail holds no more rows than the mid-run level
+      // (+1 batch of slack for boundary timing)
+      assert(totals.takeRight(3).max <= totals.slice(5, 9).max + 8,
+        s"state kept growing: $totals")
+      // and far below the no-eviction level (12 batches × 4 rows × 2 sides)
+      assert(totals.last < 96, s"state ~unbounded: $totals")
     } finally q.stop()
   }
 
@@ -360,8 +402,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .writeStream.format("memory").queryName("neardup")
       .outputMode("append").start()
     try {
-      // in-order arrival across 3 micro-batches (the stream contract)
-      docs.grouped(7).foreach { b =>
+      // SCRAMBLED arrival across micro-batches: interleave the clusters
+      // and reverse ids, so most pairs meet their bucket-mate with the
+      // smaller id arriving last — order independence is exercised, not
+      // assumed (deterministic scramble, no RNG)
+      docs.sortBy(d => (d.doc_id % 3, -d.doc_id)).grouped(7).foreach { b =>
         ms.addData(b.toSeq: _*); q.processAllAvailable()
       }
       val streamed = spark.table("neardup").select($"doc_id", $"dup_of")
@@ -381,8 +426,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  test("ewmaStream state equals the batch ewmaInt on every prefix") {
+  test("ewmaStream equals batch ewmaInt under cross-batch OUT-OF-ORDER arrival") {
     implicit val ctx = spark.sqlContext
+    // the EWMA recursion is order-dependent: folding user 1's values in
+    // arrival order (2.00, 0.60, 1.00) yields 146, in event-time order
+    // (1.00, 2.00, 0.60) yields 108 — so this parity FAILS unless the
+    // stream folds in event-time order however events arrive
     val evs = Seq(
       ev(1, "2024-01-01 10:00:00", 1, v = 1.00),
       ev(2, "2024-01-01 10:01:00", 1, v = 2.00),
@@ -390,27 +439,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ev(4, "2024-01-01 10:00:30", 2, v = 0.42),
       ev(5, "2024-01-01 10:03:00", 2, v = 3.00))
     val ms = MemoryStream[Event]
-    val q = EventStreams.ewmaStream(ms.toDS())
+    val q = EventStreams.ewmaStream(ms.toDS(), watermark = "2 hours")
       .writeStream.format("memory").queryName("ewma")
       .outputMode("update").start()
     try {
-      Seq(evs.take(3), evs.drop(3)).foreach { batch =>
-        ms.addData(batch: _*); q.processAllAvailable()
-        // latest state per user (n_events strictly grows, so the max
-        // struct IS the latest update row) vs the batch fold on the
-        // SAME prefix
-        val seen = evs.takeWhile(e => e.event_id <= batch.last.event_id)
-        val streamed = spark.table("ewma")
-          .groupBy($"user_id")
-          .agg(max(struct($"n_events", $"ewma")).as("st"))
-          .select($"user_id", $"st.n_events", $"st.ewma")
-          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-        val batchGot = graft.operators.Relational.ewmaInt(
-            seen.toDF(), $"user_id", unix_micros($"ts"), $"event_id",
-            floor($"value" * 100), 1L, 4L)
-          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-        assert(streamed == batchGot, s"prefix ${seen.map(_.event_id)}")
-      }
+      ms.addData(evs(1), evs(4)); q.processAllAvailable()
+      ms.addData(evs(2), evs(3)); q.processAllAvailable()
+      ms.addData(evs(0)); q.processAllAvailable()
+      assert(spark.table("ewma").isEmpty,
+        "ewma emitted before the watermark passed")
+      ms.addData(ev(99, "2024-01-01 14:00:00", 999)) // watermark flush
+      q.processAllAvailable()
+      // latest state per user (n_events strictly grows, so the max
+      // struct IS the latest update row) vs the batch fold
+      val streamed = spark.table("ewma")
+        .filter($"user_id" =!= 999L)
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"ewma")).as("st"))
+        .select($"user_id", $"st.n_events", $"st.ewma")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batchGot = graft.operators.Relational.ewmaInt(
+          evs.toDF(), $"user_id", unix_micros($"ts"), $"event_id",
+          floor($"value" * 100), 1L, 4L)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed == batchGot)
+      assert(streamed(1L) == ((3L, 108L))) // the event-time-order fold
     } finally q.stop()
   }
 
