@@ -61,6 +61,16 @@ object Checkpoints {
   def checkpointAlways(df: DataFrame): DataFrame =
     doCheckpoint(df, pin = false, force = true)
 
+  /** [[checkpointPinned]] ∩ [[checkpointAlways]]: survives
+    * [[releaseAll]] AND stays a real checkpoint in no-checkpoint audit
+    * mode — for SESSION-LIFETIME materializations that back registered
+    * SQL views (`GraphQueries.registerGraphViews`): a view over a
+    * non-pinned block breaks unrecoverably after releaseAll (truncated
+    * lineage, block gone), and a view over an un-truncated iterative
+    * plan makes audit-mode planning intractable. */
+  def checkpointPinnedAlways(df: DataFrame): DataFrame =
+    doCheckpoint(df, pin = true, force = true)
+
   private def doCheckpoint(df: DataFrame, pin: Boolean,
                            force: Boolean = false): DataFrame = {
     if (disabled && !force) df

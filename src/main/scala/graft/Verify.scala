@@ -39,12 +39,19 @@ object Verify {
     // the rows-only check instead of sinking the whole dump. Skipped
     // entirely when a subset run filters their queries out — the Lloyd
     // pipelines are the only oracle-side computation with real cost.
+    // NonFatal only: an OOM or other fatal error must crash the dump
+    // loudly, not silently weaken q51/q72 to the rows-only check. A
+    // nonfatal degradation is RECORDED next to the oracle json so the
+    // round report shows those queries ran without their hash oracle.
     val dynamicKeys = Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf")
     val dynamic =
       if (!dynamicKeys.exists(only)) Map.empty[String, String]
       else try SparkEntry.dynamicOracleSql(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/oracle_degraded.txt"),
+          s"dynamic oracles (${dynamicKeys.mkString(", ")}) degraded to " +
+            s"rows-only: ${e.getClass.getName}: ${e.getMessage}\n")
         Map.empty[String, String]
       }
     Checkpoints.releaseAll(spark)

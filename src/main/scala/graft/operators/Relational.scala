@@ -79,11 +79,22 @@ object Relational {
     * DataFrame-CONSTRUCTION time (eager action, O(#partitions) rows to
     * the driver) — building this plan executes the upstream subtree.
     * Int64 values only — a float running sum is order-brittle in any
-    * engine. */
+    * engine.
+    *
+    * `numParts <= 0` (the default) derives the range-partition count
+    * from the session's `spark.sql.shuffle.partitions`: a fixed
+    * constant would cap the ranking stage at that many tasks for every
+    * caller — at 100 TB, 32 partitions is ~3 TB sorted per task — while
+    * the shuffle-partition setting is exactly the knob the cluster
+    * already sizes for its data volume. RelationalSpec asserts the
+    * result is partition-count-invariant (1/7/32/256). */
   def globalCumsum(df: DataFrame, orderCols: Seq[Column], value: Column,
-                   as: String, numParts: Int = 32): DataFrame = {
+                   as: String, numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = graft.Checkpoints.checkpointAlways(
-      df.repartitionByRange(numParts, orderCols: _*)
+      df.repartitionByRange(parts, orderCols: _*)
         .withColumn("_pid", spark_partition_id()))
     val totals = ranged.groupBy(col("_pid"))
       .agg(coalesce(sum(value.cast("long")), lit(0L)).as("_t"))

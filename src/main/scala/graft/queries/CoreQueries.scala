@@ -315,28 +315,33 @@ object CoreQueries {
           min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
     },
 
-    // GROUPED nearest-rank quantiles — q113's global form per group:
-    // ranks partition by the group key (ordinary windows, fully
-    // parallel — the single-partition hazard only exists for the
-    // GLOBAL rank, which q113's two-phase form handles), value at
-    // rank ceil(p*n_g) read per group, never interpolated.
+    // GROUPED nearest-rank quantiles — q113's global form per group.
+    // l_returnflag has only ~3 distinct values, so a per-group window
+    // rank would funnel ~1/3 of lineitem through ONE task at scale —
+    // the exact single-reducer hazard q113's two-phase form exists to
+    // avoid. Instead: ONE global two-phase rank ordered by (group,
+    // value, unique id); per-group rank = global rank − group offset,
+    // where offsets (min rank) and sizes come from a partial-agg
+    // shuffle carrying ~groups rows. Low-cardinality groups cost
+    // nothing extra — they are just ranges of the global order.
     "q117_grouped_quantiles" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("v"))
-      val ranked = li.withColumn("rnk", row_number().over(w).cast("long"))
-      // target ranks computed on the TINY side (groups × probs), so
-      // the pick is a broadcast HASH join on (group, rank) — a
-      // mixed-side ceil(p·n) predicate would plan a nested loop
-      val targets = li.groupBy(col("l_returnflag").as("rf"))
-        .agg(count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.operators.Relational.globalCumsum(
+        li, Seq(col("l_returnflag"), col("v"),
+          col("l_orderkey"), col("l_linenumber")), lit(1L), "rnk")
+      // target GLOBAL ranks computed on the TINY side (groups × probs),
+      // so the pick is a broadcast HASH join on the unique global rank
+      // — a mixed-side ceil(p·n) predicate would plan a nested loop
+      val targets = ranked.groupBy(col("l_returnflag").as("rf"))
+        .agg(min(col("rnk")).as("off"), count(lit(1)).as("n"))
         .crossJoin(Seq(0.25, 0.5, 0.75, 0.99).toDF("p"))
         .select(col("rf"), col("p"),
-          greatest(lit(1L), ceil(col("p") * col("n")).cast("long")).as("tr"))
-      ranked.join(broadcast(targets),
-          col("l_returnflag") === col("rf") && col("rnk") === col("tr"))
+          (col("off") - lit(1L) +
+            greatest(lit(1L), ceil(col("p") * col("n")).cast("long"))).as("tr"))
+      ranked.join(broadcast(targets), col("rnk") === col("tr"))
         .select(col("l_returnflag"), col("p"), col("v"))
     },
 

@@ -105,6 +105,9 @@ object GraphQueries {
     strongCache.keys.filter(_._1 == s).foreach { k =>
       strongCache.remove(k).foreach(graft.Checkpoints.release)
     }
+    viewMats.keys.filter(_._1 == s).foreach { k =>
+      viewMats.remove(k).foreach(_.foreach(graft.Checkpoints.release))
+    }
   }
 
   /** Register the graph layer as composable temp VIEWS so a SQL-only
@@ -117,26 +120,39 @@ object GraphQueries {
     * is the star-contraction loop's final round — iterative results
     * register as materialized-by-construction views, exactly like the
     * reference's exported net tables. */
+  /** Materializations backing the registered graph views, cached per
+    * (session, dir) as PINNED checkpoints: a registered view must
+    * survive the harness's between-query `Checkpoints.releaseAll`
+    * (a view over a released non-pinned block fails unrecoverably —
+    * the lineage is truncated and the block gone), and must stay a
+    * real checkpoint in no-checkpoint audit mode (composing the
+    * untruncated ~2^rounds star-contraction plan into q109's SQL makes
+    * planning intractable; the loop ITSELF stays audited through q78).
+    * Same one-dir bound and [[invalidateSpine]] hook as the spine. */
+  private val viewMats =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), List[DataFrame]]()
+
   private[graft] def registerGraphViews(s: SparkSession, d: String): Unit = {
     coShip(s, d)
       .select(col("a"), col("b"), col("weight"),
         col("first_yr").as("first_year"))
       .createOrReplaceTempView("coship_edges")
+    viewMats.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    viewMats.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+      viewMats.remove(k).foreach(_.foreach(graft.Checkpoints.release))
+    }
     // one materialization of the k-NN window, shared by all three
     // consumers (the raw view, the triangle pass, the component loop)
     // instead of three window computations over the spine
-    val knn = graft.Checkpoints.checkpointAlways(knnEdges(s, d))
-    knn.createOrReplaceTempView("knn_edges")
-    Graph.triangleCounts(knn).createOrReplaceTempView("triangle_counts")
-    // checkpointAlways, not checkpoint: in no-checkpoint AUDIT mode the
-    // star-contraction loop's result is an untruncated ~2^rounds plan,
-    // and composing it into the q109 SQL makes planning intractable —
-    // the same lesson as the ER pair list (Checkpoints.checkpointAlways
-    // scaladoc). The loop ITSELF stays audited through q78.
-    graft.Checkpoints.checkpointAlways(
-        Graph.connectedComponentsStar(knn)
-          .select(col("v"), col("comp")))
-      .createOrReplaceTempView("components")
+    val mats = viewMats.getOrElseUpdate((s, d), {
+      val knn = graft.Checkpoints.checkpointPinnedAlways(knnEdges(s, d))
+      val comps = graft.Checkpoints.checkpointPinnedAlways(
+        Graph.connectedComponentsStar(knn).select(col("v"), col("comp")))
+      List(knn, comps)
+    })
+    mats.head.createOrReplaceTempView("knn_edges")
+    Graph.triangleCounts(mats.head).createOrReplaceTempView("triangle_counts")
+    mats(1).createOrReplaceTempView("components")
   }
 
   private def coShip(s: SparkSession, d: String): DataFrame =

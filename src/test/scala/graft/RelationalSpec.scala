@@ -37,7 +37,9 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val want = rows.map { case (i, w) => (i * 37 % 501, i, w) }.sortBy(_._1)
       .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, c), (k, i, w)) => (k, i, w, c + w) }
       .drop(1).map { case (_, i, _, c) => (i, c) }.toMap
-    for (parts <- Seq(1, 7, 32)) {
+    // 0 = the derived default (spark.sql.shuffle.partitions); 256 >
+    // rows/partition boundary cases with many near-empty partitions
+    for (parts <- Seq(1, 7, 32, 256, 0)) {
       val got = Relational.globalCumsum(df, Seq(key, col("id")), col("w"),
           "cum", numParts = parts)
         .select("id", "cum").as[(Long, Long)].collect().toMap
