@@ -661,6 +661,28 @@ object TextQueries {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           col("pix_sum"))
+    },
+
+    // SUBWORD (BPE) token counting + budget fill — q76's budget step
+    // denominated in the tokens a model actually consumes, not
+    // whitespace words (graft.functions.Bpe: a fixed merge table
+    // applied as a codegen'd replace chain, replayed mechanically by
+    // the oracle). Docs are taken in doc_id order until the running
+    // subword total reaches half the corpus; the running total is the
+    // range-partitioned two-phase prefix sum (never a global window),
+    // and the corpus total arrives as a 1-row broadcast scalar
+    // (registered intended NLJ).
+    "q118_bpe_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+      val ranked = graft.operators.Relational.globalCumsum(
+        docs, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+      val total = ranked.agg(max(col("cum_tokens")).as("total"))
+      ranked.crossJoin(broadcast(total))
+        .filter(col("cum_tokens") * 2 <= col("total"))
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
     }
   )
 
@@ -1157,6 +1179,19 @@ object TextQueries {
          |  round(CAST(co.co AS DOUBLE) / (ca.sz + cb.sz - co.co), 4) AS jaccard
          |FROM co JOIN cnt ca ON co.id_a = ca.doc_id
          |        JOIN cnt cb ON co.id_b = cb.doc_id
-         |WHERE round(CAST(co.co AS DOUBLE) / (ca.sz + cb.sz - co.co), 4) >= 0.4""".stripMargin
+         |WHERE round(CAST(co.co AS DOUBLE) / (ca.sz + cb.sz - co.co), 4) >= 0.4""".stripMargin,
+
+    // mechanical replay of the Bpe replace chain (same merge table,
+    // chr(31)/chr(30) delimiters), then the same half-corpus fill
+    "q118_bpe_budget" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(${graft.functions.Bpe.tokenCountSql("text")} AS BIGINT)
+         |    AS n_tokens
+         |  FROM documents WHERE doc_id >= 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+         |SELECT doc_id, n_tokens, cum_tokens
+         |FROM c WHERE 2 * cum_tokens <= (SELECT sum(n_tokens) FROM t)""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Bpe
+
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Reference implementation: the classic iterative greedy algorithm —
+    * repeatedly find the LOWEST-RANK merge pair present anywhere in the
+    * token list and merge all its occurrences leftmost-first — against
+    * which the production replace-chain (one pass per merge in rank
+    * order) is asserted equivalent. */
+  private def greedyBpe(word: String): List[String] = {
+    val rank = Bpe.merges.zipWithIndex.toMap
+    var toks = word.map(_.toString).toList
+    var done = false
+    while (!done) {
+      val present = toks.zip(toks.drop(1)).flatMap(p => rank.get(p).map(p -> _))
+      if (present.isEmpty) done = true
+      else {
+        val (a, b) = present.minBy(_._2)._1
+        val out = List.newBuilder[String]
+        var rest = toks
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil => ()
+        }
+        toks = out.result()
+      }
+    }
+    toks
+  }
+
+  private def greedyCount(text: String): Long =
+    text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+      .split(" ").filter(_.nonEmpty).map(w => greedyBpe(w).length.toLong).sum
+
+  test("replace-chain tokenization equals iterative greedy BPE on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" >= 0).select($"doc_id", $"text")
+    val got = docs.select($"doc_id", Bpe.tokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> greedyCount(Option(t).getOrElse("")) }.toMap
+    assert(got.keySet == want.keySet)
+    val diff = got.collect { case (id, n) if want(id) != n => (id, n, want(id)) }
+    assert(diff.isEmpty, s"diverged on ${diff.take(5)}")
+    assert(got.nonEmpty && got.values.sum > 0)
+  }
+
+  test("merges actually fire: 'the' is one token, merged counts are smaller") {
+    val df = Seq((1L, "the thing and the rest"), (2L, "xqzjv")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", Bpe.tokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    // "the"=1 (th+e→the), "thing"=2 (th+ing), "and"=1 (an+d→and),
+    // "rest"=2 (re+st), total 1+2+1+1+2
+    assert(got(1L) == 7L)
+    assert(got(2L) == 5L) // no merge applies: one token per char
+  }
+
+  test("the DuckDB replay chain is textually well-formed") {
+    val sql = Bpe.tokenCountSql("text")
+    assert(sql.contains("chr(31)") && sql.contains("chr(30)"))
+    assert(!sql.exists(c => c == '\u001F' || c == '\u001E'),
+      "raw control chars must not appear in generated SQL (json-escape hazard)")
+    assert(Bpe.merges.forall { case (a, b) =>
+      sql.contains(s"chr(31)||'$a'||chr(30)||chr(31)||'$b'||chr(30)")
+    }, "every merge pair must appear as a chr-literal search pattern")
+  }
+}
