@@ -43,7 +43,8 @@ object Verify {
     // loudly, not silently weaken q51/q72 to the rows-only check. A
     // nonfatal degradation is RECORDED next to the oracle json so the
     // round report shows those queries ran without their hash oracle.
-    val dynamicKeys = Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf")
+    val dynamicKeys =
+      Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed")
     val dynamic =
       if (!dynamicKeys.exists(only)) Map.empty[String, String]
       else try SparkEntry.dynamicOracleSql(spark, sfDir)

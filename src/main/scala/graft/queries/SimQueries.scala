@@ -63,8 +63,37 @@ object SimQueries {
     // additionally asserts recall vs q56's oracle-checked pairs.
     "q72_embed_neardup_ivf" -> { (s, d) =>
       Similarity.cosinePairsIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+    },
+
+    // IVF with the index built ONCE and PERSISTED (centroids +
+    // assignments parquet, cached per session/dir), then queried from
+    // disk — the production split q51's build-per-query form is the
+    // toy of. Same parameters and query subset as q51, and the
+    // deterministic pipeline makes the written index bit-equal to
+    // q51's in-flight one, so the oracle REUSES q51's
+    // literal-centroid replay verbatim (dynamicOracles).
+    "q119_ann_ivf_indexed" -> { (s, d) =>
+      Similarity.ivfTopKIndexed(ivfIndexDir(s, d), Tables.embeddings(s, d),
+        queriesSubset(s, d), "vec_id", "embedding", 5)
     }
   )
+
+  /** One persisted IVF index per (session, sfDir) — built on first use
+    * (q51's parameters), reused by every later q119 run in the session:
+    * the bench's repeat passes measure the QUERY-ONLY cost, which is
+    * the point of an index. Plain parquet on local disk; survives
+    * `Checkpoints.releaseAll` by construction. */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def ivfIndexDir(s: SparkSession, d: String): String = {
+    ivfIndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ivfIndexDirs.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir, cells = 16, lloydIters = 2)
+      dir
+    })
+  }
 
   /** The seeded hyperplanes as a DuckDB VALUES list `(pidx, pv)`. Each
     * component is emitted as `(<shortest-round-trip repr>)::DOUBLE` —
@@ -231,6 +260,9 @@ object SimQueries {
              |          JOIN e eb ON cand.id_b = eb.vec_id
              |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin)
       }
-    Map("q51_ann_ivf_topk" -> q51) ++ q72map
+    // q119 runs the same parameters against the PERSISTED index; the
+    // deterministic build makes disk and in-flight indexes bit-equal,
+    // so the same replay checks both
+    Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51) ++ q72map
   }
 }

@@ -36,6 +36,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full == exact)
   }
 
+  test("indexed IVF query over the persisted index equals the build+query pipeline") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+      cells = 16, lloydIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val indexed = rows(Similarity.ivfTopKIndexed(idx, emb, queries,
+      "vec_id", "embedding", 5))
+    val inflight = rows(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", 5))
+    assert(indexed.nonEmpty)
+    // bit-deterministic build + exact parquet round-trip → identical
+    // results, not merely similar ones
+    assert(indexed == inflight)
+  }
+
   test("sign-LSH ANN recall; multi-probe recovers at least as much as single-probe") {
     val single = topSet(Similarity.signLshTopK(emb, queries, "vec_id",
       "embedding", 5, multiProbe = false))
