@@ -43,7 +43,8 @@ object Explain {
     "q105_citation_pagerank_weighted", // dangling scalar (q98 shape)
     "q117_grouped_quantiles", // broadcast groups(≤5)×probs(4) target grid
     "q118_bpe_budget",      // broadcast corpus-total scalar (q42 shape)
-    "q119_ann_ivf_indexed") // broadcast centroid probe assignment (q51 shape)
+    "q119_ann_ivf_indexed", // broadcast centroid probe assignment (q51 shape)
+    "q120_quantile_sketch") // broadcast 1-row sketch scalar (q42 shape)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -358,6 +358,56 @@ object CoreQueries {
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
     },
 
+    // MERGEABLE quantile sketch — q113's exact form needs the full
+    // ranked pass; streams and partial rollups need a summary that
+    // MERGES. QDigestAgg (functions/QDigest.scala) is a deterministic
+    // integer q-digest whose rank-error bound holds under ANY
+    // partial-merge order, which is what makes a sketch
+    // hash-oracle-checkable at all: the query emits the exact ε-window
+    // around each target rank (q113's two-phase rank machinery) plus
+    // WHETHER the sketch value landed inside; DuckDB replays the
+    // window exactly and expects within = TRUE, so a sketch breaking
+    // its declared bound is a hash MISMATCH, not a silent regression.
+    // Window semantics follow the sketch's one-sided guarantees: the
+    // answer's count(≤ans) ≥ target (so ans ≥ v@(tr−w) with w pure
+    // slack), while count(<ans) ≤ target+w means ans ≤ v@(tr+w+1) —
+    // the answer may be an internal-node upper bound that is NOT a
+    // data value, and when tr+w+1 > n the upper side is legitimately
+    // unconstrained. The 1-row sketch joins in as a broadcast scalar
+    // (registered intended NLJ).
+    "q120_quantile_sketch" -> { (s, d) =>
+      import s.implicits._
+      val probs = Seq(0.25, 0.5, 0.75, 0.99)
+      val agg = graft.functions.QDigestAgg(24, 4096, probs)
+      val li = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      val n = li.count() // bounded scalar (q110 loop-parameter convention)
+      val w = math.ceil(agg.declaredEps * n).toLong
+      val targets = probs.zipWithIndex.map { case (p, i) =>
+        val tr = math.max(1L, math.ceil(p * n).toLong)
+        (p, i + 1, tr, math.max(1L, tr - w), math.min(n, tr + w + 1),
+          tr + w + 1 > n)
+      }.toDF("p", "pi", "target_rank", "lo_rank", "hi_rank", "hi_open")
+      val ranked = graft.operators.Relational.globalCumsum(
+        li, Seq(col("v")), lit(1L), "rnk")
+      val lo = ranked.join(broadcast(targets), col("rnk") === col("lo_rank"))
+        .select(col("p"), col("pi"), col("target_rank"), col("hi_open"),
+          col("v").as("v_lo"))
+      val hi = ranked.join(
+          broadcast(targets.select(col("p").as("p2"), col("hi_rank"))),
+          col("rnk") === col("hi_rank"))
+        .select(col("p2"), col("v").as("v_hi"))
+      val sk = li.agg(agg(col("v")).as("qs"))
+      lo.join(hi, col("p") === col("p2"))
+        .crossJoin(broadcast(sk))
+        .select(col("p"), lit(n).as("n_rows"), col("target_rank"),
+          col("v_lo"), col("v_hi"),
+          (element_at(col("qs"), col("pi").cast("int")) >= col("v_lo") &&
+            (col("hi_open") ||
+              element_at(col("qs"), col("pi").cast("int")) <= col("v_hi")))
+            .as("within"))
+    },
+
     // O3 "sample" — the reference only WISHED for random sampling
     // (`MagDwarf.scala:66` comment; `shuf -n 1000` shell scripts).
     // Implemented as a deterministic Bernoulli sample via Knuth
@@ -653,6 +703,31 @@ object CoreQueries {
         |                           (0.99)::DOUBLE]) AS p) ps
         |      CROSS JOIN n)
         |SELECT t.p, o.v FROM t JOIN o ON o.rnk = t.tr""".stripMargin,
+
+    // q120: replay the exact ε-window around each target rank; the
+    // sketch's bound promise is the TRUE literal the hash compares.
+    // The ε literal is QDigestAgg(24, 4096).declaredEps — a dyadic
+    // double (96/4096), so the interpolated decimal round-trips
+    // bit-exactly into both engines' ceil(ε·n). Window edges mirror
+    // the Spark side: lower tr−w, upper tr+w+1 (one-sided guarantee).
+    "q120_quantile_sketch" -> {
+      val eps = graft.functions.QDigestAgg(24, 4096, Nil).declaredEps
+      s"""WITH t AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+         |           FROM lineitem),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM t),
+         |n AS (SELECT count(*) AS c FROM t),
+         |ps AS (SELECT unnest([(0.25)::DOUBLE, (0.5)::DOUBLE,
+         |                      (0.75)::DOUBLE, (0.99)::DOUBLE]) AS p),
+         |tg AS (SELECT p, c,
+         |    greatest(1, CAST(ceil(p * c) AS BIGINT)) AS target_rank,
+         |    CAST(ceil(($eps)::DOUBLE * c) AS BIGINT) AS w
+         |  FROM ps CROSS JOIN n)
+         |SELECT tg.p, tg.c AS n_rows, tg.target_rank,
+         |  lo.v AS v_lo, hi.v AS v_hi, TRUE AS within
+         |FROM tg
+         |JOIN r lo ON lo.rnk = greatest(1, tg.target_rank - tg.w)
+         |JOIN r hi ON hi.rnk = least(tg.c, tg.target_rank + tg.w + 1)""".stripMargin
+    },
 
     "q67_hash_sample" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
