@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, shiftright}
 import org.apache.spark.sql.types._
 
 /** Catalog of the engine's input tables.
@@ -83,6 +84,60 @@ object Ingest {
     * dominant join/filter key so downstream scans prune. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Z-ORDERED layout sink — the multi-dimensional clustering move
+    * q116 verifies arithmetically, wired into the write path so scans
+    * actually SKIP data: rows land in partitions keyed by the top
+    * `bucketShift` bits of their Morton key
+    * ([[graft.operators.Relational.zorderKey]]), so each partition is
+    * a (2^(bucketShift/2))² rectangle of the (x, y) plane. A
+    * 2-D range query then reads ONLY the partitions whose rectangles
+    * intersect it ([[readZRect]] — partition pruning visible in the
+    * plan), where a layout sorted/partitioned by x alone prunes
+    * nothing for a y-selective query. `bucketShift` must be even and
+    * sized so partitions hold whole row groups at the target scale
+    * (18 → 512×512 cells; the fixture specs use smaller cells). */
+  def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
+                    bucketShift: Int = 18): Unit = {
+    require(bucketShift > 0 && bucketShift % 2 == 0, "bucketShift must be even")
+    df.withColumn("zbucket",
+        shiftright(graft.operators.Relational.zorderKey(col(x), col(y)),
+          bucketShift))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+  }
+
+  /** Scalar Morton interleave of two cell coordinates — the driver-side
+    * twin of `Relational.zorderKey` shifted down: `zorderKey(x, y) >>
+    * s  ==  mortonCell(x >> s/2, y >> s/2)`. */
+  private def mortonCell(cx: Long, cy: Long): Long =
+    (0 until 16).map { i =>
+      ((cx & (1L << i)) << i) | ((cy & (1L << i)) << (i + 1))
+    }.reduce(_ | _)
+
+  /** The z-buckets whose cells intersect the rectangle
+    * [xLo, xHi] × [yLo, yHi] — a driver-side enumeration over CELL
+    * coordinates (bounded: (xRange/cell)·(yRange/cell) ids, never rows),
+    * exactly the partition list a lakehouse's file-skipping index would
+    * hand back. */
+  def zRectBuckets(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+                   bucketShift: Int = 18): Seq[Long] = {
+    val cell = 1L << (bucketShift / 2)
+    (xLo / cell to xHi / cell).flatMap { cx =>
+      (yLo / cell to yHi / cell).map(cy => mortonCell(cx, cy))
+    }.distinct.sorted
+  }
+
+  /** 2-D range scan over a [[writeZOrdered]] layout: the rectangle's
+    * covering buckets become a partition-pruning `IN` predicate, the
+    * exact x/y bounds re-filter inside the surviving partitions. */
+  def readZRect(spark: SparkSession, path: String, x: String, y: String,
+                xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+                bucketShift: Int = 18): DataFrame = {
+    val buckets = zRectBuckets(xLo, xHi, yLo, yHi, bucketShift)
+    spark.read.parquet(path)
+      .filter(col("zbucket").isin(buckets: _*) &&
+        col(x).between(xLo, xHi) && col(y).between(yLo, yHi))
+  }
 
   /** Single-file text sink (S7 — the reference's
     * `coalesce(1).saveAsTextFile` for GEXF/D3 exports,

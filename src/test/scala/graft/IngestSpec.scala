@@ -25,6 +25,59 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(read.select("yr").distinct().as[Int].collect().toSeq == Seq(1996))
   }
 
+  test("z-ordered layout prunes partitions in BOTH dimensions; x-layout cannot") {
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+        col("l_quantity"))
+      .filter(col("x").between(0, 65535) && col("y").between(0, 65535))
+    val shift = 6 // 8×8-value cells — sized for the fixture's key ranges
+    val zDir = Files.createTempDirectory("zord").toString
+    Ingest.writeZOrdered(src, zDir, "x", "y", shift)
+    // baseline: the SAME partition count, but keyed on x alone — what
+    // a single-dimension sort/partition layout gives you
+    val xDir = Files.createTempDirectory("xord").toString
+    src.withColumn("xbucket", col("x") / lit(1L << (shift / 2)))
+      .withColumn("xbucket", col("xbucket").cast("long"))
+      .write.mode("overwrite").partitionBy("xbucket").parquet(xDir)
+
+    def partitionsRead(df: org.apache.spark.sql.DataFrame): Long = {
+      // execute THIS plan (df.count() would build a separate execution
+      // whose scan metrics never touch df.queryExecution's)
+      df.queryExecution.toRdd.count()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+      scan.metrics("numPartitions").value
+    }
+
+    // a y-SELECTIVE rectangle: full x range, one y cell
+    val (xLo, xHi, yLo, yHi) = (0L, 4095L, 1L, 7L)
+    val zRead = Ingest.readZRect(spark, zDir, "x", "y", xLo, xHi, yLo, yHi, shift)
+    val xRead = spark.read.parquet(xDir)
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+    val zParts = partitionsRead(zRead)
+    val zTotal = spark.read.parquet(zDir).select("zbucket").distinct().count()
+    val xParts = partitionsRead(xRead)
+    val xTotal = spark.read.parquet(xDir).select("xbucket").distinct().count()
+    // x-layout: the y predicate prunes NOTHING (x range covers all) —
+    // every partition (100% of the data) is read; z-layout: only the
+    // covering cells, i.e. roughly the y-selectivity fraction of the
+    // data. Partitions are compared as FRACTIONS — the layouts cut the
+    // same rows into different partition sizes
+    assert(xParts == xTotal, s"x-layout unexpectedly pruned: $xParts/$xTotal")
+    assert(zParts.toDouble / zTotal <= 0.6,
+      s"z-layout did not prune: $zParts/$zTotal")
+    // and a rectangle selective in BOTH dims covers just its cells
+    val tight = Ingest.readZRect(spark, zDir, "x", "y", 0, 7, 0, 7, shift)
+    assert(partitionsRead(tight) <= 2,
+      "single-cell rectangle read more than its covering buckets")
+    // and both layouts return identical rows
+    val want = src.filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+      .select(sum(col("l_quantity"))).as[Double].head()
+    assert(zRead.select(sum(col("l_quantity"))).as[Double].head() == want)
+    assert(xRead.select(sum(col("l_quantity"))).as[Double].head() == want)
+  }
+
   test("csv round-trip preserves rows") {
     val dir = Files.createTempDirectory("csv").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
