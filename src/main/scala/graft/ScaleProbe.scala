@@ -265,6 +265,50 @@ object ScaleProbe {
       println(f"[probe] entity-res:  $eb%.1fs -> $eB%.1fs (${eB / eb}%.1fx, $nE docs grouped, data 10x)")
     }
 
+    // --- prefix-sum family (q86/q111/q113/q117/q118 ride
+    // Relational.globalCumsum): two phases — a range shuffle + a
+    // per-partition window with broadcast offsets — both linear in
+    // rows with the partition count now derived from
+    // spark.sql.shuffle.partitions. Fixtures-only: 10 unioned copies
+    // of the value column multiply rows exactly 10x (ranks only need
+    // the multiset), so the honest ratio for the whole family is ~10x
+    // wall or less. A superlinear ratio here means a single-reducer
+    // stage crept back in.
+    {
+      import graft.operators.{Dedup, Relational}
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_extendedprice").as("v")).localCheckpoint()
+      val li10 = (0 until 10).map(_ => li).reduce(_ union _).localCheckpoint()
+      def ranked(d: DataFrame) = time(
+        Relational.globalCumsum(d, Seq(col("v")), lit(1L), "rnk")
+          .agg(max(col("rnk"))).count())
+      def quant(d: DataFrame) = time(
+        Relational.exactQuantiles(d, col("v"), Seq(0.25, 0.5, 0.75)).count())
+      ranked(li); quant(li) // codegen warmup
+      val (rb, _) = ranked(li); val (rB, _) = ranked(li10)
+      val (qb, _) = quant(li); val (qB, _) = quant(li10)
+      println(f"[probe] cumsum-rank: $rb%.1fs -> $rB%.1fs (${rB / rb}%.1fx, rows 10x)")
+      println(f"[probe] quantiles:   $qb%.1fs -> $qB%.1fs (${qB / qb}%.1fx, rows 10x)")
+      // sorted-neighborhood blocking (q111): the globalCumsum rank plus
+      // ONE equi-join on shifted ranks — stays n·window candidates
+      // however keys cluster. Disjoint id-offset copies with a per-copy
+      // key suffix preserve within-copy ordering exactly.
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+        .select(col("c_custkey"), col("c_name")).localCheckpoint()
+      val custStride =
+        cust.agg(max(col("c_custkey")).cast("long")).head.getLong(0) + 1L
+      val cust10 = (0L until 10L).map { k =>
+        cust.select((col("c_custkey") + k * custStride).as("c_custkey"),
+          concat(col("c_name"), lit(s"#$k")).as("c_name"))
+      }.reduce(_ union _).localCheckpoint()
+      def snb(d: DataFrame) = time(
+        Dedup.sortedNeighborhoodPairs(d, "c_custkey", "c_name", window = 5)
+          .count())
+      snb(cust) // codegen warmup
+      val (sb2, _) = snb(cust); val (sB2, nS) = snb(cust10)
+      println(f"[probe] sorted-nbhd: $sb2%.1fs -> $sB2%.1fs (${sB2 / sb2}%.1fx, $nS pairs, rows 10x)")
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }
