@@ -150,6 +150,73 @@ object Joins {
     * disjoint); all three boundary columns are integer epoch-like
     * values (exact arithmetic — no float bucket drift). NULL points or
     * boundaries never match, as in the predicate form. */
+  /** Deterministic Bloom filter over `dim`'s `key` column, as a ONE-ROW
+    * DataFrame holding a sparse word-index → 64-bit-word map. The build
+    * is itself distributed: keys explode to their `numHashes` bit
+    * positions, duplicate positions collapse, and `bit_or` folds each
+    * 64-bit word — OR is commutative and associative, so the bits are
+    * independent of partitioning and merge order (what makes the
+    * semi-join reduction oracle-checkable at all). Bit positions come
+    * from `xxhash64(i, key)` (Spark's codegen'd 64-bit hash, seeded per
+    * probe index); the sparse map stays exact for any `mBits` because
+    * absent words read as zero on the probe side. */
+  def bloomFilterOf(dim: DataFrame, key: String, mBits: Long,
+                    numHashes: Int): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, "mBits must be a multiple of 64")
+    val bitpos = (0 until numHashes).map(i =>
+      pmod(xxhash64(lit(i.toLong), col(key)), lit(mBits)))
+    dim.select(explode(array(bitpos: _*)).as("bp")).distinct()
+      .groupBy(shiftright(col("bp"), 6).as("w"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L), (col("bp") % 64).cast("int")))
+        .as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")),
+        collect_list(col("bits"))).as("bf"))
+  }
+
+  /** Membership probe against [[bloomFilterOf]]'s map column — pure
+    * built-ins (`element_at`/`shiftright`/AND), so the test runs inside
+    * whole-stage codegen on the fact scan. False negatives are
+    * impossible; false positives pass and are removed by the exact join
+    * that follows. */
+  def bloomMightContain(key: Column, bf: Column, mBits: Long,
+                        numHashes: Int): Column =
+    (0 until numHashes).map { i =>
+      val bp = pmod(xxhash64(lit(i.toLong), key), lit(mBits))
+      coalesce(element_at(bf, shiftright(bp, 6)), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (bp % 64).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Semi-join REDUCTION for a big-to-big selective join — the 100 TB
+    * shape where `dim` is too large to broadcast as a hash relation
+    * (hundreds of bytes per key) but its Bloom filter is not (~10 BITS
+    * per key): build the filter over `dim`'s keys, broadcast the one-row
+    * map as a scalar (an intended BroadcastNestedLoopJoin, the q42
+    * convention), and drop non-matching fact rows BEFORE the join's
+    * shuffle — the exchange then moves only rows that can match, which
+    * at a 10% dim selectivity is ~10% of the fact shuffle bytes. The
+    * exact join still runs, so the result is identical to the plain
+    * join (the oracle): the Bloom only over-admits, never drops.
+    *
+    * `dim` is scanned three times (count for sizing, filter build, the
+    * join itself) — localCheckpoint a derived dim if it is expensive.
+    * Spark's own runtime bloom pushdown covers simple cases; this form
+    * is explicit, sized from the real key count, and composes with any
+    * dim expression. */
+  def bloomPrefilterJoin(fact: DataFrame, factKey: String,
+                         dim: DataFrame, dimKey: String,
+                         bitsPerKey: Int = 10,
+                         numHashes: Int = 5): DataFrame = {
+    val n = math.max(1L, dim.count()) // bounded scalar (q110 convention)
+    val mBits = ((n * bitsPerKey + 63) / 64) * 64
+    val bf = bloomFilterOf(dim, dimKey, mBits, numHashes)
+    val pre = fact.crossJoin(broadcast(bf))
+      .filter(bloomMightContain(col(factKey), col("bf"), mBits, numHashes))
+      .drop("bf")
+    pre.join(dim, pre(factKey) === dim(dimKey))
+  }
+
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointCol: String, startCol: String, endCol: String,
                    bucketWidth: Long): DataFrame = {

@@ -450,6 +450,31 @@ object CoreQueries {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     },
 
+    // Bloom-filter SEMI-JOIN REDUCTION (Joins.bloomPrefilterJoin) —
+    // the big-to-big selective join at 100 TB: the high-value order
+    // set (~10% of orders) is too big to broadcast as a hash relation
+    // at scale, but its Bloom filter is ~10 bits/key; broadcasting THE
+    // FILTER and dropping non-matching lineitems before the join's
+    // exchange cuts the fact-side shuffle to roughly the dim
+    // selectivity. Result is EXACTLY the plain join (the oracle): the
+    // Bloom only over-admits and the exact join removes false
+    // positives — which is what makes a probabilistic structure
+    // hash-oracle-checkable. The one-row filter scalar is a registered
+    // intended NLJ (q42 convention); JoinsSpec holds the
+    // no-false-negative, determinism, fpp, and reduction properties.
+    "q121_bloom_join" -> { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .localCheckpoint()
+      graft.operators.Joins.bloomPrefilterJoin(
+          Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double")
+            .as("sum_price"))
+    },
+
     // SQL entry point (S10 + the sql/ module): the whole surface is
     // reachable as ANSI SQL over catalog views — this query runs
     // entirely through spark.sql, exercising GROUPING SETS (the
@@ -728,6 +753,15 @@ object CoreQueries {
          |JOIN r lo ON lo.rnk = greatest(1, tg.target_rank - tg.w)
          |JOIN r hi ON hi.rnk = least(tg.c, tg.target_rank + tg.w + 1)""".stripMargin
     },
+
+    // q121: the Bloom pre-filter is transparent to the result — the
+    // oracle is the PLAIN selective join.
+    "q121_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000 GROUP BY 1""".stripMargin,
 
     "q67_hash_sample" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,

@@ -145,4 +145,67 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  // --- Bloom semi-join reduction ---
+
+  private val bloomKeys = (0L until 500L).map(_ * 3L) // {0,3,...,1497}
+  private val bloomM = 8192L // 16.4 bits/key
+  private val bloomH = 5
+
+  test("bloomFilterOf admits every inserted key (no false negatives)") {
+    val dim = bloomKeys.toDF("k")
+    val bf = Joins.bloomFilterOf(dim, "k", bloomM, bloomH)
+    val missed = dim.crossJoin(broadcast(bf))
+      .filter(!Joins.bloomMightContain(col("k"), col("bf"), bloomM, bloomH))
+      .count()
+    assert(missed == 0L)
+  }
+
+  test("bloomFilterOf bits are independent of partitioning (OR-merge " +
+       "determinism)") {
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.selectExpr("explode(bf)").as[(Long, Long)].collect().toMap
+    val dim = bloomKeys.toDF("k")
+    val one = asMap(Joins.bloomFilterOf(dim.repartition(1), "k", bloomM, bloomH))
+    val many = asMap(Joins.bloomFilterOf(dim.repartition(7), "k", bloomM, bloomH))
+    assert(one == many)
+    assert(one.nonEmpty)
+  }
+
+  test("bloom false-positive rate on non-keys is near the theoretical rate") {
+    val dim = bloomKeys.toDF("k")
+    val bf = Joins.bloomFilterOf(dim, "k", bloomM, bloomH)
+    // probe keys disjoint from the inserted set (non-multiples of 3)
+    val probes = (0L until 3000L).map(_ * 3L + 1L).toDF("k")
+    val fp = probes.crossJoin(broadcast(bf))
+      .filter(Joins.bloomMightContain(col("k"), col("bf"), bloomM, bloomH))
+      .count()
+    val theory = math.pow(
+      1.0 - math.exp(-bloomH * 500.0 / bloomM), bloomH) // ~0.6%
+    assert(fp / 3000.0 < 5 * theory + 0.01, s"fpp=${fp / 3000.0}")
+  }
+
+  test("bloomPrefilterJoin equals the plain join and prunes fact rows " +
+       "before it") {
+    val fact = (0L until 2000L).map(i => (i % 700L, i)).toDF("fk", "payload")
+    val dim = (0L until 700L by 13L).map(i => (i, s"d$i")).toDF("k", "name")
+    val got = Joins.bloomPrefilterJoin(fact, "fk", dim, "k")
+      .select("fk", "payload", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val want = fact.join(dim, col("fk") === col("k"))
+      .select("fk", "payload", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the pre-filter itself must pass far fewer rows than the fact scan:
+    // 54/700 keys ≈ 7.7% selectivity; at 10 bits/key the Bloom admits
+    // ≲ a few % extra — well under half the fact
+    val n = math.max(1L, dim.count())
+    val mBits = ((n * 10 + 63) / 64) * 64
+    val bf = Joins.bloomFilterOf(dim, "k", mBits, 5)
+    val kept = fact.crossJoin(broadcast(bf))
+      .filter(Joins.bloomMightContain(col("fk"), col("bf"), mBits, 5))
+      .count()
+    assert(kept < 1000L, s"pre-filter kept $kept of 2000")
+  }
 }
