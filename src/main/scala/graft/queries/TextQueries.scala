@@ -683,8 +683,46 @@ object TextQueries {
       ranked.crossJoin(broadcast(total))
         .filter(col("cum_tokens") * 2 <= col("total"))
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    },
+
+    // COUNT-MIN frequency sketch (Sketches.countMinCells/Estimates)
+    // over corpus word bigrams — frequency tracking whose state is a
+    // 3×256 counter matrix however large the vocabulary grows.
+    // Counters are additive, so the merge is summation (deterministic
+    // under any shuffle order) and the ENTIRE sketch replays in SQL:
+    // the oracle recomputes every cell and every estimate with the
+    // same PolyHash arithmetic and hash-matches est_cnt, not just a
+    // bound. Output: each distinct bigram with its estimate, true
+    // count, and whether depth-cell collisions inflated it (est ≥
+    // exact always — the CM guarantee the spec holds as a property).
+    "q122_countmin_bigrams" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFns.words(TextFns.norm(col("text"))))
+            .as(Seq("pos", "w0")))
+        .withColumn("w1", lead(col("w0"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(concat_ws(" ", col("w0"), col("w1")).as("bg"))
+        .localCheckpoint() // two consumers: cells + exact counts
+      val cells = graft.operators.Sketches.countMinCells(
+        bg, col("bg"), CmMults, CmWidth)
+      val exact = bg.groupBy(col("bg")).agg(count(lit(1)).as("exact_cnt"))
+      graft.operators.Sketches.countMinEstimates(
+          exact, col("bg"), cells, CmMults, CmWidth)
+        .select(col("bg"), col("est_cnt"), col("exact_cnt"),
+          (col("est_cnt") > col("exact_cnt")).as("collided"))
     }
   )
+
+  // q122 sketch geometry: depth 3 (distinct PolyHash multipliers — 31
+  // is the engine-wide word hash, 37/41 stay inside the no-overflow
+  // argument of PolyHash's scaladoc), width 256 — small enough that
+  // the fixture vocabulary actually collides, so `collided` exercises
+  // both branches.
+  private val CmMults = Seq(31L, 37L, 41L)
+  private val CmWidth = 256
 
   /** DuckDB twin of TextFns.polyHash over a word expression. */
   private def wordHashSql(w: String, mult: Long = 31L,
@@ -1192,6 +1230,31 @@ object TextQueries {
          |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, n_tokens, cum_tokens
-         |FROM c WHERE 2 * cum_tokens <= (SELECT sum(n_tokens) FROM t)""".stripMargin
+         |FROM c WHERE 2 * cum_tokens <= (SELECT sum(n_tokens) FROM t)""".stripMargin,
+
+    // q122: FULL replay of the Count-Min matrix — every cell (per-depth
+    // PolyHash-mod-width bucket counts) and every estimate (least over
+    // depth cells) recomputed in exact int64 arithmetic.
+    "q122_countmin_bigrams" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+         |             AS words FROM documents),
+         |b AS (SELECT array_to_string(words[i:i+1], ' ') AS bg
+         |      FROM (SELECT doc_id, words,
+         |              unnest(generate_series(1, len(words)-1)) AS i
+         |            FROM w WHERE len(words) >= 2)),
+         |c0 AS (SELECT ${wordHashSql("bg", 31)} % $CmWidth AS cell,
+         |         count(*) AS c FROM b GROUP BY 1),
+         |c1 AS (SELECT ${wordHashSql("bg", 37)} % $CmWidth AS cell,
+         |         count(*) AS c FROM b GROUP BY 1),
+         |c2 AS (SELECT ${wordHashSql("bg", 41)} % $CmWidth AS cell,
+         |         count(*) AS c FROM b GROUP BY 1),
+         |k AS (SELECT bg, CAST(count(*) AS BIGINT) AS exact_cnt
+         |      FROM b GROUP BY 1)
+         |SELECT k.bg, CAST(least(e0.c, e1.c, e2.c) AS BIGINT) AS est_cnt,
+         |  k.exact_cnt, least(e0.c, e1.c, e2.c) > k.exact_cnt AS collided
+         |FROM k
+         |JOIN c0 e0 ON e0.cell = ${wordHashSql("k.bg", 31)} % $CmWidth
+         |JOIN c1 e1 ON e1.cell = ${wordHashSql("k.bg", 37)} % $CmWidth
+         |JOIN c2 e2 ON e2.cell = ${wordHashSql("k.bg", 41)} % $CmWidth""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val mults = Seq(31L, 37L, 41L)
+  private val width = 32 // small so collisions actually happen
+
+  // zipf-ish corpus: key "k<i>" appears 200/i times
+  private def corpus: DataFrame =
+    (1 to 40).flatMap(i => Seq.fill(200 / i)(s"k$i")).toDF("k")
+
+  private def exact: Map[String, Long] =
+    (1 to 40).map(i => s"k$i" -> (200 / i).toLong).toMap
+
+  test("countMin estimate is >= the exact count for every key (CM " +
+       "guarantee), and equals it when no depth collides") {
+    val cells = Sketches.countMinCells(corpus, col("k"), mults, width)
+    val probes = corpus.distinct()
+    val est = Sketches.countMinEstimates(probes, col("k"), cells, mults, width)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k: est ${est(k)} < exact $c")
+    }
+    // width 32 for 40 keys: some key must collide in every depth row
+    assert(exact.exists { case (k, c) => est(k) > c }, "no collision seen")
+    // and the most frequent key's estimate is exact or near-exact
+    assert(est("k1") >= 200L)
+  }
+
+  test("countMin matrix merges by addition: cells(a union b) = " +
+       "cellwise sum of cells(a) and cells(b)") {
+    val indexed = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"k$i"))
+      .zipWithIndex.toDF("k", "idx")
+    val a = indexed.filter(col("idx") < 300).select("k")
+    val b = indexed.filter(col("idx") >= 300).select("k")
+    def cellMap(df: DataFrame): Map[(Long, Long), Long] =
+      Sketches.countMinCells(df, col("k"), mults, width)
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, cell, c) => (i, cell) -> c }.toMap
+    val whole = cellMap(indexed.select("k"))
+    val parts = (cellMap(a).toSeq ++ cellMap(b).toSeq)
+      .groupBy(_._1).map { case (kc, vs) => kc -> vs.map(_._2).sum }
+    assert(whole == parts)
+  }
+
+  test("countMin cells are independent of partitioning") {
+    def cellSet(df: DataFrame) =
+      Sketches.countMinCells(df, col("k"), mults, width)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(cellSet(corpus.repartition(1)) == cellSet(corpus.repartition(7)))
+  }
+
+  test("a key the sketch never saw estimates 0 only if all its cells " +
+       "are empty; absent cells read as zero") {
+    val tiny = Seq("a").toDF("k")
+    val cells = Sketches.countMinCells(tiny, col("k"), mults, width)
+    val est = Sketches.countMinEstimates(
+        Seq("zzz-not-seen").toDF("k"), col("k"), cells, mults, width)
+      .as[(String, Long)].collect().head
+    assert(est._2 >= 0L && est._2 <= 1L) // 0 unless it collides with "a"
+  }
+}
