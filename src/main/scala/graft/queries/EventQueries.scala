@@ -281,10 +281,95 @@ object EventQueries {
               col("n_distinct_hashes").cast("double"))
             .otherwise(lit((k - 1).toDouble) * m / col("hk"))
             .as("est_users"))
+    },
+
+    // PER-WINDOW quantile sketch — the q120 mergeable q-digest at the
+    // grain streams need it: one O(k) digest per tumbling day window,
+    // merged deterministically-bounded under any shuffle order
+    // (EventStreams.windowQuantiles is the same agg incrementally;
+    // StreamingSpec holds stream ≡ bound). Like q120, the emitted row
+    // carries the exact ε-window around each target rank plus WHETHER
+    // the sketch answer landed inside — the oracle replays the windows
+    // per group and expects within = TRUE, so a bound break is a hash
+    // mismatch. The per-window rank here is the CHECK harness riding
+    // day-grain groups (count grows with time, not data volume); the
+    // sketch agg alone is the scale path.
+    "q123_window_quantile_sketch" -> { (s, d) =>
+      val probs = Seq(0.5, 0.9)
+      val agg = graft.functions.QDigestAgg(16, 4096, probs)
+      val ev = Tables.events(s, d)
+        .select(window(col("ts"), "1 day").getField("start").as("win"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .localCheckpoint() // three consumers: sketch, ranks, targets
+      val sk = ev.groupBy(col("win"))
+        .agg(agg(col("v")).as("qs"), count(lit(1)).as("n"))
+      val targets = sk.select(col("win"), col("n"),
+          explode(array(probs.zipWithIndex.map { case (p, i) =>
+            struct(lit(p).as("p"), lit(i + 1).as("pi"))
+          }: _*)).as("t"))
+        .select(col("win"), col("n"), col("t.p").as("p"),
+          col("t.pi").as("pi"))
+        .withColumn("target_rank",
+          greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .withColumn("w",
+          ceil(lit(agg.declaredEps) * col("n")).cast("long"))
+        .withColumn("lo_rank",
+          greatest(lit(1L), col("target_rank") - col("w")))
+        .withColumn("hi_rank",
+          least(col("n"), col("target_rank") + col("w") + 1))
+        .withColumn("hi_open", col("target_rank") + col("w") + 1 > col("n"))
+      val rnk = ev.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("win")).orderBy(col("v"))))
+        .select(col("win").as("wr"), col("v"), col("rnk"))
+      val lo = targets.join(rnk,
+          col("win") === col("wr") && col("lo_rank") === col("rnk"))
+        .select(col("win"), col("p"), col("pi"), col("n"),
+          col("target_rank"), col("hi_open"), col("v").as("v_lo"))
+      val hi = targets
+        .select(col("win").as("w2"), col("p").as("p2"), col("hi_rank"))
+        .join(rnk, col("w2") === col("wr") && col("hi_rank") === col("rnk"))
+        .select(col("w2"), col("p2"), col("v").as("v_hi"))
+      lo.join(hi, col("win") === col("w2") && col("p") === col("p2"))
+        .join(sk.select(col("win").as("w3"), col("qs")),
+          col("win") === col("w3"))
+        .select(unix_timestamp(col("win")).as("win_start_s"), col("p"),
+          col("n").as("n_rows"), col("target_rank"), col("v_lo"),
+          col("v_hi"),
+          (element_at(col("qs"), col("pi").cast("int")) >= col("v_lo") &&
+            (col("hi_open") ||
+              element_at(col("qs"), col("pi").cast("int")) <= col("v_hi")))
+            .as("within"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // q123: the q120 ε-window replay, PARTITIONED per day window. The
+    // ε literal (QDigestAgg(16, 4096).declaredEps = 1/64) is dyadic,
+    // so ceil(ε·n) is bit-equal on both engines; v_hi joins on
+    // least(n, tr+w+1), mirroring the Spark side's clamped hi_rank.
+    "q123_window_quantile_sketch" -> {
+      val eps = graft.functions.QDigestAgg(16, 4096, Nil).declaredEps
+      s"""WITH t AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+         |             AS ws, CAST(floor(value * 100) AS BIGINT) AS v
+         |           FROM events),
+         |n AS (SELECT ws, count(*) AS c FROM t GROUP BY 1),
+         |r AS (SELECT ws, v,
+         |        row_number() OVER (PARTITION BY ws ORDER BY v) AS rnk
+         |      FROM t),
+         |ps AS (SELECT unnest([(0.5)::DOUBLE, (0.9)::DOUBLE]) AS p),
+         |tg AS (SELECT ws, p, c,
+         |    greatest(1, CAST(ceil(p * c) AS BIGINT)) AS target_rank,
+         |    CAST(ceil(($eps)::DOUBLE * c) AS BIGINT) AS w
+         |  FROM n CROSS JOIN ps)
+         |SELECT tg.ws AS win_start_s, tg.p, tg.c AS n_rows,
+         |  tg.target_rank, lo.v AS v_lo, hi.v AS v_hi, TRUE AS within
+         |FROM tg
+         |JOIN r lo ON lo.ws = tg.ws
+         |         AND lo.rnk = greatest(1, tg.target_rank - tg.w)
+         |JOIN r hi ON hi.ws = tg.ws
+         |         AND hi.rnk = least(tg.c, tg.target_rank + tg.w + 1)""".stripMargin
+    },
+
     // list_reduce without an init uses the first element — exactly
     // e_0 = x_0; floor division (//) matches the Scala floorDiv
     "q115_user_ewma" ->

@@ -37,6 +37,25 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Per-window quantile summaries via the mergeable q-digest
+    * (functions/QDigest.scala) — the streaming use the sketch exists
+    * for: each open window keeps O(k) digest state however many events
+    * land in it, partials merge with the deterministically-bounded
+    * rank error, and nearest-rank answers emit when the watermark
+    * closes the window. Batch twin: q123 (same agg, same windows,
+    * DuckDB-checked ε-bound); StreamingSpec asserts the streamed
+    * answers satisfy the same bound against exact per-window ranks. */
+  def windowQuantiles(events: DataFrame, windowLen: String = "1 day",
+                      watermark: String = "1 hour",
+                      probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val agg = graft.functions.QDigestAgg(16, 4096, probs)
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(agg(floor(col("value") * 100).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("qs"), col("n"))
+  }
+
   /** Sliding-window counts (overlapping windows). */
   def slidingCounts(events: DataFrame, windowLen: String = "10 minutes",
                     slide: String = "5 minutes",

@@ -478,4 +478,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     assert(got == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
   }
+
+  test("windowQuantiles streamed answers satisfy the declared rank-error " +
+       "bound against exact per-window ranks (cross-batch, shuffled order)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // 2-day watermark: no event in the shuffled batches is ever late,
+    // so the exact reference below sees exactly the streamed rows
+    val q = EventStreams.windowQuantiles(ms.toDF(), watermark = "2 days")
+      .writeStream.format("memory").queryName("wquant")
+      .outputMode("append").start()
+    try {
+      val rnd = new scala.util.Random(11)
+      val evs = rnd.shuffle((1 to 500).map { i =>
+        val day = 1 + rnd.nextInt(2)
+        ev(i.toLong,
+          f"2024-01-0$day ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+          i % 7, v = rnd.nextInt(40000) / 100.0)
+      })
+      val (b1, b2) = evs.splitAt(250)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      // sentinel far past both windows + watermark → they close and emit
+      ms.addData(ev(9999, "2024-01-10 00:00:00", 1))
+      q.processAllAvailable()
+      val got = spark.table("wquant")
+        .select(unix_timestamp($"win_start"), $"qs", $"n")
+        .as[(Long, Seq[Long], Long)].collect()
+      assert(got.length == 2, s"expected both day windows closed: ${got.toSeq}")
+      val agg = graft.functions.QDigestAgg(16, 4096, Seq(0.5, 0.9))
+      got.foreach { case (ws, qs, n) =>
+        val vs = evs.filter(e =>
+            e.ts.getTime / 1000 >= ws && e.ts.getTime / 1000 < ws + 86400)
+          .map(e => math.floor(e.value * 100).toLong).sorted
+        assert(vs.length == n, s"window $ws row count")
+        val w = math.ceil(agg.declaredEps * n).toLong
+        Seq(0.5, 0.9).zipWithIndex.foreach { case (p, i) =>
+          val tr = math.max(1L, math.ceil(p * n).toLong)
+          val lo = vs((math.max(1L, tr - w) - 1).toInt)
+          assert(qs(i) >= lo, s"window $ws p=$p: ${qs(i)} < $lo")
+          if (tr + w + 1 <= n)
+            assert(qs(i) <= vs((tr + w).toInt),
+              s"window $ws p=$p: ${qs(i)} > ${vs((tr + w).toInt)}")
+        }
+      }
+    } finally q.stop()
+  }
 }
