@@ -309,6 +309,56 @@ object ScaleProbe {
       println(f"[probe] sorted-nbhd: $sb2%.1fs -> $sB2%.1fs (${sB2 / sb2}%.1fx, $nS pairs, rows 10x)")
     }
 
+    // --- Bloom semi-join reduction (q121): with broadcast disabled
+    // (the 100 TB regime — dim too big for a hash relation), the plain
+    // join SHUFFLES the whole fact side; the Bloom pre-filter drops
+    // non-matching fact rows before the exchange, so fact shuffle
+    // records fall to ~dim-selectivity × fact (+ the tiny filter-build
+    // shuffle). Records via the task listener, not wall: at probe
+    // scale the join is scan-dominated, but shuffle volume is the
+    // quantity that buys back network + spill on a cluster.
+    {
+      import graft.operators.Joins
+      val conf = spark.conf
+      val saveBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .localCheckpoint()
+        val dim = spark.read.parquet(s"$base/orders.parquet")
+          .filter(col("o_totalprice") > 450000.0) // ~10% of orders
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .localCheckpoint()
+        val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              recs.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+        }
+        def shuffled(f: => Long): (Double, Long) = {
+          recs.set(0L)
+          spark.sparkContext.addSparkListener(listener)
+          val (wall, _) = time(f)
+          Thread.sleep(1000) // listener bus drains async
+          spark.sparkContext.removeSparkListener(listener)
+          (wall, recs.get)
+        }
+        def plain() = shuffled(
+          li.join(dim, col("l_orderkey") === col("o_orderkey")).count())
+        def bloomed() = shuffled(
+          Joins.bloomPrefilterJoin(li, "l_orderkey", dim, "o_orderkey")
+            .count())
+        plain(); bloomed() // codegen warmup
+        val (pw, pr) = plain(); val (bw, br) = bloomed()
+        println(f"[probe] bloom-join:  plain shuffle-read $pr%d rec vs " +
+          f"bloomed $br%d (${br.toDouble / math.max(1L, pr)}%.2fx, wall " +
+          f"$pw%.1fs vs $bw%.1fs, dim ~10%% of orders)")
+      } finally
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saveBroadcast)
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }

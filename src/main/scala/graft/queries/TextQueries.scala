@@ -685,6 +685,35 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
     },
 
+    // TRAINING-MIX sampler — deterministic mixture-weighted selection
+    // across sources: each source s gets a target share w_s/Σw of the
+    // output budget (w_s derived arithmetically from the source name so
+    // both engines compute the same weights), and its quota fills in
+    // LCG-hash order of doc_id — the engine-wide deterministic sample
+    // order (q67/q36), so the mix is reproducible run-to-run and
+    // engine-to-engine, unlike rand()-based mixture sampling. Budget =
+    // half the corpus, a 1-row broadcast scalar (registered intended
+    // NLJ, q42 shape). The per-source rank is a window over ~uniform
+    // source partitions; a skewed 100 TB source histogram would route
+    // it through the two-phase grouped rank instead (the q117 note).
+    "q124_mixture_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("source"),
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      val budget = docs
+        .agg(call_function("div", count(lit(1)), lit(2L)).as("s_target"))
+        .crossJoin(broadcast(docs.select(col("source"), col("w")).distinct()
+          .agg(sum(col("w")).as("w_total"))))
+      val rn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(lcgHash(col("doc_id")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(rn).cast("long"))
+        .crossJoin(broadcast(budget))
+        .filter(col("rn") <=
+          call_function("div", col("s_target") * col("w"), col("w_total")))
+        .select(col("doc_id"), col("source"), col("rn"))
+    },
+
     // COUNT-MIN frequency sketch (Sketches.countMinCells/Estimates)
     // over corpus word bigrams — frequency tracking whose state is a
     // 3×256 counter matrix however large the vocabulary grows.
@@ -1231,6 +1260,23 @@ object TextQueries {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, n_tokens, cum_tokens
          |FROM c WHERE 2 * cum_tokens <= (SELECT sum(n_tokens) FROM t)""".stripMargin,
+
+    // q124: same weights, same LCG order, same integer-div quotas.
+    // DuckDB's sum(BIGINT) widens to HUGEINT — harmless under // and
+    // the <= comparison.
+    "q124_mixture_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             (CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS w
+         |           FROM documents WHERE doc_id >= 0),
+         |t AS (SELECT (SELECT count(*) // 2 FROM d) AS s_target,
+         |             (SELECT sum(w) FROM (SELECT DISTINCT source, w
+         |                                  FROM d)) AS w_total),
+         |r AS (SELECT doc_id, source, w,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY ${lcgHashSql("doc_id")}, doc_id) AS BIGINT) AS rn
+         |      FROM d)
+         |SELECT r.doc_id, r.source, r.rn
+         |FROM r, t WHERE r.rn <= (t.s_target * r.w) // t.w_total""".stripMargin,
 
     // q122: FULL replay of the Count-Min matrix — every cell (per-depth
     // PolyHash-mod-width bucket counts) and every estimate (least over
