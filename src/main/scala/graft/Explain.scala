@@ -45,7 +45,9 @@ object Explain {
     "q118_bpe_budget",      // broadcast corpus-total scalar (q42 shape)
     "q119_ann_ivf_indexed", // broadcast centroid probe assignment (q51 shape)
     "q120_quantile_sketch", // broadcast 1-row sketch scalar (q42 shape)
-    "q121_bloom_join")      // broadcast 1-row Bloom-filter scalar (q42 shape)
+    "q121_bloom_join",      // broadcast 1-row Bloom-filter scalar (q42 shape)
+    "q124_mixture_sample",  // broadcast budget + weight-total scalars
+    "q125_ann_pq_topk")     // broadcast codebook/ADC-table assignment (q51 shape)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -44,7 +44,8 @@ object Verify {
     // nonfatal degradation is RECORDED next to the oracle json so the
     // round report shows those queries ran without their hash oracle.
     val dynamicKeys =
-      Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed")
+      Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed",
+        "q125_ann_pq_topk")
     val dynamic =
       if (!dynamicKeys.exists(only)) Map.empty[String, String]
       else try SparkEntry.dynamicOracleSql(spark, sfDir)

@@ -164,11 +164,13 @@ object Similarity {
     * exact-integer mean-recentering — no RNG state, bit-reproducible
     * (see [[MeanScale]]). Superseded rounds release their checkpoint
     * blocks eagerly. */
-  private def lloydCentroids(c: DataFrame, cells: Int, iters: Int): DataFrame = {
+  private def lloydCentroids(c: DataFrame, cells: Int, iters: Int,
+                             assign: (DataFrame, DataFrame, Int) => DataFrame
+                               = assignCells): DataFrame = {
     var centroids = graft.Checkpoints.checkpoint(c.orderBy(col("n_id")).limit(cells)
       .select(monotonically_increasing_id().as("cell"), col("cv").as("ctr")))
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(c, centroids, 1)
+      val assigned = assign(c, centroids, 1)
       val refined = graft.Checkpoints.checkpoint(assigned.join(c, "n_id")
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
@@ -343,6 +345,139 @@ object Similarity {
     Relational.topKPerGroup(scored, Seq(col("n_id")),
       Seq(col("sim").desc, col("cell")), take)
       .select(col("n_id"), col("cell"))
+  }
+
+  /** L2 (squared-distance) cell assignment — the quantizer metric
+    * product quantization needs (cosine ignores subvector magnitude,
+    * which is exactly what a reconstruction codebook must preserve).
+    * dist² expands to dot(v,v) − 2·dot(v,c) + dot(c,c): three
+    * sequential HOF folds evaluated left-to-right, the bit-replayable
+    * form (the oracle writes the same three `list_inner_product`
+    * folds in the same expression order). Ties rank by cell id. */
+  private[graft] def assignCellsL2(vecs: DataFrame, centroids: DataFrame,
+                                   take: Int): DataFrame = {
+    val d2 = VectorFns.dot(col("cv"), col("cv")) -
+      lit(2d) * VectorFns.dot(col("cv"), col("ctr")) +
+      VectorFns.dot(col("ctr"), col("ctr"))
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .select(col("n_id"), col("cell"), d2.as("d2"))
+    Relational.topKPerGroup(scored, Seq(col("n_id")),
+      Seq(col("d2").asc, col("cell")), take)
+      .select(col("n_id"), col("cell"))
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * algorithm): split the `dims`-dim space into `m` contiguous
+    * subspaces and train an independent `k`-codeword codebook per
+    * subspace with the same deterministic integer-mean Lloyd the IVF
+    * family uses — under L2 assignment ([[assignCellsL2]]), the PQ
+    * metric. A vector then compresses to m small codes (m·log₂k bits —
+    * 16 bits here vs 64 floats), which is what lets a 100 TB embedding
+    * corpus live in scan-speed storage: the full-precision vectors are
+    * only ever touched at (re-)encode time, never per query.
+    * Returns (sub, cell, ctr) with `ctr` of dims/m components. */
+  def pqTrain(corpus: DataFrame, id: String, vec: String,
+              m: Int = 4, k: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val c = graft.Checkpoints.checkpoint(corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    val dims = c.select(size(col("cv"))).head.getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    val books = (0 until m).map { mi =>
+      val sliced = graft.Checkpoints.checkpoint(c.select(col("n_id"),
+        slice(col("cv"), mi * sub + 1, sub).as("cv")))
+      val book = lloydCentroids(sliced, k, lloydIters, assignCellsL2)
+        .select(lit(mi).as("sub"), col("cell"), col("ctr"))
+      val out = book.localCheckpoint()
+      graft.Checkpoints.release(book)
+      graft.Checkpoints.release(sliced)
+      out
+    }.reduce(_ union _)
+    graft.Checkpoints.release(c)
+    books
+  }
+
+  /** The trained PQ codebooks collected to the driver (m·k rows —
+    * bounded, never the corpus): the literal feed for the q125 oracle
+    * replay, bit-equal to what the query recomputes (exact-integer
+    * Lloyd, the q51 argument). */
+  def collectedPqCodebooks(corpus: DataFrame, id: String, vec: String,
+                           m: Int = 4, k: Int = 16, lloydIters: Int = 2)
+      : Seq[(Int, Long, Seq[Double])] = {
+    val books = pqTrain(corpus, id, vec, m, k, lloydIters)
+    books.collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  /** PQ-encode the corpus: each vector's m-th subvector slice maps to
+    * its L2-nearest codeword — (n_id, sub, code) long form, m rows per
+    * vector. The codes column set is the compressed corpus
+    * representation. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               codebooks: DataFrame, m: Int, subDims: Int): DataFrame = {
+    val c = corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+    (0 until m).map { mi =>
+      val sliced = c.select(col("n_id"),
+        slice(col("cv"), mi * subDims + 1, subDims).as("cv"))
+      val book = codebooks.filter(col("sub") === mi)
+        .select(col("cell"), col("ctr"))
+      assignCellsL2(sliced, book, 1)
+        .select(col("n_id"), lit(mi).as("sub"), col("cell").as("code"))
+    }.reduce(_ union _)
+  }
+
+  /** ANN top-k by ASYMMETRIC DISTANCE over the PQ-compressed corpus,
+    * with an exact shortlist re-rank: each query builds its m×k
+    * inner-product lookup table against the codebooks (a per-query map
+    * of m·k doubles), every corpus vector scores as the FIXED-ORDER
+    * sum of its m table entries — m map lookups + m−1 additions per
+    * pair instead of a dims-wide float dot against uncompressed
+    * vectors the executor would have had to fetch — and only the
+    * `shortlist` best ADC candidates per query touch full-precision
+    * vectors in the exact-IP re-rank (the standard PQ serving shape:
+    * the compressed scan bounds how much raw data moves). The
+    * left-to-right ADC addition chain and the sequential-fold exact IP
+    * are both what the oracle replays term-for-term (a groupBy sum
+    * would re-order the doubles). Output ranks by
+    * (rounded exact IP desc, n_id). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             topK: Int, m: Int = 4, k: Int = 16,
+             lloydIters: Int = 2, shortlist: Int = 50): DataFrame = {
+    val books = pqTrain(corpus, id, vec, m, k, lloydIters).localCheckpoint()
+    val dims = books.select(size(col("ctr"))).head.getInt(0) * m
+    val sub = dims / m
+    val encoded = pqEncode(corpus, id, vec, books, m, sub)
+      .groupBy(col("n_id"))
+      .pivot("sub", 0 until m)
+      .agg(first(col("code")))
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
+    val tables = q.crossJoin(broadcast(books))
+      .select(col("q_id"), (col("sub") * k + col("cell")).as("slot"),
+        VectorFns.dot(slice(col("qv"), col("sub") * sub + lit(1), lit(sub)),
+          col("ctr")).as("ip"))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("slot"), col("ip")))).as("tab"))
+    val score = (0 until m).map(mi =>
+        element_at(col("tab"), lit(mi.toLong * k) + col(s"$mi")))
+      .reduce(_ + _)
+    val adc = encoded.crossJoin(broadcast(tables.select("q_id", "tab")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), round(score, 4).as("ip_pq"))
+    val cand = Relational.topKPerGroup(adc, Seq(col("q_id")),
+      Seq(col("ip_pq").desc, col("n_id")), shortlist)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+    val rescored = cand.join(c, "n_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(VectorFns.dot(col("qv"), col("cv")), 4).as("ip"))
+    Relational.topKPerGroup(rescored, Seq(col("q_id")),
+      Seq(col("ip").desc, col("n_id")), topK)
   }
 
   /** Two-level (coarse-quantizer) cell assignment — the FAISS-style

@@ -75,6 +75,19 @@ object SimQueries {
     "q119_ann_ivf_indexed" -> { (s, d) =>
       Similarity.ivfTopKIndexed(ivfIndexDir(s, d), Tables.embeddings(s, d),
         queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // Product-quantization ANN (m=8 subspaces × 64 codewords = 48-bit
+    // codes vs 64 floats): ADC lookup-table scan over the compressed
+    // corpus, exact-IP re-rank of the 50-deep shortlist — the
+    // compressed-storage scale path (the raw corpus is touched only by
+    // the shortlist). Oracle-checked via literal-CODEBOOK replay (the
+    // q51 discipline per subspace — dynamicOracles); SimilaritySpec
+    // additionally holds codebook bit-reproducibility and recall
+    // (0.944 measured) vs exact inner-product top-k.
+    "q125_ann_pq_topk" -> { (s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), queriesSubset(s, d),
+        "vec_id", "embedding", 5, m = 8, k = 64)
     }
   )
 
@@ -263,6 +276,66 @@ object SimQueries {
     // q119 runs the same parameters against the PERSISTED index; the
     // deterministic build makes disk and in-flight indexes bit-equal,
     // so the same replay checks both
-    Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51) ++ q72map
+    Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
+      "q125_ann_pq_topk" -> pqOracle(emb)) ++ q72map
+  }
+
+  /** PQ codebooks as a DuckDB VALUES list `(sub, cell, ctr)` — the
+    * [[centroidValues]] literal convention. */
+  private def pqCodebookValues(books: Seq[(Int, Long, Seq[Double])]): String =
+    books.map { case (sub, cell, ctr) =>
+      s"($sub, $cell, [" + ctr.map(x => s"($x)::DOUBLE").mkString(",") + "])"
+    }.mkString(",\n")
+
+  /** q125 replay: codebooks computed in Spark land as literals; DuckDB
+    * re-derives the L2 code assignment (the same three-fold dist²
+    * expression in the same order), the per-query ADC tables, the
+    * FIXED-ORDER eight-term ADC sum, the 50-deep shortlist, and the
+    * exact-IP re-rank — every double op mirrors the Spark expression
+    * tree, so the hash matches bit-for-bit. */
+  private def pqOracle(emb: DataFrame): String = {
+    val books = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 64, lloydIters = 2)
+    val sv = "v[cb.sub*8+1:cb.sub*8+8]" // the sub-slice of the row's vector
+    val cWide = (0 until 8).map(i =>
+      s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n    ")
+    val tJoins = (1 until 8).map(i =>
+      s"JOIN tb t$i ON t$i.q_id = t0.q_id AND t$i.sub = $i " +
+        s"AND t$i.cell = ew.c$i").mkString("\n  ")
+    val adcSum = (0 until 8).map(i => s"t$i.ip").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cb(sub, cell, ctr) AS (VALUES
+       |${pqCodebookValues(books)}),
+       |enc AS MATERIALIZED (SELECT vec_id, sub, cell FROM (
+       |    SELECT e.vec_id, cb.sub, cb.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+       |        list_inner_product($sv, $sv)
+       |          - 2 * list_inner_product($sv, cb.ctr)
+       |          + list_inner_product(cb.ctr, cb.ctr) ASC, cb.cell) AS arn
+       |    FROM e CROSS JOIN cb) WHERE arn <= 1),
+       |ew AS MATERIALIZED (SELECT vec_id,
+       |    $cWide
+       |  FROM enc GROUP BY 1),
+       |tb AS MATERIALIZED (SELECT e.vec_id AS q_id, cb.sub, cb.cell,
+       |    list_inner_product($sv, cb.ctr) AS ip
+       |  FROM e CROSS JOIN cb WHERE e.vec_id % 20 = 0),
+       |adc AS MATERIALIZED (SELECT t0.q_id, ew.vec_id AS n_id,
+       |    round($adcSum, 4) AS ip_pq
+       |  FROM ew
+       |  JOIN tb t0 ON t0.sub = 0 AND t0.cell = ew.c0
+       |  $tJoins
+       |  WHERE ew.vec_id <> t0.q_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ip_pq DESC, n_id) AS srn FROM adc) WHERE srn <= 50),
+       |scored AS (SELECT q_id, n_id,
+       |    round(list_inner_product(eq.v, ec.v), 4) AS ip
+       |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+       |            JOIN e ec ON cand.n_id = ec.vec_id)
+       |SELECT q_id, n_id, ip, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ip DESC, n_id) AS BIGINT) AS rn FROM scored)
+       |WHERE rn <= 5""".stripMargin
   }
 }

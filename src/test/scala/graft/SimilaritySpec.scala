@@ -139,4 +139,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .filter(col("cos") === 0.0).as[(Long, Long, Double)].collect()
     assert(zero.length == 3)
   }
+
+  test("PQ codebooks are bit-reproducible and codes stay in range") {
+    val a = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding")
+    val b = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding")
+    assert(a == b, "two PQ trainings diverged bit-wise")
+    assert(a.map(_._1).distinct.sorted == Seq(0, 1, 2, 3))
+    assert(a.forall { case (_, cell, ctr) => cell < 16 && ctr.size == 16 })
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val codes = Similarity
+      .pqEncode(emb, "vec_id", "embedding", books, 4, 16)
+      .select(col("code")).as[Long].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("PQ asymmetric-distance top-k recalls a healthy fraction of the " +
+       "exact inner-product top-k") {
+    // PQ approximates the INNER PRODUCT (ADC tables hold sub-IPs), so
+    // the reference is exact-IP top-5, not cosine top-5
+    val ip = graft.functions.VectorFns.dot(col("qv"), col("cv"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      graft.functions.VectorFns.toDoubleArr(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.toDoubleArr(col("embedding")).as("cv"))
+    val exactIp = topSet(graft.operators.Relational.topKPerGroup(
+      q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), round(ip, 4).as("s")),
+      Seq(col("q_id")), Seq(col("s").desc, col("n_id")), 5))
+    val pq = topSet(
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5, m = 8, k = 64))
+    val recall = (pq & exactIp).size.toDouble / exactIp.size
+    // measured 0.944 at m=8/k=64/shortlist=50 on this fixture
+    assert(recall >= 0.8, s"PQ recall $recall")
+  }
 }
