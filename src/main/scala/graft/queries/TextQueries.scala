@@ -714,6 +714,36 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rn"))
     },
 
+    // TOKEN-budget mixture — q124's source allocation denominated in
+    // the tokens a model actually consumes (q118's BPE counts): each
+    // source's share of the half-corpus TOKEN budget fills in LCG-hash
+    // doc order, with the keep decision as an exact integer
+    // cross-multiply (cum·2·Σw ≤ total·w_s — a double ratio would flip
+    // boundary docs between engines). The per-source running total is
+    // a window over ~uniform source partitions (the q117/q124 note
+    // applies at a skewed 100 TB histogram).
+    "q126_token_mixture" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("source"),
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint() // consumers: cumsum, token total, weight total
+      val scalars = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        .crossJoin(broadcast(docs.select(col("source"), col("w")).distinct()
+          .agg(sum(col("w")).as("w_total"))))
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(lcgHash(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(byHash))
+        .crossJoin(broadcast(scalars))
+        .filter(col("cum_tokens") * 2 * col("w_total") <=
+          col("total_tokens") * col("w"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+    },
+
     // COUNT-MIN frequency sketch (Sketches.countMinCells/Estimates)
     // over corpus word bigrams — frequency tracking whose state is a
     // 3×256 counter matrix however large the vocabulary grows.
@@ -1277,6 +1307,25 @@ object TextQueries {
          |      FROM d)
          |SELECT r.doc_id, r.source, r.rn
          |FROM r, t WHERE r.rn <= (t.s_target * r.w) // t.w_total""".stripMargin,
+
+    // q126: q124's weights and order, q118's BPE token counts, and the
+    // same integer cross-multiplied keep decision.
+    "q126_token_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             (CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS w,
+         |             CAST(${graft.functions.Bpe.tokenCountSql("text")}
+         |               AS BIGINT) AS n_tokens
+         |           FROM documents WHERE doc_id >= 0),
+         |t AS (SELECT (SELECT sum(n_tokens) FROM d) AS total_tokens,
+         |             (SELECT sum(w) FROM (SELECT DISTINCT source, w
+         |                                  FROM d)) AS w_total),
+         |c AS (SELECT doc_id, source, w, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY ${lcgHashSql("doc_id")}, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
 
     // q122: FULL replay of the Count-Min matrix — every cell (per-depth
     // PolyHash-mod-width bucket counts) and every estimate (least over
