@@ -262,6 +262,27 @@ object EventStreams {
     * (max id, min id), so the distinct pair set equals the batch q108
     * set whatever order docs arrive in (StreamingSpec shuffles the
     * arrival order to assert it). */
+  /** Streaming Count-Min maintenance — the q122 frequency sketch kept
+    * live over a document stream: corpus-bigram occurrences fold into
+    * the same depth×width counter matrix (`Sketches.countMinCells` is
+    * pure additive dataflow, so it runs unchanged under streaming
+    * aggregation). Additive counters are the whole point here: after
+    * ANY batch split and arrival order, the streamed cells equal the
+    * batch matrix EXACTLY (StreamingSpec asserts bit-equality, not a
+    * bound), and state is at most depth×width counters no matter how
+    * the vocabulary grows. Bigrams come from the row-local
+    * [[graft.functions.TextFns.shingles]] form — no cross-row window,
+    * the streaming-legal extraction; the spec pins it to the batch
+    * q122 window+lead extraction on the same corpus. */
+  def countMinStream(docs: Dataset[DocText],
+                     mults: Seq[Long] = Seq(31L, 37L, 41L),
+                     width: Int = 256): DataFrame = {
+    import graft.functions.TextFns
+    val bg = docs.toDF().select(explode(
+      TextFns.shingles(TextFns.words(TextFns.norm(col("text"))), 2)).as("bg"))
+    graft.operators.Sketches.countMinCells(bg, col("bg"), mults, width)
+  }
+
   def bandedNearDup(docs: Dataset[DocText], minMatches: Int = 16,
                     numPerms: Int = 32, rowsPerBand: Int = 4): Dataset[DupHit] = {
     import docs.sparkSession.implicits._

@@ -479,6 +479,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
   }
 
+  test("countMinStream cells after shuffled batches equal the batch " +
+       "matrix exactly (additive merge), and the row-local bigram " +
+       "extraction matches q122's window+lead form") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextFns
+    import graft.operators.Sketches
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[EventStreams.DocText].collect().toSeq
+    // batch reference on the SAME corpus via the row-local extraction
+    val corpusDf = corpus.toDF()
+    val bgHof = corpusDf.select(explode(
+      TextFns.shingles(TextFns.words(TextFns.norm($"text")), 2)).as("bg"))
+    val batch = Sketches
+      .countMinCells(bgHof, col("bg"), Seq(31L, 37L, 41L), 256)
+      .as[(Long, Long, Long)].collect().toSet
+    // q122's extraction (posexplode + lead over the doc partition)
+    // yields the same bigram multiset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val bgWin = corpusDf.select($"doc_id",
+        posexplode(TextFns.words(TextFns.norm($"text"))).as(Seq("pos", "w0")))
+      .withColumn("w1", lead($"w0", 1).over(w))
+      .filter($"w1".isNotNull)
+      .select(concat_ws(" ", $"w0", $"w1").as("bg"))
+    assert(bgHof.groupBy("bg").count().as[(String, Long)].collect().toMap ==
+      bgWin.groupBy("bg").count().as[(String, Long)].collect().toMap)
+    val ms = MemoryStream[EventStreams.DocText]
+    val q = EventStreams.countMinStream(ms.toDS())
+      .writeStream.format("memory").queryName("cmstream")
+      .outputMode("complete").start()
+    try {
+      val shuffled = new scala.util.Random(5).shuffle(corpus)
+      shuffled.grouped(math.max(1, shuffled.size / 3)).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("cmstream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("windowQuantiles streamed answers satisfy the declared rank-error " +
        "bound against exact per-window ranks (cross-batch, shuffled order)") {
     implicit val ctx = spark.sqlContext
