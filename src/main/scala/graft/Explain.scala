@@ -48,7 +48,8 @@ object Explain {
     "q121_bloom_join",      // broadcast 1-row Bloom-filter scalar (q42 shape)
     "q124_mixture_sample",  // broadcast budget + weight-total scalars
     "q125_ann_pq_topk",     // broadcast codebook/ADC-table assignment (q51 shape)
-    "q126_token_mixture")   // broadcast token-total + weight-total scalars
+    "q126_token_mixture",   // broadcast token-total + weight-total scalars
+    "q127_ann_ivfpq_topk")  // broadcast centroid + codebook assignment (q51 shape)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArrayCosine, VectorFns}
@@ -446,6 +446,53 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
              topK: Int, m: Int = 4, k: Int = 16,
              lloydIters: Int = 2, shortlist: Int = 50): DataFrame = {
+    val (encoded, tables, q) = pqParts(corpus, queries, id, vec, m, k, lloydIters)
+    val adc = encoded.crossJoin(broadcast(tables))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(adcScore(m, k), 4).as("ip_pq"))
+    pqRerank(adc, corpus, q, id, vec, topK, shortlist)
+  }
+
+  /** IVF+PQ — the composed serving architecture (FAISS's IVFADC; Jégou
+    * et al. 2011 §V): the inverted file bounds WHICH vectors a query
+    * scores (nprobe cells' residents, not the corpus) and product
+    * quantization bounds WHAT each scored vector costs (m table
+    * lookups on 48-bit codes, not a dims-wide float dot). At 100 TB
+    * the two compose multiplicatively: shuffle only cell-matched code
+    * rows, touch raw vectors only for the shortlist re-rank. Both
+    * index structures are the deterministic builds the standalone
+    * forms use (q51's cosine-Lloyd cells, q125's L2-Lloyd codebooks),
+    * so the q127 oracle replays the whole composition from the same
+    * two literal sets. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, topK: Int, cells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, k: Int = 64, lloydIters: Int = 2,
+                shortlist: Int = 50): DataFrame = {
+    val c = graft.Checkpoints.checkpoint(corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    val centroids = lloydCentroids(c, cells, lloydIters)
+    val idx = assignCells(c, centroids, 1)
+    val (encoded, tables, q) = pqParts(corpus, queries, id, vec, m, k, lloydIters)
+    val probes = assignCells(
+      q.select(col("q_id").as("n_id"), col("qv").as("cv")), centroids, nprobe)
+      .select(col("n_id").as("q_id"), col("cell"))
+    val cand = probes.join(idx, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val adc = cand.join(encoded, "n_id").join(broadcast(tables), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(adcScore(m, k), 4).as("ip_pq"))
+    // c/centroids checkpoints stay pinned until the caller's
+    // releaseAll — idx/probes read them lazily (the ivfTopK convention)
+    pqRerank(adc, corpus, q, id, vec, topK, shortlist)
+  }
+
+  /** The PQ serving triple: codes pivoted wide (n_id, c0..c{m-1}), the
+    * per-query ADC lookup-table map, and the normalized query side. */
+  private def pqParts(corpus: DataFrame, queries: DataFrame, id: String,
+                      vec: String, m: Int, k: Int, lloydIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val books = pqTrain(corpus, id, vec, m, k, lloydIters).localCheckpoint()
     val dims = books.select(size(col("ctr"))).head.getInt(0) * m
     val sub = dims / m
@@ -462,12 +509,20 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(map_from_entries(collect_list(
         struct(col("slot"), col("ip")))).as("tab"))
-    val score = (0 until m).map(mi =>
-        element_at(col("tab"), lit(mi.toLong * k) + col(s"$mi")))
+    (encoded, tables, q)
+  }
+
+  /** The FIXED-ORDER m-term ADC sum — left-to-right so the oracle can
+    * replay it term-for-term. */
+  private def adcScore(m: Int, k: Int): Column =
+    (0 until m).map(mi =>
+      element_at(col("tab"), lit(mi.toLong * k) + col(s"$mi")))
       .reduce(_ + _)
-    val adc = encoded.crossJoin(broadcast(tables.select("q_id", "tab")))
-      .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), round(score, 4).as("ip_pq"))
+
+  /** Shortlist by ADC score, re-rank by exact sequential-fold IP. */
+  private def pqRerank(adc: DataFrame, corpus: DataFrame, q: DataFrame,
+                       id: String, vec: String, topK: Int,
+                       shortlist: Int): DataFrame = {
     val cand = Relational.topKPerGroup(adc, Seq(col("q_id")),
       Seq(col("ip_pq").desc, col("n_id")), shortlist)
       .select(col("q_id"), col("n_id"))

@@ -88,6 +88,18 @@ object SimQueries {
     "q125_ann_pq_topk" -> { (s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), queriesSubset(s, d),
         "vec_id", "embedding", 5, m = 8, k = 64)
+    },
+
+    // IVF+PQ — the composed serving architecture (FAISS IVFADC): the
+    // inverted file bounds WHICH vectors score (nprobe=4 of 16 cells),
+    // PQ bounds WHAT each costs (48-bit ADC codes), exact-IP re-rank
+    // of the shortlist. Oracle replays the WHOLE composition from the
+    // two literal sets (centroids + codebooks — dynamicOracles);
+    // SimilaritySpec holds full-probe+full-shortlist ≡ exact-IP top-k
+    // and the composed recall floor.
+    "q127_ann_ivfpq_topk" -> { (s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), queriesSubset(s, d),
+        "vec_id", "embedding", 5)
     }
   )
 
@@ -276,8 +288,11 @@ object SimQueries {
     // q119 runs the same parameters against the PERSISTED index; the
     // deterministic build makes disk and in-flight indexes bit-equal,
     // so the same replay checks both
+    val books = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 64, lloydIters = 2)
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
-      "q125_ann_pq_topk" -> pqOracle(emb)) ++ q72map
+      "q125_ann_pq_topk" -> pqOracle(books),
+      "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books)) ++ q72map
   }
 
   /** PQ codebooks as a DuckDB VALUES list `(sub, cell, ctr)` — the
@@ -287,55 +302,91 @@ object SimQueries {
       s"($sub, $cell, [" + ctr.map(x => s"($x)::DOUBLE").mkString(",") + "])"
     }.mkString(",\n")
 
-  /** q125 replay: codebooks computed in Spark land as literals; DuckDB
-    * re-derives the L2 code assignment (the same three-fold dist²
-    * expression in the same order), the per-query ADC tables, the
-    * FIXED-ORDER eight-term ADC sum, the 50-deep shortlist, and the
-    * exact-IP re-rank — every double op mirrors the Spark expression
-    * tree, so the hash matches bit-for-bit. */
-  private def pqOracle(emb: DataFrame): String = {
-    val books = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding",
-      m = 8, k = 64, lloydIters = 2)
-    val sv = "v[cb.sub*8+1:cb.sub*8+8]" // the sub-slice of the row's vector
-    val cWide = (0 until 8).map(i =>
-      s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n    ")
-    val tJoins = (1 until 8).map(i =>
-      s"JOIN tb t$i ON t$i.q_id = t0.q_id AND t$i.sub = $i " +
-        s"AND t$i.cell = ew.c$i").mkString("\n  ")
-    val adcSum = (0 until 8).map(i => s"t$i.ip").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
-       |cb(sub, cell, ctr) AS (VALUES
+  // q125/q127 PQ replay building blocks (m=8, k=64, 8-dim slices)
+  private val PqSv = "v[cb.sub*8+1:cb.sub*8+8]" // the row's sub-slice
+  private val PqCWide = (0 until 8).map(i =>
+    s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n    ")
+  private val PqAdcSum = (0 until 8).map(i => s"t$i.ip").mkString(" + ")
+  private def pqTJoins(qIdExpr: String) = (1 until 8).map(i =>
+    s"JOIN tb t$i ON t$i.q_id = $qIdExpr AND t$i.sub = $i " +
+      s"AND t$i.cell = ew.c$i").mkString("\n  ")
+
+  /** PQ CTEs shared by the q125 and q127 replays (assume `e` is already
+    * defined): codebook literals, the L2 code assignment (the same
+    * three-fold dist² expression in the same order), the pivoted code
+    * table, and the per-query ADC lookup tables. */
+  private def pqCtes(books: Seq[(Int, Long, Seq[Double])]): String =
+    s"""cb(sub, cell, ctr) AS (VALUES
        |${pqCodebookValues(books)}),
        |enc AS MATERIALIZED (SELECT vec_id, sub, cell FROM (
        |    SELECT e.vec_id, cb.sub, cb.cell,
        |      row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
-       |        list_inner_product($sv, $sv)
-       |          - 2 * list_inner_product($sv, cb.ctr)
+       |        list_inner_product($PqSv, $PqSv)
+       |          - 2 * list_inner_product($PqSv, cb.ctr)
        |          + list_inner_product(cb.ctr, cb.ctr) ASC, cb.cell) AS arn
        |    FROM e CROSS JOIN cb) WHERE arn <= 1),
        |ew AS MATERIALIZED (SELECT vec_id,
-       |    $cWide
+       |    $PqCWide
        |  FROM enc GROUP BY 1),
        |tb AS MATERIALIZED (SELECT e.vec_id AS q_id, cb.sub, cb.cell,
-       |    list_inner_product($sv, cb.ctr) AS ip
-       |  FROM e CROSS JOIN cb WHERE e.vec_id % 20 = 0),
+       |    list_inner_product($PqSv, cb.ctr) AS ip
+       |  FROM e CROSS JOIN cb WHERE e.vec_id % 20 = 0)""".stripMargin
+
+  /** Shared replay tail: ADC shortlist (50) then exact-IP re-rank. */
+  private val pqTailSql =
+    """cand AS (SELECT q_id, n_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY ip_pq DESC, n_id) AS srn FROM adc) WHERE srn <= 50),
+      |scored AS (SELECT q_id, n_id,
+      |    round(list_inner_product(eq.v, ec.v), 4) AS ip
+      |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+      |            JOIN e ec ON cand.n_id = ec.vec_id)
+      |SELECT q_id, n_id, ip, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY ip DESC, n_id) AS BIGINT) AS rn FROM scored)
+      |WHERE rn <= 5""".stripMargin
+
+  /** q125 replay: codebooks computed in Spark land as literals; DuckDB
+    * re-derives the code assignment, the ADC tables, the FIXED-ORDER
+    * eight-term ADC sum over ALL (query, vector) pairs, the 50-deep
+    * shortlist, and the exact-IP re-rank — every double op mirrors the
+    * Spark expression tree, so the hash matches bit-for-bit. */
+  private def pqOracle(books: Seq[(Int, Long, Seq[Double])]): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |${pqCtes(books)},
        |adc AS MATERIALIZED (SELECT t0.q_id, ew.vec_id AS n_id,
-       |    round($adcSum, 4) AS ip_pq
+       |    round($PqAdcSum, 4) AS ip_pq
        |  FROM ew
        |  JOIN tb t0 ON t0.sub = 0 AND t0.cell = ew.c0
-       |  $tJoins
+       |  ${pqTJoins("t0.q_id")}
        |  WHERE ew.vec_id <> t0.q_id),
-       |cand AS (SELECT q_id, n_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY ip_pq DESC, n_id) AS srn FROM adc) WHERE srn <= 50),
-       |scored AS (SELECT q_id, n_id,
-       |    round(list_inner_product(eq.v, ec.v), 4) AS ip
-       |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
-       |            JOIN e ec ON cand.n_id = ec.vec_id)
-       |SELECT q_id, n_id, ip, rn FROM (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-       |    ORDER BY ip DESC, n_id) AS BIGINT) AS rn FROM scored)
-       |WHERE rn <= 5""".stripMargin
-  }
+       |$pqTailSql""".stripMargin
+
+  /** q127 replay: q51's centroid-literal cell routing produces the
+    * candidate set, then the SAME PQ CTEs score only those candidates —
+    * the composed IVFADC pipeline replayed end-to-end from the two
+    * literal sets. */
+  private def ivfPqOracle(cents: Seq[(Long, Seq[Double])],
+                          books: Seq[(Int, Long, Seq[Double])]): String =
+    s"""WITH ${ivfSimSql(cents)},
+       |idx AS (SELECT n_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY sim DESC, cell) AS arn FROM sim)
+       |  WHERE arn <= 1),
+       |probes AS (SELECT n_id AS q_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY sim DESC, cell) AS arn
+       |    FROM sim WHERE n_id % 20 = 0)
+       |  WHERE arn <= 4),
+       |cd AS (SELECT DISTINCT p.q_id, i.n_id
+       |  FROM probes p JOIN idx i ON p.cell = i.cell AND p.q_id <> i.n_id),
+       |${pqCtes(books)},
+       |adc AS MATERIALIZED (SELECT cd.q_id, cd.n_id,
+       |    round($PqAdcSum, 4) AS ip_pq
+       |  FROM cd
+       |  JOIN ew ON ew.vec_id = cd.n_id
+       |  JOIN tb t0 ON t0.q_id = cd.q_id AND t0.sub = 0 AND t0.cell = ew.c0
+       |  ${pqTJoins("cd.q_id")}),
+       |$pqTailSql""".stripMargin
 }

@@ -171,5 +171,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = (pq & exactIp).size.toDouble / exactIp.size
     // measured 0.944 at m=8/k=64/shortlist=50 on this fixture
     assert(recall >= 0.8, s"PQ recall $recall")
+
+    // IVF+PQ: probing all cells with a corpus-wide shortlist removes
+    // both approximations — the composition must EQUAL exact-IP top-k
+    // (the full-probe ≡ exact discipline of the IVF family)
+    val n = emb.count().toInt
+    val full = topSet(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", 5, cells = 8, nprobe = 8, shortlist = n + 1))
+    assert(full == exactIp, "full-probe full-shortlist IVFPQ != exact-IP")
+    // default routing (nprobe=4/16, shortlist=50) still recalls most
+    val ivfpq = topSet(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val composedRecall = (ivfpq & exactIp).size.toDouble / exactIp.size
+    assert(composedRecall >= 0.4, s"IVFPQ recall $composedRecall")
   }
 }
