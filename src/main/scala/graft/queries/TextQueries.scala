@@ -685,6 +685,46 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
     },
 
+    // CURATION FUNNEL — the quality pipeline composed end-to-end with
+    // per-stage survivor counts, the report a training-data run reads
+    // first: language gate (q22's classifier) → quality floor (q21's
+    // score ≥ 0.3) → repetition cut (q77's top-word ratio ≤ 0.12) →
+    // exact-dedup canonical keeper (q24's grain). Stages apply as
+    // PROGRESSIVE conjunctions so each count is "survivors so far",
+    // and every per-doc signal is the same rounded expression its
+    // standalone query oracles — the funnel cannot drift from the
+    // parts. One row out; all counts integer.
+    "q128_curation_funnel" -> { (s, d) =>
+      val n = TextFns.norm(col("text"))
+      val w = TextFns.words(n)
+      val nw = size(w).cast("long")
+      val base = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"),
+          TextFns.langId(w).as("pred_lang"),
+          qualityCol(nw, stopRatioCol(w, nw)).as("quality"),
+          substring(n, 1, 80).as("dup_key"))
+      val twr = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), explode(w).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+          .as("twr"))
+      val keeper = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dup_key"))
+      val c1 = col("pred_lang") === "en"
+      val c2 = c1 && col("quality") >= 0.3
+      val c3 = c2 && col("twr") <= 0.12
+      val c4 = c3 && col("is_keep")
+      base.withColumn("is_keep",
+          min(col("doc_id")).over(keeper) === col("doc_id"))
+        .join(twr, "doc_id")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(c1, 1L).otherwise(0L)).as("n_lang"),
+          sum(when(c2, 1L).otherwise(0L)).as("n_quality"),
+          sum(when(c3, 1L).otherwise(0L)).as("n_derep"),
+          sum(when(c4, 1L).otherwise(0L)).as("n_final"))
+    },
+
     // TRAINING-MIX sampler — deterministic mixture-weighted selection
     // across sources: each source s gets a target share w_s/Σw of the
     // output budget (w_s derived arithmetically from the source name so
@@ -1290,6 +1330,47 @@ object TextQueries {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, n_tokens, cum_tokens
          |FROM c WHERE 2 * cum_tokens <= (SELECT sum(n_tokens) FROM t)""".stripMargin,
+
+    // q128: every stage reuses its standalone oracle's expression —
+    // q22's CASE chain, q21's rounded quality, q77's rounded top-word
+    // ratio, q24's prefix-80 dup key — under progressive conjunction.
+    "q128_curation_funnel" ->
+      s"""WITH t AS (SELECT doc_id, ${normSql("text")} AS n,
+         |             string_split(${normSql("text")}, ' ') AS w
+         |           FROM documents WHERE doc_id >= 0),
+         |sc AS (SELECT doc_id, n, w, CAST(len(w) AS BIGINT) AS nw,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |  len(list_filter(w, x -> x IN ('el','los','las','y','es'))) AS s_es
+         |  FROM t),
+         |fl AS (SELECT doc_id,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang,
+         |  ${qualitySql("nw",
+                "round(CAST(s_en AS DOUBLE) / len(w), 4)")} AS quality,
+         |  substring(n, 1, 80) AS dup_key
+         |  FROM sc),
+         |k AS (SELECT *,
+         |    min(doc_id) OVER (PARTITION BY dup_key) = doc_id AS is_keep
+         |  FROM fl),
+         |wc AS (SELECT doc_id, word, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY 1, 2),
+         |tw AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+         |         AS twr FROM wc GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lang,
+         |  CAST(sum(CASE WHEN pred_lang = 'en' AND quality >= 0.3
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN pred_lang = 'en' AND quality >= 0.3
+         |    AND twr <= 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_derep,
+         |  CAST(sum(CASE WHEN pred_lang = 'en' AND quality >= 0.3
+         |    AND twr <= 0.12 AND is_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_final
+         |FROM k JOIN tw USING (doc_id)""".stripMargin,
 
     // q124: same weights, same LCG order, same integer-div quotas.
     // DuckDB's sum(BIGINT) widens to HUGEINT — harmless under // and
