@@ -49,8 +49,13 @@ object Bench {
 
     // stable name order for run-to-run comparability; a query that
     // throws is reported as -1 (sentinel) and listed under "errors" —
-    // never as a fast normal timing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // never as a fast normal timing. SPARK_GRAFT_ONLY (csv of names)
+    // restricts the sweep for local iteration; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // fresh DataFrame per pass: released checkpoints from pass 1 must
       // not be referenced by pass 2's plan
       def pass(): Double = {

@@ -384,18 +384,62 @@ object Similarity {
     val dims = c.select(size(col("cv"))).head.getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val sub = dims / m
-    val books = (0 until m).map { mi =>
-      val sliced = graft.Checkpoints.checkpoint(c.select(col("n_id"),
-        slice(col("cv"), mi * sub + 1, sub).as("cv")))
-      val book = lloydCentroids(sliced, k, lloydIters, assignCellsL2)
-        .select(lit(mi).as("sub"), col("cell"), col("ctr"))
-      val out = book.localCheckpoint()
-      graft.Checkpoints.release(book)
-      graft.Checkpoints.release(sliced)
-      out
-    }.reduce(_ union _)
+    // all m subspaces train in ONE joint Lloyd loop keyed by (sub,
+    // cell): the per-iteration assignment and integer-mean recentering
+    // are a single pair of jobs instead of m sequential pipelines.
+    // Bit-identical to training each subspace alone — assignment wins
+    // are decided per (n_id, sub) group and the scaled-long sums
+    // commute — which is what keeps the q125/q127 literal-codebook
+    // replays and the SimilaritySpec reproducibility pin green.
+    val sliced = graft.Checkpoints.checkpoint(subSlices(c, m, sub))
+    // the k lowest-id vectors seed every subspace's codebook (the
+    // lloydCentroids seed rule, applied slice-wise)
+    var books = graft.Checkpoints.checkpoint(
+      subSlices(c.orderBy(col("n_id")).limit(k)
+          .select(monotonically_increasing_id().as("n_id"), col("cv")), m, sub)
+        .select(col("sub"), col("n_id").as("cell"), col("cv").as("ctr")))
+    (0 until lloydIters).foreach { _ =>
+      val assigned = assignSubCells(sliced, books)
+      val refined = graft.Checkpoints.checkpoint(assigned
+        .join(sliced, Seq("n_id", "sub"))
+        .select(col("sub"), col("cell"), posexplode(col("cv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg((sum(round(col("col") * MeanScale).cast("long")).cast("double")
+          / count(lit(1)) / MeanScale).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("pos"), col("m"))))).as("mm"))
+        .select(col("sub"), col("cell"), map_values(col("mm")).as("ctr")))
+      graft.Checkpoints.release(books)
+      books = refined
+    }
+    graft.Checkpoints.release(sliced)
     graft.Checkpoints.release(c)
     books
+  }
+
+  /** (n_id, cv) → (n_id, sub, cv): each vector exploded into its m
+    * contiguous `sub`-dim slices — the long form the joint PQ loop
+    * keys by. */
+  private def subSlices(v: DataFrame, m: Int, sub: Int): DataFrame =
+    v.select(col("n_id"), inline(array((0 until m).map(mi =>
+      struct(lit(mi).as("sub"),
+        slice(col("cv"), mi * sub + 1, sub).as("cv"))): _*)))
+
+  /** L2-nearest codeword per (vector, subspace) in one pass over all m
+    * codebooks: same d2 expansion and (d2 asc, cell) tie-break as
+    * [[assignCellsL2]], decided within each (n_id, sub) group, so the
+    * winner per subspace is bit-equal to assigning against that
+    * subspace's book alone. Books broadcast — m·k rows, never many. */
+  private def assignSubCells(sliced: DataFrame, books: DataFrame): DataFrame = {
+    val d2 = VectorFns.dot(col("cv"), col("cv")) -
+      lit(2d) * VectorFns.dot(col("cv"), col("ctr")) +
+      VectorFns.dot(col("ctr"), col("ctr"))
+    val scored = sliced.join(broadcast(books), Seq("sub"))
+      .select(col("n_id"), col("sub"), col("cell"), d2.as("d2"))
+    Relational.topKPerGroup(scored, Seq(col("n_id"), col("sub")),
+      Seq(col("d2").asc, col("cell")), 1)
+      .select(col("n_id"), col("sub"), col("cell"))
   }
 
   /** The trained PQ codebooks collected to the driver (m·k rows —
@@ -419,14 +463,8 @@ object Similarity {
                codebooks: DataFrame, m: Int, subDims: Int): DataFrame = {
     val c = corpus.select(col(id).as("n_id"),
       VectorFns.toDoubleArr(col(vec)).as("cv"))
-    (0 until m).map { mi =>
-      val sliced = c.select(col("n_id"),
-        slice(col("cv"), mi * subDims + 1, subDims).as("cv"))
-      val book = codebooks.filter(col("sub") === mi)
-        .select(col("cell"), col("ctr"))
-      assignCellsL2(sliced, book, 1)
-        .select(col("n_id"), lit(mi).as("sub"), col("cell").as("code"))
-    }.reduce(_ union _)
+    assignSubCells(subSlices(c, m, subDims), codebooks)
+      .select(col("n_id"), col("sub"), col("cell").as("code"))
   }
 
   /** ANN top-k by ASYMMETRIC DISTANCE over the PQ-compressed corpus,
