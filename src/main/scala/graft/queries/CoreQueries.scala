@@ -475,6 +475,71 @@ object CoreQueries {
             .as("sum_price"))
     },
 
+    // CDC apply (Cdc.snapshot) — the lakehouse MERGE shape: a
+    // deterministic changelog derived from the base (two update waves,
+    // a delete wave, an insert wave; latest seq wins, %77 keys prove
+    // delete-over-update) folds into the current snapshot with ONE
+    // keyed shuffle + WindowGroupLimit top-1. The oracle re-derives
+    // the same log and replays latest-wins in SQL.
+    "q129_cdc_snapshot" -> { (s, d) =>
+      val base = Tables.orders(s, d).filter(col("o_orderkey") >= 0)
+      val upd1 = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U1").as("o_orderstatus"),
+          round(dec(col("o_totalprice")) + dec(lit(10)), 2).cast("double")
+            .as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val upd2 = base.filter(col("o_orderkey") % 21 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U2").as("o_orderstatus"),
+          round(dec(col("o_totalprice")) + dec(lit(20)), 2).cast("double")
+            .as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val dels = base.filter(col("o_orderkey") % 11 === 0)
+        .select(base.columns.map(col) :+ lit(3L).as("seq")
+          :+ lit("D").as("op"): _*)
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey")
+          +: base.columns.tail.map(col)
+          :+ lit(1L).as("seq") :+ lit("I").as("op"): _*)
+      graft.operators.Cdc.snapshot(base,
+        upd1.unionByName(upd2).unionByName(dels).unionByName(ins),
+        Seq("o_orderkey"), "seq", "op")
+    },
+
+    // SCD2 history (Cdc.history) over the same derived changelog:
+    // every version a key ever had with its [valid_from, valid_to)
+    // sequence interval — lead() inside the per-key ordering the
+    // snapshot's ranking already shuffled for. Delete markers close
+    // the prior version without emitting one.
+    "q131_cdc_history" -> { (s, d) =>
+      val base = Tables.orders(s, d).filter(col("o_orderkey") >= 0)
+      val upd1 = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U1").as("o_orderstatus"),
+          round(dec(col("o_totalprice")) + dec(lit(10)), 2).cast("double")
+            .as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val dels = base.filter(col("o_orderkey") % 11 === 0)
+        .select(base.columns.map(col) :+ lit(3L).as("seq")
+          :+ lit("D").as("op"): _*)
+      graft.operators.Cdc.history(base, upd1.unionByName(dels),
+        Seq("o_orderkey"), "seq", "op")
+    },
+
+    // Column profiler (Profile.profile): per-column n/nulls/ndv/min/
+    // max + exact 8-bucket equi-width histograms from ONE melt of the
+    // table — the ANALYZE-style ingestion statistics pass. Bucket ids
+    // are pure IEEE arithmetic over the broadcast [min, max], so both
+    // engines derive them bit-identically.
+    "q130_column_profile" -> { (s, d) =>
+      graft.operators.Profile.profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
     // SQL entry point (S10 + the sql/ module): the whole surface is
     // reachable as ANSI SQL over catalog views — this query runs
     // entirely through spark.sql, exercising GROUPING SETS (the
@@ -762,6 +827,97 @@ object CoreQueries {
         |    AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 450000 GROUP BY 1""".stripMargin,
+
+    "q129_cdc_snapshot" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, -1 AS seq, 'I' AS op
+        |  FROM orders WHERE o_orderkey >= 0
+        |), chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) + 10, 2) AS DOUBLE)
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U2',
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) + 20, 2) AS DOUBLE),
+        |    o_orderdate, o_orderpriority, 2, 'U'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 3, 'D'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority, 1, 'I'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 13 = 0
+        |), latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg)
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q131_cdc_history" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, -1 AS seq, 'I' AS op
+        |  FROM orders WHERE o_orderkey >= 0
+        |), chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) + 10, 2) AS DOUBLE)
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 3, 'D'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 11 = 0
+        |), stamped AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+        |                            ORDER BY seq) AS valid_to
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg)
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority,
+        |       CAST(seq AS BIGINT) AS valid_from,
+        |       CAST(valid_to AS BIGINT) AS valid_to
+        |FROM stamped WHERE op <> 'D'""".stripMargin,
+
+    "q130_column_profile" ->
+      """WITH long AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |), stats AS (
+        |  SELECT col_name, 'n' AS stat, CAST(count(v) AS DOUBLE) AS val
+        |  FROM long GROUP BY 1
+        |  UNION ALL
+        |  SELECT col_name, 'nulls',
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |  FROM long GROUP BY 1
+        |  UNION ALL
+        |  SELECT col_name, 'ndv', CAST(count(DISTINCT v) AS DOUBLE)
+        |  FROM long GROUP BY 1
+        |  UNION ALL SELECT col_name, 'min', min(v) FROM long GROUP BY 1
+        |  UNION ALL SELECT col_name, 'max', max(v) FROM long GROUP BY 1
+        |), mm AS (
+        |  SELECT col_name, min(v) AS mn, max(v) AS mx FROM long GROUP BY 1
+        |), hist AS (
+        |  SELECT l.col_name,
+        |    'b' || CAST(CASE WHEN m.mx = m.mn THEN 0
+        |      ELSE LEAST(7, CAST(FLOOR((l.v - m.mn) * 8.0 / (m.mx - m.mn))
+        |                         AS BIGINT)) END AS VARCHAR) AS stat,
+        |    CAST(count(*) AS DOUBLE) AS val
+        |  FROM long l JOIN mm m USING (col_name)
+        |  WHERE l.v IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT * FROM stats UNION ALL SELECT * FROM hist""".stripMargin,
 
     "q67_hash_sample" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,

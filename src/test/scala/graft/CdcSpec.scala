@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cdc, Profile}
+
+class CdcSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "s", "v")
+
+  private def changes = Seq(
+    // k=1: two updates — the later one must win
+    (1L, "a1", 11.0, 1L, "U"), (1L, "a2", 12.0, 2L, "U"),
+    // k=2: update then delete — delete-over-update drops the key
+    (2L, "b1", 21.0, 1L, "U"), (2L, "b1", 21.0, 2L, "D"),
+    // k=4: pure insert (no base row)
+    (4L, "d", 40.0, 1L, "I"))
+    .toDF("k", "s", "v", "seq", "op")
+
+  test("snapshot applies latest-wins with deletes and inserts") {
+    val got = Cdc.snapshot(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "a2", 12.0),  // latest update
+      (3L, "c", 30.0),   // untouched base
+      (4L, "d", 40.0)))  // insert; k=2 deleted
+  }
+
+  test("history stamps [valid_from, valid_to) and closes versions on delete") {
+    val got = Cdc.history(base, changes, Seq("k"), "seq", "op")
+      .select(col("k"), col("s"), col("valid_from"), col("valid_to"))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, "a", -1L, Some(1L)), (1L, "a1", 1L, Some(2L)), (1L, "a2", 2L, None),
+      (2L, "b", -1L, Some(1L)), (2L, "b1", 1L, Some(2L)), // closed by the delete
+      (3L, "c", -1L, None),
+      (4L, "d", 1L, None)))
+  }
+
+  test("profile covers nulls, constant columns, and histogram edges") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (0.0, 5.0), (1.0, 5.0), (2.0, 5.0), (8.0, 5.0), (null, 5.0))
+      .toDF("x", "c")
+    val got = Profile.profile(df, Seq("x", "c"), buckets = 4)
+      .as[(String, String, Double)].collect()
+      .map { case (c, s, v) => (c, s) -> v }.toMap
+    assert(got(("x", "n")) == 4.0 && got(("x", "nulls")) == 1.0)
+    assert(got(("x", "ndv")) == 4.0)
+    assert(got(("x", "min")) == 0.0 && got(("x", "max")) == 8.0)
+    // width 2: 0,1 -> b0; 2 -> b1; 8 (== max) clamps into the last bucket
+    assert(got(("x", "b0")) == 2.0 && got(("x", "b1")) == 1.0 &&
+      got(("x", "b3")) == 1.0 && !got.contains(("x", "b2")))
+    // constant column: every value lands in b0, no NaN bucket
+    assert(got(("c", "b0")) == 5.0 && got(("c", "ndv")) == 1.0)
+  }
+}
