@@ -38,5 +38,6 @@ object SparkEntry {
     * [[oracleSql]] before the dump, so the driver's DuckDB pass sees
     * SQL whose literals were produced from the same `sfDir` it checks. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    SimQueries.dynamicOracles(spark, sfDir)
+    SimQueries.dynamicOracles(spark, sfDir) ++
+      TextQueries.dynamicOracles(spark, sfDir)
 }

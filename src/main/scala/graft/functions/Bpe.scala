@@ -60,19 +60,87 @@ object Bpe {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** The fully-merged delimited-token string for `text`. */
-  def tokenized(text: Column): Column = {
+  /** The fully-merged delimited-token string for `text` under an
+    * arbitrary rank-ordered merge table. */
+  def tokenizedWith(text: Column, table: Seq[(String, String)]): Column = {
     val wrapped = regexp_replace(norm(text), "(.)", T + "$1" + E)
-    merges.foldLeft(wrapped) { case (c, (a, b)) =>
+    table.foldLeft(wrapped) { case (c, (a, b)) =>
       replace(c, lit(T + a + E + T + b + E), lit(T + a + b + E))
     }
   }
 
-  /** Subword token count of `text` (space tokens excluded). Marker
-    * counting only — no division, so no float/trunc divergence. */
-  def tokenCount(text: Column): Column = {
-    val noSpace = replace(tokenized(text), lit(T + " " + E), lit(""))
+  /** The fully-merged delimited-token string for `text`. */
+  def tokenized(text: Column): Column = tokenizedWith(text, merges)
+
+  /** Subword token count of `text` under an arbitrary merge table
+    * (space tokens excluded). Marker counting only — no division, so
+    * no float/trunc divergence. */
+  def tokenCountWith(text: Column, table: Seq[(String, String)]): Column = {
+    val noSpace = replace(tokenizedWith(text, table), lit(T + " " + E), lit(""))
     (length(noSpace) - length(replace(noSpace, lit(T), lit("")))).cast("long")
+  }
+
+  /** Subword token count of `text` (space tokens excluded). */
+  def tokenCount(text: Column): Column = tokenCountWith(text, merges)
+
+  /** LEARN a merge table from the corpus — the BPE training loop
+    * (Sennrich, Haddow, Birch, "Neural Machine Translation of Rare
+    * Words with Subword Units", ACL 2016 — public algorithm). Each
+    * round counts adjacent token pairs across the whole corpus, merges
+    * the most frequent pair everywhere (leftmost-first, exactly what
+    * [[tokenizedWith]]'s `replace` chain replays), and repeats on the
+    * merged state.
+    *
+    * 100 TB shape: one round = one explode of adjacent pairs + one
+    * pair-keyed groupBy (map-side partial counts — each task emits its
+    * local pair histogram, the shuffle moves #distinct-pairs rows, not
+    * #tokens) + one checkpointed full-corpus `replace` pass. The only
+    * driver traffic is the argmax pair — 1 row per round, the
+    * documented bounded-loop-parameter convention. Determinism: counts
+    * are exact longs and ties break on (pair) lexicographically, so
+    * two runs learn the identical table — which is what lets the q132
+    * oracle replay the LEARNED table as literals (the q51 discipline)
+    * while BpeSpec pins the learning itself against a pure-Scala
+    * reference.
+    *
+    * Word boundaries: space tokens never participate (no merge crosses
+    * a word). Rounds stop early if no pair repeats. */
+  def learnMerges(docs: org.apache.spark.sql.DataFrame, text: Column,
+                  rounds: Int): Seq[(String, String)] = {
+    var learned = Vector.empty[(String, String)]
+    var state = graft.Checkpoints.checkpoint(
+      docs.select(regexp_replace(norm(text), "(.)", T + "$1" + E).as("tok")))
+    var done = false
+    (0 until rounds).foreach { _ =>
+      if (!done) {
+        // tokens in document order: strip the outer markers, split on
+        // the RS·US seams between adjacent tokens
+        val arr = split(regexp_replace(col("tok"), s"^$T|$E$$", ""), E + T)
+        val best = state
+          .select(explode(zip_with(arr,
+            slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .filter(col("p.b").isNotNull &&
+            col("p.a") =!= " " && col("p.b") =!= " ")
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          learned = learned :+ ((a, b))
+          val next = graft.Checkpoints.checkpoint(state.select(
+            replace(col("tok"), lit(T + a + E + T + b + E),
+              lit(T + a + b + E)).as("tok")))
+          graft.Checkpoints.release(state)
+          state = next
+        }
+      }
+    }
+    graft.Checkpoints.release(state)
+    learned
   }
 
   // ---- DuckDB replay (same table, same chain, chr() literals) ----
@@ -82,16 +150,20 @@ object Bpe {
   def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  def tokenizedSql(c: String): String = {
+  def tokenizedSqlWith(c: String, table: Seq[(String, String)]): String = {
     val wrapped =
       s"regexp_replace(${normSql(c)}, '(.)', chr(31)||'\\1'||chr(30), 'g')"
-    merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+    table.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, ${tokSql(a)}||${tokSql(b)}, ${tokSql(a + b)})"
     }
   }
 
-  def tokenCountSql(c: String): String = {
-    val noSpace = s"replace(${tokenizedSql(c)}, ${tokSql(" ")}, '')"
+  def tokenizedSql(c: String): String = tokenizedSqlWith(c, merges)
+
+  def tokenCountSqlWith(c: String, table: Seq[(String, String)]): String = {
+    val noSpace = s"replace(${tokenizedSqlWith(c, table)}, ${tokSql(" ")}, '')"
     s"(length($noSpace) - length(replace($noSpace, chr(31), '')))"
   }
+
+  def tokenCountSql(c: String): String = tokenCountSqlWith(c, merges)
 }

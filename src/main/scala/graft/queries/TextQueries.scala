@@ -685,6 +685,24 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
     },
 
+    // BPE merge-table LEARNING — q118 applies a fixed table; this
+    // learns one from the corpus (Bpe.learnMerges: 12 rounds of
+    // corpus-wide pair counting + leftmost-first merge, deterministic
+    // lexicographic tie-break), then reports per-source subword totals
+    // under the LEARNED table. Oracle: Verify recomputes the learning
+    // (bit-reproducible — exact long counts) and replays the learned
+    // table as literals through the same replace chain (the q51
+    // literal-replay discipline); BpeSpec pins the learning loop
+    // against a pure-Scala reference implementation.
+    "q132_bpe_learned" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+      val learned = graft.functions.Bpe.learnMerges(docs, col("text"), 12)
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.Bpe.tokenCountWith(col("text"), learned))
+            .as("tokens"))
+    },
+
     // CURATION FUNNEL — the quality pipeline composed end-to-end with
     // per-stage survivor counts, the report a training-data run reads
     // first: language gate (q22's classifier) → quality floor (q21's
@@ -1433,4 +1451,21 @@ object TextQueries {
          |JOIN c1 e1 ON e1.cell = ${wordHashSql("k.bg", 37)} % $CmWidth
          |JOIN c2 e2 ON e2.cell = ${wordHashSql("k.bg", 41)} % $CmWidth""".stripMargin
   )
+
+  /** Data-DEPENDENT oracle for q132 (merged by SparkEntry
+    * .dynamicOracleSql): the learned merge table is recomputed with
+    * the live session — bit-reproducible, exact-long pair counts with
+    * lexicographic tie-break — and embedded as LITERALS in the same
+    * chained-replace replay q118 uses (the q51 literal-replay
+    * discipline). */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+    val learned = graft.functions.Bpe.learnMerges(docs, col("text"), 12)
+    Map("q132_bpe_learned" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${graft.functions.Bpe.tokenCountSqlWith("text", learned)})
+         |    AS BIGINT) AS tokens
+         |FROM documents WHERE doc_id >= 0
+         |GROUP BY source""".stripMargin)
+  }
 }

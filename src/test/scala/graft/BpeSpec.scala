@@ -61,6 +61,87 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == 5L) // no merge applies: one token per char
   }
 
+  /** Pure-Scala reference BPE LEARNER: per round, count adjacent
+    * non-space token pairs across the corpus (overlapping, in token
+    * order), pick the most frequent with lexicographic tie-break, and
+    * merge all occurrences leftmost-first. The production
+    * `Bpe.learnMerges` must learn the identical table. */
+  private def referenceLearn(texts: Seq[String], rounds: Int): Seq[(String, String)] = {
+    def normToks(t: String): List[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        .map(_.toString).toList
+    def mergeAll(toks: List[String], a: String, b: String): List[String] = {
+      val out = List.newBuilder[String]
+      var rest = toks
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+        case x :: tl => out += x; rest = tl
+        case Nil => ()
+      }
+      out.result()
+    }
+    var state = texts.map(normToks)
+    var learned = Vector.empty[(String, String)]
+    var done = false
+    (0 until rounds).foreach { _ =>
+      if (!done) {
+        val counts = state.flatMap(ts => ts.zip(ts.drop(1)))
+          .filter { case (a, b) => a != " " && b != " " }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          .filter(_._2 >= 2)
+        if (counts.isEmpty) done = true
+        else {
+          val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+          learned = learned :+ best
+          state = state.map(mergeAll(_, best._1, best._2))
+        }
+      }
+    }
+    learned
+  }
+
+  test("learnMerges equals the pure-Scala reference learner and is reproducible") {
+    val texts = Seq(
+      "the cat sat on the mat", "the dog ate the bone and the cat",
+      "a cataract in the eye", "dogs and cats and dogs",
+      "state of the art, the state", "at the gate the cat sat")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, $"text", 8)
+    val want = referenceLearn(texts, 8)
+    assert(got == want, s"learned $got, reference $want")
+    assert(got.size == 8, "fixture has at least 8 learnable merges")
+    // reproducibility: the q132 oracle depends on two executions
+    // learning the identical table
+    assert(Bpe.learnMerges(docs, $"text", 8) == got)
+    // applying the learned table through the replace chain equals the
+    // reference merge sequence's final token counts
+    val cnt = docs.select($"doc_id", Bpe.tokenCountWith($"text", got).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val wantCnt = texts.zipWithIndex.map { case (t, i) =>
+      val toks = want.foldLeft(
+        t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          .map(_.toString).toList) { case (ts, (a, b)) =>
+        val out = List.newBuilder[String]
+        var rest = ts
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil => ()
+        }
+        out.result()
+      }
+      i.toLong -> toks.count(_ != " ").toLong
+    }.toMap
+    assert(cnt == wantCnt)
+  }
+
+  test("learnMerges stops early when no pair repeats") {
+    val docs = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
+    // every adjacent pair occurs once — nothing reaches the n >= 2 bar
+    assert(Bpe.learnMerges(docs, $"text", 5).isEmpty)
+  }
+
   test("the DuckDB replay chain is textually well-formed") {
     val sql = Bpe.tokenCountSql("text")
     assert(sql.contains("chr(31)") && sql.contains("chr(30)"))
