@@ -357,6 +357,35 @@ object EventStreams {
       }
   }
 
+  case class Change(k: Long, payload: String, v: Double, seq: Long, op: String)
+  case class Upsert(k: Long, payload: String, v: Double, seq: Long,
+                    live: Boolean)
+
+  /** Streaming CDC upsert view — the incremental twin of
+    * [[graft.operators.Cdc.snapshot]] (q129): as changelog rows arrive,
+    * each key's state converges to its highest-seq change, and every
+    * batch emits the key's current version (live=false marks a winning
+    * delete — the tombstone a downstream sink needs to drop the row).
+    *
+    * Unlike the order-dependent twins (ewma/funnel/transition), the
+    * max-seq merge is COMMUTATIVE, ASSOCIATIVE, and IDEMPOTENT, so
+    * out-of-order and duplicate delivery need no event-time buffering
+    * at all: any arrival order over any batching converges to the same
+    * state the batch operator computes (StreamingSpec shuffles
+    * deliveries across batches and asserts equality). State is one row
+    * per live key — the lower bound for ANY materialized upsert view —
+    * so no timeout/eviction applies (the view IS the state). */
+  def cdcUpsertStream(changes: Dataset[Change]): Dataset[Upsert] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.k)
+      .mapGroupsWithState[Change, Upsert](GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+          val best = (state.getOption.iterator ++ rows).maxBy(_.seq)
+          state.update(best)
+          Upsert(k, best.payload, best.v, best.seq, best.op != "D")
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState (the reference-shaped "custom state" hook —
     * SURVEY.md §2.10). Emits an updated total per key per batch. */

@@ -41,6 +41,38 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
       (4L, "d", 1L, None)))
   }
 
+  test("cdcUpsertStream converges to batch snapshot under SHUFFLED cross-batch arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{Change, Upsert}
+    implicit val ctx = spark.sqlContext
+    // the exact CdcSpec fixture as a changelog: base rows at seq -1
+    val log = Seq(
+      Change(1L, "a", 10.0, -1L, "I"), Change(2L, "b", 20.0, -1L, "I"),
+      Change(3L, "c", 30.0, -1L, "I"),
+      Change(1L, "a1", 11.0, 1L, "U"), Change(1L, "a2", 12.0, 2L, "U"),
+      Change(2L, "b1", 21.0, 1L, "U"), Change(2L, "b1", 21.0, 2L, "D"),
+      Change(4L, "d", 40.0, 1L, "I"))
+    val ms = MemoryStream[Change]
+    val q = EventStreams.cdcUpsertStream(ms.toDS())
+      .writeStream.format("memory").queryName("upserts")
+      .outputMode("update").start()
+    try {
+      // deliberately adversarial order: the winning delete FIRST, base
+      // rows last, the stale a1 after the winning a2 — and a duplicate
+      ms.addData(log(6), log(4)); q.processAllAvailable() // D@2, a2@2
+      ms.addData(log(3), log(7), log(6)); q.processAllAvailable() // stale a1, insert, dup D
+      ms.addData(log(0), log(1), log(2), log(5)); q.processAllAvailable() // base + stale b1
+      val finalState = spark.table("upserts").as[Upsert].collect()
+        .groupBy(_.k).map { case (k, rows) => rows.maxBy(_.seq) }
+        .filter(_.live).map(u => (u.k, u.payload, u.v)).toSet
+      val batch = Cdc.snapshot(base, changes, Seq("k"), "seq", "op")
+        .as[(Long, String, Double)].collect().toSet
+      assert(finalState == batch,
+        s"stream $finalState diverged from batch $batch")
+    } finally q.stop()
+  }
+
   test("profile covers nulls, constant columns, and histogram edges") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (0.0, 5.0), (1.0, 5.0), (2.0, 5.0), (8.0, 5.0), (null, 5.0))
