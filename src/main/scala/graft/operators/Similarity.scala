@@ -532,22 +532,112 @@ object Similarity {
                       vec: String, m: Int, k: Int, lloydIters: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val books = pqTrain(corpus, id, vec, m, k, lloydIters).localCheckpoint()
-    val dims = books.select(size(col("ctr"))).head.getInt(0) * m
-    val sub = dims / m
+    val sub = books.select(size(col("ctr"))).head.getInt(0)
     val encoded = pqEncode(corpus, id, vec, books, m, sub)
       .groupBy(col("n_id"))
       .pivot("sub", 0 until m)
       .agg(first(col("code")))
     val q = queries.select(col(id).as("q_id"),
       VectorFns.toDoubleArr(col(vec)).as("qv"))
-    val tables = q.crossJoin(broadcast(books))
+    (encoded, adcTables(books, q, m, k, sub), q)
+  }
+
+  /** Per-query ADC lookup table: one map column keyed by slot
+    * (sub·k + cell) holding the IP of the query's `sub`-dim slice with
+    * that codeword — m·k doubles per query, built against the
+    * broadcast codebooks. */
+  private def adcTables(books: DataFrame, q: DataFrame, m: Int, k: Int,
+                        sub: Int): DataFrame =
+    q.crossJoin(broadcast(books))
       .select(col("q_id"), (col("sub") * k + col("cell")).as("slot"),
         VectorFns.dot(slice(col("qv"), col("sub") * sub + lit(1), lit(sub)),
           col("ctr")).as("ip"))
       .groupBy(col("q_id"))
       .agg(map_from_entries(collect_list(
         struct(col("slot"), col("ip")))).as("tab"))
-    (encoded, tables, q)
+
+  /** Build the PQ index ONCE and PERSIST it: the m trained subspace
+    * codebooks (sub, cell, ctr) and the corpus codes pivoted wide
+    * (n_id, `0`..`m-1`) land as parquet under `outDir` — the
+    * [[buildIvfIndex]] discipline applied to product quantization. At
+    * 100 TB the codebook training (one bounded joint Lloyd loop) and
+    * the one-pass corpus encode are a scheduled build job, not
+    * per-query work; queries then run ADC scans against the written
+    * codes via [[pqTopKIndexed]] / [[ivfPqTopKIndexed]] and touch raw
+    * vectors only in the shortlist re-rank. Bit-deterministic training
+    * (exact-integer Lloyd, [[MeanScale]]) + exact parquet double
+    * round-trip ⇒ the written index equals what the in-flight forms
+    * recompute (SimilaritySpec pins indexed ≡ in-flight), which is
+    * also what lets q125/q127's literal-codebook oracles stay valid
+    * over the persisted path. Codes are encoded against the WRITTEN
+    * codebooks, so the persisted artifact is self-consistent. */
+  def buildPqIndex(corpus: DataFrame, id: String, vec: String,
+                   outDir: String, m: Int = 8, k: Int = 64,
+                   lloydIters: Int = 2): Unit = {
+    val books = pqTrain(corpus, id, vec, m, k, lloydIters)
+    books.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/codebooks.parquet")
+    val written = corpus.sparkSession.read.parquet(s"$outDir/codebooks.parquet")
+    val sub = written.select(size(col("ctr"))).head.getInt(0)
+    pqEncode(corpus, id, vec, written, m, sub)
+      .groupBy(col("n_id"))
+      .pivot("sub", 0 until m)
+      .agg(first(col("code")))
+      .write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+  }
+
+  /** ANN top-k by ADC over a PERSISTED PQ index ([[buildPqIndex]]):
+    * the per-query lookup tables come from the written codebooks, the
+    * scan runs over the written 48-bit codes, and the raw corpus
+    * appears once — in the exact-IP re-rank of the `shortlist` best
+    * ADC candidates. No Lloyd rounds, no encode pass per query: the
+    * cost profile a compressed index exists for. */
+  def pqTopKIndexed(indexDir: String, corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, topK: Int, m: Int = 8,
+                    k: Int = 64, shortlist: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = spark.read.parquet(s"$indexDir/codebooks.parquet")
+    val sub = books.select(size(col("ctr"))).head.getInt(0)
+    val encoded = spark.read.parquet(s"$indexDir/codes.parquet")
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
+    val adc = encoded.crossJoin(broadcast(adcTables(books, q, m, k, sub)))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(adcScore(m, k), 4).as("ip_pq"))
+    pqRerank(adc, corpus, q, id, vec, topK, shortlist)
+  }
+
+  /** IVF+PQ over BOTH persisted indexes (the [[ivfPqTopK]] composition
+    * served from disk): cell routing against the written IVF
+    * centroids/assignments bounds WHICH codes are scored, the written
+    * PQ codes bound WHAT each costs, and raw vectors move only for the
+    * shortlist re-rank. The per-query work is a broadcast probe, one
+    * cell-keyed join, an m-lookup ADC scan, and a `shortlist`-deep
+    * re-rank — nothing scans the raw corpus. */
+  def ivfPqTopKIndexed(ivfDir: String, pqDir: String, corpus: DataFrame,
+                       queries: DataFrame, id: String, vec: String,
+                       topK: Int, nprobe: Int = 4, m: Int = 8, k: Int = 64,
+                       shortlist: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = spark.read.parquet(s"$ivfDir/centroids.parquet")
+    val idx = spark.read.parquet(s"$ivfDir/assignments.parquet")
+    val books = spark.read.parquet(s"$pqDir/codebooks.parquet")
+    val sub = books.select(size(col("ctr"))).head.getInt(0)
+    val encoded = spark.read.parquet(s"$pqDir/codes.parquet")
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
+    val probes = assignCells(
+      q.select(col("q_id").as("n_id"), col("qv").as("cv")), centroids, nprobe)
+      .select(col("n_id").as("q_id"), col("cell"))
+    val cand = probes.join(idx, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val adc = cand.join(encoded, "n_id")
+      .join(broadcast(adcTables(books, q, m, k, sub)), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(adcScore(m, k), 4).as("ip_pq"))
+    pqRerank(adc, corpus, q, id, vec, topK, shortlist)
   }
 
   /** The FIXED-ORDER m-term ADC sum — left-to-right so the oracle can

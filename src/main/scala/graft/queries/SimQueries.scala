@@ -81,25 +81,33 @@ object SimQueries {
     // codes vs 64 floats): ADC lookup-table scan over the compressed
     // corpus, exact-IP re-rank of the 50-deep shortlist — the
     // compressed-storage scale path (the raw corpus is touched only by
-    // the shortlist). Oracle-checked via literal-CODEBOOK replay (the
-    // q51 discipline per subspace — dynamicOracles); SimilaritySpec
-    // additionally holds codebook bit-reproducibility and recall
-    // (0.944 measured) vs exact inner-product top-k.
+    // the shortlist). Served from the session's PERSISTED PQ index
+    // (codebooks + codes parquet, built once per (session, dir) — the
+    // q119 convention; Similarity.pqTopK keeps the build-per-query toy
+    // form, spec-pinned ≡ this one). Oracle-checked via
+    // literal-CODEBOOK replay (the q51 discipline per subspace —
+    // dynamicOracles); SimilaritySpec additionally holds codebook
+    // bit-reproducibility and recall (0.944 measured) vs exact
+    // inner-product top-k.
     "q125_ann_pq_topk" -> { (s, d) =>
-      Similarity.pqTopK(Tables.embeddings(s, d), queriesSubset(s, d),
-        "vec_id", "embedding", 5, m = 8, k = 64)
+      Similarity.pqTopKIndexed(pqIndexDir(s, d), Tables.embeddings(s, d),
+        queriesSubset(s, d), "vec_id", "embedding", 5, m = 8, k = 64)
     },
 
     // IVF+PQ — the composed serving architecture (FAISS IVFADC): the
     // inverted file bounds WHICH vectors score (nprobe=4 of 16 cells),
     // PQ bounds WHAT each costs (48-bit ADC codes), exact-IP re-rank
-    // of the shortlist. Oracle replays the WHOLE composition from the
-    // two literal sets (centroids + codebooks — dynamicOracles);
-    // SimilaritySpec holds full-probe+full-shortlist ≡ exact-IP top-k
-    // and the composed recall floor.
+    // of the shortlist. BOTH structures come from the session's
+    // persisted indexes (q119's IVF index + q125's PQ index — shared,
+    // same parameters), so the per-query cost is probe + cell join +
+    // ADC + re-rank, with no training or encode pass. Oracle replays
+    // the WHOLE composition from the two literal sets (centroids +
+    // codebooks — dynamicOracles); SimilaritySpec holds
+    // full-probe+full-shortlist ≡ exact-IP top-k, the composed recall
+    // floor, and indexed ≡ in-flight.
     "q127_ann_ivfpq_topk" -> { (s, d) =>
-      Similarity.ivfPqTopK(Tables.embeddings(s, d), queriesSubset(s, d),
-        "vec_id", "embedding", 5)
+      Similarity.ivfPqTopKIndexed(ivfIndexDir(s, d), pqIndexDir(s, d),
+        Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
     }
   )
 
@@ -116,6 +124,23 @@ object SimQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
       Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         dir, cells = 16, lloydIters = 2)
+      dir
+    })
+  }
+
+  /** One persisted PQ index per (session, sfDir) — the [[ivfIndexDir]]
+    * convention for the compressed-code index: built on first use with
+    * q125/q127's shared parameters (m=8, k=64, 2 Lloyd iters), reused
+    * by every later run in the session, so the bench's repeat passes
+    * measure the ADC-scan query cost, not codebook training. */
+  private val pqIndexDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def pqIndexDir(s: SparkSession, d: String): String = {
+    pqIndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    pqIndexDirs.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+      Similarity.buildPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir, m = 8, k = 64, lloydIters = 2)
       dir
     })
   }

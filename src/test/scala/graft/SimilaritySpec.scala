@@ -185,4 +185,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val composedRecall = (ivfpq & exactIp).size.toDouble / exactIp.size
     assert(composedRecall >= 0.4, s"IVFPQ recall $composedRecall")
   }
+
+  test("indexed PQ / IVF+PQ queries over the persisted indexes equal " +
+       "the build-per-query pipelines") {
+    val pqDir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", pqDir,
+      m = 8, k = 64, lloydIters = 2)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", ivfDir,
+      cells = 16, lloydIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("n_id"), col("ip"), col("rn"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    // bit-deterministic training + exact parquet double round-trip →
+    // IDENTICAL results (ranks included), not merely similar ones
+    assert(rows(Similarity.pqTopKIndexed(pqDir, emb, queries,
+        "vec_id", "embedding", 5, m = 8, k = 64)) ==
+      rows(Similarity.pqTopK(emb, queries,
+        "vec_id", "embedding", 5, m = 8, k = 64)))
+    assert(rows(Similarity.ivfPqTopKIndexed(ivfDir, pqDir, emb, queries,
+        "vec_id", "embedding", 5)) ==
+      rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5)))
+  }
 }
