@@ -58,4 +58,121 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
   }
+
+  // ----- deterministic HLL-style distinct sketch (q133) -------------
+  //
+  // HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007 —
+  // public algorithm) in the engine's cross-engine-replay discipline:
+  // Spark's approx_count_distinct (q44) keeps its HLL++ state in an
+  // engine-internal binary layout no other engine can replay, so that
+  // query is the surface's one rows-only entry. This form makes every
+  // piece of the sketch SQL arithmetic:
+  //
+  //  - hash    = mix31(PolyHash(key)) — the established DuckDB-twin
+  //              hash through a nonlinear xor-shift finalizer (see
+  //              [[mix31]] for why the finalizer is load-bearing);
+  //  - bucket  = hash % 2^p, rest = hash // 2^p;
+  //  - rho     = rank of the LOWEST set bit of `rest` (geometric with
+  //              P(rho = r) ≈ 2^-r, same observable as HLL's
+  //              leading-zero rank), emitted as a generated CASE chain
+  //              identical in both engines;
+  //  - register[bucket] = max(rho) — the MERGEABLE state: max-merge of
+  //              two sketches IS the sketch of the union
+  //              (SketchesSpec property), and a register array is 2^p
+  //              small however many distinct keys exist — the 100 TB
+  //              partial-agg shape;
+  //  - harmonic sum Σ 2^-reg is computed as the EXACT long
+  //              Σ 2^(rCap-reg) (empty registers folded in
+  //              arithmetically), so the only floating-point step is
+  //              ONE division of a shared literal by that integer —
+  //              bit-identical cross-engine, hash-matchable.
+  //
+  // Estimate = alpha_m·m² / Σ 2^-reg — the raw HLL estimator. The
+  // small-cardinality linear-counting branch is deliberately omitted:
+  // it needs ln(), whose last-bit rounding is libm-specific, and the
+  // oracle gate demands bit parity; accuracy below ~2.5·m distinct is
+  // therefore biased (documented; the spec asserts the fixture regime).
+
+  /** Sparse HLL registers of `key` within each `groupCols` group: one
+    * row per non-empty (group, bucket) with `reg` = max rho. */
+  def hllRegisters(rows: DataFrame, groupCols: Seq[String], key: Column,
+                   p: Int = 8, mod: Long = 1000000007L): DataFrame = {
+    val m = 1 << p
+    val rBits = hllRestBits(p)
+    val h = mix31(PolyHash.hash(key, 31L, mod))
+    rows.select(groupCols.map(col) :+ (h % m).as("bucket") :+
+        floor(h / m).cast("long").as("rest"): _*)
+      .select(groupCols.map(col) :+ col("bucket") :+
+        lowestSetBitRank(col("rest"), rBits).as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Nonlinear 31-bit scramble of a nonnegative < 2^31 hash: two
+    * xor-shift-multiply rounds mod 2^31 and a final xor-shift.
+    * [[PolyHash]] alone is AFFINE in its input string's trailing
+    * digits — consecutive ids hash to consecutive values, so blocks of
+    * 2^p keys share one `rest` and register diversity collapses (the
+    * estimate read 0.38× truth on a sequential-id fixture). The xor
+    * steps break affinity; every op is BIGINT-exact in both engines
+    * (max intermediate < 2^61 — DuckDB errors on int64 overflow rather
+    * than wrapping, so the bound is load-bearing). */
+  private def mix31(h: Column): Column = {
+    val a = (h.bitwiseXOR(shiftright(h, 15)) * Mix31Mult) % Mix31Mod
+    val b = (a.bitwiseXOR(shiftright(a, 13)) * Mix31Mult) % Mix31Mod
+    b.bitwiseXOR(shiftright(b, 11))
+  }
+
+  private val Mix31Mult = 1103515245L
+  private val Mix31Mod = 2147483648L
+
+  /** DuckDB twin of [[mix31]], staged as three CTE-friendly exprs:
+    * apply in sequence as x1, x2, x over the previous stage's name. */
+  def mix31Sql: Seq[String => String] = Seq(
+    h => s"(xor($h, $h >> 15) * $Mix31Mult) % $Mix31Mod",
+    x => s"(xor($x, $x >> 13) * $Mix31Mult) % $Mix31Mod",
+    x => s"xor($x, $x >> 11)")
+
+  /** Per-group estimate from [[hllRegisters]] output: `n_filled`
+    * registers occupied and `est` = alpha_m·m²/Σ2^-reg (rounded to 3
+    * decimals — the cross-engine float-parity convention). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+                  p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val rCap = hllRestBits(p) + 1
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rCap - reg)")).as("sf"))
+      .select(groupCols.map(col) :+ col("n_filled") :+
+        round(lit(hllAlphaNum(p)) /
+          (col("sf") + (lit(m.toLong) - col("n_filled")) * (1L << rCap))
+            .cast("double"), 3).as("est"): _*)
+  }
+
+  /** Bits of `rest` = mixedHash // 2^p ([[mix31]] output < 2^31). */
+  def hllRestBits(p: Int): Int = 31 - p
+
+  /** alpha_m·m²·2^rCap — the shared numerator literal; embed EXACTLY
+    * this double (`.toString`) in the oracle replay. */
+  def hllAlphaNum(p: Int): Double = {
+    val m = 1 << p
+    require(m >= 128, "alpha constant below is the m >= 128 one")
+    0.7213 / (1 + 1.079 / m) * m * m *
+      math.pow(2.0, hllRestBits(p) + 1)
+  }
+
+  /** rho: 1-based rank of the lowest set bit of nonnegative `rest`
+    * (rBits+1 when rest = 0) — a flat coalesce-of-whens whose SQL twin
+    * [[lowestSetBitRankSql]] generates the same chain. */
+  private def lowestSetBitRank(rest: Column, rBits: Int): Column =
+    coalesce((1 to rBits).map(r =>
+      when(rest % (1L << r) === (1L << (r - 1)), lit(r))) :+
+      lit(rBits + 1): _*)
+
+  /** DuckDB twin of [[lowestSetBitRank]] over the SQL expression
+    * `rest`. */
+  def lowestSetBitRankSql(rest: String, rBits: Int): String =
+    (1 to rBits).map(r =>
+      s"WHEN $rest % ${1L << r} = ${1L << (r - 1)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${rBits + 1} END")
 }

@@ -283,6 +283,31 @@ object EventQueries {
             .as("est_users"))
     },
 
+    // DETERMINISTIC HLL — q44's capability under a FULL cross-engine
+    // oracle (Sketches.hllRegisters/hllEstimate): PolyHash buckets,
+    // rho = lowest-set-bit rank (the HLL geometric observable as a
+    // generated CASE chain both engines share), registers = max(rho)
+    // — MERGEABLE state, 2^8 entries per group however many users
+    // exist — and an EXACT scaled-long harmonic sum whose only float
+    // op is one shared-literal division. The oracle replays the whole
+    // sketch and hash-matches est_users: the approximate path is
+    // gated as strictly as an exact query (q69's discipline, upgraded
+    // from KMV order statistics to mergeable registers — max-merge ≡
+    // union is the SketchesSpec property). exact_users rides along so
+    // the estimate error is visible in the output itself.
+    "q133_hll_distinct" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val regs = graft.operators.Sketches.hllRegisters(
+        ev.select(col("event_type"), col("user_id").cast("string").as("k")),
+        Seq("event_type"), col("k"))
+      val est = graft.operators.Sketches.hllEstimate(regs, Seq("event_type"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_filled"),
+          col("est").as("est_users"), col("exact_users"))
+    },
+
     // PER-WINDOW quantile sketch — the q120 mergeable q-digest at the
     // grain streams need it: one O(k) digest per tumbling day window,
     // merged deterministically-bounded under any shuffle order
@@ -394,6 +419,43 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q133: the ENTIRE HLL replayed — same PolyHash over the decimal
+    // id string (the q122 wordHash twin), same generated
+    // lowest-set-bit CASE chain, same exact-long harmonic sum; the one
+    // float division uses the SAME literal numerator Spark embeds
+    // (Sketches.hllAlphaNum.toString). DuckDB sums BIGINTs as
+    // HUGEINT — the CAST back to DOUBLE lands on the identical value.
+    "q133_hll_distinct" -> {
+      val rBits = graft.operators.Sketches.hllRestBits(8)
+      val rCap = rBits + 1
+      val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(CAST(user_id AS VARCHAR), ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)"
+      val Seq(mix1, mix2, mix3) = graft.operators.Sketches.mix31Sql
+      val rho = graft.operators.Sketches.lowestSetBitRankSql("rest", rBits)
+      s"""WITH h AS (SELECT event_type, $hash AS h
+         |           FROM events WHERE user_id IS NOT NULL),
+         |m1 AS (SELECT event_type, ${mix1("h")} AS x1 FROM h),
+         |m2 AS (SELECT event_type, ${mix2("x1")} AS x2 FROM m1),
+         |mx AS (SELECT event_type, ${mix3("x2")} AS x FROM m2),
+         |b AS (SELECT event_type, x % 256 AS bucket, x // 256 AS rest
+         |      FROM mx),
+         |r AS (SELECT event_type, bucket, max($rho) AS reg
+         |      FROM b GROUP BY 1, 2),
+         |a AS (SELECT event_type, count(*) AS filled,
+         |        sum(CAST(1 AS BIGINT) << ($rCap - reg)) AS sf
+         |      FROM r GROUP BY 1),
+         |e AS (SELECT event_type,
+         |        count(DISTINCT user_id) AS exact_users
+         |      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT a.event_type, CAST(filled AS BIGINT) AS n_filled,
+         |  round(${graft.operators.Sketches.hllAlphaNum(8)} /
+         |    CAST(sf + (256 - filled) * ${1L << rCap} AS DOUBLE), 3)
+         |    AS est_users,
+         |  CAST(exact_users AS BIGINT) AS exact_users
+         |FROM a JOIN e USING (event_type)""".stripMargin
+    },
 
     "q92_outlier_bounds" ->
       """WITH q AS (SELECT event_type,

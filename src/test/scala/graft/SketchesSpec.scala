@@ -67,4 +67,48 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().head
     assert(est._2 >= 0L && est._2 <= 1L) // 0 unless it collides with "a"
   }
+
+  // ----- deterministic HLL ------------------------------------------
+
+  private def hllCorpus: DataFrame =
+    (1 to 5000).map(i => ("g", s"user$i")).toDF("g", "k")
+
+  test("hll registers max-merge: registers(a union b) = bucketwise max " +
+       "of registers(a) and registers(b)") {
+    val indexed = (1 to 5000).map(i => (s"user$i", i)).toDF("k", "idx")
+      .withColumn("g", lit("g"))
+    val a = indexed.filter(col("idx") <= 2500)
+    val b = indexed.filter(col("idx") > 2500)
+    def regMap(df: DataFrame): Map[Long, Int] =
+      Sketches.hllRegisters(df, Seq("g"), col("k"))
+        .select(col("bucket"), col("reg"))
+        .as[(Long, Int)].collect().toMap
+    val whole = regMap(indexed)
+    val merged = (regMap(a).toSeq ++ regMap(b).toSeq)
+      .groupBy(_._1).map { case (bk, vs) => bk -> vs.map(_._2).max }
+    assert(whole == merged)
+  }
+
+  test("hll registers are independent of partitioning, and the " +
+       "estimate lands within the m=256 error regime") {
+    def regSet(df: DataFrame) =
+      Sketches.hllRegisters(df, Seq("g"), col("k"))
+        .as[(String, Long, Int)].collect().toSet
+    assert(regSet(hllCorpus.repartition(1)) == regSet(hllCorpus.repartition(7)))
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(hllCorpus, Seq("g"), col("k")), Seq("g"))
+      .select(col("est")).as[Double].collect().head
+    // raw-HLL rsd at m=256 is ~1.04/sqrt(256) = 6.5%; 3 sigma
+    assert(math.abs(est / 5000.0 - 1.0) <= 0.20, s"hll est $est vs 5000")
+  }
+
+  test("hll harmonic sum is exact long arithmetic: an empty-register " +
+       "group folds to alpha/m-scaled full-sum, and rho covers rest=0") {
+    // one key per group: n_filled = 1, sum = 2^(rCap-rho) + 255*2^rCap
+    val one = Seq(("g", "user1")).toDF("g", "k")
+    val r = Sketches.hllEstimate(
+        Sketches.hllRegisters(one, Seq("g"), col("k")), Seq("g"))
+      .select(col("n_filled")).as[Long].collect().head
+    assert(r == 1L)
+  }
 }
