@@ -308,6 +308,35 @@ object EventQueries {
           col("est").as("est_users"), col("exact_users"))
     },
 
+    // PER-WINDOW distinct-user sketch — q133's HLL at the tumbling-day
+    // grain streams aggregate at (the q123 windowing convention), with
+    // the SAME full-replay oracle per (window, event_type) group. The
+    // register grain is (window, type, bucket): a day's registers
+    // close when its watermark passes, so streaming state is bounded
+    // per window however many users arrive — and max-merge register
+    // semantics make the stream twin (EventStreams.hllRegisterStream)
+    // EXACTLY equal under any batch split, arrival order, or even
+    // redelivery (max is idempotent where q122's additive counters are
+    // not — StreamingSpec asserts bit-equality including a replayed
+    // batch).
+    "q134_window_hll_distinct" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(unix_timestamp(
+            window(col("ts"), "1 day").getField("start")).as("ws"),
+          col("event_type"), col("user_id").cast("string").as("k"),
+          col("user_id"))
+        .localCheckpoint() // two consumers: registers + exact
+      val regs = graft.operators.Sketches.hllRegisters(
+        ev, Seq("ws", "event_type"), col("k"))
+      val est = graft.operators.Sketches.hllEstimate(
+        regs, Seq("ws", "event_type"))
+      val exact = ev.groupBy(col("ws"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, Seq("ws", "event_type"))
+        .select(col("ws").as("win_start_s"), col("event_type"),
+          col("n_filled"), col("est").as("est_users"), col("exact_users"))
+    },
+
     // PER-WINDOW quantile sketch — the q120 mergeable q-digest at the
     // grain streams need it: one O(k) digest per tumbling day window,
     // merged deterministically-bounded under any shuffle order
@@ -455,6 +484,44 @@ object EventQueries {
          |    AS est_users,
          |  CAST(exact_users AS BIGINT) AS exact_users
          |FROM a JOIN e USING (event_type)""".stripMargin
+    },
+
+    // q134: the q133 replay per (day window, event_type); epoch ∘
+    // date_trunc is the established twin of Spark's unix_timestamp ∘
+    // window (q123).
+    "q134_window_hll_distinct" -> {
+      val rBits = graft.operators.Sketches.hllRestBits(8)
+      val rCap = rBits + 1
+      val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(CAST(user_id AS VARCHAR), ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)"
+      val Seq(mix1, mix2, mix3) = graft.operators.Sketches.mix31Sql
+      val rho = graft.operators.Sketches.lowestSetBitRankSql("rest", rBits)
+      s"""WITH base AS (SELECT
+         |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,
+         |    event_type, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT ws, event_type, $hash AS h FROM base),
+         |m1 AS (SELECT ws, event_type, ${mix1("h")} AS x1 FROM h),
+         |m2 AS (SELECT ws, event_type, ${mix2("x1")} AS x2 FROM m1),
+         |mx AS (SELECT ws, event_type, ${mix3("x2")} AS x FROM m2),
+         |b AS (SELECT ws, event_type, x % 256 AS bucket, x // 256 AS rest
+         |      FROM mx),
+         |r AS (SELECT ws, event_type, bucket, max($rho) AS reg
+         |      FROM b GROUP BY 1, 2, 3),
+         |a AS (SELECT ws, event_type, count(*) AS filled,
+         |        sum(CAST(1 AS BIGINT) << ($rCap - reg)) AS sf
+         |      FROM r GROUP BY 1, 2),
+         |e AS (SELECT ws, event_type,
+         |        count(DISTINCT user_id) AS exact_users
+         |      FROM base GROUP BY 1, 2)
+         |SELECT a.ws AS win_start_s, a.event_type,
+         |  CAST(filled AS BIGINT) AS n_filled,
+         |  round(${graft.operators.Sketches.hllAlphaNum(8)} /
+         |    CAST(sf + (256 - filled) * ${1L << rCap} AS DOUBLE), 3)
+         |    AS est_users,
+         |  CAST(exact_users AS BIGINT) AS exact_users
+         |FROM a JOIN e ON a.ws = e.ws AND a.event_type = e.event_type""".stripMargin
     },
 
     "q92_outlier_bounds" ->

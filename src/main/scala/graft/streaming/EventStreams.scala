@@ -283,6 +283,26 @@ object EventStreams {
     graft.operators.Sketches.countMinCells(bg, col("bg"), mults, width)
   }
 
+  /** Streaming HLL maintenance — the q133/q134 distinct sketch kept
+    * live over the event stream: per-(window, event_type, bucket)
+    * max(rho) is a streaming MAX aggregation, so
+    * `Sketches.hllRegisters` runs unchanged as incremental dataflow.
+    * Where q122's additive counters demand exactly-once folding, max
+    * is IDEMPOTENT as well as commutative/associative — any batch
+    * split, arrival order, or wholesale REDELIVERY of a batch leaves
+    * the registers bit-equal to the batch sketch (StreamingSpec
+    * asserts all three). State: 2^p registers per (window, type)
+    * however many users arrive; windows close at the watermark in
+    * production (the fixture corpus is bounded, so the spec runs
+    * complete mode). */
+  def hllRegisterStream(events: Dataset[Event], p: Int = 8): DataFrame =
+    graft.operators.Sketches.hllRegisters(
+      events.toDF()
+        .select(unix_timestamp(
+            window(col("ts"), "1 day").getField("start")).as("ws"),
+          col("event_type"), col("user_id").cast("string").as("k")),
+      Seq("ws", "event_type"), col("k"), p)
+
   def bandedNearDup(docs: Dataset[DocText], minMatches: Int = 16,
                     numPerms: Int = 32, rowsPerBand: Int = 4): Dataset[DupHit] = {
     import docs.sparkSession.implicits._

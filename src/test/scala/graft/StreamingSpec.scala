@@ -522,6 +522,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("hllRegisterStream registers after shuffled batches AND a " +
+       "redelivered batch equal the batch sketch exactly (max-merge " +
+       "idempotence)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Sketches
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        $"props")
+      .as[EventStreams.Event].collect().toSeq
+    val batch = Sketches.hllRegisters(
+        events.toDF()
+          .select(unix_timestamp(
+              window($"ts", "1 day").getField("start")).as("ws"),
+            $"event_type", $"user_id".cast("string").as("k")),
+        Seq("ws", "event_type"), col("k"))
+      .as[(Long, String, Long, Int)].collect().toSet
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.hllRegisterStream(ms.toDS())
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("complete").start()
+    try {
+      val shuffled = new scala.util.Random(7).shuffle(events)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / 3)).toSeq
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // redeliver the first batch wholesale: additive sketches would
+      // double-count; max-merge registers must not move
+      ms.addData(batches.head: _*); q.processAllAvailable()
+      val streamed = spark.table("hllstream")
+        .as[(Long, String, Long, Int)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("windowQuantiles streamed answers satisfy the declared rank-error " +
        "bound against exact per-window ranks (cross-batch, shuffled order)") {
     implicit val ctx = spark.sqlContext
