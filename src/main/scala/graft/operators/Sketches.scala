@@ -149,6 +149,28 @@ object Sketches {
             .cast("double"), 3).as("est"): _*)
   }
 
+  /** Join-SIZE estimation from two Count-Min matrices (Cormode &
+    * Muthukrishnan 2005 §4.2 — the CM inner-product estimator): for
+    * relations A and B sketched on their join key with the SAME
+    * mults/width, est_i = Σ_cell cmA[i,c]·cmB[i,c] per depth row, and
+    * the estimate is min_i est_i. Each est_i = |A ⋈ B| + (colliding
+    * cross mass), so the estimate is ALWAYS ≥ the true join size
+    * (counters are nonnegative — the guarantee SketchesSpec holds),
+    * tightening as width grows. The planner use case: the true size of
+    * an m:n join costs the join's own shuffle to discover; this is two
+    * O(depth×width) summaries and a cell-wise product — at 100 TB the
+    * matrices are KBs however large either side is, so join-size
+    * screening (skip, broadcast-pick, or salt decisions) never touches
+    * the data a second time. Everything is exact long arithmetic —
+    * cells and estimate replay in SQL (the q135 oracle). */
+  def countMinJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.select(col("i"), col("cell"), col("c").as("ca"))
+      .join(cellsB.select(col("i"), col("cell"), col("c").as("cb")),
+        Seq("i", "cell"))
+      .groupBy(col("i"))
+      .agg(sum(col("ca") * col("cb")).as("est_i"))
+      .agg(min(col("est_i")).as("est_join_size"))
+
   /** Bits of `rest` = mixedHash // 2^p ([[mix31]] output < 2^31). */
   def hllRestBits(p: Int): Int = 31 - p
 

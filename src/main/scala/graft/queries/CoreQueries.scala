@@ -530,6 +530,32 @@ object CoreQueries {
         Seq("o_orderkey"), "seq", "op")
     },
 
+    // Join-SIZE estimation without running the join (Sketches.
+    // countMinJoinSize — the CM inner-product estimator): the m:n
+    // lineitem⋈lineitem-on-partkey join's cardinality screened from
+    // two 3×256 counter matrices instead of the join's own shuffle.
+    // est ≥ exact always (nonnegative collision mass — the spec
+    // property); exact rides along via grouped key counts so the
+    // overshoot is visible. All long arithmetic — the oracle replays
+    // every cell, both inner products, and the depth-min.
+    "q135_cm_join_size" -> { (s, d) =>
+      import graft.operators.Sketches
+      val a = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("k"))
+        .localCheckpoint() // two consumers: cells + exact counts
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        .select(col("l_partkey").cast("string").as("k"))
+        .localCheckpoint()
+      val est = Sketches.countMinJoinSize(
+        Sketches.countMinCells(a, col("k"), CmJsMults, CmJsWidth),
+        Sketches.countMinCells(b, col("k"), CmJsMults, CmJsWidth))
+      val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+        .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
+      est.crossJoin(exact) // 1-row × 1-row scalar combine
+    },
+
     // Column profiler (Profile.profile): per-column n/nulls/ndv/min/
     // max + exact 8-bucket equi-width histograms from ONE melt of the
     // table — the ANALYZE-style ingestion statistics pass. Bucket ids
@@ -558,7 +584,38 @@ object CoreQueries {
     }
   )
 
+  // q135 sketch geometry (the q122 depth/width convention) and the
+  // DuckDB twin of PolyHash over a VARCHAR expression.
+  private val CmJsMults = Seq(31L, 37L, 41L)
+  private val CmJsWidth = 256
+  private def cmHashSql(e: String, mult: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * $mult + x) % 1000000007)"
+
   val oracles: Map[String, String] = Map(
+    // q135: every cell of both matrices, both inner products, and the
+    // depth-min replayed; HUGEINT sums cast back to BIGINT.
+    "q135_cm_join_size" -> {
+      def cells(src: String) = CmJsMults.zipWithIndex.map { case (m, i) =>
+        s"SELECT $i AS i, (${cmHashSql("k", m)}) % $CmJsWidth AS cell, " +
+          s"count(*) AS c FROM $src GROUP BY 2"
+      }.mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |b AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+         |      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+         |ca AS (${cells("a")}),
+         |cb AS (${cells("b")}),
+         |e AS (SELECT ca.i, sum(ca.c * cb.c) AS est_i
+         |      FROM ca JOIN cb ON ca.i = cb.i AND ca.cell = cb.cell
+         |      GROUP BY 1),
+         |xa AS (SELECT k, count(*) AS c FROM a GROUP BY 1),
+         |xb AS (SELECT k, count(*) AS c FROM b GROUP BY 1)
+         |SELECT (SELECT CAST(min(est_i) AS BIGINT) FROM e)
+         |    AS est_join_size,
+         |  (SELECT CAST(sum(xa.c * xb.c) AS BIGINT)
+         |   FROM xa JOIN xb ON xa.k = xb.k) AS exact_join_size""".stripMargin
+    },
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,

@@ -68,6 +68,20 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(est._2 >= 0L && est._2 <= 1L) // 0 unless it collides with "a"
   }
 
+  test("countMinJoinSize is >= the true join size always, and exact " +
+       "once any depth row is collision-free") {
+    val b = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).toDF("k")
+    val bCounts = (1 to 40).map(i => s"k$i" -> (i % 5 + 1).toLong).toMap
+    val trueSize = exact.map { case (k, c) => c * bCounts(k) }.sum
+    def est(w: Int): Long = Sketches.countMinJoinSize(
+        Sketches.countMinCells(corpus, col("k"), mults, w),
+        Sketches.countMinCells(b, col("k"), mults, w))
+      .as[Long].collect().head
+    assert(est(width) >= trueSize) // collisions only ADD mass
+    assert(est(width) > trueSize, "width 32 over 40 keys must collide")
+    assert(est(1 << 16) == trueSize) // injective depth row -> exact
+  }
+
   // ----- deterministic HLL ------------------------------------------
 
   private def hllCorpus: DataFrame =
