@@ -556,6 +556,33 @@ object CoreQueries {
       est.crossJoin(exact) // 1-row × 1-row scalar combine
     },
 
+    // Data-quality expectations (Quality.expect): the publish gate a
+    // 100 TB ingest runs — 5 row rules in ONE conditional-agg scan,
+    // a PK-uniqueness groupBy, and two FK left-anti probes, emitted as
+    // (rule, violations, pass) rows. The tax ceiling rule is
+    // deliberately tighter than the data so BOTH branches of `pass`
+    // appear in the gated output; the oracle replays every rule.
+    "q136_quality_gate" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.operators.Quality.expect(li,
+        rowRules = Seq(
+          "l_quantity_in_1_50" ->
+            !col("l_quantity").between(1, 50),
+          "l_discount_in_0_010" ->
+            !col("l_discount").between(0.0, 0.10),
+          "l_tax_at_most_005" -> (col("l_tax") > 0.05),
+          "l_shipdate_not_null" -> col("l_shipdate").isNull,
+          "l_returnflag_in_domain" ->
+            !col("l_returnflag").isin("A", "N", "R")),
+        uniqueRules = Seq(
+          "lineitem_pk_unique" -> Seq("l_orderkey", "l_linenumber")),
+        fkRules = Seq(
+          ("l_orderkey_in_orders", "l_orderkey",
+            Tables.t(s, d, "orders"), "o_orderkey"),
+          ("l_partkey_in_part", "l_partkey",
+            Tables.t(s, d, "part"), "p_partkey")))
+    },
+
     // Column profiler (Profile.profile): per-column n/nulls/ndv/min/
     // max + exact 8-bucket equi-width histograms from ONE melt of the
     // table — the ANALYZE-style ingestion statistics pass. Bucket ids
@@ -616,6 +643,46 @@ object CoreQueries {
          |  (SELECT CAST(sum(xa.c * xb.c) AS BIGINT)
          |   FROM xa JOIN xb ON xa.k = xb.k) AS exact_join_size""".stripMargin
     },
+
+    // q136: each rule family replayed with the same null semantics —
+    // FILTER(WHERE pred) skips null predicates exactly as when(pred,1)
+    // does; FK rules exempt null keys; uniqueness counts rows beyond
+    // the first per key.
+    "q136_quality_gate" ->
+      """WITH rules AS (
+        |  SELECT 'l_quantity_in_1_50' AS rule, CAST(count(*) FILTER (
+        |      WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+        |    AS violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount_in_0_010', CAST(count(*) FILTER (
+        |      WHERE NOT (l_discount BETWEEN 0.0 AND 0.10)) AS BIGINT)
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax_at_most_005', CAST(count(*) FILTER (
+        |      WHERE l_tax > 0.05) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate_not_null', CAST(count(*) FILTER (
+        |      WHERE l_shipdate IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag_in_domain', CAST(count(*) FILTER (
+        |      WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique', CAST(coalesce(sum(c - 1), 0)
+        |      AS BIGINT)
+        |    FROM (SELECT count(*) AS c FROM lineitem
+        |          GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'l_orderkey_in_orders', CAST(count(*) FILTER (
+        |      WHERE o_orderkey IS NULL) AS BIGINT)
+        |    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |    WHERE l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_partkey_in_part', CAST(count(*) FILTER (
+        |      WHERE p_partkey IS NULL) AS BIGINT)
+        |    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |    WHERE l_partkey IS NOT NULL)
+        |SELECT rule, violations, violations = 0 AS pass FROM rules""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+
+class QualitySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // (id, qty, tag, fk) with planted defects: one qty out of range, one
+  // null tag, a duplicated id, one dangling fk, one NULL fk (exempt)
+  private def rows = Seq(
+    (1L, 10, "a", Some(100L)),
+    (2L, 999, "b", Some(100L)),
+    (3L, 5, null, Some(200L)),
+    (3L, 7, "c", Some(999L)),
+    (4L, 8, "d", None)
+  ).toDF("id", "qty", "tag", "fk")
+
+  private def dim = Seq(100L, 200L).toDF("k")
+
+  test("expect counts each rule family correctly and flags pass/fail") {
+    val got = Quality.expect(rows,
+        rowRules = Seq(
+          "qty_in_range" -> !col("qty").between(1, 50),
+          "tag_not_null" -> col("tag").isNull),
+        uniqueRules = Seq("id_unique" -> Seq("id")),
+        fkRules = Seq(("fk_in_dim", "fk", dim, "k")))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("qty_in_range") == ((1L, false)))
+    assert(got("tag_not_null") == ((1L, false)))
+    assert(got("id_unique") == ((1L, false))) // 2 rows of id=3 -> 1 extra
+    assert(got("fk_in_dim") == ((1L, false))) // 999 dangles; NULL exempt
+    assert(got.size == 4)
+  }
+
+  test("a clean table passes every rule, including on empty input") {
+    def check(df: org.apache.spark.sql.DataFrame) = {
+      val got = Quality.expect(df,
+          rowRules = Seq("qty_in_range" -> !col("qty").between(1, 1000)),
+          uniqueRules = Seq("pk_unique" -> Seq("id", "qty")),
+          fkRules = Seq(("fk_in_dim", "fk", dim, "k")))
+        .as[(String, Long, Boolean)].collect()
+      assert(got.forall(r => r._2 == 0L && r._3), got.mkString(","))
+      assert(got.length == 3)
+    }
+    check(rows.filter(col("id") === 1))
+    check(rows.filter(col("id") < 0)) // empty relation
+  }
+
+  test("null predicates do not count as violations (3-valued logic)") {
+    // qty NULL -> between() is null -> when() falls to otherwise(0)
+    val df = Seq((1L, Some(10)), (2L, None)).toDF("id", "qty")
+    val got = Quality.expect(df,
+        rowRules = Seq("qty_in_range" -> !col("qty").between(1, 5)))
+      .as[(String, Long, Boolean)].collect().head
+    assert(got._2 == 1L) // id=1 violates; id=2's null predicate does not
+  }
+}
