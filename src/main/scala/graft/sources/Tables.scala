@@ -32,14 +32,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** The events fixture carries TIMESTAMP(NANOS) — Spark 4 refuses it
-    * by default. Read nanos as long and truncate to a microsecond
-    * timestamp (integer `div`, matching how DuckDB/pyarrow downcast
-    * ns→us, so oracle comparisons agree). */
+  /** The events fixture's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (Spark 4 refuses it by
+    * default — read nanos as long, truncate to micros with integer
+    * `div`, matching how DuckDB/pyarrow downcast ns→us) and plain
+    * TIMESTAMP[us] (reads as NTZ — cast to session-local TimestampType;
+    * the UTC session timezone makes the wall-clock values identical to
+    * what DuckDB reads). Branch on the READ schema so both vintages
+    * load to the same TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    val f = org.apache.spark.sql.functions
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", f.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", f.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
