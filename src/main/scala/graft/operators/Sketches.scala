@@ -197,4 +197,58 @@ object Sketches {
     (1 to rBits).map(r =>
       s"WHEN $rest % ${1L << r} = ${1L << (r - 1)} THEN $r")
       .mkString("CASE ", " ", s" ELSE ${rBits + 1} END")
+
+  /** EXACT heavy hitters (keys with count ≥ ceil(minShare·n)) without
+    * a full-cardinality groupBy: the classic two-pass
+    * Misra-Gries-then-recount shape (Misra & Gries, "Finding repeated
+    * elements", Sci. Comput. Program. 1982 — public algorithm).
+    *
+    * Pass 1 runs an s-counter Misra-Gries summary INSIDE each
+    * partition (`mapPartitions` — the genuinely imperative per-
+    * partition case SURVEY §7.3 reserves it for): every key whose
+    * partition-local count exceeds n_p/(s+1) survives its partition's
+    * summary, and a globally heavy key (count > Σ n_p/(s+1) =
+    * n/(s+1)) must by pigeonhole be partition-heavy somewhere, so for
+    * minShare ≥ 1/(s+1) the union of summaries is a SUPERSET of every
+    * true heavy hitter — deterministically, whatever the row order
+    * (the MG survival guarantee is order-independent). Pass 2 exact-
+    * counts ONLY the candidate keys (broadcast semi-join; ≤ s·
+    * #partitions candidates however large the keyspace) and applies
+    * the threshold, so false candidates vanish and the output equals
+    * the plain `GROUP BY ... HAVING count ≥ threshold` answer — which
+    * is exactly what the q137 oracle runs.
+    *
+    * Scale shape: a 100 TB keyspace never shuffles — pass 1 moves
+    * s·#partitions candidate keys to the driver, pass 2 is a
+    * broadcast-filtered map-side-combinable count of the few
+    * surviving keys. The classic alternative (full groupBy) shuffles
+    * every distinct key. */
+  def heavyHitters(rows: DataFrame, key: Column, minShare: Double,
+                   summarySize: Int): DataFrame = {
+    require(minShare * (summarySize + 1) >= 1.0,
+      s"superset guarantee needs minShare >= 1/(summarySize+1)")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows.select(key.cast("string").as("k")).as[String]
+    val cands = keyed.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { k =>
+        if (counters.contains(k)) counters(k) += 1L
+        else if (counters.size < summarySize) counters(k) = 1L
+        else {
+          // decrement-all; drop zeros (the MG eviction step)
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      counters.keysIterator
+    }.distinct().toDF("k")
+    val total = rows.count()
+    val threshold = math.ceil(minShare * total).toLong
+    keyed.toDF("k")
+      .join(broadcast(cands), "k")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
 }
