@@ -86,44 +86,53 @@ object Bpe {
   /** LEARN a merge table from the corpus — the BPE training loop
     * (Sennrich, Haddow, Birch, "Neural Machine Translation of Rare
     * Words with Subword Units", ACL 2016 — public algorithm). Each
-    * round counts adjacent token pairs across the whole corpus, merges
-    * the most frequent pair everywhere (leftmost-first, exactly what
-    * [[tokenizedWith]]'s `replace` chain replays), and repeats on the
-    * merged state.
+    * round counts adjacent token pairs, merges the most frequent pair
+    * everywhere (leftmost-first, exactly what [[tokenizedWith]]'s
+    * `replace` chain replays), and repeats on the merged state.
     *
-    * 100 TB shape: one round = one explode of adjacent pairs + one
-    * pair-keyed groupBy (map-side partial counts — each task emits its
-    * local pair histogram, the shuffle moves #distinct-pairs rows, not
-    * #tokens) + one checkpointed full-corpus `replace` pass. The only
-    * driver traffic is the argmax pair — 1 row per round, the
-    * documented bounded-loop-parameter convention. Determinism: counts
-    * are exact longs and ties break on (pair) lexicographically, so
-    * two runs learn the identical table — which is what lets the q132
-    * oracle replay the LEARNED table as literals (the q51 discipline)
-    * while BpeSpec pins the learning itself against a pure-Scala
-    * reference.
+    * The learning state is the DISTINCT-WORD HISTOGRAM, not the
+    * corpus (Sennrich et al. learn on the word histogram for exactly
+    * this reason): no merge ever crosses a word boundary — space
+    * tokens participate in no merge — so every adjacent token pair in
+    * the corpus lies inside a single word occurrence, and the corpus
+    * pair count equals the vocabulary pair count weighted by word
+    * frequency. The table learned here is therefore IDENTICAL to
+    * corpus-state learning (exact long counts, lexicographic
+    * tie-break), which is what lets the q132 oracle replay the
+    * LEARNED table as literals (the q51 discipline) while BpeSpec
+    * pins the learning itself against a pure-Scala reference.
     *
-    * Word boundaries: space tokens never participate (no merge crosses
-    * a word). Rounds stop early if no pair repeats. */
+    * 100 TB shape: ONE corpus pass total (the `groupBy(word)`
+    * histogram — map-side partial counts, the shuffle moves #distinct
+    * words, not #tokens). Every round thereafter touches only the
+    * vocabulary-sized relation: one pair explode + pair-keyed groupBy
+    * weighted by `freq`, and one `replace` rewrite of the vocab
+    * strings — O(|vocab|) per round instead of a full corpus
+    * materialization per round. The only driver traffic is the argmax
+    * pair — 1 row per round, the documented bounded-loop-parameter
+    * convention. Rounds stop early if no pair repeats. */
   def learnMerges(docs: org.apache.spark.sql.DataFrame, text: Column,
                   rounds: Int): Seq[(String, String)] = {
     var learned = Vector.empty[(String, String)]
     var state = graft.Checkpoints.checkpoint(
-      docs.select(regexp_replace(norm(text), "(.)", T + "$1" + E).as("tok")))
+      docs.select(explode(split(norm(text), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", T + "$1" + E).as("tok"),
+          col("freq")))
     var done = false
     (0 until rounds).foreach { _ =>
       if (!done) {
-        // tokens in document order: strip the outer markers, split on
-        // the RS·US seams between adjacent tokens
+        // tokens in word order: strip the outer markers, split on the
+        // RS·US seams between adjacent tokens
         val arr = split(regexp_replace(col("tok"), s"^$T|$E$$", ""), E + T)
         val best = state
-          .select(explode(zip_with(arr,
+          .select(col("freq"), explode(zip_with(arr,
             slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
             (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-          .filter(col("p.b").isNotNull &&
-            col("p.a") =!= " " && col("p.b") =!= " ")
+          .filter(col("p.b").isNotNull)
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("freq")).as("n"))
           .filter(col("n") >= 2)
           .orderBy(col("n").desc, col("a"), col("b"))
           .limit(1).collect()
@@ -133,7 +142,7 @@ object Bpe {
           learned = learned :+ ((a, b))
           val next = graft.Checkpoints.checkpoint(state.select(
             replace(col("tok"), lit(T + a + E + T + b + E),
-              lit(T + a + b + E)).as("tok")))
+              lit(T + a + b + E)).as("tok"), col("freq")))
           graft.Checkpoints.release(state)
           state = next
         }
