@@ -198,41 +198,62 @@ object Sketches {
       s"WHEN $rest % ${1L << r} = ${1L << (r - 1)} THEN $r")
       .mkString("CASE ", " ", s" ELSE ${rBits + 1} END")
 
-  /** EXACT heavy hitters (keys with count ≥ ceil(minShare·n)) without
+  /** EXACT heavy hitters — non-null keys with count ≥
+    * ceil(shareNum·n/shareDen) over the n non-null-key rows — without
     * a full-cardinality groupBy: the classic two-pass
     * Misra-Gries-then-recount shape (Misra & Gries, "Finding repeated
     * elements", Sci. Comput. Program. 1982 — public algorithm).
     *
     * Pass 1 runs an s-counter Misra-Gries summary INSIDE each
     * partition (`mapPartitions` — the genuinely imperative per-
-    * partition case SURVEY §7.3 reserves it for): every key whose
-    * partition-local count exceeds n_p/(s+1) survives its partition's
-    * summary, and a globally heavy key (count > Σ n_p/(s+1) =
-    * n/(s+1)) must by pigeonhole be partition-heavy somewhere, so for
-    * minShare ≥ 1/(s+1) the union of summaries is a SUPERSET of every
-    * true heavy hitter — deterministically, whatever the row order
-    * (the MG survival guarantee is order-independent). Pass 2 exact-
-    * counts ONLY the candidate keys (broadcast semi-join; ≤ s·
-    * #partitions candidates however large the keyspace) and applies
-    * the threshold, so false candidates vanish and the output equals
-    * the plain `GROUP BY ... HAVING count ≥ threshold` answer — which
-    * is exactly what the q137 oracle runs.
+    * partition case SURVEY §7.3 reserves it for) and emits that
+    * partition's row count ALONGSIDE its summary, so `n` is by
+    * construction the count of the very stream that was summarized
+    * (one scan, no separate `count()` that a changing source could
+    * diverge from). Every key whose partition-local count EXCEEDS
+    * n_p/(s+1) survives its partition's summary; a globally heavy key
+    * (count > Σ n_p/(s+1) = n/(s+1)) must by pigeonhole be partition-
+    * heavy somewhere. The MG survival guarantee is STRICT (>), so the
+    * superset property needs strict slack share > 1/(s+1) — at
+    * share = 1/(s+1) exactly, a key meeting the threshold can be
+    * evicted from every summary (s=1, share=1/2, stream a,b,a,b) —
+    * hence the strict `require` below. Pass 2 exact-counts ONLY the
+    * candidate keys (broadcast semi-join; ≤ s·#partitions candidates
+    * however large the keyspace) and applies the threshold, so false
+    * candidates vanish and the output equals the plain
+    * `GROUP BY ... HAVING count ≥ threshold` answer — exactly what
+    * the q137 oracle runs.
+    *
+    * The share is a RATIONAL (shareNum/shareDen), not a double: the
+    * threshold ceil(num·n/den) is computed in exact integer
+    * arithmetic on both engines, so no fp-drift ceil overshoot
+    * (0.1·110 → 11.000000000000002 → 12) can drop a key the oracle
+    * keeps. NULL keys are excluded from BOTH the candidate stream and
+    * `n` (SQL GROUP BY would keep a NULL group; this operator
+    * documents the non-null-key contract and the oracle filters
+    * identically).
     *
     * Scale shape: a 100 TB keyspace never shuffles — pass 1 moves
-    * s·#partitions candidate keys to the driver, pass 2 is a
-    * broadcast-filtered map-side-combinable count of the few
-    * surviving keys. The classic alternative (full groupBy) shuffles
-    * every distinct key. */
-  def heavyHitters(rows: DataFrame, key: Column, minShare: Double,
-                   summarySize: Int): DataFrame = {
-    require(minShare * (summarySize + 1) >= 1.0,
-      s"superset guarantee needs minShare >= 1/(summarySize+1)")
+    * s·#partitions candidate keys (plus one count per partition),
+    * pass 2 is a broadcast-filtered map-side-combinable count of the
+    * few surviving keys. The classic alternative (full groupBy)
+    * shuffles every distinct key. */
+  def heavyHitters(rows: DataFrame, key: Column, shareNum: Long,
+                   shareDen: Long, summarySize: Int): DataFrame = {
+    require(shareNum > 0 && shareDen > 0 && shareNum <= shareDen,
+      "share must be a rational in (0, 1]")
+    require(shareNum * (summarySize + 1) > shareDen,
+      s"superset guarantee needs share STRICTLY above 1/(summarySize+1)")
     val spark = rows.sparkSession
     import spark.implicits._
-    val keyed = rows.select(key.cast("string").as("k")).as[String]
-    val cands = keyed.mapPartitions { it =>
+    val keyed = rows.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
+    // one scan: per-partition (MG summary keys, row count)
+    val summaries = graft.Checkpoints.checkpoint(keyed.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { k =>
+        n += 1L
         if (counters.contains(k)) counters(k) += 1L
         else if (counters.size < summarySize) counters(k) = 1L
         else {
@@ -241,10 +262,15 @@ object Sketches {
           counters.filterInPlace((_, v) => v > 0L)
         }
       }
-      counters.keysIterator
-    }.distinct().toDF("k")
-    val total = rows.count()
-    val threshold = math.ceil(minShare * total).toLong
+      Iterator.single((counters.keys.toArray.sorted, n))
+    }.toDF("ks", "n"))
+    val total = summaries.agg(coalesce(sum(col("n")), lit(0L)))
+      .head.getLong(0)
+    val cands = summaries.select(explode(col("ks")).as("k")).distinct()
+    // ceil(num·total/den) in exact integer arithmetic (BigInt: immune
+    // to num·total overflow at any row count)
+    val threshold =
+      ((BigInt(shareNum) * total + shareDen - 1) / shareDen).toLong
     keyed.toDF("k")
       .join(broadcast(cands), "k")
       .groupBy(col("k"))

@@ -830,6 +830,21 @@ object TextQueries {
           exact, col("bg"), cells, CmMults, CmWidth)
         .select(col("bg"), col("est_cnt"), col("exact_cnt"),
           (col("est_cnt") > col("exact_cnt")).as("collided"))
+    },
+
+    // EXACT heavy hitters over corpus word occurrences via the
+    // two-pass Misra-Gries summary (Sketches.heavyHitters):
+    // candidates surface from per-partition s-counter summaries
+    // WITHOUT shuffling the vocabulary, then a broadcast recount
+    // makes the answer exact — so the oracle is the plain
+    // GROUP BY ... HAVING it provably equals. The share is the
+    // rational 1/100 of all word occurrences; the threshold
+    // ceil(n/100) is integer arithmetic on both engines.
+    "q137_heavy_hitters" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(TextFns.words(TextFns.norm(col("text")))).as("w"))
+      graft.operators.Sketches.heavyHitters(words, col("w"), 1L, 100L, 150)
+        .select(col("k").as("word"), col("cnt"))
     }
   )
 
@@ -1449,7 +1464,20 @@ object TextQueries {
          |FROM k
          |JOIN c0 e0 ON e0.cell = ${wordHashSql("k.bg", 31)} % $CmWidth
          |JOIN c1 e1 ON e1.cell = ${wordHashSql("k.bg", 37)} % $CmWidth
-         |JOIN c2 e2 ON e2.cell = ${wordHashSql("k.bg", 41)} % $CmWidth""".stripMargin
+         |JOIN c2 e2 ON e2.cell = ${wordHashSql("k.bg", 41)} % $CmWidth""".stripMargin,
+
+    // q137: the exact answer the MG-then-recount pipeline must equal —
+    // plain GROUP BY ... HAVING with the identical integer-exact
+    // ceil(n/100) threshold over non-null word occurrences.
+    "q137_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split(${normSql("text")}, ' '))
+         |             AS word FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w
+         |      WHERE word IS NOT NULL)
+         |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |FROM w, t WHERE word IS NOT NULL
+         |GROUP BY word, n
+         |HAVING CAST(count(*) AS BIGINT) >= (1 * n + 99) // 100""".stripMargin
   )
 
   /** Data-DEPENDENT oracle for q132 (merged by SparkEntry

@@ -125,4 +125,63 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .select(col("n_filled")).as[Long].collect().head
     assert(r == 1L)
   }
+
+  // ---- heavyHitters (two-pass Misra-Gries-then-recount) ----
+
+  private def hhBrute(df: DataFrame, num: Long, den: Long): Map[String, Long] = {
+    val rows = df.filter(col("k").isNotNull).as[String].collect()
+    val n = rows.length.toLong
+    val thr = (num * n + den - 1) / den
+    rows.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= thr).toMap
+  }
+
+  test("heavyHitters equals GROUP BY .. HAVING on a skewed corpus, " +
+       "across partitionings") {
+    // zipf-ish over 40 keys: k1 is ~13% of mass, several keys heavy
+    // at the 1/20 bar, most not
+    Seq(1, 7, 32).foreach { p =>
+      val df = corpus.repartition(p)
+      val got = Sketches.heavyHitters(df, col("k"), 1L, 20L, 25)
+        .as[(String, Long)].collect().toMap
+      assert(got == hhBrute(corpus, 1L, 20L), s"diverged at $p partitions")
+      assert(got.nonEmpty, "fixture must produce at least one heavy key")
+    }
+  }
+
+  test("heavyHitters rejects the non-strict boundary share = 1/(s+1)") {
+    // ADVICE scenario: s=1, share 1/2, stream a,b,a,b — MG can evict
+    // every key from every summary while both keys meet the threshold;
+    // the strict require refuses the configuration instead
+    val df = Seq("a", "b", "a", "b").toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, col("k"), 1L, 2L, 1)
+    }
+    // with one extra counter the guarantee holds and both keys return
+    val got = Sketches.heavyHitters(df.coalesce(1), col("k"), 1L, 2L, 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L))
+  }
+
+  test("heavyHitters threshold is integer-exact when share*n is " +
+       "integral (no fp ceil overshoot)") {
+    // 110 rows at share 1/10: threshold must be exactly 11, so a key
+    // with count exactly 11 is kept (double ceil(0.1*110) gives 12)
+    val df = (Seq.fill(11)("edge") ++ (1 to 99).map(i => s"u$i")).toDF("k")
+    val got = Sketches.heavyHitters(df, col("k"), 1L, 10L, 30)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("edge" -> 11L))
+  }
+
+  test("heavyHitters ignores null keys in both the count base and " +
+       "the output") {
+    // 10 nulls + 20 non-null rows: n must be 20, so "h" (8/20 = 40%)
+    // is heavy at share 1/3 (ceil(20/3) = 7); with nulls wrongly in
+    // the base the threshold would be ceil(30/3) = 10 and drop it
+    val df = (Seq.fill(8)(Some("h")) ++ (1 to 12).map(i => Some(s"u$i")) ++
+      Seq.fill(10)(Option.empty[String])).toDF("k")
+    val got = Sketches.heavyHitters(df, col("k"), 1L, 3L, 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("h" -> 8L))
+  }
 }
