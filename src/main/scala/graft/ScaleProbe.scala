@@ -359,6 +359,120 @@ object ScaleProbe {
         conf.set("spark.sql.autoBroadcastJoinThreshold", saveBroadcast)
     }
 
+    // --- q29 multi-probe recall@cost (sign-LSH ANN): probes = # of
+    // Hamming-1 band-key flips probed on the QUERY side (0 = exact
+    // bucket only). Recall vs exact brute-force top-k on the same
+    // fixtures; the operator default is chosen from this table.
+    {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .localCheckpoint()
+      val qs = emb.filter(col("vec_id") % 20 === 0).localCheckpoint()
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("q_id"), col("n_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactTop = pairs(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+      Seq(0, 2, 4).foreach { p =>
+        def run() = time(Similarity.signLshTopK(
+          emb, qs, "vec_id", "embedding", 5, probes = p).count())
+        run() // codegen warmup
+        val (w, _) = run()
+        val got = pairs(Similarity.signLshTopK(
+          emb, qs, "vec_id", "embedding", 5, probes = p))
+        val rec = (got & exactTop).size.toDouble / exactTop.size
+        println(f"[probe] ann-probes:  probes=$p wall $w%.2fs recall $rec%.3f")
+      }
+    }
+
+    // --- BPE learning (q132): rounds iterate on the VOCABULARY
+    // histogram, so 10x corpus (same vocabulary — plain unioned
+    // copies; organic growth adds vocab only at the Heaps'-law
+    // margin) costs one extra histogram scan, not 10x per round.
+    {
+      import graft.functions.Bpe
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .filter(col("doc_id") >= 0).select(col("text")).localCheckpoint()
+      val docs10 = (0 until 10).map(_ => docs).reduce(_ union _)
+        .localCheckpoint()
+      def learn(d: DataFrame) =
+        time(Bpe.learnMerges(d, col("text"), 12).size.toLong)
+      learn(docs) // codegen warmup
+      val (bb, _) = learn(docs); val (bB, _) = learn(docs10)
+      println(f"[probe] bpe-learn:   $bb%.1fs -> $bB%.1fs (${bB / bb}%.1fx, rows 10x, vocab shared)")
+    }
+
+    // --- sketch families (q122 Count-Min / q133 HLL / q120 q-digest):
+    // the scale claim is cardinality-free SHUFFLE state — cells /
+    // registers / partial buffers per map partition, independent of
+    // row count. Partition count held at 32 on both sizes (the
+    // fixed-executor regime), so the honest shuffle-read-records
+    // ratio at 10x rows is ~1x. CDC snapshot (q129) is the contrast:
+    // one keyed exchange that legitimately moves ~rows, so its WALL
+    // (not its state) should scale ~linearly.
+    {
+      import graft.operators.{Cdc, Sketches}
+      import graft.functions.QDigestAgg
+      val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            recs.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+      }
+      def shuffled(f: => Long): (Double, Long) = {
+        recs.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        val (wall, _) = time(f)
+        Thread.sleep(1000) // listener bus drains async
+        spark.sparkContext.removeSparkListener(listener)
+        (wall, recs.get)
+      }
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_suppkey").cast("string").as("k"),
+          (col("l_extendedprice") * 100).cast("long").as("v"))
+        .repartition(32).localCheckpoint()
+      val li10 = (0 until 10).map(_ => li).reduce(_ union _)
+        .repartition(32).localCheckpoint()
+      def cm(d: DataFrame) = shuffled(
+        Sketches.countMinCells(d, col("k"), Seq(31L, 37L, 41L), 256)
+          .agg(sum(col("c"))).count())
+      def hll(d: DataFrame) = shuffled(
+        Sketches.hllRegisters(
+            d.withColumn("g", pmod(col("v"), lit(5))), Seq("g"), col("k"))
+          .agg(sum(col("reg"))).count())
+      def qd(d: DataFrame) = shuffled(
+        d.agg(QDigestAgg(24, 4096, Seq(0.25, 0.5, 0.75))(col("v")))
+          .count())
+      Seq(("countmin", cm _), ("hll-reg", hll _), ("q-digest", qd _))
+        .foreach { case (nm, f) =>
+          f(li) // codegen warmup
+          val (wb, rb2) = f(li); val (wB, rB2) = f(li10)
+          println(f"[probe] $nm%-12s shuffle-read $rb2%d -> $rB2%d rec " +
+            f"(${rB2.toDouble / math.max(1L, rb2)}%.2fx at rows 10x; " +
+            f"wall $wb%.1fs -> $wB%.1fs)")
+        }
+      // CDC snapshot: same derived changelog shape as q129, on 10
+      // id-offset copies of orders — keyed exchange moves ~rows
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+        .filter(col("o_orderkey") >= 0).localCheckpoint()
+      val stride = ord.agg(max(col("o_orderkey")).cast("long"))
+        .head.getLong(0) + 1L
+      val ord10 = (0L until 10L).map { c =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + c * stride)
+      }.reduce(_ unionByName _).localCheckpoint()
+      def cdc(b: DataFrame) = time {
+        val upd = b.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+        val dels = b.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+        Cdc.snapshot(b, upd.unionByName(dels),
+          Seq("o_orderkey"), "seq", "op").count()
+      }
+      cdc(ord) // codegen warmup
+      val (cb2, _) = cdc(ord); val (cB2, _) = cdc(ord10)
+      println(f"[probe] cdc-snap:    $cb2%.1fs -> $cB2%.1fs (${cB2 / cb2}%.1fx, rows 10x)")
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }

@@ -700,25 +700,31 @@ object Similarity {
   /** ANN top-k: candidates = corpus vectors sharing ≥1 LSH band bucket
     * with the query, re-ranked by exact cosine.
     *
-    * Multi-probe (default on): each QUERY band key also probes its
-    * `rowsPerBand` Hamming-1 neighbors (one sign bit flipped) — the
-    * standard recall amplifier: a boundary vector whose projection
-    * sits near a hyperplane lands one bit away, and probing that
-    * bucket recovers it without adding planes or corpus-side state.
-    * Candidate cost grows ×(1 + rowsPerBand) on the QUERY side only;
-    * the corpus index is untouched — at 100 TB the corpus shuffle is
-    * the expensive side, so recall is bought on the cheap side. */
+    * Multi-probe (`probes` Hamming-1 neighbors per query band key,
+    * lowest band bits first; 0 = exact-bucket only): the standard
+    * recall amplifier — a boundary vector whose projection sits near
+    * a hyperplane lands one bit away, and probing that bucket
+    * recovers it without adding planes or corpus-side state.
+    * Candidate cost grows ×(1 + probes) on the QUERY side only; the
+    * corpus index is untouched — at 100 TB the corpus shuffle is the
+    * expensive side, so recall is bought on the cheap side. Default
+    * probes = rowsPerBand = 4 from the measured recall/cost pair at
+    * sf0.1 (ScaleProbe `ann-probes`: recall 0.52 → 0.80 → 0.95 for
+    * 0/2/4 probes at flat ~0.75 s wall — the exact re-rank, not the
+    * probe fan-out, dominates at this scale; see COVERAGE.md). */
   def signLshTopK(corpus: DataFrame, queries: DataFrame, id: String,
                   vec: String, k: Int, numPlanes: Int = 16,
-                  rowsPerBand: Int = 4, multiProbe: Boolean = true): DataFrame = {
+                  rowsPerBand: Int = 4, probes: Int = 4): DataFrame = {
+    require(probes >= 0 && probes <= rowsPerBand,
+      "probes is a count of flipped band-key bits, 0 to rowsPerBand")
     val cb = signLshBuckets(corpus, id, vec, numPlanes, rowsPerBand)
       .select(col(id).as("n_id"), col("band"), col("bkey"))
     val qb0 = signLshBuckets(queries, id, vec, numPlanes, rowsPerBand)
       .select(col(id).as("q_id"), col("band"), col("bkey"))
-    val qb = if (!multiProbe) qb0
+    val qb = if (probes == 0) qb0
       else qb0.select(col("q_id"), col("band"),
         explode(array(col("bkey") +:
-          (0 until rowsPerBand).map(i =>
+          (0 until probes).map(i =>
             col("bkey").bitwiseXOR(lit(1L << i))): _*)).as("bkey"))
     val cand = cb.join(qb, Seq("band", "bkey"))
       .filter(col("q_id") =!= col("n_id"))

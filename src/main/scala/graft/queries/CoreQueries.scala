@@ -329,9 +329,13 @@ object CoreQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice").as("v"),
           col("l_orderkey"), col("l_linenumber"))
-      val ranked = graft.operators.Relational.globalCumsum(
-        li, Seq(col("l_returnflag"), col("v"),
-          col("l_orderkey"), col("l_linenumber")), lit(1L), "rnk")
+      // the ranked spine has TWO consumers (group offsets + the probe
+      // join) — checkpoint so the two-phase rank runs once per call,
+      // not once per consumer
+      val ranked = graft.Checkpoints.checkpoint(
+        graft.operators.Relational.globalCumsum(
+          li, Seq(col("l_returnflag"), col("v"),
+            col("l_orderkey"), col("l_linenumber")), lit(1L), "rnk"))
       // target GLOBAL ranks computed on the TINY side (groups × probs),
       // so the pick is a broadcast HASH join on the unique global rank
       // — a mixed-side ceil(p·n) predicate would plan a nested loop

@@ -845,6 +845,28 @@ object TextQueries {
         .select(explode(TextFns.words(TextFns.norm(col("text")))).as("w"))
       graft.operators.Sketches.heavyHitters(words, col("w"), 1L, 100L, 150)
         .select(col("k").as("word"), col("cnt"))
+    },
+
+    // q75's chunk plan denominated in BPE SUBWORD tokens — the same
+    // units q126 budgets in: a real pipeline chunks in the units it
+    // budgets, or the window arithmetic and the mix arithmetic drift.
+    // Same stride geometry (50-token chunks, stride 40, no
+    // subset-chunk starts); the per-doc denominator is Bpe.tokenCount
+    // — the IDENTICAL expression q118/q126 use, which is what ties
+    // chunk totals to the token budget (ChunkPlanSpec asserts the
+    // per-doc equality).
+    "q138_chunk_plan_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(sequence(lit(0L),
+            greatest(col("n_tokens") - 11, lit(0L)), lit(40L))))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").as("start_tok"),
+          least(lit(50L), col("n_tokens") - col("col")).as("n_tok"))
     }
   )
 
@@ -1477,7 +1499,24 @@ object TextQueries {
          |SELECT word, CAST(count(*) AS BIGINT) AS cnt
          |FROM w, t WHERE word IS NOT NULL
          |GROUP BY word, n
-         |HAVING CAST(count(*) AS BIGINT) >= (1 * n + 99) // 100""".stripMargin
+         |HAVING CAST(count(*) AS BIGINT) >= (1 * n + 99) // 100""".stripMargin,
+
+    // q138: q75's chunk arithmetic replayed in BPE-token units — the
+    // denominator is the full tokenCountSql replace chain.
+    "q138_chunk_plan_tokens" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(${graft.functions.Bpe.tokenCountSql("text")} AS BIGINT)
+         |    AS n_tokens FROM documents),
+         |g AS (SELECT doc_id, n_tokens,
+         |  unnest(generate_series(0, greatest(n_tokens - 11, 0), 40))
+         |    AS start_tok
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |    - 1 AS BIGINT) AS chunk_idx,
+         |  start_tok,
+         |  least(50, n_tokens - start_tok) AS n_tok
+         |FROM g""".stripMargin
   )
 
   /** Data-DEPENDENT oracle for q132 (merged by SparkEntry

@@ -41,4 +41,41 @@ class ChunkPlanSpec extends AnyFunSuite with SparkTestBase {
       assert(end == nWords(doc), s"doc $doc covers $end of ${nWords(doc)}")
     }
   }
+
+  test("q138 token-unit chunks share geometry with q75 and cover " +
+       "exactly the q126 budget denominator") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q138_chunk_plan_tokens")(spark, sf)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(plan.nonEmpty)
+    plan.foreach { case (doc, chunks) =>
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong), s"doc $doc")
+      assert(chunks.head._3 == 0L, s"doc $doc")
+      chunks.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, n1), (_, _, s2, n2)) =>
+          assert(s2 == s1 + 40, s"doc $doc stride")
+          assert(s2 < s1 + n1, s"doc $doc gap")
+          assert(s2 + n2 > s1 + n1, s"doc $doc subset chunk")
+        case _ => ()
+      }
+    }
+    // the chunk denominator IS the budget denominator: per doc, the
+    // covered token range ends at exactly Bpe.tokenCount — the same
+    // expression q126 budgets with (its n_tokens column), so chunk
+    // totals and mix budgets are in one unit system
+    val budgetUnits = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        graft.functions.Bpe.tokenCount($"text").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .as[(Long, Long)].collect().toMap
+    assert(plan.keySet == budgetUnits.keySet)
+    plan.foreach { case (doc, chunks) =>
+      val end = chunks.map(c => c._3 + c._4).max
+      assert(end == budgetUnits(doc),
+        s"doc $doc chunk coverage $end != token budget ${budgetUnits(doc)}")
+    }
+  }
 }

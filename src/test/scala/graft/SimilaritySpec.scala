@@ -53,15 +53,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(indexed == inflight)
   }
 
-  test("sign-LSH ANN recall; multi-probe recovers at least as much as single-probe") {
-    val single = topSet(Similarity.signLshTopK(emb, queries, "vec_id",
-      "embedding", 5, multiProbe = false))
-    val multi = topSet(Similarity.signLshTopK(emb, queries, "vec_id",
-      "embedding", 5))
+  test("sign-LSH ANN recall is monotone in the probe count (0/2/4)") {
     def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
-    assert(recall(multi) >= recall(single),
-      s"multi-probe ${recall(multi)} < single ${recall(single)}")
-    assert(recall(multi) >= 0.5, s"LSH ANN recall ${recall(multi)}")
+    val r = Seq(0, 2, 4).map { p =>
+      p -> recall(topSet(Similarity.signLshTopK(emb, queries, "vec_id",
+        "embedding", 5, probes = p)))
+    }
+    info(s"recall by probes: $r")
+    r.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, s"probes=$pb recall $rb < probes=$pa recall $ra")
+    }
+    assert(r.last._2 >= 0.5, s"LSH ANN recall ${r.last._2}")
   }
 
   test("cosinePairsLsh recalls the oracle-checked exact near-dup pairs") {
