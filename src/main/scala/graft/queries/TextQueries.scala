@@ -867,6 +867,39 @@ object TextQueries {
           col("pos").cast("long").as("chunk_idx"),
           col("col").as("start_tok"),
           least(lit(50L), col("n_tokens") - col("col")).as("n_tok"))
+    },
+
+    // SEQUENCE PACKING — the concat-and-cut training-batch assembly
+    // step: documents concatenate in deterministic LCG-hash order
+    // into one global token stream, which is cut into fixed 512-token
+    // sequences (the standard packing used when a trainer consumes
+    // fixed-length windows). Each output row is one (doc, sequence)
+    // SPAN — where in which sequence this doc's tokens land, docs
+    // crossing a cut splitting across consecutive sequences. Global
+    // offsets come from Relational.globalCumsum (range shuffle +
+    // per-partition window + broadcast offsets) — NO single-reducer
+    // global window — and the explode emits only sequences a doc
+    // actually touches (rows ≤ docs + total_tokens/512). All-integer
+    // arithmetic; the oracle replays every cut.
+    "q139_sequence_packing" -> { (s, d) =>
+      val cap = lit(512L)
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("h", lcgHash(col("doc_id")))
+      graft.operators.Relational.globalCumsum(
+          docs, Seq(col("h"), col("doc_id")), col("n_tokens"), "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("st"), col("cum"))
+        .select(col("doc_id"), col("n_tokens"), col("st"),
+          explode(sequence(call_function("div", col("st"), cap),
+            call_function("div", col("cum") - 1, cap))).as("seq_id"))
+        .select(col("doc_id"), col("seq_id"),
+          (greatest(col("st"), col("seq_id") * cap) -
+            col("seq_id") * cap).as("seq_off"),
+          (least(col("st") + col("n_tokens"), (col("seq_id") + 1) * cap) -
+            greatest(col("st"), col("seq_id") * cap)).as("span_len"))
     }
   )
 
@@ -1516,6 +1549,28 @@ object TextQueries {
          |    - 1 AS BIGINT) AS chunk_idx,
          |  start_tok,
          |  least(50, n_tokens - start_tok) AS n_tok
+         |FROM g""".stripMargin,
+
+    // q139: every cut replayed — same LCG concatenation order, same
+    // integer floor-division sequence assignment, same span clamps.
+    "q139_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(${graft.functions.Bpe.tokenCountSql("text")} AS BIGINT)
+         |    AS n_tokens,
+         |  ${lcgHashSql("doc_id")} AS h
+         |  FROM documents WHERE doc_id >= 0),
+         |f AS (SELECT * FROM t WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f),
+         |g AS (SELECT doc_id, n_tokens, cum - n_tokens AS st,
+         |  unnest(generate_series((cum - n_tokens) // 512,
+         |                         (cum - 1) // 512)) AS seq_id
+         |  FROM c)
+         |SELECT doc_id, seq_id,
+         |  greatest(st, seq_id * 512) - seq_id * 512 AS seq_off,
+         |  least(st + n_tokens, (seq_id + 1) * 512)
+         |    - greatest(st, seq_id * 512) AS span_len
          |FROM g""".stripMargin
   )
 

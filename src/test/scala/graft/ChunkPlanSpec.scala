@@ -78,4 +78,44 @@ class ChunkPlanSpec extends AnyFunSuite with SparkTestBase {
         s"doc $doc chunk coverage $end != token budget ${budgetUnits(doc)}")
     }
   }
+
+  test("q139 packed spans tile every sequence exactly and reassemble " +
+       "every document") {
+    val sf = "/root/testdata/sf0.001"
+    val spans = SparkEntry.queries("q139_sequence_packing")(spark, sf)
+      .select($"doc_id", $"seq_id", $"seq_off", $"span_len")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    assert(spans.forall(s => s._3 >= 0 && s._3 < 512 && s._4 > 0 &&
+      s._3 + s._4 <= 512), "span inside its sequence")
+    // sequences tile: within a seq_id, spans are disjoint, start at 0,
+    // abut with no gaps, and fill to 512 (except the final sequence)
+    val bySeq = spans.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + a._4, s"seq $seq gap/overlap at ${b._3}")
+        case _ => ()
+      }
+      val filled = sorted.last._3 + sorted.last._4
+      if (seq != lastSeq) assert(filled == 512L, s"seq $seq fills $filled")
+    }
+    // documents reassemble: per doc, span lengths sum to its token
+    // count (same Bpe denominator as q126/q138)
+    val nTok = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= 0)
+      .select($"doc_id", graft.functions.Bpe.tokenCount($"text").as("n"))
+      .filter($"n" > 0).as[(Long, Long)].collect().toMap
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(perDoc.keys.toSet == nTok.keySet)
+    perDoc.foreach { case (doc, tot) =>
+      assert(tot == nTok(doc), s"doc $doc packs $tot of ${nTok(doc)}")
+    }
+    // a doc crossing a cut must appear in >1 sequence (fixture has
+    // docs longer than 512 tokens, so the split path is exercised)
+    assert(spans.groupBy(_._1).exists(_._2.length > 1), "no split docs")
+  }
 }
