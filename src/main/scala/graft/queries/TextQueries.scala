@@ -883,11 +883,15 @@ object TextQueries {
     // arithmetic; the oracle replays every cut.
     "q139_sequence_packing" -> { (s, d) =>
       val cap = lit(512L)
-      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
-        .select(col("doc_id"),
-          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
-        .filter(col("n_tokens") > 0)
-        .withColumn("h", lcgHash(col("doc_id")))
+      // checkpoint BEFORE the rank: repartitionByRange SAMPLES its
+      // input to pick bounds, which would evaluate the 20-merge BPE
+      // replace chain a second time over every document
+      val docs = graft.Checkpoints.checkpoint(
+        Tables.documents(s, d).filter(col("doc_id") >= 0)
+          .select(col("doc_id"),
+            graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("h", lcgHash(col("doc_id"))))
       graft.operators.Relational.globalCumsum(
           docs, Seq(col("h"), col("doc_id")), col("n_tokens"), "cum")
         .select(col("doc_id"), col("n_tokens"),
