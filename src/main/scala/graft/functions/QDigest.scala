@@ -77,7 +77,12 @@ case class QDigestAgg(levels: Int, k: Int, probs: Seq[Double])
     out(0) = ux + uy
     Array.copy(x, 1, out, 1, 2 * ux)
     Array.copy(y, 1, out, 1 + 2 * ux, 2 * uy)
-    compress(out)
+    // compress only past the pair budget: a 32-way partial-merge tree
+    // otherwise pays a full canonical compression PER pairwise merge
+    // (finish() canonicalizes at the end regardless, and the bound
+    // argument only counts compressions actually performed). Still a
+    // pure function of its inputs — merge-determinism is unchanged.
+    if (ux + uy > maxPairs) compress(out) else out
   }
 
   private def depth(node: Long): Int =
@@ -87,11 +92,21 @@ case class QDigestAgg(levels: Int, k: Int, probs: Seq[Double])
     * compression: children (and the parent's own count) fold into the
     * parent whenever the triple sums below n/k. Deterministic — levels
     * bottom-up, nodes in ascending id order, no RNG. Returns the
-    * canonical sorted-pair serialization. */
+    * canonical sorted-pair serialization.
+    *
+    * Nodes are BUCKETED by level once and each level sweeps its own
+    * sorted bucket (parents created by a fold are appended to the
+    * level-above bucket): the same visit order as filtering the live
+    * key set per level — every level-L id sorts above every
+    * level-(L-1) id — without 'levels' full-map scans per call, which
+    * dominated the aggregate's profile at 32-partition merge trees. */
   private def compress(b: Array[Long]): Array[Long] = {
-    val m = mutable.LongMap.empty[Long]
+    val used0 = b(0).toInt
+    // pre-size: 32k inserts into a default-sized LongMap pay ~11
+    // rehash doublings per compress call
+    val m = new mutable.LongMap[Long](math.max(16, used0 * 2))
     var i = 0
-    val used = b(0).toInt
+    val used = used0
     var n = 0L
     while (i < used) {
       val node = b(1 + 2 * i); val c = b(2 + 2 * i)
@@ -101,9 +116,13 @@ case class QDigestAgg(levels: Int, k: Int, probs: Seq[Double])
     }
     val t = n / k
     if (t > 0) {
+      val byLevel = Array.fill(levels + 1)(
+        new scala.collection.mutable.ArrayBuilder.ofLong)
+      m.foreachKey(node => byLevel(depth(node)) += node)
       var lvl = levels
       while (lvl >= 1) {
-        val atLvl = m.keys.filter(depth(_) == lvl).toArray.sorted
+        val atLvl = byLevel(lvl).result()
+        java.util.Arrays.sort(atLvl)
         var j = 0
         while (j < atLvl.length) {
           val node = atLvl(j)
@@ -115,8 +134,12 @@ case class QDigestAgg(levels: Int, k: Int, probs: Seq[Double])
             val sum = m.getOrElse(left, 0L) + m.getOrElse(left | 1L, 0L) +
               m.getOrElse(parent, 0L)
             if (sum < t) {
+              val hadParent = m.contains(parent)
               m.remove(left); m.remove(left | 1L)
-              if (sum > 0) m(parent) = sum
+              if (sum > 0) {
+                m(parent) = sum
+                if (!hadParent) byLevel(lvl - 1) += parent
+              }
             }
           }
           j += 1
@@ -124,7 +147,10 @@ case class QDigestAgg(levels: Int, k: Int, probs: Seq[Double])
         lvl -= 1
       }
     }
-    val keys = m.keys.toArray.sorted
+    val keys = new Array[Long](m.size)
+    var ki = 0
+    m.foreachKey { node => keys(ki) = node; ki += 1 }
+    java.util.Arrays.sort(keys)
     val out = new Array[Long](1 + 2 * keys.length)
     out(0) = keys.length
     var o = 0

@@ -171,7 +171,9 @@ object Relational {
     * definition, not interpolated; q45 covers the interpolated form). */
   def exactQuantiles(df: DataFrame, value: Column,
                      probs: Seq[Double]): DataFrame = {
-    val vals = df.select(value.as("v"))
+    // three consumers (the count, the rank's range sampler, the rank
+    // itself) — checkpoint the single-column projection once
+    val vals = graft.Checkpoints.checkpoint(df.select(value.as("v")))
     val n = vals.count()
     val ranked = globalCumsum(vals, Seq(col("v")), lit(1L), "rnk")
     val spark = df.sparkSession

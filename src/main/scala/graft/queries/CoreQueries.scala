@@ -383,8 +383,11 @@ object CoreQueries {
       import s.implicits._
       val probs = Seq(0.25, 0.5, 0.75, 0.99)
       val agg = graft.functions.QDigestAgg(24, 4096, probs)
-      val li = Tables.lineitem(s, d)
-        .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      // four consumers of the projected column (count, the rank's
+      // range sampler, the rank itself, the digest scan) — checkpoint
+      // once instead of four parquet passes
+      val li = graft.Checkpoints.checkpoint(Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("v")))
       val n = li.count() // bounded scalar (q110 loop-parameter convention)
       val w = math.ceil(agg.declaredEps * n).toLong
       val targets = probs.zipWithIndex.map { case (p, i) =>
