@@ -277,4 +277,70 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /** PER-GROUP exact heavy hitters — [[heavyHitters]] with an
+    * independent share threshold per group (frequent items per
+    * tenant/source): non-null (group, key) pairs where the key's
+    * count within its group reaches shareNum/shareDen of that
+    * GROUP's rows.
+    *
+    * Pass 1 keeps one s-counter Misra-Gries summary PER GROUP inside
+    * each partition (the per-group substream gets its own MG, so the
+    * strict-slack superset guarantee of [[heavyHitters]] holds
+    * group-wise by the same pigeonhole), and emits each (partition,
+    * group)'s row count beside its summary — totals come from the
+    * summarized scan itself. Pass 2 exact-counts candidates only and
+    * applies the per-group threshold as the integer cross-multiply
+    * cnt·den ≥ n_g·num (for integers, cnt ≥ ceil(a/b) ⟺ b·cnt ≥ a —
+    * no ceil arithmetic at all, so nothing to drift from the
+    * oracle's HAVING).
+    *
+    * State per partition is s × (groups seen in that partition) —
+    * the moderate-group-cardinality regime (sources, tenants,
+    * languages). A keyspace-sized group column would degenerate to
+    * exact counting; repartition by group first if group counts are
+    * huge and skewed. */
+  def heavyHittersByGroup(rows: DataFrame, group: Column, key: Column,
+                          shareNum: Long, shareDen: Long,
+                          summarySize: Int): DataFrame = {
+    require(shareNum > 0 && shareDen > 0 && shareNum <= shareDen,
+      "share must be a rational in (0, 1]")
+    require(shareNum * (summarySize + 1) > shareDen,
+      s"superset guarantee needs share STRICTLY above 1/(summarySize+1)")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .select(group.cast("string").as("g"), key.cast("string").as("k"))
+      .filter(col("g").isNotNull && col("k").isNotNull)
+      .as[(String, String)]
+    val summaries = graft.Checkpoints.checkpoint(keyed.mapPartitions { it =>
+      val perGroup = scala.collection.mutable.HashMap
+        .empty[String, (scala.collection.mutable.HashMap[String, Long], Array[Long])]
+      it.foreach { case (g, k) =>
+        val (counters, n) = perGroup.getOrElseUpdate(
+          g, (scala.collection.mutable.HashMap.empty[String, Long], Array(0L)))
+        n(0) += 1L
+        if (counters.contains(k)) counters(k) += 1L
+        else if (counters.size < summarySize) counters(k) = 1L
+        else {
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      perGroup.iterator.map { case (g, (counters, n)) =>
+        (g, counters.keys.toArray.sorted, n(0))
+      }
+    }.toDF("g", "ks", "n"))
+    val totals = summaries.groupBy(col("g"))
+      .agg(sum(col("n")).as("n_group"))
+    val cands = summaries
+      .select(col("g"), explode(col("ks")).as("k")).distinct()
+    keyed.toDF("g", "k")
+      .join(broadcast(cands), Seq("g", "k"))
+      .groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "g")
+      .filter(col("cnt") * shareDen >= col("n_group") * shareNum)
+      .select(col("g"), col("k"), col("cnt"), col("n_group"))
+  }
 }

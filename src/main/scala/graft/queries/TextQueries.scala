@@ -904,6 +904,22 @@ object TextQueries {
             col("seq_id") * cap).as("seq_off"),
           (least(col("st") + col("n_tokens"), (col("seq_id") + 1) * cap) -
             greatest(col("st"), col("seq_id") * cap)).as("span_len"))
+    },
+
+    // PER-GROUP heavy hitters (Sketches.heavyHittersByGroup): q137's
+    // Misra-Gries-then-recount with an independent threshold per
+    // SOURCE — per-tenant frequent-item mining (per-source stopword /
+    // boilerplate discovery) without shuffling any group's
+    // vocabulary. The per-group keep decision is the integer
+    // cross-multiply cnt·den ≥ n_g·num — no ceil arithmetic at all.
+    "q140_heavy_hitters_by_source" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFns.words(TextFns.norm(col("text")))).as("w"))
+      graft.operators.Sketches.heavyHittersByGroup(
+          words, col("source"), col("w"), 1L, 50L, 100)
+        .select(col("g").as("source"), col("k").as("word"),
+          col("cnt"), col("n_group"))
     }
   )
 
@@ -1575,7 +1591,23 @@ object TextQueries {
          |  greatest(st, seq_id * 512) - seq_id * 512 AS seq_off,
          |  least(st + n_tokens, (seq_id + 1) * 512)
          |    - greatest(st, seq_id * 512) AS span_len
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    // q140: the per-group exact answer — GROUP BY (source, word) with
+    // the same integer cross-multiplied per-source threshold.
+    "q140_heavy_hitters_by_source" ->
+      s"""WITH w AS (SELECT source,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |nn AS (SELECT source, word FROM w
+         |       WHERE source IS NOT NULL AND word IS NOT NULL),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group
+         |      FROM nn GROUP BY source)
+         |SELECT nn.source, word, CAST(count(*) AS BIGINT) AS cnt,
+         |  n_group
+         |FROM nn JOIN t ON nn.source = t.source
+         |GROUP BY nn.source, word, n_group
+         |HAVING CAST(count(*) AS BIGINT) * 50 >= n_group * 1""".stripMargin
   )
 
   /** Data-DEPENDENT oracle for q132 (merged by SparkEntry

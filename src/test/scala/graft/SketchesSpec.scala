@@ -173,6 +173,31 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("edge" -> 11L))
   }
 
+  test("heavyHittersByGroup equals per-group GROUP BY .. HAVING " +
+       "across partitionings, with independent group thresholds") {
+    // group A: zipf over 40 keys (several heavy at 1/20); group B:
+    // one dominant key + uniform tail (only the dominant is heavy);
+    // group sizes differ so per-group thresholds genuinely differ
+    val a = (1 to 40).flatMap(i => Seq.fill(200 / i)(("A", s"k$i")))
+    val b = Seq.fill(60)(("B", "big")) ++ (1 to 300).map(i => ("B", s"u$i"))
+    val rows = (a ++ b).toDF("g", "k")
+    def brute: Set[(String, String, Long, Long)] = {
+      val all = (a ++ b)
+      val totals = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      all.groupBy(identity).view.mapValues(_.size.toLong).toSeq.collect {
+        case ((g, k), c) if c * 20L >= totals(g) * 1L =>
+          (g, k, c, totals(g))
+      }.toSet
+    }
+    Seq(1, 7, 32).foreach { p =>
+      val got = Sketches.heavyHittersByGroup(
+          rows.repartition(p), col("g"), col("k"), 1L, 20L, 25)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == brute, s"diverged at $p partitions")
+    }
+    assert(brute.exists(_._1 == "A") && brute.exists(_._1 == "B"))
+  }
+
   test("heavyHitters ignores null keys in both the count base and " +
        "the output") {
     // 10 nulls + 20 non-null rows: n must be 20, so "h" (8/20 = 40%)
