@@ -739,4 +739,34 @@ object Similarity {
     Relational.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id")), k)
   }
+
+  /** Semantic dedup KEEPER over an embedding column (the SemDeDup
+    * shape, Abbas et al. 2023 — public method): IVF-blocked
+    * near-dup pairs at `minCos` ([[cosinePairsIvf]] — the
+    * low-threshold 100 TB path) → connected components (star
+    * contraction, O(log n) rounds) → one canonical survivor per
+    * semantic group (the component's min id — deterministic). Every
+    * input row comes back with its group's canonical id, the group
+    * size, and a keep flag; downstream curation filters `keep` to
+    * drop all-but-one of each near-duplicate cluster.
+    *
+    * Scale shape: candidates are cell-bounded (never all-pairs), the
+    * CC loop is the same keyed dataflow as q34/q78, and the final
+    * assignment is one left join + one group count — no step touches
+    * the raw vectors after pair verification. */
+  def semanticDedup(emb: DataFrame, id: String, vec: String,
+                    minCos: Double): DataFrame = {
+    val pairs = cosinePairsIvf(emb, id, vec, minCos)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comps = Graph.connectedComponentsStar(pairs)
+    val assign = emb.select(col(id).as("vec_id"))
+      .join(comps, col("vec_id") === col("v"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+    val sizes = assign.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"))
+    assign.join(sizes, "canonical_id")
+      .select(col("vec_id"), col("canonical_id"), col("n_members"),
+        (col("vec_id") === col("canonical_id")).as("keep"))
+  }
 }

@@ -65,6 +65,18 @@ object SimQueries {
       Similarity.cosinePairsIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
     },
 
+    // Semantic dedup KEEPER (SemDeDup shape): q72's IVF-blocked pair
+    // set → star-contraction components → one canonical survivor per
+    // semantic group, every row annotated (canonical_id, n_members,
+    // keep). Oracle: the q72 literal-centroid pair replay composed
+    // with a recursive-CTE component closure and the same min-id
+    // keeper (dynamicOracles — the q93 discipline on the embedding
+    // side).
+    "q141_semantic_dedup" -> { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", 0.4)
+    },
+
     // IVF with the index built ONCE and PERSISTED (centroids +
     // assignments parquet, cached per session/dir), then queried from
     // disk — the production split q51's build-per-query form is the
@@ -296,19 +308,47 @@ object SimQueries {
       else {
         val c72 = Similarity.collectedCentroids(emb, "vec_id", "embedding",
           cells = cells72, lloydIters = 2)
-        Map("q72_embed_neardup_ivf" ->
-          s"""WITH ${ivfSimSql(c72)},
+        // the shared IVF pair pipeline (assignment → candidates →
+        // verified pairs), composed bare by q72 and under a
+        // recursive component closure by q141
+        val pairCtes =
+          s"""${ivfSimSql(c72)},
              |asg AS (SELECT n_id, cell FROM (
              |    SELECT *, row_number() OVER (PARTITION BY n_id
              |      ORDER BY sim DESC, cell) AS arn FROM sim)
              |  WHERE arn <= 2),
              |cand AS (SELECT DISTINCT a.n_id AS id_a, b.n_id AS id_b
-             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id)
-             |SELECT id_a, id_b,
-             |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
-             |FROM cand JOIN e ea ON cand.id_a = ea.vec_id
-             |          JOIN e eb ON cand.id_b = eb.vec_id
-             |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin)
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id),
+             |prs AS (SELECT id_a, id_b,
+             |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+             |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+             |            JOIN e eb ON cand.id_b = eb.vec_id
+             |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4)""".stripMargin
+        Map(
+          "q72_embed_neardup_ivf" ->
+            s"""WITH $pairCtes
+               |SELECT id_a, id_b, cos FROM prs""".stripMargin,
+          // q141: the q93 recursive-closure + min-id keeper discipline
+          // over the q72 pair set
+          "q141_semantic_dedup" ->
+            s"""WITH RECURSIVE $pairCtes,
+               |adj AS (SELECT id_a AS s, id_b AS d FROM prs
+               |        UNION SELECT id_b AS s, id_a AS d FROM prs),
+               |verts AS (SELECT DISTINCT s AS v FROM adj),
+               |reach(v, u) AS (SELECT v, v FROM verts
+               |  UNION
+               |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s),
+               |comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v),
+               |assign AS (SELECT emb.vec_id,
+               |    CAST(coalesce(comp.c, emb.vec_id) AS BIGINT)
+               |      AS canonical_id
+               |  FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.v),
+               |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT)
+               |            AS n_members FROM assign GROUP BY 1)
+               |SELECT a.vec_id, a.canonical_id, s.n_members,
+               |  a.vec_id = a.canonical_id AS keep
+               |FROM assign a JOIN sizes s
+               |  ON a.canonical_id = s.canonical_id""".stripMargin)
       }
     // q119 runs the same parameters against the PERSISTED index; the
     // deterministic build makes disk and in-flight indexes bit-equal,

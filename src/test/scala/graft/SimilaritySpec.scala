@@ -66,6 +66,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r.last._2 >= 0.5, s"LSH ANN recall ${r.last._2}")
   }
 
+  test("semanticDedup groups near-identical vectors under one minimal " +
+       "canonical keeper and leaves the rest as singletons") {
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.4)
+      .select(col("vec_id"), col("canonical_id"), col("n_members"),
+        col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == emb.count(), "every input row comes back")
+    val byGroup = out.groupBy(_._2)
+    byGroup.foreach { case (canon, ms) =>
+      // canonical id is the group's min member, kept exactly once
+      assert(ms.map(_._1).min == canon, s"group $canon keeper not minimal")
+      assert(ms.count(_._4) == 1 && ms.find(_._4).get._1 == canon,
+        s"group $canon keep flags")
+      assert(ms.forall(_._3 == ms.length), s"group $canon size column")
+    }
+    // the q72-verified near-dup pairs must land in one group: grouped
+    // rows exist, and every pair the IVF path emits shares a canonical
+    val pairs = Similarity.cosinePairsIvf(emb, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val canonOf = out.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (x, y) =>
+      assert(canonOf(x) == canonOf(y), s"pair ($x,$y) split across groups")
+    }
+    // dropping keep=false removes exactly sum(group_size - 1)
+    val dropped = out.count(!_._4)
+    assert(dropped == byGroup.values.map(_.length - 1).sum)
+  }
+
   test("cosinePairsLsh recalls the oracle-checked exact near-dup pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
