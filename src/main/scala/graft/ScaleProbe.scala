@@ -443,7 +443,16 @@ object ScaleProbe {
       def qd(d: DataFrame) = shuffled(
         d.agg(QDigestAgg(24, 4096, Seq(0.25, 0.5, 0.75))(col("v")))
           .count())
-      Seq(("countmin", cm _), ("hll-reg", hll _), ("q-digest", qd _))
+      // heavy hitters: a planted ~20% key over the supplier keyspace —
+      // shuffle moves only candidates (≤ s·partitions) + the recount
+      // of the few survivors, never the keyspace
+      def hh(d: DataFrame) = shuffled(
+        Sketches.heavyHitters(
+          d.select(when(pmod(col("v"), lit(5)) === 0, lit("hot"))
+            .otherwise(col("k")).as("k")),
+          col("k"), 1L, 10L, 15).count())
+      Seq(("countmin", cm _), ("hll-reg", hll _), ("q-digest", qd _),
+          ("mg-heavyhit", hh _))
         .foreach { case (nm, f) =>
           f(li) // codegen warmup
           val (wb, rb2) = f(li); val (wB, rB2) = f(li10)

@@ -756,8 +756,14 @@ object Similarity {
     * the raw vectors after pair verification. */
   def semanticDedup(emb: DataFrame, id: String, vec: String,
                     minCos: Double): DataFrame = {
-    val pairs = cosinePairsIvf(emb, id, vec, minCos)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
+    // checkpointAlways: the CC loop consumes the edge list twice
+    // (vertex set + round 0) and would otherwise evaluate the whole
+    // IVF pair pipeline per consumer — and in no-checkpoint audit
+    // mode an un-truncated loop input replicates the pair subtree
+    // ~4^rounds times (the Dedup.resolveEntities lesson)
+    val pairs = graft.Checkpoints.checkpointAlways(
+      cosinePairsIvf(emb, id, vec, minCos)
+        .select(col("id_a").as("a"), col("id_b").as("b")))
     val comps = Graph.connectedComponentsStar(pairs)
     val assign = emb.select(col(id).as("vec_id"))
       .join(comps, col("vec_id") === col("v"), "left")
