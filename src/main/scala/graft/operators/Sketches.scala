@@ -278,6 +278,64 @@ object Sketches {
       .filter(col("cnt") >= threshold)
   }
 
+  /** Per-partition Misra-Gries SUMMARIES with counts — the mergeable
+    * form of [[heavyHitters]]'s pass 1: one row per partition holding
+    * its s-counter summary as parallel (keys, counts) arrays plus the
+    * partition's row count. Combine across partitions / batches with
+    * [[mgMerge]]. */
+  def mgSummaries(rows: DataFrame, key: Column,
+                  summarySize: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
+        it.foreach { k =>
+          n += 1L
+          if (counters.contains(k)) counters(k) += 1L
+          else if (counters.size < summarySize) counters(k) = 1L
+          else {
+            counters.mapValuesInPlace((_, v) => v - 1L)
+            counters.filterInPlace((_, v) => v > 0L)
+          }
+        }
+        val ks = counters.keys.toArray.sorted
+        Iterator.single((ks, ks.map(counters), n))
+      }.toDF("ks", "cnts", "n")
+  }
+
+  /** Mergeable-summaries MG merge (Agarwal, Cormode, Huang, Phillips,
+    * Wei, Yi, "Mergeable Summaries", PODS 2012 — public result): sum
+    * counters keywise, and if more than `summarySize` keys survive,
+    * subtract the (s+1)-th largest count from every counter and drop
+    * the non-positive ones. The merged summary keeps the MG guarantee
+    * OF THE UNION stream: any key with true count > n/(s+1) over the
+    * combined input survives, whatever the merge tree — which is what
+    * makes the per-batch summaries a streaming-maintainable state
+    * whose final candidate set still needs only the [[heavyHitters]]
+    * recount to become exact. Deterministic: pure function of its
+    * inputs, ties need no breaking (subtraction treats all keys
+    * alike). */
+  def mgMerge(xs: Map[String, Long], ys: Map[String, Long],
+              summarySize: Int): Map[String, Long] = {
+    val sum = scala.collection.mutable.HashMap.empty[String, Long]
+    (xs.iterator ++ ys.iterator).foreach { case (k, v) =>
+      sum(k) = sum.getOrElse(k, 0L) + v
+    }
+    if (sum.size <= summarySize) sum.toMap
+    else {
+      // (s+1)-th largest count — the smallest amount whose subtraction
+      // leaves at most s positive counters
+      val cs = sum.values.toArray.sorted(Ordering[Long].reverse)
+      val dec = cs(summarySize)
+      sum.iterator.collect {
+        case (k, v) if v - dec > 0L => k -> (v - dec)
+      }.toMap
+    }
+  }
+
   /** PER-GROUP exact heavy hitters — [[heavyHitters]] with an
     * independent share threshold per group (frequent items per
     * tenant/source): non-null (group, key) pairs where the key's

@@ -198,6 +198,45 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.exists(_._1 == "A") && brute.exists(_._1 == "B"))
   }
 
+  test("mergeable MG summaries keep the union-stream superset " +
+       "guarantee under any merge order and batch split") {
+    // zipf corpus split into shuffled "batches"; whatever the split
+    // and fold order, every key above share 1/(s+1) of the UNION
+    // stream must survive the merged summary (Agarwal et al. 2012)
+    val s = 25
+    val all = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"k$i"))
+    val n = all.size.toLong
+    val trueHeavy = all.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (s + 1) > n }.keySet
+    assert(trueHeavy.nonEmpty)
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val shuffled = rnd.shuffle(all)
+      val batches = shuffled.grouped(shuffled.size / 4 + 1).toSeq
+      val summaries = batches.map { b =>
+        val df = b.toDF("k").repartition(trial * 3)
+        Sketches.mgSummaries(df, col("k"), s)
+          .as[(Array[String], Array[Long], Long)].collect()
+          .map { case (ks, cs, _) => ks.zip(cs).toMap }
+          .foldLeft(Map.empty[String, Long])(Sketches.mgMerge(_, _, s))
+      }
+      val leftFold = summaries.reduceLeft(Sketches.mgMerge(_, _, s))
+      val rightFold = summaries.reduceRight(Sketches.mgMerge(_, _, s))
+      Seq("left" -> leftFold, "right" -> rightFold).foreach {
+        case (order, merged) =>
+          assert(merged.size <= s, s"trial $trial $order size")
+          val missing = trueHeavy -- merged.keySet
+          assert(missing.isEmpty,
+            s"trial $trial $order lost true heavies $missing")
+          // MG counts never overestimate the true count
+          val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+          merged.foreach { case (k, c) =>
+            assert(c <= exact.getOrElse(k, 0L), s"$k overestimated")
+          }
+      }
+    }
+  }
+
   test("heavyHitters ignores null keys in both the count base and " +
        "the output") {
     // 10 nulls + 20 non-null rows: n must be 20, so "h" (8/20 = 40%)
