@@ -406,6 +406,49 @@ object EventStreams {
       }
   }
 
+  case class MgShard(shard: Int, ks: Seq[String], cnts: Seq[Long], n: Long)
+
+  /** Streaming heavy-hitter CANDIDATE maintenance — q137's
+    * Misra-Gries pass kept live over a key stream. Keys hash to
+    * `shards` state groups; each shard folds its arrivals into an
+    * s-counter summary held as keyed state (`mapGroupsWithState` —
+    * ≤ s counters per shard however large the keyspace grows, the
+    * same bounded-state discipline as the Count-Min and HLL twins).
+    * Because hashing routes ALL of a key's occurrences to ONE shard,
+    * a globally heavy key (count > n/(s+1) ≥ n_shard/(s+1)) survives
+    * its shard's MG guarantee, so the union of shard summaries is a
+    * SUPERSET of the true union-stream heavies under ANY batch split
+    * and arrival order — the exact answer then needs only the q137
+    * recount over the few candidates. StreamingSpec replays shuffled
+    * batches and asserts exactly that: candidates ⊇ true heavies,
+    * per-shard state bounded, and the candidate recount equal to the
+    * batch q137 pipeline's output. */
+  def heavyHitterCandidates(keys: Dataset[String], summarySize: Int,
+                            shards: Int = 32): Dataset[MgShard] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(k => math.floorMod(k.hashCode, shards))
+      .mapGroupsWithState[MgShard, MgShard](GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[String], state: GroupState[MgShard]) =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(s =>
+            s.ks.zip(s.cnts).foreach { case (k, c) => counters(k) = c })
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { k =>
+            n += 1L
+            if (counters.contains(k)) counters(k) += 1L
+            else if (counters.size < summarySize) counters(k) = 1L
+            else {
+              counters.mapValuesInPlace((_, v) => v - 1L)
+              counters.filterInPlace((_, v) => v > 0L)
+            }
+          }
+          val ks = counters.keys.toArray.sorted
+          val next = MgShard(shard, ks.toSeq, ks.map(counters).toSeq, n)
+          state.update(next)
+          next
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState (the reference-shaped "custom state" hook —
     * SURVEY.md §2.10). Emits an updated total per key per batch. */

@@ -556,6 +556,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("heavyHitterCandidates shard summaries stay a superset of the " +
+       "true heavies under shuffled batches, and the candidate recount " +
+       "equals the batch q137 answer") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextFns
+    val s = 150
+    val words = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(TextFns.words(TextFns.norm($"text"))).as("w"))
+      .as[String].collect().toSeq
+    val n = words.size.toLong
+    val thr = (n + 99L) / 100L // ceil(n/100) — q137's rational share
+    val exactCounts = words.groupBy(identity).view.mapValues(_.size.toLong)
+    val trueHeavy = exactCounts.filter(_._2 >= thr).toMap
+    assert(trueHeavy.nonEmpty)
+    val ms = MemoryStream[String]
+    val q = EventStreams.heavyHitterCandidates(ms.toDS(), s)
+      .writeStream.format("memory").queryName("hhstream")
+      .outputMode("update").start()
+    try {
+      val shuffled = new scala.util.Random(17).shuffle(words)
+      shuffled.grouped(math.max(1, shuffled.size / 4)).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      // final state per shard = the update with the largest n (n is
+      // monotone per shard; the memory sink keeps every update)
+      val finals = spark.table("hhstream")
+        .as[(Int, Seq[String], Seq[Long], Long)].collect()
+        .groupBy(_._1).map(_._2.maxBy(_._4)).toSeq
+      assert(finals.map(_._4).sum == n, "shard counts cover the stream")
+      assert(finals.forall(_._2.size <= s), "per-shard state bounded")
+      val candidates = finals.flatMap(_._2).toSet
+      assert(trueHeavy.keySet.subsetOf(candidates),
+        s"lost heavies ${trueHeavy.keySet -- candidates}")
+      // exact recount of candidates only — the q137 second pass —
+      // reproduces the batch answer
+      val recounted = candidates.toSeq
+        .map(k => k -> exactCounts.getOrElse(k, 0L))
+        .filter(_._2 >= thr).toMap
+      assert(recounted == trueHeavy)
+      // and the batch q137 pipeline agrees on the same corpus
+      val batchQ = SparkEntry.queries("q137_heavy_hitters")(
+          spark, "/root/testdata/sf0.001")
+        .as[(String, Long)].collect().toMap
+      assert(batchQ == trueHeavy)
+    } finally q.stop()
+  }
+
   test("windowQuantiles streamed answers satisfy the declared rank-error " +
        "bound against exact per-window ranks (cross-batch, shuffled order)") {
     implicit val ctx = spark.sqlContext
