@@ -237,6 +237,19 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("heavyHitters and the grouped form return empty on empty and " +
+       "all-null inputs (the zero-total path)") {
+    val empty = Seq.empty[String].toDF("k")
+    assert(Sketches.heavyHitters(empty, col("k"), 1L, 10L, 15)
+      .collect().isEmpty)
+    val nulls = Seq[Option[String]](None, None).toDF("k")
+    assert(Sketches.heavyHitters(nulls, col("k"), 1L, 10L, 15)
+      .collect().isEmpty)
+    val emptyG = Seq.empty[(String, String)].toDF("g", "k")
+    assert(Sketches.heavyHittersByGroup(emptyG, col("g"), col("k"),
+      1L, 10L, 15).collect().isEmpty)
+  }
+
   test("heavyHitters ignores null keys in both the count base and " +
        "the output") {
     // 10 nulls + 20 non-null rows: n must be 20, so "h" (8/20 = 40%)
