@@ -617,6 +617,25 @@ object GraphQueries {
       Graph.multiSourceBfs(e, srcs, depth = 3)
     },
 
+    // Landmark CLOSENESS centrality — the aggregation the landmark
+    // BFS exists for: per source, vertices reached and total hop
+    // distance within the horizon. Closeness = (n_reached − 1) /
+    // total_dist, kept as the exact integer pair (the q66 ratio
+    // discipline — one terminal IEEE division belongs to the reader).
+    // Same spine, sources, and horizon as q114, so the oracle is the
+    // q114 unrolled-BFS replay with a GROUP BY on top.
+    "q142_landmark_closeness" -> { (s, d) =>
+      val e = knnEdges(s, d)
+      val srcs = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Graph.multiSourceBfs(e, srcs, depth = 3)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("level")).as("total_dist"))
+    },
+
     // Pure-SQL composition over the REGISTERED graph views — proves a
     // SQL-only user reaches the graph layer (components, triangles)
     // without touching the Scala API: per component, vertex count and
@@ -1043,6 +1062,31 @@ object GraphQueries {
          |${round(2)},
          |${round(3)}
          |SELECT src, v, CAST(level AS BIGINT) AS level FROM m3""".stripMargin
+    },
+
+    // q142: the q114 replay aggregated per source
+    "q142_landmark_closeness" -> {
+      def round(k: Int) =
+        s"""m$k AS MATERIALIZED (SELECT src, v, min(level) AS level FROM (
+           |  SELECT src, v, level FROM m${k - 1}
+           |  UNION ALL
+           |  SELECT m${k - 1}.src, badj.d AS v, m${k - 1}.level + 1
+           |  FROM m${k - 1} JOIN badj ON m${k - 1}.v = badj.s)
+           |  GROUP BY src, v)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |badj AS (SELECT a AS s, b AS d FROM ed
+         |         UNION SELECT b AS s, a AS d FROM ed),
+         |srcs AS (SELECT v FROM (SELECT DISTINCT s AS v FROM badj)
+         |         ORDER BY v LIMIT 3),
+         |m0 AS MATERIALIZED (SELECT v AS src, v, CAST(0 AS BIGINT) AS level
+         |                    FROM srcs),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(level) AS BIGINT) AS total_dist
+         |FROM m3 GROUP BY src""".stripMargin
     },
 
     // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the
