@@ -136,6 +136,26 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(cnt == wantCnt)
   }
 
+  test("learnMerges equals the reference learner on random corpora " +
+       "(histogram rewrite property)") {
+    // the histogram restructure's claim — freq-weighted vocabulary
+    // pair counts equal corpus pair counts — checked on seeded random
+    // corpora with repeated words, punctuation, numerics, and empties
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("the", "cat", "sat", "mat", "dog", "state", "art",
+      "gate", "at", "a", "42", "cat!", "The", "  ", "")
+    (1 to 5).foreach { trial =>
+      val texts = Seq.fill(8)(
+        Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Bpe.learnMerges(docs, $"text", 6)
+      val want = referenceLearn(texts, 6)
+      assert(got == want, s"trial $trial: learned $got, reference $want")
+    }
+  }
+
   test("learnMerges stops early when no pair repeats") {
     val docs = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
     // every adjacent pair occurs once — nothing reaches the n >= 2 bar
