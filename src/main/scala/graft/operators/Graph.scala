@@ -564,6 +564,66 @@ object Graph {
     r.select(col("vx").as("v"), col("r").as("rank_scaled"))
   }
 
+  /** PERSONALIZED PageRank (PPR) — importance relative to a SEED set
+    * (Page et al.'s personalization vector; the seed-based relevance
+    * ranking recommender and similarity systems run): teleport mass
+    * and dangling mass restart to the seeds (scale/|S| each) instead
+    * of uniformly, and ranks start on the seeds — so rank flows
+    * outward from the seed neighborhood and unreachable vertices hold
+    * exactly 0. Same exact-int64 discipline as
+    * [[pageRankDirectedInt]]: every step is integer floor division,
+    * so the rounds unroll as exact oracle CTEs (q143). With seeds =
+    * ALL vertices the recursion is term-for-term the uniform directed
+    * form — GraphSpec asserts that equality as the cross-operator
+    * consistency property.
+    *
+    * Scale shape: one keyed join + groupBy per round over the edge
+    * list (identical dataflow to the uniform form); the seed set
+    * rides as a 0/1 vertex column, never a driver-side loop. */
+  def pageRankPersonalizedInt(edges: DataFrame, seeds: Seq[Long],
+                              src: String = "src", dst: String = "dst",
+                              iters: Int = 3,
+                              scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalization needs a non-empty seed set")
+    val e = Checkpoints.checkpoint(
+      edges.select(col(src).as("s"), col(dst).as("d"))
+        .filter(col("s").isNotNull && col("d").isNotNull &&
+          col("s") =!= col("d")).distinct())
+    val k = seeds.size.toLong
+    val verts = e.select(col("s").as("vx"))
+      .union(e.select(col("d").as("vx"))).distinct()
+      .withColumn("isw",
+        when(col("vx").isin(seeds: _*), lit(1L)).otherwise(lit(0L)))
+    val ow = e.groupBy(col("s")).agg(count(lit(1)).as("odg"))
+    val tele = (15L * (scale / k)) / 100L
+    var r = Checkpoints.checkpoint(
+      verts.select(col("vx"), (col("isw") * lit(scale / k)).as("r")))
+    var i = 0
+    while (i < iters) {
+      val withOw = r.join(ow, r("vx") === ow("s"), "left")
+      val dang = withOw.filter(col("odg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .select(expr(s"dm div $k").as("dsh"))
+      val shares = withOw.filter(col("odg").isNotNull)
+        .select(col("vx").as("sv"), col("r"), col("odg"))
+      val contrib = e.join(shares, e("s") === col("sv"))
+        .select(e("d").as("cv"), expr("r div odg").as("share"))
+        .groupBy(col("cv")).agg(sum(col("share")).as("m"))
+      val nxt = Checkpoints.checkpoint(
+        verts.join(contrib, verts("vx") === col("cv"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("vx"),
+            (lit(tele) * col("isw") +
+              expr("(85 * (coalesce(m, 0) + isw * dsh)) div 100"))
+              .as("r")))
+      Checkpoints.release(r)
+      r = nxt
+      i += 1
+    }
+    Checkpoints.release(e)
+    r.select(col("vx").as("v"), col("r").as("rank_scaled"))
+  }
+
   /** k-truss decomposition by iterative peel over [[triangleSupport]]:
     * drop every edge with support < k−2, recompute support on the
     * surviving subgraph, repeat to fixpoint. The k-truss is the

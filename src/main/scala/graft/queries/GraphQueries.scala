@@ -636,6 +636,22 @@ object GraphQueries {
           sum(col("level")).as("total_dist"))
     },
 
+    // PERSONALIZED PageRank over the citation spine — importance
+    // relative to a 3-vertex seed set (the lowest spine ids, the q114
+    // landmark convention): teleport and dangling mass restart to the
+    // seeds, ranks start on the seeds, unreachable vertices hold
+    // exactly 0. Exact int64 throughout, so the oracle unrolls the
+    // rounds with the seed-gated teleport term; GraphSpec pins
+    // seeds=ALL ≡ the uniform directed form.
+    "q143_personalized_pagerank" -> { (s, d) =>
+      val ce = citationEdges(s, d)
+      val seeds = ce.select(col("src").as("v"))
+        .union(ce.select(col("dst").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Graph.pageRankPersonalizedInt(ce, seeds)
+    },
+
     // Pure-SQL composition over the REGISTERED graph views — proves a
     // SQL-only user reaches the graph layer (components, triangles)
     // without touching the Scala API: per component, vertex count and
@@ -780,6 +796,45 @@ object GraphQueries {
        |od AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS odg
        |      FROM de GROUP BY s),
        |r0 AS MATERIALIZED (SELECT v, $S // c AS r FROM verts, nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+  }
+
+  // directedPageRankOracleSql with the seed-gated teleport: teleport
+  // and dangling mass go to the 3 lowest spine vertices (isw flag),
+  // ranks start on the seeds — term-for-term the Spark recursion
+  private lazy val personalizedPageRankOracleSql: String = {
+    val S = "1000000000000"
+    def round(k: Int) =
+      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(r.r), 0) AS dm
+         |       FROM r${k - 1} r
+         |       WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.s = r.v)),
+         |c$k AS MATERIALIZED (SELECT de.d AS v, sum(r.r // od.odg) AS m
+         |       FROM de JOIN r${k - 1} r ON de.s = r.v
+         |               JOIN od ON de.s = od.s
+         |       GROUP BY de.d),
+         |r$k AS MATERIALIZED (SELECT sv.v, sv.isw,
+         |         (15 * ($S // 3)) // 100 * sv.isw
+         |           + (85 * (coalesce(c$k.m, 0)
+         |                    + sv.isw * (d$k.dm // 3))) // 100
+         |           AS r
+         |       FROM sv CROSS JOIN d$k
+         |            LEFT JOIN c$k ON sv.v = c$k.v)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |$citationEdgeSql,
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |            SELECT s AS v FROM de UNION ALL SELECT d FROM de) sv2),
+       |seeds AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+       |sv AS MATERIALIZED (SELECT verts.v,
+       |        CASE WHEN verts.v IN (SELECT v FROM seeds)
+       |             THEN 1 ELSE 0 END AS isw
+       |      FROM verts),
+       |od AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS odg
+       |      FROM de GROUP BY s),
+       |r0 AS MATERIALIZED (SELECT v, isw, isw * ($S // 3) AS r FROM sv),
        |${round(1)},
        |${round(2)},
        |${round(3)}
@@ -1039,6 +1094,8 @@ object GraphQueries {
     "q104_citation_hits" -> hitsOracleSql,
 
     "q105_citation_pagerank_weighted" -> weightedPageRankOracleSql,
+
+    "q143_personalized_pagerank" -> personalizedPageRankOracleSql,
 
     // multi-source BFS unrolled: 3 MATERIALIZED min-level rounds from
     // the 3 lowest spine vertices — hop BFS is weight-1 relaxation

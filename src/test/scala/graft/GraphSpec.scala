@@ -255,6 +255,28 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("pageRankPersonalizedInt with seeds=ALL equals the uniform " +
+       "directed form, and unreachable vertices hold exactly 0") {
+    // two components: a 0→1→2 chain and an isolated 5→6 edge
+    val es = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L, 5L, 6L)
+    // seeds = ALL vertices ⇒ tele = 15·(scale/5)/100 and dsh = dm/5
+    // for every vertex — term-for-term the uniform recursion
+    val ppr = Graph.pageRankPersonalizedInt(es, verts, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val uni = Graph.pageRankDirectedInt(es, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == uni)
+    // seeds = {0}: the 5→6 component is unreachable and must hold 0
+    val seeded = Graph.pageRankPersonalizedInt(es, Seq(0L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(seeded(5L) == 0L && seeded(6L) == 0L)
+    assert(seeded(0L) > 0L && seeded(1L) > 0L && seeded(2L) > 0L)
+    // rank decays with distance from the seed
+    assert(seeded(0L) > seeded(1L) && seeded(1L) > seeded(2L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("pageRankDirectedInt splits mass by edge weight when given one") {
     // 0 cites 1 (w=3) and 2 (w=1): 1 gets 3/4 of 0's mass, 2 gets 1/4.
     // n=3, r0 = 333333333333, tele = 49999999999; 1 and 2 dangle →
