@@ -41,6 +41,7 @@ object Explain {
     "q98_citation_pagerank", // broadcast dangling-mass scalar, 1 row/round
     "q104_citation_hits",   // broadcast L1-total scalar, 1 row/half-round
     "q105_citation_pagerank_weighted", // dangling scalar (q98 shape)
+    "q143_personalized_pagerank", // dangling scalar (q98 shape)
     "q117_grouped_quantiles", // broadcast groups(≤5)×probs(4) target grid
     "q118_bpe_budget",      // broadcast corpus-total scalar (q42 shape)
     "q119_ann_ivf_indexed", // broadcast centroid probe assignment (q51 shape)
