@@ -644,7 +644,9 @@ object GraphQueries {
     // rounds with the seed-gated teleport term; GraphSpec pins
     // seeds=ALL ≡ the uniform directed form.
     "q143_personalized_pagerank" -> { (s, d) =>
-      val ce = citationEdges(s, d)
+      // two consumers (the seed pick and the rank loop's edge
+      // checkpoint) — materialize the citation spine once
+      val ce = graft.Checkpoints.checkpoint(citationEdges(s, d))
       val seeds = ce.select(col("src").as("v"))
         .union(ce.select(col("dst").as("v")))
         .distinct().orderBy(col("v")).limit(3)
