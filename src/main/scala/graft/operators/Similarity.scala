@@ -765,14 +765,17 @@ object Similarity {
       cosinePairsIvf(emb, id, vec, minCos)
         .select(col("id_a").as("a"), col("id_b").as("b")))
     val comps = Graph.connectedComponentsStar(pairs)
-    val assign = emb.select(col(id).as("vec_id"))
-      .join(comps, col("vec_id") === col("v"), "left")
-      .select(col("vec_id"),
-        coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+    // echo the caller's id column name in the output (the sibling-
+    // operator convention) — `__sd_id` is a collision-safe internal
+    val assign = emb.select(col(id).as("__sd_id"))
+      .join(comps, col("__sd_id") === col("v"), "left")
+      .select(col("__sd_id"),
+        coalesce(col("comp"), col("__sd_id")).as("canonical_id"))
     val sizes = assign.groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("n_members"))
     assign.join(sizes, "canonical_id")
-      .select(col("vec_id"), col("canonical_id"), col("n_members"),
-        (col("vec_id") === col("canonical_id")).as("keep"))
+      .select(col("__sd_id").as(id), col("canonical_id"),
+        col("n_members"),
+        (col("__sd_id") === col("canonical_id")).as("keep"))
   }
 }

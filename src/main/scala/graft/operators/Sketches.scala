@@ -207,10 +207,13 @@ object Sketches {
     * Pass 1 runs an s-counter Misra-Gries summary INSIDE each
     * partition (`mapPartitions` — the genuinely imperative per-
     * partition case SURVEY §7.3 reserves it for) and emits that
-    * partition's row count ALONGSIDE its summary, so `n` is by
-    * construction the count of the very stream that was summarized
-    * (one scan, no separate `count()` that a changing source could
-    * diverge from). Every key whose partition-local count EXCEEDS
+    * partition's row count ALONGSIDE its summary, so within pass 1
+    * `n` and the summaries describe the very same scan (no separate
+    * `count()` job that could see different rows). Pass 2 does
+    * re-scan the source to recount candidates, so end-to-end
+    * exactness still assumes the source is deterministic across the
+    * two passes — as every multi-pass Spark job does. Every key
+    * whose partition-local count EXCEEDS
     * n_p/(s+1) survives its partition's summary; a globally heavy key
     * (count > Σ n_p/(s+1) = n/(s+1)) must by pigeonhole be partition-
     * heavy somewhere. The MG survival guarantee is STRICT (>), so the

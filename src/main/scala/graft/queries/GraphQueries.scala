@@ -651,6 +651,11 @@ object GraphQueries {
         .union(ce.select(col("dst").as("v")))
         .distinct().orderBy(col("v")).limit(3)
         .collect().map(_.getLong(0)).toSeq
+      // The oracle's integer arithmetic divides by the literal seed
+      // count 3 ($S // 3); if the spine ever yields fewer vertices the
+      // two engines would silently diverge — fail loudly instead.
+      require(seeds.size == 3,
+        s"q143 oracle assumes exactly 3 seeds, spine yielded ${seeds.size}")
       Graph.pageRankPersonalizedInt(ce, seeds)
     },
 

@@ -203,8 +203,9 @@ object SimQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin,
 
-    // signLshTopK(k=5, numPlanes=16, rowsPerBand=4, multiProbe): the
-    // query side probes its own bucket plus the 4 Hamming-1 keys.
+    // signLshTopK(k=5, numPlanes=16, rowsPerBand=4, probes=4 — the
+    // default probe count): the query side probes its own bucket plus
+    // the 4 Hamming-1 keys (band-key bits 0..3 flipped).
     "q29_ann_lsh_topk" ->
       s"""WITH ${lshBitsSql(numPlanes = 16, rowsPerBand = 4)},
          |qb AS (SELECT vec_id AS q_id, band,
