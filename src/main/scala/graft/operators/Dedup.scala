@@ -484,4 +484,71 @@ object Dedup {
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** EXACT substring-span dedup: every maximal span of ≥ `minTokens`
+    * whitespace tokens that occurs (normalized) more than once in the
+    * corpus — the span-level duplication of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL 2022 — public
+    * method), re-expressed relationally: their suffix-array pass over
+    * the concatenated corpus becomes a sorted-shingle-run pass, which
+    * is the same information for fixed minimum length L.
+    *
+    * Method: emit every L-token shingle with its start position; a
+    * shingle whose corpus-wide occurrence count is ≥ 2 marks L
+    * duplicated tokens starting there; CONSECUTIVE duplicated start
+    * positions within a document merge (gaps-and-islands on
+    * pos − row_number, the q111/q139 rank discipline — here the rank
+    * is per-document, so the window never crosses doc boundaries)
+    * into one maximal span. Output one row per (doc, maximal span):
+    * token offsets [span_start, span_end] (0-based, inclusive),
+    * span_tokens = its length, and n_copies = the MINIMUM corpus
+    * occurrence count over the span's shingles — the number of times
+    * the FULL span text appears is at most that, and equals it when
+    * the span repeats as a unit (a conservative, deterministic,
+    * oracle-replayable count).
+    *
+    * Unlike fixed-window chunk dedup (q94), a duplicated paragraph
+    * that STRADDLES a chunk cut is still found: the shingle runs
+    * don't know about chunk boundaries.
+    *
+    * Scale shape: shingling is the [[docShingles]] lead-window form
+    * (one shuffle on the doc id, stays in codegen); shingles are
+    * hashed to 8-byte longs before the frequency shuffle (collision
+    * merging two distinct shingles ~n²·2⁻⁶⁴ — negligible, same
+    * argument as [[ngramJaccardPairs]]); the frequency count is a
+    * key-hash groupBy (never all-pairs); the island merge is a
+    * per-document window. Nothing touches the driver. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, "a span of < 2 tokens is word frequency")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val base = df.select(col(idCol),
+      posexplode(TextFns.words(TextFns.norm(col(textCol))))
+        .as(Seq("pos", "w0")))
+    val withLeads = (1 until minTokens).foldLeft(base)((acc, k) =>
+      acc.withColumn(s"w$k", lead(col("w0"), k).over(w)))
+    // checkpoint: the frequency aggregate AND the run join both read
+    // the shingle set; without it the shingling re-evaluates per use
+    val sh = graft.Checkpoints.checkpoint(
+      withLeads.filter(col(s"w${minTokens - 1}").isNotNull)
+        .select(col(idCol), col("pos").cast("long").as("pos"),
+          xxhash64(concat_ws(" ",
+            (0 until minTokens).map(k => col(s"w$k")): _*)).as("hk")))
+    val freq = sh.groupBy(col("hk"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    // sh stays checkpointed until the caller's action completes (the
+    // harness releaseAll); releasing here would drop blocks the lazy
+    // result still needs — truncated lineage cannot recompute.
+    sh.join(freq, "hk")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minTokens - 1).cast("long")).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(minTokens).cast("long"))
+          .as("span_tokens"),
+        min(col("n_occ")).as("n_copies"))
+      .drop("grp")
+  }
 }

@@ -320,6 +320,18 @@ object TextQueries {
         .select(col("doc_id"), col("start_tok"), col("fp"), col("n_copies"))
     },
 
+    // EXACT substring-span dedup (Lee et al. ACL'22 at fixed minimum
+    // length, relational form): maximal duplicated spans ≥ 8 tokens
+    // with exact token offsets — finds a duplicated paragraph even
+    // when it straddles q94's chunk cuts. Oracle replays the sorted-
+    // shingle-run detection (islands on pos − row_number) with the
+    // shingle STRING as the frequency key where the Spark side uses
+    // its xxhash64 (identical counts barring ~n²·2⁻⁶⁴ collisions —
+    // the q25 convention).
+    "q144_span_dedup" -> { (s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", 8)
+    },
+
     // Entity resolution END-TO-END under the hash gate: near-dup pair
     // generation (PPJoin, q25 semantics at jaccard >= 0.8) → O(log n)
     // star-contraction components → canonical assignment + group size.
@@ -1214,6 +1226,28 @@ object TextQueries {
          |      GROUP BY 1 HAVING count(*) > 1)
          |SELECT f.doc_id, f.start_tok, f.fp, g.n_copies
          |FROM f JOIN g USING (fp)""".stripMargin,
+
+    // Islands on pos − row_number per doc, exactly the Spark merge;
+    // generate_series slice indices are 1-based, positions 0-based.
+    "q144_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |        array_to_string(ws[i : i + 7], ' ') AS sh
+         |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7))
+         |              AS i
+         |            FROM t WHERE len(ws) >= 8)),
+         |c AS (SELECT sh, CAST(count(*) AS BIGINT) AS n_occ FROM s
+         |      GROUP BY 1 HAVING count(*) >= 2),
+         |d AS (SELECT s.doc_id, s.pos, c.n_occ,
+         |        s.pos - row_number()
+         |          OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS grp
+         |      FROM s JOIN c USING (sh))
+         |SELECT doc_id, min(pos) AS span_start,
+         |  max(pos) + 7 AS span_end,
+         |  max(pos) - min(pos) + 8 AS span_tokens,
+         |  min(n_occ) AS n_copies
+         |FROM d GROUP BY doc_id, grp""".stripMargin,
 
     "q93_entity_resolution" ->
       s"""WITH RECURSIVE $shSql,

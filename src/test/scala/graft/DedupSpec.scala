@@ -149,4 +149,78 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(banded == brute)
     assert(banded.nonEmpty) // the corpus plants near-duplicates
   }
+
+  test("duplicateSpans finds a cross-document span invisible to " +
+    "whole-chunk fingerprints, with exact maximal offsets") {
+    // a 20-token span shared by three docs at DIFFERENT offsets and
+    // inside different filler — q94-style whole-chunk fingerprints
+    // (hash of all 50 chunk tokens) can never match because the
+    // surrounding filler differs, and in doc 1 the span straddles the
+    // chunk-stride cut at token 40; span detection must still find it
+    val span = (0 until 20).map(i => s"s$i")
+    def filler(doc: Int, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"f${doc}x$i")
+    val fix = Seq(
+      (1L, (filler(1, 30) ++ span ++ filler(1, 10, 30)).mkString(" ")),
+      (2L, (span ++ filler(2, 40)).mkString(" ")),
+      (3L, (filler(3, 5) ++ span ++ filler(3, 35, 5)).mkString(" ")),
+      (4L, filler(4, 60).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(fix, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // each doc reports ONE maximal span (overlapping windows merged),
+    // all 20 tokens long, 3 corpus copies of every shingle
+    assert(got == Set(
+      (1L, 30L, 49L, 20L, 3L),
+      (2L, 0L, 19L, 20L, 3L),
+      (3L, 5L, 24L, 20L, 3L)))
+  }
+
+  test("duplicateSpans merges a WITHIN-document repeat into two spans") {
+    // the span repeats inside one doc; both occurrences come back,
+    // separated by unique filler (no cross-run merge)
+    val span = (0 until 10).map(i => s"r$i")
+    val fix = Seq(
+      (1L, (span ++ (0 until 7).map(i => s"u$i") ++ span).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(fix, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 9L, 10L, 2L), (1L, 17L, 26L, 10L, 2L)))
+  }
+
+  test("duplicateSpans is exact vs brute force on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab → dense repeats
+    val L = 4
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, Seq.fill(10 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // brute force: L-gram counts over the corpus, islands per doc
+    val grams = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      ws.sliding(L).zipWithIndex.collect {
+        case (g, p) if g.length == L => (id, p.toLong, g.mkString(" "))
+      }
+    }
+    val occ = grams.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val brute = grams.filter(g => occ(g._3) >= 2).groupBy(_._1).toSeq
+      .flatMap { case (id, gs) =>
+        val sorted = gs.sortBy(_._2)
+        // split into runs of consecutive positions
+        sorted.foldLeft(List.empty[List[(Long, Long, String)]]) {
+          case (acc @ (run :: rest), g) if g._2 == run.head._2 + 1 =>
+            (g :: run) :: rest
+          case (acc, g) => List(g) :: acc
+        }.map { run =>
+          val ps = run.map(_._2)
+          (id, ps.min, ps.max + L - 1, ps.max - ps.min + L,
+            run.map(g => occ(g._3)).min)
+        }
+      }.toSet
+    val got = Dedup.duplicateSpans(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the tiny vocab guarantees repeats
+  }
 }
