@@ -334,6 +334,59 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Build [[cosinePairsIvf]]'s blocking structure ONCE and PERSIST it
+    * (the [[buildIvfIndex]] discipline applied to the DEDUP regime):
+    * data-adaptive cell count (max(4, n/targetCellSize)), Lloyd
+    * centroids, and the MULTI-probe corpus assignments (nprobe ≥ 2 —
+    * dedup recall lives in corpus-side multi-probe, unlike the
+    * serving index's single-probe postings) land as parquet under
+    * `outDir`. The pipeline is bit-deterministic and parquet
+    * round-trips doubles bit-exact, so pairs served from the written
+    * index are IDENTICAL to the in-flight [[cosinePairsIvf]] pairs at
+    * the same parameters — which keeps q141's literal-centroid oracle
+    * replay valid against the indexed form (SimilaritySpec pins it). */
+  def buildIvfDedupIndex(emb: DataFrame, id: String, vec: String,
+                         outDir: String, targetCellSize: Int = 256,
+                         nprobe: Int = 2, lloydIters: Int = 2): Unit = {
+    val c = graft.Checkpoints.checkpoint(emb.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    val cells = math.max(4L, c.count() / targetCellSize).toInt
+    val centroids = lloydCentroids(c, cells, lloydIters)
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids.parquet")
+    val written = emb.sparkSession.read.parquet(s"$outDir/centroids.parquet")
+    val assigned =
+      if (cells > 64) assignCellsHierarchical(c, written, nprobe)
+      else assignCells(c, written, nprobe)
+    assigned.write.mode("overwrite").parquet(s"$outDir/assignments.parquet")
+    graft.Checkpoints.release(centroids)
+    graft.Checkpoints.release(c)
+  }
+
+  /** [[cosinePairsIvf]] served from a PERSISTED index
+    * ([[buildIvfDedupIndex]]): candidates come from the written
+    * multi-probe assignments (shuffle on cell id only), the raw
+    * vectors appear once, in the exact-cosine verify. No Lloyd
+    * rounds, no assignment pass — the per-run cost profile an index
+    * exists for. */
+  def cosinePairsIvfIndexed(indexDir: String, emb: DataFrame, id: String,
+                            vec: String, minCos: Double): DataFrame = {
+    val assigned =
+      emb.sparkSession.read.parquet(s"$indexDir/assignments.parquet")
+    val c = emb.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+    val cand = assigned.select(col("cell"), col("n_id").as("id_a"))
+      .join(assigned.select(col("cell"), col("n_id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(c.select(col("n_id").as("id_a"), col("cv").as("va")), "id_a")
+      .join(c.select(col("n_id").as("id_b"), col("cv").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(ArrayCosine.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Nearest `take` centroid cells per vector (by cosine, deterministic
     * tie-break on cell id). Centroids are broadcast — there are never
     * many. */
@@ -755,15 +808,35 @@ object Similarity {
     * assignment is one left join + one group count — no step touches
     * the raw vectors after pair verification. */
   def semanticDedup(emb: DataFrame, id: String, vec: String,
-                    minCos: Double): DataFrame = {
+                    minCos: Double): DataFrame =
     // checkpointAlways: the CC loop consumes the edge list twice
     // (vertex set + round 0) and would otherwise evaluate the whole
     // IVF pair pipeline per consumer — and in no-checkpoint audit
     // mode an un-truncated loop input replicates the pair subtree
     // ~4^rounds times (the Dedup.resolveEntities lesson)
-    val pairs = graft.Checkpoints.checkpointAlways(
+    dedupKeeper(emb, id, graft.Checkpoints.checkpointAlways(
       cosinePairsIvf(emb, id, vec, minCos)
-        .select(col("id_a").as("a"), col("id_b").as("b")))
+        .select(col("id_a").as("a"), col("id_b").as("b"))))
+
+  /** [[semanticDedup]] with the near-dup pairs served from a PERSISTED
+    * index ([[buildIvfDedupIndex]] / [[cosinePairsIvfIndexed]]) — the
+    * production SemDeDup split: the Lloyd build is a scheduled job,
+    * the dedup run pays only cell-join + verify + components.
+    * Bit-identical output to the in-flight form at the same index
+    * parameters (SimilaritySpec pins it), so the q141 oracle applies
+    * unchanged. */
+  def semanticDedupIndexed(indexDir: String, emb: DataFrame, id: String,
+                           vec: String, minCos: Double): DataFrame =
+    dedupKeeper(emb, id, graft.Checkpoints.checkpointAlways(
+      cosinePairsIvfIndexed(indexDir, emb, id, vec, minCos)
+        .select(col("id_a").as("a"), col("id_b").as("b"))))
+
+  /** Shared [[semanticDedup]] tail: near-dup edge list → star-
+    * contraction components → min-id canonical assignment with group
+    * size and keep flag. `pairs` must already be checkpointed (the CC
+    * loop reads it more than once). */
+  private def dedupKeeper(emb: DataFrame, id: String,
+                          pairs: DataFrame): DataFrame = {
     val comps = Graph.connectedComponentsStar(pairs)
     // echo the caller's id column name in the output (the sibling-
     // operator convention) — `__sd_id` is a collision-safe internal

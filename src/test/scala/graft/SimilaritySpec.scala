@@ -95,6 +95,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(dropped == byGroup.values.map(_.length - 1).sum)
   }
 
+  test("semanticDedupIndexed over the persisted dedup index equals the " +
+       "in-flight form") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfdedupidx").toString
+    Similarity.buildIvfDedupIndex(emb, "vec_id", "embedding", idx,
+      targetCellSize = 256, nprobe = 2, lloydIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("canonical_id"), col("n_members"),
+        col("keep")).as[(Long, Long, Long, Boolean)].collect().toSet
+    // pairs first: bit-deterministic build + exact parquet round-trip
+    // → the indexed pair set IS the in-flight pair set
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("cos"))
+        .as[(Long, Long, Double)].collect().toSet
+    val pi = pairSet(Similarity.cosinePairsIvfIndexed(idx, emb,
+      "vec_id", "embedding", 0.4))
+    assert(pi.nonEmpty)
+    assert(pi == pairSet(Similarity.cosinePairsIvf(emb,
+      "vec_id", "embedding", 0.4)))
+    val indexed = rows(Similarity.semanticDedupIndexed(idx, emb,
+      "vec_id", "embedding", 0.4))
+    assert(indexed == rows(Similarity.semanticDedup(emb,
+      "vec_id", "embedding", 0.4)))
+  }
+
   test("cosinePairsLsh recalls the oracle-checked exact near-dup pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
