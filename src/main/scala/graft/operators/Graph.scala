@@ -779,6 +779,70 @@ object Graph {
     cur
   }
 
+  /** FULL k-core decomposition — the per-vertex core NUMBER (largest k
+    * with v in the k-core; the degeneracy ordering curation and
+    * graph-ML want), not one fixed-k slice like [[kCore]].
+    *
+    * Iterated peeling needs max-coreness outer stages (99 on the sf0.01
+    * substrate); instead this runs the h-index propagation of
+    * Montresor/De Pellegrini/Miorandi, "Distributed k-core
+    * decomposition" (IEEE TPDS 2013) / Lü et al. 2016 — both public:
+    * est(v) starts at degree(v) and each round contracts
+    * est(v) ← min(est(v), H({est(u) : u ∼ v})) where H is the h-index
+    * operator (largest h with ≥ h neighbors estimating ≥ h). Estimates
+    * decrease monotonically and the fixpoint is exactly coreness.
+    * Rounds are data-dependent (≤ graph diameter-ish in practice —
+    * GraphSpec measures the real substrate; a path graph is the
+    * pathological O(n) case); each round is one join + one windowed
+    * rank + one groupBy, all keyed by vertex — no driver state beyond
+    * the fixpoint certificate (the monotone Σest scalar).
+    *
+    * H via window rank: neighbors ranked by estimate desc;
+    * H = max(min(rank, est)) — ties get arbitrary distinct ranks,
+    * which cannot change the max. Returns (v, core). */
+  def coreNumbers(edges: DataFrame, a: String = "a",
+                  b: String = "b"): DataFrame = {
+    // checkpointAlways: the adjacency feeds every round (and round 0
+    // twice: degree init + first H) — in audit mode an un-truncated
+    // loop input would replicate the upstream subtree per round
+    val und = Checkpoints.checkpointAlways(
+      edges.select(least(col(a), col(b)).as("u"),
+          greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
+    val adj = Checkpoints.checkpointAlways(
+      und.select(col("u").as("s"), col("v").as("d"))
+        .union(und.select(col("v").as("s"), col("u").as("d"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("nc").desc)
+    var est = Checkpoints.checkpoint(adj.groupBy(col("s"))
+      .agg(count(lit(1)).as("c")).select(col("s").as("v"), col("c")))
+    // Σest strictly decreases every non-fixpoint round (updates only
+    // ever lower estimates) — one driver scalar per round
+    var total = est.agg(sum(col("c"))).head().getLong(0)
+    var done = total == 0L
+    while (!done) {
+      val h = adj
+        .join(est.select(col("v").as("d"), col("c").as("nc")), "d")
+        .select(col("s"), col("nc"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("s"))
+        .agg(max(least(col("rk"), col("nc"))).as("h"))
+      val nxt = Checkpoints.checkpoint(
+        est.join(h, est("v") === h("s"))
+          .select(col("v"), least(col("c"), col("h")).as("c")))
+      val t2 = nxt.agg(sum(col("c"))).head().getLong(0)
+      if (t2 == total) {
+        Checkpoints.release(nxt) // fixpoint: nxt ≡ est, drop the copy
+        done = true
+      } else {
+        Checkpoints.release(est)
+        est = nxt
+        total = t2
+      }
+    }
+    est.select(col("v"), col("c").as("core"))
+  }
+
   /** Temporal (dynamic) edges — G7, the reference's DLink
     * (`DynamicNet.scala:251`): per-edge nested map year → attribute.
     * The CANONICAL form is relational long form (src, dst, year, n) —

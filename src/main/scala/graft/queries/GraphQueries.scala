@@ -160,6 +160,12 @@ object GraphQueries {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("weight"), min(col("yr")).as("first_yr"))
 
+  /** The q103/q145 substrate (weight-thresholded co-ship edges) — spec
+    * hook so GraphSpec can pin coreNumbers ≡ kCore on the real graph. */
+  private[graft] def kCoreSubstrate(s: SparkSession, d: String): DataFrame =
+    coShip(s, d).filter(col("weight") >= TrussMinWeight)
+      .select(col("a"), col("b"))
+
   /** Thresholded edge set shared by the iterative queries (q17, q34,
     * q35) — an aggregation over the materialized spine, itself cached
     * as a second PINNED materialized view with the same one-dir bound
@@ -466,6 +472,25 @@ object GraphQueries {
           .select(col("a"), col("b")),
         k = KCoreK)
         .select(col("u").as("a"), col("v").as("b"))
+    },
+
+    // FULL core decomposition (per-vertex core number via h-index
+    // propagation — Graph.coreNumbers) on the q103 substrate, gated
+    // through its literal-k slices: {v : core(v) ≥ k} must equal the
+    // k-core vertex set at k ∈ {2, 12, 25}, which the oracle replays
+    // as one CHAINED peel (2-core → 12-core of it → 25-core of that;
+    // the k-core of a j≤k-core IS the k-core, so chaining ≡ three
+    // from-scratch peels at a third of the rounds). k=25 reuses q103's
+    // exact threshold; GraphSpec additionally pins coreNumbers ≡
+    // kCore at EVERY k on fixtures and the sf0.001 substrate.
+    "q145_core_numbers" -> { (s, d) =>
+      val cores = Graph.coreNumbers(
+        coShip(s, d).filter(col("weight") >= TrussMinWeight)
+          .select(col("a"), col("b")))
+      CoreSliceKs.map(k =>
+          cores.filter(col("core") >= k)
+            .select(lit(k.toLong).as("k"), col("v")))
+        .reduce(_ union _)
     },
 
     // k-truss community cores (k=4) by iterative peel over per-edge
@@ -861,6 +886,14 @@ object GraphQueries {
     * depth 9; rounds past the fixpoint are no-ops on both engines). */
   private val KCoreUnroll = 12
 
+  /** q145 decomposition slice thresholds: 2 (everything with a cycle),
+    * 12 (sf0.1 cascade onset region), 25 (= [[KCoreK]], the q103
+    * threshold — the deepest peel). Chained-peel fixpoint depths
+    * measured at sf0.1: 1 / 2 / 10 rounds — each unroll below covers
+    * them with margin (extra rounds are no-ops on both engines). */
+  private val CoreSliceKs = Seq(2, 12, 25)
+  private val CoreSliceUnrolls = Map(2 -> 4, 12 -> 5, 25 -> 13)
+
   /** Unroll depth of the q99 oracle. Rounds past the fixpoint are
     * no-ops on both engines, so this only needs to COVER the fixture
     * peel depth at every tested SF (measured: sf0.01 fixpoint at round
@@ -933,6 +966,41 @@ object GraphQueries {
        |      WHERE orders_together >= $TrussMinWeight),
        |${(0 until KCoreUnroll).map(round).mkString(",\n")}
        |SELECT u AS a, v AS b FROM e$KCoreUnroll""".stripMargin
+  }
+
+  // DuckDB twin of the q145 slice gate: the q103 peel SQL chained over
+  // the slice thresholds (the k-core of a j≤k-core is the k-core), so
+  // three thresholds cost one shrinking peel sequence instead of three
+  // from-scratch unrolls. Same MATERIALIZED discipline as kCoreOracleSql.
+  private lazy val coreNumbersOracleSql: String = {
+    def round(k: Int, i: Int) =
+      s"""dk${k}_$i AS (SELECT n, count(*) AS dg FROM (
+         |          SELECT u AS n FROM ek${k}_$i
+         |          UNION ALL SELECT v FROM ek${k}_$i) x${k}_$i
+         |        GROUP BY n),
+         |kk${k}_$i AS (SELECT n FROM dk${k}_$i WHERE dg >= $k),
+         |ek${k}_${i + 1} AS MATERIALIZED (SELECT ee.u, ee.v FROM ek${k}_$i ee
+         |        JOIN kk${k}_$i ka ON ee.u = ka.n
+         |        JOIN kk${k}_$i kb ON ee.v = kb.n)""".stripMargin
+    val chain = CoreSliceKs.zip(-1 +: CoreSliceKs.dropRight(1)).map {
+      case (k, prev) =>
+        val src = if (prev < 0) "e0"
+                  else s"ek${prev}_${CoreSliceUnrolls(prev)}"
+        (s"ek${k}_0 AS MATERIALIZED (SELECT u, v FROM $src)" +:
+          (0 until CoreSliceUnrolls(k)).map(i => round(k, i))).mkString(",\n")
+    }.mkString(",\n")
+    val slices = CoreSliceKs.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, n AS v FROM (
+         |  SELECT DISTINCT n FROM (
+         |    SELECT u AS n FROM ek${k}_${CoreSliceUnrolls(k)}
+         |    UNION ALL SELECT v FROM ek${k}_${CoreSliceUnrolls(k)}) sx$k)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coShipSql,
+       |e0 AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+       |      WHERE orders_together >= $TrussMinWeight),
+       |$chain
+       |$slices""".stripMargin
   }
 
   // DuckDB twin of the WEIGHTED directed PageRank (q105): identical to
@@ -1097,6 +1165,8 @@ object GraphQueries {
          |GROUP BY 1, 2""".stripMargin,
 
     "q103_kcore" -> kCoreOracleSql,
+
+    "q145_core_numbers" -> coreNumbersOracleSql,
 
     "q104_citation_hits" -> hitsOracleSql,
 

@@ -411,6 +411,55 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("coreNumbers matches hand cores on the clique-plus-chain fixture") {
+    // 4-clique {0,1,2,3} + chain 3-4-5-6: clique vertices core 3,
+    // chain interior core... 4 and 5 sit on a path (core 1), 6 pendant
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.coreNumbers(es).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("coreNumbers is consistent with kCore at EVERY k, on random " +
+       "graphs and on the real substrate") {
+    def coreVerts(edges: org.apache.spark.sql.DataFrame, k: Int) =
+      Graph.kCore(edges, k).select(col("u").as("n"))
+        .union(Graph.kCore(edges, k).select(col("v").as("n")))
+        .distinct().as[Long].collect().toSet
+    // random graphs incl. a long path (the pathological propagation
+    // depth case for the h-index iteration)
+    val rnd = new scala.util.Random(7)
+    val random = (for {
+      u <- 0L until 14L; v <- (u + 1) until 14L
+      if rnd.nextDouble() < 0.3
+    } yield (u, v)).toSeq
+    val path = (0L until 20L).map(i => (i, i + 1))
+    for ((name, es) <- Seq("random" -> random, "path" -> path)) {
+      val df = es.toDF("a", "b")
+      val cores = Graph.coreNumbers(df).as[(Long, Long)].collect().toMap
+      val maxCore = cores.values.max
+      for (k <- 2 to (maxCore + 1).toInt) {
+        val want = coreVerts(df, k)
+        val got = cores.filter(_._2 >= k).keySet
+        assert(got == want, s"$name k=$k")
+      }
+      // a path graph is all core 1
+      if (name == "path") assert(cores.values.forall(_ == 1L))
+      graft.Checkpoints.releaseAll(spark)
+    }
+    // the real q103/q145 substrate at sf0.001
+    val edges = graft.queries.GraphQueries.kCoreSubstrate(spark,
+      "/root/testdata/sf0.001")
+    val cores = Graph.coreNumbers(edges).as[(Long, Long)].collect().toMap
+    for (k <- 2 to (cores.values.max + 1).toInt) {
+      val want = coreVerts(edges, k)
+      assert(cores.filter(_._2 >= k).keySet == want, s"substrate k=$k")
+    }
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("kTruss equals the brute-force peel on random graphs") {
     def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
       var cur = edges
