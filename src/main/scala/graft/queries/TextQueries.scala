@@ -814,6 +814,42 @@ object TextQueries {
           col("cum_tokens"))
     },
 
+    // PER-LANGUAGE token budgeting — q126's budget-fill arithmetic
+    // denominated per predicted LANGUAGE (q22's langId) instead of
+    // per source: real mixtures budget by language (the reference
+    // keeps per-paper language labels, `data/samples/
+    // PaperLanguages.txt`). Configured weights en:4 de:3 fr:2 es:1,
+    // half the corpus token total split pro-rata, each language
+    // filled in deterministic lcg-shuffled order. Oracle replays the
+    // composed gate (stopword-score CASE) + the q126 window
+    // arithmetic; ChunkPlanSpec ties the kept per-language totals to
+    // q139's packed sequences.
+    "q146_language_mixture" -> { (s, d) =>
+      val words = TextFns.words(TextFns.norm(col("text")))
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), TextFns.langId(words).as("lang_pred"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("w", when(col("lang_pred") === "en", 4L)
+          .when(col("lang_pred") === "de", 3L)
+          .when(col("lang_pred") === "fr", 2L)
+          .otherwise(1L))
+        .localCheckpoint() // consumers: cumsum, token total, weight total
+      val scalars = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        .crossJoin(broadcast(docs.select(col("lang_pred"), col("w")).distinct()
+          .agg(sum(col("w")).as("w_total"))))
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_pred"))
+        .orderBy(lcgHash(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(byHash))
+        .crossJoin(broadcast(scalars))
+        .filter(col("cum_tokens") * 2 * col("w_total") <=
+          col("total_tokens") * col("w"))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("cum_tokens"))
+    },
+
     // COUNT-MIN frequency sketch (Sketches.countMinCells/Estimates)
     // over corpus word bigrams — frequency tracking whose state is a
     // 3×256 counter matrix however large the vocabulary grows.
@@ -1548,6 +1584,40 @@ object TextQueries {
          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |      FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
+
+    // q146: q22's stopword-score CASE composed with q126's window
+    // arithmetic, partitioned by the PREDICTED language.
+    "q146_language_mixture" ->
+      s"""WITH t0 AS (SELECT doc_id, text,
+         |    string_split(${normSql("text")}, ' ') AS w
+         |  FROM documents WHERE doc_id >= 0),
+         |sc AS (SELECT doc_id, text,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |  len(list_filter(w, x -> x IN ('el','los','las','y','es'))) AS s_es
+         |  FROM t0),
+         |d AS (SELECT doc_id,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  CAST(${graft.functions.Bpe.tokenCountSql("text")}
+         |    AS BIGINT) AS n_tokens
+         |  FROM sc),
+         |d2 AS (SELECT *, CASE lang_pred WHEN 'en' THEN 4
+         |         WHEN 'de' THEN 3 WHEN 'fr' THEN 2 ELSE 1 END AS w
+         |       FROM d),
+         |t AS (SELECT (SELECT sum(n_tokens) FROM d2) AS total_tokens,
+         |             (SELECT sum(w) FROM (SELECT DISTINCT lang_pred, w
+         |                                  FROM d2)) AS w_total),
+         |c AS (SELECT doc_id, lang_pred, n_tokens, w,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+         |          ORDER BY ${lcgHashSql("doc_id")}, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM d2)
+         |SELECT doc_id, lang_pred, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
 
     // q122: FULL replay of the Count-Min matrix — every cell (per-depth

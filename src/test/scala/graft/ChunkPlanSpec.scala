@@ -118,4 +118,50 @@ class ChunkPlanSpec extends AnyFunSuite with SparkTestBase {
     // docs longer than 512 tokens, so the split path is exercised)
     assert(spans.groupBy(_._1).exists(_._2.length > 1), "no split docs")
   }
+
+  test("q146 per-language budgets respect the mixture weights and pack " +
+       "into exactly ceil(total/512) sequences per language") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("q146_language_mixture")(spark, sf)
+      .select($"doc_id", $"lang_pred", $"n_tokens", $"cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    val weights = Map("en" -> 4L, "de" -> 3L, "fr" -> 2L, "es" -> 1L)
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= 0)
+      .select(graft.functions.Bpe.tokenCount($"text").as("n"))
+      .agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head()
+    val langs = kept.map(_._2).distinct
+    val wTotal = langs.map(weights).sum
+    // per-language kept totals stay under the pro-rata budget share
+    // (half the corpus total split by weight) and the NEXT doc in fill
+    // order would overflow it — the budget is tight, not just bounded
+    val byLang = kept.groupBy(_._2)
+    byLang.foreach { case (l, ds) =>
+      val maxCum = ds.map(_._4).max
+      assert(maxCum * 2L * wTotal <= totalTokens * weights(l),
+        s"$l over budget")
+      assert(ds.map(_._3).sum == maxCum, s"$l cumsum consistency")
+    }
+    // the kept docs of each language pack into exactly
+    // ceil(kept_total / 512) fixed-size sequences — the q139
+    // concat-and-cut arithmetic applied per language
+    byLang.foreach { case (l, ds) =>
+      val tot = ds.map(_._3).sum
+      val packed = graft.operators.Relational.globalCumsum(
+          ds.toSeq.toDF("doc_id", "lang_pred", "n_tokens", "cum_tokens")
+            .withColumn("h", graft.queries.lcgHash($"doc_id")),
+          Seq($"h", $"doc_id"), $"n_tokens", "cum")
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.call_function("div",
+              $"cum" - $"n_tokens", org.apache.spark.sql.functions.lit(512L)),
+            org.apache.spark.sql.functions.call_function("div",
+              $"cum" - 1, org.apache.spark.sql.functions.lit(512L))))
+          .as("seq_id"))
+        .select($"seq_id").distinct().count()
+      assert(packed == (tot + 511L) / 512L,
+        s"$l: $tot tokens -> $packed sequences")
+    }
+  }
 }
