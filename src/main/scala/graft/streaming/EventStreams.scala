@@ -234,6 +234,7 @@ object EventStreams {
   }
 
   case class DocText(doc_id: Long, text: String)
+  case class DocSourced(doc_id: Long, source: String, text: String)
   case class BandedDoc(band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
   case class DupHit(doc_id: Long, dup_of: Long, band: Int)
   case class BucketState(docs: List[(Long, Seq[Long])])
@@ -281,6 +282,37 @@ object EventStreams {
     val bg = docs.toDF().select(explode(
       TextFns.shingles(TextFns.words(TextFns.norm(col("text"))), 2)).as("bg"))
     graft.operators.Sketches.countMinCells(bg, col("bg"), mults, width)
+  }
+
+  /** Streaming sequence-pack ACCOUNTING — the live-corpus twin of the
+    * q126/q139/q146 budgeting layer. A stream cannot emit final pack
+    * offsets (they depend on the global fill order, fixed only when
+    * the corpus closes), but every quantity the pack plan is computed
+    * FROM is an additive aggregate and therefore exactly stream-
+    * maintainable: per (source, predicted language) — both row-local
+    * extractions, q22's langId and the q126/q139 BPE token count —
+    * the doc count, the token total, and the derived sequence count
+    * ceil(total/cap) (integer form (total + cap − 1) div cap). After
+    * ANY batch split and arrival order the final state equals the
+    * batch aggregation bit-for-bit (StreamingSpec asserts equality
+    * against the q146-denominated batch counts), and state is one row
+    * per (source, lang) however many documents arrive. */
+  def packAccountingStream(docs: Dataset[DocSourced],
+                           cap: Long = 512L): DataFrame = {
+    import graft.functions.{Bpe, TextFns}
+    docs.toDF()
+      .select(col("source"),
+        TextFns.langId(TextFns.words(TextFns.norm(col("text"))))
+          .as("lang_pred"),
+        Bpe.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .groupBy(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("lang_pred"), col("n_docs"),
+        col("total_tokens"),
+        call_function("div", col("total_tokens") + (cap - 1), lit(cap))
+          .as("n_sequences"))
   }
 
   /** Streaming HLL maintenance — the q133/q134 distinct sketch kept

@@ -522,6 +522,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("packAccountingStream after shuffled batches equals the batch " +
+       "per-(source, language) token accounting exactly") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.{Bpe, TextFns}
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+      .as[EventStreams.DocSourced].collect().toSeq
+    // batch reference: the same row-local extractions aggregated once
+    val batch = corpus.toDF()
+      .select($"source",
+        TextFns.langId(TextFns.words(TextFns.norm($"text"))).as("lang_pred"),
+        Bpe.tokenCount($"text").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .groupBy($"source", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+      .select($"source", $"lang_pred", $"n_docs", $"total_tokens",
+        call_function("div", $"total_tokens" + 511L, lit(512L))
+          .as("n_sequences"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val ms = MemoryStream[EventStreams.DocSourced]
+    val q = EventStreams.packAccountingStream(ms.toDS())
+      .writeStream.format("memory").queryName("packacct")
+      .outputMode("complete").start()
+    try {
+      val shuffled = new scala.util.Random(9).shuffle(corpus)
+      shuffled.grouped(math.max(1, shuffled.size / 4)).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("packacct")
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the sequence arithmetic agrees with a real q139-style pack of
+      // one (source, lang) group: ceil(total/512) is what concat-and-
+      // cut produces
+      val (src, lng, _, tot, nseq) = streamed.maxBy(_._4)
+      val ids = corpus.toDF()
+        .select($"doc_id", $"source",
+          TextFns.langId(TextFns.words(TextFns.norm($"text")))
+            .as("lang_pred"),
+          Bpe.tokenCount($"text").as("n"))
+        .filter($"n" > 0 && $"source" === src && $"lang_pred" === lng)
+        .agg(sum($"n")).as[Long].head()
+      assert(ids == tot && nseq == (tot + 511L) / 512L)
+    } finally q.stop()
+  }
+
   test("hllRegisterStream registers after shuffled batches AND a " +
        "redelivered batch equal the batch sketch exactly (max-merge " +
        "idempotence)") {
