@@ -820,10 +820,17 @@ object TextQueries {
     // keeps per-paper language labels, `data/samples/
     // PaperLanguages.txt`). Configured weights en:4 de:3 fr:2 es:1,
     // half the corpus token total split pro-rata, each language
-    // filled in deterministic lcg-shuffled order. Oracle replays the
-    // composed gate (stopword-score CASE) + the q126 window
-    // arithmetic; ChunkPlanSpec ties the kept per-language totals to
-    // q139's packed sequences.
+    // filled in deterministic lcg-shuffled order. Unlike q126's
+    // per-source window (many ~uniform sources), a LANGUAGE histogram
+    // has a handful of huge groups — a partitionBy(lang) window would
+    // serialize each language through one task — so the running total
+    // rides the range-partitioned two-phase rank (the q117
+    // discipline): ONE global cumsum ordered (lang, h, doc), then
+    // per-language totals as cum − offset, where each language's
+    // offset = min(cum − n_tokens) over the group (its first row's
+    // prefix). Oracle replays the composed gate (stopword-score CASE)
+    // + the same arithmetic as a per-language window; ChunkPlanSpec
+    // ties the kept per-language totals to q139's packed sequences.
     "q146_language_mixture" -> { (s, d) =>
       val words = TextFns.words(TextFns.norm(col("text")))
       val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
@@ -833,16 +840,18 @@ object TextQueries {
           .when(col("lang_pred") === "de", 3L)
           .when(col("lang_pred") === "fr", 2L)
           .otherwise(1L))
-        .localCheckpoint() // consumers: cumsum, token total, weight total
+        .localCheckpoint() // consumers: rank (sampled twice), totals
       val scalars = docs.agg(sum(col("n_tokens")).as("total_tokens"))
         .crossJoin(broadcast(docs.select(col("lang_pred"), col("w")).distinct()
           .agg(sum(col("w")).as("w_total"))))
-      val byHash = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang_pred"))
-        .orderBy(lcgHash(col("doc_id")), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(byHash))
+      val ranked = graft.Checkpoints.checkpoint(
+        graft.operators.Relational.globalCumsum(docs,
+          Seq(col("lang_pred"), lcgHash(col("doc_id")), col("doc_id")),
+          col("n_tokens"), "cum"))
+      val offs = ranked.groupBy(col("lang_pred").as("lp"))
+        .agg(min(col("cum") - col("n_tokens")).as("off"))
+      ranked.join(broadcast(offs), col("lang_pred") === col("lp"))
+        .withColumn("cum_tokens", col("cum") - col("off"))
         .crossJoin(broadcast(scalars))
         .filter(col("cum_tokens") * 2 * col("w_total") <=
           col("total_tokens") * col("w"))
