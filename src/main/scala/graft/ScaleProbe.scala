@@ -482,6 +482,155 @@ object ScaleProbe {
       println(f"[probe] cdc-snap:    $cb2%.1fs -> $cB2%.1fs (${cB2 / cb2}%.1fx, rows 10x)")
     }
 
+    // --- r9/r10 family: sequence packing (q139), grouped heavy
+    // hitters (q140), semantic dedup (q141), personalized PageRank
+    // (q143), span dedup (q144), core decomposition (q145).
+    // (q142 landmark closeness = the msbfs probe + one aggregate —
+    // covered above.)
+    {
+      import graft.operators.{Graph, Relational, Sketches}
+      // q139 packing arithmetic on a precomputed (doc_id, n_tokens)
+      // relation (the BPE count itself is the bpe-learn probe): the
+      // globalCumsum rank + explode-to-sequences span math. 10
+      // id-offset copies multiply rows exactly; honest ratio ~linear.
+      val toks = spark.read.parquet(s"$base/documents.parquet")
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"),
+          (length(col("text")) / 5 + 1).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      val tokStride =
+        toks.agg(max(col("doc_id")).cast("long")).head.getLong(0) + 1L
+      val toks10 = (0L until 10L).map { k =>
+        toks.select((col("doc_id") + k * tokStride).as("doc_id"),
+          col("n_tokens"))
+      }.reduce(_ union _).localCheckpoint()
+      def pack(d: DataFrame) = time(
+        Relational.globalCumsum(d, Seq(col("doc_id")), col("n_tokens"), "cum")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("cum") - col("n_tokens")).as("st"), col("cum"))
+          .select(explode(sequence(
+            call_function("div", col("st"), lit(512L)),
+            call_function("div", col("cum") - 1, lit(512L)))).as("seq_id"))
+          .groupBy(col("seq_id")).count().count())
+      pack(toks) // codegen warmup
+      val (pk, _) = pack(toks); val (pK, nPk) = pack(toks10)
+      println(f"[probe] seq-pack:    $pk%.1fs -> $pK%.1fs (${pK / pk}%.1fx, $nPk seqs, rows 10x)")
+
+      // q140 grouped heavy hitters: shuffle-read records at fixed 32
+      // partitions — per-group candidate state (≤ s·partitions·groups),
+      // never the keyspace; honest records ratio ~1x at 10x rows
+      val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            recs.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+      }
+      def shuffled(f: => Long): (Double, Long) = {
+        recs.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        val (wall, _) = time(f)
+        Thread.sleep(1000) // listener bus drains async
+        spark.sparkContext.removeSparkListener(listener)
+        (wall, recs.get)
+      }
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(pmod(col("l_orderkey"), lit(4)).cast("string").as("g"),
+          when(col("l_suppkey") % 5 === 0, lit("hot"))
+            .otherwise(col("l_suppkey").cast("string")).as("k"))
+        .repartition(32).localCheckpoint()
+      val li10 = (0 until 10).map(_ => li).reduce(_ union _)
+        .repartition(32).localCheckpoint()
+      def hhg(d: DataFrame) = shuffled(
+        Sketches.heavyHittersByGroup(d, col("g"), col("k"), 1L, 10L, 15)
+          .count())
+      hhg(li) // codegen warmup
+      val (gb, gr) = hhg(li); val (gB, gR) = hhg(li10)
+      println(f"[probe] hh-by-group: shuffle-read $gr%d -> $gR%d rec " +
+        f"(${gR.toDouble / math.max(1L, gr)}%.2fx at rows 10x; " +
+        f"wall $gb%.1fs -> $gB%.1fs)")
+
+      // q141 semantic dedup end-to-end (IVF pairs + star CC + keeper):
+      // 10 copies with per-copy RADEMACHER sign flips — cos(x⊙s, y⊙s)
+      // = cos(x, y), so within-copy near-dup structure is preserved
+      // EXACTLY (norms and dot products unchanged), while cross-copy
+      // cosines concentrate near 0 (random-sign dot over 64 dims) —
+      // no fake 10-way components. Cells are data-adaptive, so cell
+      // occupancy stays constant; honest ratio ~linear.
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val embStride =
+        emb.agg(max(col("vec_id")).cast("long")).head.getLong(0) + 1L
+      val emb10 = (0L until 10L).map { k =>
+        emb.select((col("vec_id") + k * embStride).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(pmod(i * 2654435761L + k * 40503L, lit(97L)) < 48,
+              -x).otherwise(x)).as("embedding"))
+      }.reduce(_ union _).localCheckpoint()
+      def sd(d: DataFrame) = time(
+        Similarity.semanticDedup(d, "vec_id", "embedding", 0.4)
+          .filter(!col("keep")).count())
+      sd(emb) // codegen warmup
+      val (sdb, _) = sd(emb); val (sdB, nSd) = sd(emb10)
+      println(f"[probe] semdedup:    $sdb%.1fs -> $sdB%.1fs (${sdB / sdb}%.1fx, $nSd dropped, rows 10x)")
+
+      // q143 personalized PageRank + q145 core decomposition on the
+      // weight>=6 substrate (disjoint copies: fixed rounds / copy-
+      // invariant propagation depth → honest ratio ~linear)
+      val liRaw = spark.read.parquet(s"$base/lineitem.parquet")
+      val m = liRaw.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val strong = m.select(col("l_orderkey"), col("l_suppkey").as("s"))
+        .join(m.select(col("l_orderkey"), col("l_suppkey").as("nbr")),
+          Seq("l_orderkey"))
+        .filter(col("s") =!= col("nbr"))
+        .groupBy(col("s"), col("nbr")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 6)
+        .select(least(col("s"), col("nbr")).as("a"),
+          greatest(col("s"), col("nbr")).as("b")).distinct()
+        .localCheckpoint()
+      val strongStride =
+        strong.agg(greatest(max(col("a")), max(col("b"))).cast("long"))
+          .head.getLong(0) + 1L
+      val strong10 = (0L until 10L).map { k =>
+        strong.select((col("a") + k * strongStride).as("a"),
+          (col("b") + k * strongStride).as("b"))
+      }.reduce(_ union _).localCheckpoint()
+      def ppr(e: DataFrame) = {
+        val de = e.select(col("a").as("src"), col("b").as("dst"))
+        val seeds = de.select(col("src").as("v"))
+          .union(de.select(col("dst").as("v")))
+          .distinct().orderBy(col("v")).limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        time(Graph.pageRankPersonalizedInt(de, seeds)
+          .agg(sum(col("rank_scaled"))).count())
+      }
+      def corenum(e: DataFrame) =
+        time(Graph.coreNumbers(e).agg(max(col("core"))).count())
+      ppr(strong); corenum(strong) // codegen warmup
+      val (rb, _) = ppr(strong); val (rB, _) = ppr(strong10)
+      val (nb, _) = corenum(strong); val (nB, _) = corenum(strong10)
+      println(f"[probe] pers-pr:     $rb%.1fs -> $rB%.1fs (${rB / rb}%.1fx, edges 10x)")
+      println(f"[probe] core-nums:   $nb%.1fs -> $nB%.1fs (${nB / nb}%.1fx, edges 10x)")
+
+      // q144 span dedup: the entity-res per-copy word-suffix protocol
+      // (within-copy duplicated spans preserved, cross-copy shingle
+      // equality broken) — honest ratio ~linear
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val docStride =
+        docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) + 1L
+      val docs10 = (0L until 10L).map { k =>
+        docs.select((col("doc_id") + k * docStride).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k")))).as("text"))
+      }.reduce(_ union _).localCheckpoint()
+      def spans(d: DataFrame) = time(
+        Dedup.duplicateSpans(d, "doc_id", "text", 8).count())
+      spans(docs) // codegen warmup
+      val (vb, _) = spans(docs); val (vB, nV) = spans(docs10)
+      println(f"[probe] span-dedup:  $vb%.1fs -> $vB%.1fs (${vB / vb}%.1fx, $nV spans, rows 10x)")
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }
