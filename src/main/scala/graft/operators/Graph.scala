@@ -779,6 +779,46 @@ object Graph {
     cur
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan/
+    * Albert/Kumara 2007, the deterministic synchronous variant —
+    * public algorithm): every vertex starts as its own label; each
+    * round it adopts the label most frequent among its neighbors,
+    * ties broken by MIN label — fully deterministic, so a fixed round
+    * count replays exactly (the pageRankInt discipline; asynchronous
+    * LPA's update order is engine-internal and can't be oracled).
+    * Densely connected groups converge onto one label within a few
+    * rounds; `rounds` is a query parameter, not a fixpoint search.
+    *
+    * Per round: one adjacency join + one (vertex, label) count + one
+    * per-vertex top-1 (WindowGroupLimit-planned) — all keyed by
+    * vertex, no driver state at all. Returns (v, community). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+                       a: String = "a", b: String = "b"): DataFrame = {
+    require(rounds >= 1, "at least one propagation round")
+    val und = Checkpoints.checkpointAlways(
+      edges.select(least(col(a), col(b)).as("u"),
+          greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
+    val adj = Checkpoints.checkpointAlways(
+      und.select(col("u").as("s"), col("v").as("d"))
+        .union(und.select(col("v").as("s"), col("u").as("d"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("c").desc, col("lab"))
+    var lab = Checkpoints.checkpoint(
+      adj.select(col("s").as("v")).distinct().withColumn("lab", col("v")))
+    (0 until rounds).foreach { _ =>
+      val nxt = Checkpoints.checkpoint(
+        adj.join(lab.select(col("v").as("d"), col("lab")), "d")
+          .groupBy(col("s"), col("lab")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("s").as("v"), col("lab")))
+      Checkpoints.release(lab)
+      lab = nxt
+    }
+    lab.select(col("v"), col("lab").as("community"))
+  }
+
   /** FULL k-core decomposition — the per-vertex core NUMBER (largest k
     * with v in the k-core; the degeneracy ordering curation and
     * graph-ML want), not one fixed-k slice like [[kCore]].

@@ -474,6 +474,18 @@ object GraphQueries {
         .select(col("u").as("a"), col("v").as("b"))
     },
 
+    // COMMUNITY DETECTION by synchronous label propagation on the
+    // k-NN spine (111 communities at sf0.1, sizes 2..72 — the spine's
+    // local clusters, unlike the near-clique weight substrate):
+    // 4 deterministic rounds, most-frequent-neighbor label with min
+    // tie-break. Oracle unrolls the rounds (the pageRankInt
+    // discipline — synchronous + deterministic is what makes LPA
+    // oracle-able at all; asynchronous update order is engine
+    // -internal).
+    "q147_communities" -> { (s, d) =>
+      Graph.labelPropagation(knnEdges(s, d), rounds = 4)
+    },
+
     // FULL core decomposition (per-vertex core number via h-index
     // propagation — Graph.coreNumbers) on the q103 substrate, gated
     // through its literal-k slices: {v : core(v) ≥ k} must equal the
@@ -968,6 +980,26 @@ object GraphQueries {
        |SELECT u AS a, v AS b FROM e$KCoreUnroll""".stripMargin
   }
 
+  // DuckDB twin of q147: the 4 synchronous LPA rounds unrolled over
+  // the k-NN spine — per round, neighbor-label counts then the
+  // (count DESC, label ASC) top-1, exactly the Spark window.
+  private lazy val communitiesOracleSql: String = {
+    def round(k: Int) =
+      s"""lb$k AS MATERIALIZED (SELECT s AS v, lab FROM (
+         |  SELECT adj.s, l.lab, count(*) AS c,
+         |    row_number() OVER (PARTITION BY adj.s
+         |      ORDER BY count(*) DESC, l.lab) AS rn
+         |  FROM adj JOIN lb${k - 1} l ON adj.d = l.v
+         |  GROUP BY adj.s, l.lab) x$k WHERE rn = 1)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |adj AS MATERIALIZED (SELECT a AS s, b AS d FROM ed
+       |       UNION ALL SELECT b AS s, a AS d FROM ed),
+       |lb0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lab FROM adj),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT v, lab AS community FROM lb4""".stripMargin
+  }
+
   // DuckDB twin of the q145 slice gate: the q103 peel SQL chained over
   // the slice thresholds (the k-core of a j≤k-core is the k-core), so
   // three thresholds cost one shrinking peel sequence instead of three
@@ -1167,6 +1199,8 @@ object GraphQueries {
     "q103_kcore" -> kCoreOracleSql,
 
     "q145_core_numbers" -> coreNumbersOracleSql,
+
+    "q147_communities" -> communitiesOracleSql,
 
     "q104_citation_hits" -> hitsOracleSql,
 

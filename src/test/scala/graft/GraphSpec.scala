@@ -460,6 +460,50 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("labelPropagation separates two cliques across a bridge and " +
+       "equals the synchronous brute force on random graphs") {
+    // two 4-cliques {0..3} and {10..13} joined by bridge 3-10: each
+    // clique's 3-vote majority beats the single bridge vote, so the
+    // communities stay separated and converge to each clique's min id
+    val cl = (for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)) :+ ((3L, 10L))
+    val got = Graph.labelPropagation(cl.toDF("a", "b"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L))
+    assert((10L to 13L).forall(got(_) == 10L))
+    graft.Checkpoints.releaseAll(spark)
+
+    def brute(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(v => v -> v).toMap
+      (0 until rounds).foreach { _ =>
+        lab = adj.map { case (v, ns) =>
+          val votes = ns.map(lab).groupBy(identity).view
+            .mapValues(_.size).toSeq
+          v -> votes.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(21)
+    for (seed <- 1 to 3) {
+      rnd.setSeed(seed + 400L)
+      val es = (for {
+        u <- 0L until 15L; v <- (u + 1) until 15L
+        if rnd.nextDouble() < 0.2
+      } yield (u, v)).toSeq
+      if (es.nonEmpty) {
+        val want = brute(es, 4)
+        val g = Graph.labelPropagation(es.toDF("a", "b"), rounds = 4)
+          .as[(Long, Long)].collect().toMap
+        assert(g == want, s"seed $seed")
+        graft.Checkpoints.releaseAll(spark)
+      }
+    }
+  }
+
   test("kTruss equals the brute-force peel on random graphs") {
     def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
       var cur = edges
