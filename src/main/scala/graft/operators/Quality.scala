@@ -72,4 +72,61 @@ object Quality {
     (row ++ uniq ++ fks).reduce(_ union _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Scale of [[bigramLmScore]]'s integer conditional probabilities:
+    * score units are millionths. */
+  val LmScale = 1000000L
+
+  /** LM-based quality scoring — the CCNet/Gopher-family "perplexity
+    * filter" modality (Wenzek et al. 2020 train a KenLM and keep
+    * low-perplexity text; public method), self-trained and in exact
+    * integer arithmetic so the whole model replays cross-engine:
+    *
+    *  - TRAIN: corpus unigram counts c(w) and bigram counts c(w1,w2)
+    *    — two map-side-combinable groupBys. The model is a keyed
+    *    RELATION, never a driver/broadcast structure: at 100 TB the
+    *    bigram table shuffles like any fact table (a real KenLM
+    *    truncates the vocabulary; the relation form doesn't need to).
+    *  - SCORE: each document bigram occurrence contributes the
+    *    scaled DISCOUNTED conditional probability
+    *    (c(w1,w2)·LmScale) div (c(w1) + 1) — how predictable this
+    *    word is given the previous one, under the corpus' own
+    *    statistics. The +1 prefix discount is essential for a
+    *    SELF-trained model: raw MLE assigns probability 1 to any
+    *    bigram whose prefix occurs once, scoring word salad over
+    *    unique tokens as perfectly as boilerplate; the discount is a
+    *    confidence lower bound (a singleton estimates ½, a
+    *    20-observation agreement 20/21), so templated in-distribution
+    *    text outscores out-of-distribution text (the spec pins this
+    *    ranking). A document's lm_score is the MEAN contribution
+    *    (sum div n_bigrams). No logs, no doubles — the integer-ratio
+    *    discipline (q66/q88) applied to the LM filter, which is what
+    *    lets the oracle hash-match the score rather than bound it.
+    *
+    * Output: (id, n_bigrams, lm_score) for every doc with ≥ 1 bigram.
+    * Thresholding is the caller's policy (compose with [[expect]] or
+    * a curation funnel stage). */
+  def bigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
+    import graft.functions.TextFns
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    // one tokenize pass feeds both training counts and scoring —
+    // checkpoint: three consumers (unigrams, bigrams, the score join)
+    val bg = graft.Checkpoints.checkpoint(
+      df.select(col(id),
+          posexplode(TextFns.words(TextFns.norm(col(text))))
+            .as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col(id), col("w1"), col("w2")))
+    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bg.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col(id),
+        call_function("div", col("cb") * LmScale, col("cu") + 1L).as("p"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("ps"))
+      .select(col(id), col("n_bigrams"),
+        call_function("div", col("ps"), col("n_bigrams")).as("lm_score"))
+  }
 }

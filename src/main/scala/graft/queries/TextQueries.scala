@@ -859,6 +859,17 @@ object TextQueries {
           col("cum_tokens"))
     },
 
+    // LM-based quality scoring (Quality.bigramLmScore): the
+    // CCNet-family perplexity-filter modality as a self-trained
+    // corpus bigram model in exact integer arithmetic — per doc, the
+    // mean scaled conditional probability of its bigrams under the
+    // corpus' own statistics. Complements the heuristic
+    // ratio/repetition signals (q21/q77) with the distributional one.
+    "q148_lm_quality" -> { (s, d) =>
+      graft.operators.Quality.bigramLmScore(
+        Tables.documents(s, d), "doc_id", "text")
+    },
+
     // COUNT-MIN frequency sketch (Sketches.countMinCells/Estimates)
     // over corpus word bigrams — frequency tracking whose state is a
     // 3×256 counter matrix however large the vocabulary grows.
@@ -1628,6 +1639,26 @@ object TextQueries {
          |      FROM d2)
          |SELECT doc_id, lang_pred, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
+
+    // q148: the bigram model retrained in SQL — prefix-denominated
+    // conditional counts, the same scaled integer div per occurrence,
+    // the same mean-by-floor-div per doc.
+    "q148_lm_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+         |             AS ws FROM documents),
+         |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |      FROM (SELECT doc_id, ws,
+         |              unnest(generate_series(1, len(ws) - 1)) AS i
+         |            FROM t WHERE len(ws) >= 2)),
+         |u AS (SELECT w1, count(*) AS cu FROM b GROUP BY 1),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+         |p AS (SELECT b.doc_id,
+         |        (bi.cb * ${graft.operators.Quality.LmScale}) // (u.cu + 1)
+         |          AS p
+         |      FROM b JOIN bi USING (w1, w2) JOIN u USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score
+         |FROM p GROUP BY doc_id""".stripMargin,
 
     // q122: FULL replay of the Count-Min matrix — every cell (per-depth
     // PolyHash-mod-width bucket counts) and every estimate (least over

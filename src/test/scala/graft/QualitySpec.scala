@@ -58,4 +58,32 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Boolean)].collect().head
     assert(got._2 == 1L) // id=1 violates; id=2's null predicate does not
   }
+
+  test("bigramLmScore matches hand-computed integer conditionals and " +
+       "ranks templated text above out-of-distribution text") {
+    // corpus: "a b a c", "a b" → prefix counts a=3, b=1;
+    // bigram counts (a,b)=2, (b,a)=1, (a,c)=1; +1 prefix discount:
+    // doc 1: p = 2e6//4 + 1e6//2 + 1e6//4 → (500000+500000+250000)//3
+    // doc 2: p = 500000 // 1
+    val fix = Seq((1L, "a b a c"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Quality.bigramLmScore(fix, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((3L, 416666L)), 2L -> ((1L, 500000L))))
+    // single-word doc 3 has no bigram → absent by contract
+
+    // distributional ranking on a larger corpus: many documents share
+    // a template; one is word salad over unique tokens — the template
+    // docs must outscore it under the corpus' own statistics (raw MLE
+    // would score both 1.0; the +1 discount is what separates a
+    // singleton's ½ from a 20-observation agreement's 20/21)
+    val corpus = ((0L until 20L).map(i => (i, "the quick brown fox")) :+
+      ((99L, "zxq wvu tsr qpo"))).toDF("doc_id", "text")
+    val scores = Quality.bigramLmScore(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert((0L until 20L).forall(i => scores(i) > scores(99L)))
+    assert(scores(0L) == 20L * Quality.LmScale / 21L) // 952380
+    assert(scores(99L) == Quality.LmScale / 2L)       // 500000
+  }
 }
