@@ -21,6 +21,21 @@ object SimQueries {
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
     },
 
+    // q28's exact top-5 in a JL-PROJECTED 16-dim space — the gated
+    // surface for Similarity.randomProject (4× cheaper per-pair cost;
+    // SimilaritySpec measures what projection preserves: near-dup
+    // recall ~0.95 at a discounted threshold, NOT background top-k
+    // rankings). Same seeded planes as the q29 LSH family — sign-LSH
+    // is this projection quantized to sign bits — so the oracle
+    // reuses the literal-plane replay: project via list_inner_product
+    // folds, then the q28 top-k shape on the projected lists.
+    "q149_ann_projected" -> { (s, d) =>
+      val proj = Similarity.randomProject(
+        Tables.embeddings(s, d), "vec_id", "embedding", 16)
+      Similarity.bruteForceTopK(proj,
+        proj.filter(col("vec_id") % 20 === 0), "vec_id", "proj", 5)
+    },
+
     // Sign-LSH bucketed ANN top-5. Same query subset, candidates from
     // band buckets (multi-probe). Oracle-checked: the seeded hyperplanes
     // are driver-side literals, so the SAME doubles are embedded in the
@@ -220,6 +235,26 @@ object SimQueries {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM p)
         |WHERE rn <= 5""".stripMargin,
+
+    // q149: planes(16, 64) literals (the q29 seed), projection as 16
+    // list_inner_product folds per vector, then the q28 top-k shape
+    // on the projected lists.
+    "q149_ann_projected" ->
+      s"""WITH pl(pidx, pv) AS (VALUES
+         |${planesValues(numPlanes = 16, dims = 64)}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |pr AS (SELECT vec_id, list(ip ORDER BY pidx) AS pv2 FROM (
+         |    SELECT e.vec_id, pl.pidx, list_inner_product(e.v, pl.pv) AS ip
+         |    FROM e CROSS JOIN pl) GROUP BY vec_id),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |        round(list_cosine_similarity(q.pv2, c.pv2), 4) AS cos
+         |      FROM pr q JOIN pr c
+         |        ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM p)
+         |WHERE rn <= 5""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -95,6 +95,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(dropped == byGroup.values.map(_.length - 1).sum)
   }
 
+  test("randomProject keeps pairwise cosines close and recalls the " +
+       "true near-dup pairs at a discounted threshold") {
+    // what a 64->16 JL projection preserves — and what it can't:
+    // STRONG similarities (the planted near-dups, cos >= 0.4) survive
+    // the ~0.2 distortion; hairline top-5 distinctions in the nearly
+    // uniform background do NOT (measured top-5 recall is ~0.06 — the
+    // projection is a candidate-generation tool, not a ranking one)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", 16)
+    val truePairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(truePairs.nonEmpty)
+    // project, then admit candidates at the DISCOUNTED threshold 0.1
+    // (threshold minus the distortion budget) — the standard
+    // project-then-verify candidate pattern
+    val candPairs = Similarity.cosinePairs(proj, "vec_id", "proj", 0.1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val recall = (candPairs & truePairs).size.toDouble / truePairs.size
+    info(s"near-dup recall at projected threshold 0.1: $recall")
+    assert(recall >= 0.8, s"JL near-dup recall $recall")
+    // pairwise cosine distortion on a sample: mean absolute error
+    // within the JL budget for k=16
+    val sample = emb.filter(col("vec_id") < 60)
+    val fullCos = Similarity.cosinePairs(sample, "vec_id", "embedding", -1.0)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val projCos = Similarity.cosinePairs(
+        Similarity.randomProject(sample, "vec_id", "embedding", 16),
+        "vec_id", "proj", -1.0)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val errs = fullCos.keys.map(k => math.abs(fullCos(k) - projCos(k)))
+    val mae = errs.sum / errs.size
+    info(s"pairwise cosine MAE after 64->16 projection: $mae")
+    assert(mae < 0.25, s"JL distortion MAE $mae")
+  }
+
   test("semanticDedupIndexed over the persisted dedup index equals the " +
        "in-flight form") {
     val idx = java.nio.file.Files.createTempDirectory("ivfdedupidx").toString
