@@ -520,21 +520,9 @@ object Dedup {
     * per-document window. Nothing touches the driver. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      minTokens: Int = 8): DataFrame = {
-    require(minTokens >= 2, "a span of < 2 tokens is word frequency")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    val base = df.select(col(idCol),
-      posexplode(TextFns.words(TextFns.norm(col(textCol))))
-        .as(Seq("pos", "w0")))
-    val withLeads = (1 until minTokens).foldLeft(base)((acc, k) =>
-      acc.withColumn(s"w$k", lead(col("w0"), k).over(w)))
-    // checkpoint: the frequency aggregate AND the run join both read
-    // the shingle set; without it the shingling re-evaluates per use
-    val sh = graft.Checkpoints.checkpoint(
-      withLeads.filter(col(s"w${minTokens - 1}").isNotNull)
-        .select(col(idCol), col("pos").cast("long").as("pos"),
-          xxhash64(concat_ws(" ",
-            (0 until minTokens).map(k => col(s"w$k")): _*)).as("hk")))
+    val sh = spanShingles(df, idCol, textCol, minTokens)
     val freq = sh.groupBy(col("hk"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -549,6 +537,76 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + lit(minTokens).cast("long"))
           .as("span_tokens"),
         min(col("n_occ")).as("n_copies"))
+      .drop("grp")
+  }
+
+  /** Checkpointed (id, pos, hk) shingle-start relation shared by
+    * [[duplicateSpans]] and [[duplicateSpanCuts]]: every L-token
+    * window's xxhash64 key with its 0-based start position. */
+  private def spanShingles(df: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "a span of < 2 tokens is word frequency")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val base = df.select(col(idCol),
+      posexplode(TextFns.words(TextFns.norm(col(textCol))))
+        .as(Seq("pos", "w0")))
+    val withLeads = (1 until minTokens).foldLeft(base)((acc, k) =>
+      acc.withColumn(s"w$k", lead(col("w0"), k).over(w)))
+    // checkpoint: the frequency aggregate AND the downstream join both
+    // read the shingle set; without it the shingling re-evaluates per
+    // consumer
+    graft.Checkpoints.checkpoint(
+      withLeads.filter(col(s"w${minTokens - 1}").isNotNull)
+        .select(col(idCol), col("pos").cast("long").as("pos"),
+          xxhash64(concat_ws(" ",
+            (0 until minTokens).map(k => col(s"w$k")): _*)).as("hk")))
+  }
+
+  /** The APPLY step of span dedup (the remove-all-but-one-occurrence
+    * semantics of Lee et al.'s dedup tooling — public method): for
+    * every duplicated L-token shingle, the occurrence with the
+    * globally minimal (doc, pos) is CANONICAL and survives; every
+    * other occurrence marks its L covered tokens for removal. Covered
+    * ranges are merged per document (classic interval merge on the
+    * running max end — a per-document window), yielding the exact cut
+    * list (doc_id, cut_start, cut_end, cut_tokens) a rewrite pass
+    * applies. The canonical copy's text is untouched, so exactly one
+    * occurrence of every duplicated span survives the cuts.
+    *
+    * Scale shape: canonical election is one rank inside the
+    * duplicated-shingle groups (keyed by shingle hash); everything
+    * else is the [[duplicateSpans]] dataflow plus a per-document
+    * interval-merge window. */
+  def duplicateSpanCuts(df: DataFrame, idCol: String, textCol: String,
+                        minTokens: Int = 8): DataFrame = {
+    val sh = spanShingles(df, idCol, textCol, minTokens)
+    val freq = sh.groupBy(col("hk"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    // canonical = rank 1 in (doc, pos) order within each duplicated
+    // shingle group; ranks 2+ are the occurrences to cut
+    val byOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hk")).orderBy(col(idCol), col("pos"))
+    val cuts = sh.join(freq, "hk")
+      .withColumn("occ", row_number().over(byOcc))
+      .filter(col("occ") > 1)
+      .select(col(idCol), col("pos").as("st"),
+        (col("pos") + lit(minTokens - 1).cast("long")).as("en"))
+    // interval merge per doc: a range opens a new island when it
+    // starts past the running max end of all earlier ranges
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("st"), col("en"))
+    val runBefore = byStart.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cuts
+      .withColumn("opens",
+        when(col("st") > coalesce(max(col("en")).over(runBefore),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("opens")).over(byStart))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("st")).as("cut_start"), max(col("en")).as("cut_end"),
+        (max(col("en")) - min(col("st")) + 1L).as("cut_tokens"))
       .drop("grp")
   }
 }

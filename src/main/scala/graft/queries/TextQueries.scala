@@ -859,6 +859,15 @@ object TextQueries {
           col("cum_tokens"))
     },
 
+    // The APPLY step of q144: per duplicated shingle the globally
+    // minimal (doc, pos) occurrence is canonical; every other
+    // occurrence's covered tokens merge into per-doc CUT intervals
+    // (Dedup.duplicateSpanCuts). Applying the cuts leaves exactly one
+    // occurrence of every duplicated span in the corpus.
+    "q150_span_cuts" -> { (s, d) =>
+      Dedup.duplicateSpanCuts(Tables.documents(s, d), "doc_id", "text", 8)
+    },
+
     // LM-based quality scoring (Quality.bigramLmScore): the
     // CCNet-family perplexity-filter modality as a self-trained
     // corpus bigram model in exact integer arithmetic — per doc, the
@@ -1639,6 +1648,37 @@ object TextQueries {
          |      FROM d2)
          |SELECT doc_id, lang_pred, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
+
+    // q150: canonical election by row_number within each duplicated
+    // shingle group, then the interval merge on the running max end —
+    // window frames chosen to match Spark's defaults (no ties: each
+    // (doc, pos) starts exactly one shingle).
+    "q150_span_cuts" ->
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+         |             AS ws FROM documents),
+         |s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |        array_to_string(ws[i : i + 7], ' ') AS sh
+         |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7))
+         |              AS i
+         |            FROM t WHERE len(ws) >= 8)),
+         |c AS (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2),
+         |d AS (SELECT s.doc_id, s.pos, row_number()
+         |          OVER (PARTITION BY s.sh ORDER BY s.doc_id, s.pos) AS occ
+         |      FROM s JOIN c USING (sh)),
+         |cu AS (SELECT doc_id, pos AS st, pos + 7 AS en FROM d
+         |       WHERE occ > 1),
+         |m AS (SELECT doc_id, st, en,
+         |        CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+         |            ORDER BY st, en
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |          THEN 1 ELSE 0 END AS opens
+         |      FROM cu),
+         |g AS (SELECT doc_id, st, en,
+         |        sum(opens) OVER (PARTITION BY doc_id ORDER BY st, en) AS grp
+         |      FROM m)
+         |SELECT doc_id, min(st) AS cut_start, max(en) AS cut_end,
+         |  max(en) - min(st) + 1 AS cut_tokens
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     // q148: the bigram model retrained in SQL — prefix-denominated
     // conditional counts, the same scaled integer div per occurrence,

@@ -187,6 +187,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 0L, 9L, 10L, 2L), (1L, 17L, 26L, 10L, 2L)))
   }
 
+  test("duplicateSpanCuts keeps exactly the canonical occurrence and " +
+       "cutting the rest leaves no duplicated span behind") {
+    val span = (0 until 20).map(i => s"s$i")
+    def filler(doc: Int, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"f${doc}x$i")
+    val toks = Map(
+      1L -> (filler(1, 30) ++ span ++ filler(1, 10, 30)),
+      2L -> (span ++ filler(2, 40)),
+      3L -> (filler(3, 5) ++ span ++ filler(3, 35, 5)),
+      4L -> filler(4, 60))
+    val fix = toks.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val cuts = Dedup.duplicateSpanCuts(fix, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1 holds the globally minimal occurrences (doc order) → kept;
+    // docs 2 and 3 lose their full copies
+    assert(cuts == Set((2L, 0L, 19L, 20L), (3L, 5L, 24L, 20L)))
+    // apply the cuts and re-detect: nothing duplicated remains
+    val cutsByDoc = cuts.groupBy(_._1)
+    val after = toks.toSeq.map { case (id, ws) =>
+      val drop = cutsByDoc.getOrElse(id, Set.empty)
+        .flatMap(c => c._2 to c._3)
+      (id, ws.zipWithIndex.collect {
+        case (w, i) if !drop(i.toLong) => w
+      }.mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(after, "doc_id", "text", 8).count() == 0L)
+
+    // within-doc repeat: the first occurrence is canonical, the
+    // second is cut
+    val rep = Seq((1L,
+      ((0 until 10).map(i => s"r$i") ++ (0 until 7).map(i => s"u$i") ++
+        (0 until 10).map(i => s"r$i")).mkString(" "))).toDF("doc_id", "text")
+    val repCuts = Dedup.duplicateSpanCuts(rep, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(repCuts == Set((1L, 17L, 26L, 10L)))
+  }
+
   test("duplicateSpans is exact vs brute force on random docs") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d") // tiny vocab → dense repeats
