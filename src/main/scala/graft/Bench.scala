@@ -98,11 +98,19 @@ object Bench {
     // the judge.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // Compact budget: the line was 1942 bytes at 146 queries with
+    // 3-decimal second values — four more queries would push it past
+    // the driver's 2000-byte tail and the parse would silently die.
+    // Per-query values are therefore integer MILLISECONDS ("unit":
+    // "ms" declares it), the redundant pass totals are dropped, and
+    // sf is its basename: ~1.6 KB at 150 queries, headroom to ~180.
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
-        v.map { case (a, b) => f3(math.min(a, b)).toString }.getOrElse("-1")
+        v.map { case (a, b) => math.rint(math.min(a, b) * 1000).toLong }
+          .getOrElse(-1L)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries":$qsShort,"errors":$errs,"total_pass1":${f3(t1)},"total_pass2":${f3(t2)},"sf":"$sfDir"}"""
+    val sfShort = sfDir.split('/').last
+    val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"ms","queries":$qsShort,"errors":$errs,"sf":"$sfShort"}"""
     spark.stop()
     // The driver json-parses LINES out of its 2000-byte tail window — a
     // prefixed line never json-parses, so the bare compact object must
