@@ -779,6 +779,44 @@ object Graph {
     cur
   }
 
+  /** Temporal edge CHURN over a (src, dst, period) long-form edge log
+    * — the year-over-year evolution measure the reference's dynamic
+    * network tracks via per-year DLink attributes
+    * (`DynamicNet.scala:251`), as one relational pass: for every
+    * ACTIVE period, how many distinct undirected edges were active
+    * (`n_active`), how many appeared for the first time ever
+    * (`n_new`), and how many of the previous period's edges did not
+    * recur (`n_lost` — attributed to the period they went missing).
+    *
+    * Scale shape: one distinct over (edge, period), then three keyed
+    * aggregations — first-appearance is a min-period groupBy, loss is
+    * a shifted-period left-anti self-join; output is one row per
+    * period regardless of graph size. */
+  def edgeChurn(longForm: DataFrame, src: String = "a", dst: String = "b",
+                period: String = "year"): DataFrame = {
+    // checkpoint: four consumers (active counts, first-appearance,
+    // both sides of the loss anti-join) share the distinct pass
+    val act = Checkpoints.checkpoint(longForm
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"), col(period).as("p"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("p").isNotNull)
+      .distinct())
+    val active = act.groupBy(col("p")).agg(count(lit(1)).as("n_active"))
+    val firstSeen = act.groupBy(col("u"), col("v"))
+      .agg(min(col("p")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_new"))
+    val lost = act
+      .select(col("u"), col("v"), (col("p") + 1).as("p"))
+      .join(act, Seq("u", "v", "p"), "left_anti")
+      .groupBy(col("p")).agg(count(lit(1)).as("n_lost"))
+    active.join(firstSeen, Seq("p"), "left")
+      .join(lost, Seq("p"), "left")
+      .na.fill(0L, Seq("n_new", "n_lost"))
+      .select(col("p").as(period), col("n_active"), col("n_new"),
+        col("n_lost"))
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan/
     * Albert/Kumara 2007, the deterministic synchronous variant —
     * public algorithm): every vertex starts as its own label; each

@@ -474,6 +474,17 @@ object GraphQueries {
         .select(col("u").as("a"), col("v").as("b"))
     },
 
+    // Temporal edge churn over the co-ship long form — the evolution
+    // measure of the reference's dynamic-network layer (G7's per-year
+    // DLink attributes aggregated to the network level): per active
+    // year, edges active / first-ever / not recurring from the prior
+    // year. Oracle replays the distinct-(edge, year) pass + the three
+    // aggregations (NOT EXISTS for the loss anti-join).
+    "q151_edge_churn" -> { (s, d) =>
+      Graph.edgeChurn(pairYears(s, d).filter(col("yr").isNotNull),
+        "a", "b", "yr")
+    },
+
     // COMMUNITY DETECTION by synchronous label propagation on the
     // k-NN spine (111 communities at sf0.1, sizes 2..72 — the spine's
     // local clusters, unlike the near-clique weight substrate):
@@ -1201,6 +1212,30 @@ object GraphQueries {
     "q145_core_numbers" -> coreNumbersOracleSql,
 
     "q147_communities" -> communitiesOracleSql,
+
+    // q151: distinct (edge, year) activity, then active counts,
+    // first-appearance counts, and the shifted-year NOT EXISTS loss —
+    // coShipSql's j is the same lineitem×orders long form
+    "q151_edge_churn" ->
+      s"""WITH $coShipSql,
+         |act AS MATERIALIZED (SELECT DISTINCT least(s1, s2) AS u,
+         |        greatest(s1, s2) AS v, yr AS p
+         |      FROM j WHERE yr IS NOT NULL),
+         |ac AS (SELECT p, CAST(count(*) AS BIGINT) AS n_active FROM act
+         |       GROUP BY 1),
+         |fs AS (SELECT p, CAST(count(*) AS BIGINT) AS n_new FROM (
+         |         SELECT u, v, min(p) AS p FROM act GROUP BY 1, 2) f
+         |       GROUP BY 1),
+         |lo AS (SELECT p, CAST(count(*) AS BIGINT) AS n_lost FROM (
+         |         SELECT a1.u, a1.v, a1.p + 1 AS p FROM act a1
+         |         WHERE NOT EXISTS (SELECT 1 FROM act a2
+         |           WHERE a2.u = a1.u AND a2.v = a1.v
+         |             AND a2.p = a1.p + 1)) l
+         |       GROUP BY 1)
+         |SELECT ac.p AS yr, ac.n_active,
+         |  coalesce(fs.n_new, 0) AS n_new,
+         |  coalesce(lo.n_lost, 0) AS n_lost
+         |FROM ac LEFT JOIN fs USING (p) LEFT JOIN lo USING (p)""".stripMargin,
 
     "q104_citation_hits" -> hitsOracleSql,
 

@@ -460,6 +460,20 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("edgeChurn counts active / first-seen / lost edges per period") {
+    val log = Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L),            // p1: two new edges
+      (1L, 2L, 2L), (2L, 3L, 2L),            // p2: (1,3) lost, (2,3) new
+      (3L, 2L, 3L),                          // p3: (1,2) lost; reversed dir
+      (1L, 2L, 2L)                           // duplicate activity row
+    ).toDF("a", "b", "year")
+    val got = Graph.edgeChurn(log).as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 2L, 0L), (2L, 2L, 1L, 1L),
+      (3L, 1L, 0L, 1L)))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("labelPropagation separates two cliques across a bridge and " +
        "equals the synchronous brute force on random graphs") {
     // two 4-cliques {0..3} and {10..13} joined by bridge 3-10: each
