@@ -563,6 +563,50 @@ object Dedup {
             (0 until minTokens).map(k => col(s"w$k")): _*)).as("hk")))
   }
 
+  /** TF-IDF VECTORIZATION — the bridge from document text into the
+    * dense-vector similarity family ([[graft.operators.Similarity]]):
+    * each document becomes a `vocabSize`-dim double vector over the
+    * corpus' top-df dictionary, weighted tf·idf in the integer RATIO
+    * form (w = (tf·N·10) div df — q66's log-free idf discipline, so
+    * every component is an exactly-replayable integer and the
+    * downstream rounded cosine hash-matches cross-engine).
+    *
+    * Dictionary = the `vocabSize` highest-df terms (ties by term):
+    * top-V selection is a distributed orderBy+limit; the rank window
+    * then runs over only V rows. Out-of-dictionary terms contribute
+    * nothing (the standard top-V vocabulary cap that keeps vectors
+    * dense and BOUNDED however large the real vocabulary grows);
+    * documents with no in-dictionary terms are absent (a zero vector
+    * has no cosine). Compose the output with [[Similarity]]'s exact,
+    * LSH, IVF, or projected paths — term-weighted near-dup is then
+    * one `cosinePairs` call (q152). */
+  def tfidfVectors(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 32): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFns.words(TextFns.norm(col(textCol)))).as("term"))
+    // checkpoint: tf feeds the df aggregate AND the weight join
+    val tf = graft.Checkpoints.checkpoint(
+      toks.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dict = dfreq.orderBy(col("df").desc, col("term")).limit(vocabSize)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("term"))))
+    val nDocs = df.agg(count(lit(1)).cast("long").as("n"))
+    val w = tf.join(broadcast(dict), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("rank"),
+        call_function("div", col("tf") * col("n") * 10L, col("df")).as("w"))
+    w.groupBy(col(idCol))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("rank"), col("w"))))).as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(1), lit(vocabSize)),
+          r => coalesce(element_at(col("m"), r), lit(0L)).cast("double"))
+          .as("tfidf"))
+  }
+
   /** The APPLY step of span dedup (the remove-all-but-one-occurrence
     * semantics of Lee et al.'s dedup tooling — public method): for
     * every duplicated L-token shingle, the occurrence with the

@@ -859,6 +859,18 @@ object TextQueries {
           col("cum_tokens"))
     },
 
+    // TERM-WEIGHTED document near-dup: Dedup.tfidfVectors (integer
+    // ratio-form tf·idf over the top-32 dictionary) composed with the
+    // vector family's exact cosinePairs — the cosine complement of
+    // q25's set-based n-gram Jaccard. Oracle replays vectorization
+    // (dictionary rank, integer weights, dense zero-filled lists) and
+    // the rounded list-cosine. At scale the same vectors feed the
+    // LSH/IVF/projected candidate paths instead of the exact join.
+    "q152_tfidf_neardup" -> { (s, d) =>
+      val vecs = Dedup.tfidfVectors(Tables.documents(s, d), "doc_id", "text")
+      graft.operators.Similarity.cosinePairs(vecs, "doc_id", "tfidf", 0.9)
+    },
+
     // The APPLY step of q144: per duplicated shingle the globally
     // minimal (doc, pos) occurrence is canonical; every other
     // occurrence's covered tokens merge into per-doc CUT intervals
@@ -1648,6 +1660,39 @@ object TextQueries {
          |      FROM d2)
          |SELECT doc_id, lang_pred, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
+
+    // q152: the vectorization retrained in SQL — same dictionary
+    // ranks, same integer weights, same dense zero-filled lists, the
+    // q56 rounded list-cosine discipline for the pair join.
+    "q152_tfidf_neardup" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |        GROUP BY 1),
+         |dict AS (SELECT * FROM (SELECT term, df,
+         |    row_number() OVER (ORDER BY df DESC, term) AS rank FROM dfq) dd
+         |  WHERE rank <= 32),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, dict.rank,
+         |        (tf.tf * n.n * 10) // dict.df AS w
+         |      FROM tf JOIN dict USING (term) CROSS JOIN n),
+         |ids AS (SELECT DISTINCT doc_id FROM w),
+         |grid AS (SELECT ids.doc_id, g.r
+         |         FROM ids, (SELECT unnest(generate_series(1, 32)) AS r) g),
+         |v AS (SELECT grid.doc_id,
+         |        list(CAST(coalesce(w.w, 0) AS DOUBLE) ORDER BY grid.r)
+         |          AS tv
+         |      FROM grid LEFT JOIN w ON grid.doc_id = w.doc_id
+         |                           AND grid.r = w.rank
+         |      GROUP BY grid.doc_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(list_cosine_similarity(a.tv, b.tv), 4) AS cos
+         |  FROM v a JOIN v b ON a.doc_id < b.doc_id) p
+         |WHERE cos >= 0.9""".stripMargin,
 
     // q150: canonical election by row_number within each duplicated
     // shingle group, then the interval merge on the running max end —

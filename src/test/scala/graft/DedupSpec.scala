@@ -225,6 +225,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(repCuts == Set((1L, 17L, 26L, 10L)))
   }
 
+  test("tfidfVectors produces hand-computed integer weights in " +
+       "dictionary order and composes with the vector cosine family") {
+    import org.apache.spark.sql.functions.col
+    // N=3; df: x=2, y=2, z=1 → dict x(1), y(2), z(3); w = tf·30 // df
+    val fix = Seq((1L, "x x y"), (2L, "x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val vecs = Dedup.tfidfVectors(fix, "doc_id", "text", vocabSize = 3)
+    val got = vecs.as[(Long, Seq[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Seq(30.0, 15.0, 0.0),
+      2L -> Seq(15.0, 15.0, 0.0),
+      3L -> Seq(0.0, 0.0, 30.0)))
+    val pairs = graft.operators.Similarity
+      .cosinePairs(vecs, "doc_id", "tfidf", 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // cos(d1,d2) = 675 / (√1125·√450) = 0.9487; z-doc orthogonal
+    assert(pairs == Set((1L, 2L, 0.9487)))
+    graft.Checkpoints.releaseAll(spark)
+
+    // the vectors feed the scale candidate paths unchanged: IVF pairs
+    // over tfidf vectors keep exact precision (same verify threshold)
+    // and healthy recall of the exact pair set on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tv = Dedup.tfidfVectors(docs, "doc_id", "text")
+      .localCheckpoint() // two consumers below
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exactP = ps(graft.operators.Similarity
+      .cosinePairs(tv, "doc_id", "tfidf", 0.9))
+    val ivfP = ps(graft.operators.Similarity
+      .cosinePairsIvf(tv, "doc_id", "tfidf", 0.9))
+    assert(exactP.nonEmpty)
+    assert((ivfP -- exactP).isEmpty) // precision exact by construction
+    val recall = (ivfP & exactP).size.toDouble / exactP.size
+    info(s"IVF recall on tfidf vectors: $recall")
+    assert(recall >= 0.8)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("duplicateSpans is exact vs brute force on random docs") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d") // tiny vocab → dense repeats
