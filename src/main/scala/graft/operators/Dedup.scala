@@ -579,7 +579,16 @@ object Dedup {
     * documents with no in-dictionary terms are absent (a zero vector
     * has no cosine). Compose the output with [[Similarity]]'s exact,
     * LSH, IVF, or projected paths — term-weighted near-dup is then
-    * one `cosinePairs` call (q152). */
+    * one `cosinePairs` call (q152).
+    *
+    * Row-format note for eval-heavy consumers: the `transform`-built
+    * vector column is BOXED (GenericArrayData) as produced; a kernel
+    * that scores millions of pairs per partition (ArrayCosine) runs
+    * ~3× slower on boxed arrays than on UnsafeRow primitive arrays.
+    * Any exchange rewrites the format — q152 measures 11 s → 3.4 s at
+    * sf0.1 from one `repartition` before its pair join. Consumers
+    * that shuffle the vectors anyway (LSH/IVF bucketing) get the
+    * rewrite for free. */
   def tfidfVectors(df: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = 32): DataFrame = {
     val toks = df.select(col(idCol),
