@@ -30,8 +30,11 @@ object Similarity {
     * dot+norms loop per pair, no per-row lambda interpretation. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
+    // explicit spread of the streamed corpus side — see [[cosinePairs]]
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(id).as("n_id"),
       VectorFns.toDoubleArr(col(vec)).as("cv"))
+      .repartition(par, col("n_id"))
     val q = queries.select(col(id).as("q_id"),
       VectorFns.toDoubleArr(col(vec)).as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
@@ -51,8 +54,18 @@ object Similarity {
     * space is never materialized. */
   def cosinePairs(emb: DataFrame, id: String, vec: String,
                   minCos: Double): DataFrame = {
+    // The streamed side is explicitly spread across the executors:
+    // a small vector relation otherwise arrives as one scan partition
+    // (or gets AQE-coalesced to one), which serializes the O(n²)
+    // nested-loop pair scan through a single core — the n² work is
+    // the cost here, not the n-row exchange. The exchange also
+    // rewrites transform-built BOXED array columns into UnsafeRow
+    // primitive arrays, ArrayCosine's fast path (the q152 lesson:
+    // 11 s → 3.5 s from the two effects together).
+    val par = emb.sparkSession.sparkContext.defaultParallelism
     val a = emb.select(col(id).as("id_a"),
       VectorFns.toDoubleArr(col(vec)).as("va"))
+      .repartition(par, col("id_a"))
     val b = emb.select(col(id).as("id_b"),
       VectorFns.toDoubleArr(col(vec)).as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
