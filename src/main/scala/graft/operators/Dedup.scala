@@ -543,8 +543,9 @@ object Dedup {
   /** Checkpointed (id, pos, hk) shingle-start relation shared by
     * [[duplicateSpans]] and [[duplicateSpanCuts]]: every L-token
     * window's xxhash64 key with its 0-based start position. */
-  private def spanShingles(df: DataFrame, idCol: String, textCol: String,
-                           minTokens: Int): DataFrame = {
+  private[graft] def spanShingles(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  minTokens: Int): DataFrame = {
     require(minTokens >= 2, "a span of < 2 tokens is word frequency")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

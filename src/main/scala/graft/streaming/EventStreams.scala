@@ -315,6 +315,29 @@ object EventStreams {
           .as("n_sequences"))
   }
 
+  /** Streaming SPAN-DEDUP candidate maintenance — the live-corpus twin
+    * of q144/q150's duplicated-shingle detection: per L-token shingle
+    * hash, a running occurrence count as a streaming aggregation
+    * (additive, so any batch split converges to the batch frequency
+    * table bit-for-bit; shingling is row-local — a document's windows
+    * never cross rows, so [[graft.functions.TextFns.shingles]] is the
+    * streaming-legal extraction, spec-pinned to the batch posexplode
+    * + lead form). Counts ≥ 2 are exactly the duplicated-shingle
+    * candidates the batch island-merge consumes; the maximal-span
+    * merge itself is deliberately NOT streamed (it needs each doc's
+    * final duplicated-position set, fixed only when the corpus
+    * closes — the packAccountingStream division of labor). */
+  def spanCandidateStream(docs: Dataset[DocText],
+                          minTokens: Int = 8): DataFrame = {
+    import graft.functions.TextFns
+    docs.toDF()
+      .select(explode(transform(
+        TextFns.shingles(TextFns.words(TextFns.norm(col("text"))),
+          minTokens),
+        s => xxhash64(s))).as("hk"))
+      .groupBy(col("hk")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming HLL maintenance — the q133/q134 distinct sketch kept
     * live over the event stream: per-(window, event_type, bucket)
     * max(rho) is a streaming MAX aggregation, so

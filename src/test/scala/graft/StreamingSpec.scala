@@ -522,6 +522,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("spanCandidateStream after shuffled batches equals the batch " +
+       "shingle frequency table, and its >=2 slice is exactly the " +
+       "q144 candidate set") {
+    implicit val ctx = spark.sqlContext
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[EventStreams.DocText].collect().toSeq
+    // batch reference: the q144 shingle relation (posexplode + lead)
+    val batch = graft.operators.Dedup
+      .spanShingles(corpus.toDF(), "doc_id", "text", 8)
+      .groupBy($"hk").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toSet
+    val ms = MemoryStream[EventStreams.DocText]
+    val q = EventStreams.spanCandidateStream(ms.toDS())
+      .writeStream.format("memory").queryName("spancand")
+      .outputMode("complete").start()
+    try {
+      val shuffled = new scala.util.Random(13).shuffle(corpus)
+      shuffled.grouped(math.max(1, shuffled.size / 3)).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("spancand")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // the candidate slice is non-trivial on the fixture (planted
+      // duplicated spans) and matches the batch duplicated set
+      val cands = streamed.filter(_._2 >= 2)
+      assert(cands.nonEmpty)
+      assert(cands == batch.filter(_._2 >= 2))
+    } finally q.stop()
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("packAccountingStream after shuffled batches equals the batch " +
        "per-(source, language) token accounting exactly") {
     implicit val ctx = spark.sqlContext
