@@ -53,6 +53,7 @@ object Explain {
     "q126_token_mixture",   // broadcast token-total + weight-total scalars
     "q146_language_mixture", // broadcast token/weight-total scalars (q126 shape)
     "q152_tfidf_neardup",   // broadcast doc-count scalar (q42 shape)
+    "q153_kmv_source_ops",  // broadcast source-name pair grid (20 rows)
     "q127_ann_ivfpq_topk",  // broadcast centroid + codebook assignment (q51 shape)
     "q135_cm_join_size")    // 1-row est x 1-row exact scalar combine
 

@@ -404,4 +404,89 @@ object Sketches {
       .filter(col("cnt") * shareDen >= col("n_group") * shareNum)
       .select(col("g"), col("k"), col("cnt"), col("n_group"))
   }
+
+  // ----- KMV sketches + pairwise set-operation estimates (q153) -----
+  //
+  // k-minimum-values (Bar-Yossef et al., RANDOM'02; the set-operation
+  // estimators are Beyer et al., SIGMOD'07 — public algorithms): a
+  // group's sketch is the k smallest DISTINCT hash values of its keys.
+  // q69 already uses the single-group estimator; this is the PAIRWISE
+  // layer: merging two sketches (k smallest of the hash union) is the
+  // sketch of the set union, so distinct-union, distinct-intersection
+  // and Jaccard between every group pair come from the k-row sketches
+  // alone — the 100 TB shape for cross-source overlap screening, where
+  // q95's exact matrix must shuffle the full (source, shingle) grain
+  // but this touches it once to build per-source k-row state.
+
+  /** The established cross-engine string hash ([[hllRegisters]]'s
+    * mix31 ∘ PolyHash) exposed as a column: uniform-ish on [0, 2^31)
+    * and exactly replayable in DuckDB via [[mix31Sql]] over the
+    * q122 wordHash twin. */
+  def mixedStringHash(key: Column, mod: Long = 1000000007L): Column =
+    mix31(PolyHash.hash(key, 31L, mod))
+
+  /** Upper bound (exclusive) of [[mixedStringHash]]'s range — the M in
+    * the KMV estimator est = (k−1)·M/h_k. */
+  val MixedHashRange: Double = 2147483648.0
+
+  /** Per-group KMV sketch: the k smallest distinct values of `h`.
+    * The rank filter plans as WindowGroupLimit — each map task keeps
+    * only its local k smallest before the exchange, so the shuffle
+    * carries ≤ k rows per (partition, group) however many distinct
+    * keys the group holds. */
+  def kmvMinHashes(rows: DataFrame, group: String, h: Column,
+                   k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("h"))
+    rows.select(col(group), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(group), col("h"))
+  }
+
+  /** Pairwise set-operation estimates over ONE [[kmvMinHashes]] table:
+    * for every group pair (ga < gb) the merged sketch is the k
+    * smallest hashes of the two sketches' union with per-side
+    * membership flags; `est_union` = (k−1)·M/h_k over the merged
+    * sketch and `est_inter` scales it by the shared fraction INSIDE
+    * the merged sketch (Beyer et al. §4). When the merged sketch holds
+    * fewer than k hashes both input sketches were complete and both
+    * answers are EXACT counts (emitted through the same columns).
+    *
+    * Cost: groups²·k rows built from the k-row sketches only —
+    * independent of corpus size; the group-pair grid is an intended
+    * broadcast cross join over the group-name relation. */
+  def kmvPairEstimates(sketch: DataFrame, group: String, k: Int,
+                       hashRange: Double = MixedHashRange): DataFrame = {
+    val names = sketch.select(col(group)).distinct()
+    val pairs = names.select(col(group).as("ga"))
+      .crossJoin(names.select(col(group).as("gb")))
+      .filter(col("ga") < col("gb"))
+    val sides = pairs
+      .join(sketch.select(col(group).as("ga"), col("h")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(pairs
+        .join(sketch.select(col(group).as("gb"), col("h")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("h"),
+          lit(0L).as("in_a"), lit(1L).as("in_b")))
+    val merged = sides.groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val ranked = merged.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val agged = ranked.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_union_hashes"),
+        max(when(col("rn") === k, col("h"))).as("hk"),
+        sum(col("in_a") * col("in_b")).as("n_shared"))
+    val estU = when(col("n_union_hashes") < k,
+        col("n_union_hashes").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * hashRange / col("hk"))
+    agged.select(col("ga"), col("gb"), col("n_shared"),
+      estU.as("est_union"),
+      when(col("n_union_hashes") < k, col("n_shared").cast("double"))
+        .otherwise(col("n_shared") * estU / lit(k.toDouble))
+        .as("est_inter"))
+  }
 }

@@ -293,6 +293,32 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared_shingles"))
     },
 
+    // q95's capability at SKETCH cost — pairwise distinct-union /
+    // distinct-intersection ESTIMATES between every source pair from
+    // per-source KMV sketches (k = 128 smallest mixed hashes of the
+    // same 5-gram shingles). The exact matrix shuffles the full
+    // (source, shingle) grain per pair; this touches it once to build
+    // k-row sketches, then every pair estimate is sketch-only
+    // arithmetic — the 100 TB screening pass that decides WHICH pairs
+    // earn the exact q95 treatment. Fully oracle-checked: the hash,
+    // the per-source and merged k-minima, and both estimators replay
+    // in SQL (exact-count branch when a merged sketch is complete).
+    "q153_kmv_source_ops" -> { (s, d) =>
+      val k = 128
+      val docs = Tables.documents(s, d)
+      val srcHash = Dedup.docShingles(docs, "doc_id", "text", 5)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"),
+          graft.operators.Sketches.mixedStringHash(col("sh")).as("h"))
+      val sk = graft.operators.Sketches.kmvMinHashes(srcHash, "source",
+        col("h"), k)
+      graft.operators.Sketches.kmvPairEstimates(sk, "source", k)
+        .select(col("ga").as("src_a"), col("gb").as("src_b"),
+          col("n_shared").as("n_shared_sketch"),
+          round(col("est_union"), 3).as("est_union"),
+          round(col("est_inter"), 3).as("est_inter"))
+    },
+
     // Chunk-grain (boilerplate) dedup — sub-document duplication that
     // document-level dedup can't see: every q75-geometry chunk
     // (50 tokens, stride 40) is fingerprinted with the portable
@@ -1301,6 +1327,61 @@ object TextQueries {
          |  CAST(count(*) AS BIGINT) AS n_shared_shingles
          |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    // q153: the whole KMV pipeline replayed — q95's shingle CTE, the
+    // q122 wordHash twin through the q133 mix31 stages, per-source and
+    // per-pair-merged k-minima via row_number, and both estimators
+    // with the same literal constants and float-op order.
+    "q153_kmv_source_ops" -> {
+      val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(sh, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)"
+      val Seq(mix1, mix2, mix3) = graft.operators.Sketches.mix31Sql
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS words
+         |           FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+         |        FROM (SELECT doc_id, words,
+         |                unnest(generate_series(1, len(words)-4)) AS i
+         |              FROM w WHERE len(words) >= 5)),
+         |sd AS (SELECT DISTINCT d.source, sh5.sh
+         |       FROM sh5 JOIN documents d USING (doc_id)),
+         |h0 AS (SELECT source, $hash AS h FROM sd),
+         |m1 AS (SELECT source, ${mix1("h")} AS x1 FROM h0),
+         |m2 AS (SELECT source, ${mix2("x1")} AS x2 FROM m1),
+         |mx AS (SELECT DISTINCT source, ${mix3("x2")} AS h FROM m2),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM mx),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 128),
+         |nm AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS ga, b.source AS gb
+         |       FROM nm a JOIN nm b ON a.source < b.source),
+         |sides AS (
+         |  SELECT pr.ga, pr.gb, s.h, 1 AS in_a, 0 AS in_b
+         |  FROM pr JOIN sk s ON s.source = pr.ga
+         |  UNION ALL
+         |  SELECT pr.ga, pr.gb, s.h, 0 AS in_a, 1 AS in_b
+         |  FROM pr JOIN sk s ON s.source = pr.gb),
+         |mg AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+         |       FROM sides GROUP BY 1, 2, 3),
+         |rk AS (SELECT ga, gb, h, in_a, in_b,
+         |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |       FROM mg),
+         |ag AS (SELECT ga, gb, count(*) AS n,
+         |         max(CASE WHEN rn = 128 THEN h END) AS hk,
+         |         sum(in_a * in_b) AS n_shared
+         |       FROM rk WHERE rn <= 128 GROUP BY 1, 2),
+         |est AS (SELECT ga, gb, n, n_shared,
+         |          CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+         |               ELSE 127.0 * 2147483648 / hk END AS eu
+         |        FROM ag)
+         |SELECT ga AS src_a, gb AS src_b,
+         |  CAST(n_shared AS BIGINT) AS n_shared_sketch,
+         |  round(eu, 3) AS est_union,
+         |  round(CASE WHEN n < 128 THEN CAST(n_shared AS DOUBLE)
+         |             ELSE n_shared * eu / 128.0 END, 3) AS est_inter
+         |FROM est""".stripMargin
+    },
 
     "q94_chunk_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws

@@ -261,4 +261,71 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got == Map("h" -> 8L))
   }
+
+  // ----- KMV pairwise set-operation estimates (q153) ----------------
+
+  private def kmvSketchOf(rows: DataFrame, k: Int): DataFrame =
+    Sketches.kmvMinHashes(
+      rows.select(col("g"),
+        Sketches.mixedStringHash(col("key")).as("h")), "g", col("h"), k)
+
+  test("kmvPairEstimates exact branch: complete merged sketch returns " +
+       "exact union and intersection counts") {
+    val rows = ((1 to 30).map(i => ("a", s"x$i")) ++
+      (11 to 40).map(i => ("b", s"x$i"))).toDF("g", "key")
+    val out = Sketches.kmvPairEstimates(kmvSketchOf(rows, 64), "g", 64)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("ga") == "a" && r.getAs[String]("gb") == "b")
+    assert(r.getAs[Long]("n_shared") == 20L)
+    assert(r.getAs[Double]("est_union") == 40.0)
+    assert(r.getAs[Double]("est_inter") == 20.0)
+  }
+
+  test("kmvPairEstimates estimate branch: planted 1000-of-5000 overlap " +
+       "lands within KMV tolerance") {
+    // union 5000 distinct, intersection 1000 (k2001..k3000 shared)
+    val rows = ((1 to 3000).map(i => ("a", s"k$i")) ++
+      (2001 to 5000).map(i => ("b", s"k$i"))).toDF("g", "key")
+    val r = Sketches.kmvPairEstimates(kmvSketchOf(rows, 128), "g", 128)
+      .collect().head
+    val eu = r.getAs[Double]("est_union")
+    val ei = r.getAs[Double]("est_inter")
+    // stderr ~ 1/sqrt(k-2) ~ 9% for the union; the intersection adds
+    // the binomial noise of n_shared ~ Binom(k, J) — wider band
+    assert(math.abs(eu - 5000.0) / 5000.0 < 0.2, s"est_union $eu")
+    assert(math.abs(ei - 1000.0) / 1000.0 < 0.45, s"est_inter $ei")
+  }
+
+  test("kmv merge property: the pair's merged sketch IS the sketch of " +
+       "the union (same k-th minimum, identical estimator value)") {
+    val k = 128
+    val a = (1 to 3000).map(i => ("a", s"k$i"))
+    val b = (2001 to 5000).map(i => ("b", s"k$i"))
+    val pairEst = Sketches.kmvPairEstimates(
+        kmvSketchOf((a ++ b).toDF("g", "key"), k), "g", k)
+      .collect().head.getAs[Double]("est_union")
+    // one group holding the union, sketched directly
+    val u = (a ++ b).map { case (_, key) => ("u", key) }
+    val uSketch = kmvSketchOf(u.toDF("g", "key"), k)
+      .agg(count(lit(1)), max(col("h"))).as[(Long, Long)].collect().head
+    assert(uSketch._1 == k.toLong)
+    val direct = (k - 1).toDouble * Sketches.MixedHashRange / uSketch._2
+    assert(pairEst == direct,
+      s"merged-sketch estimate $pairEst != direct union sketch $direct")
+  }
+
+  test("kmvMinHashes keeps exactly the k smallest distinct hashes, " +
+       "independent of partitioning") {
+    val base = (1 to 500).map(i => ("g", s"v$i")).toDF("g", "key")
+    val expected = kmvSketchOf(base, 32).orderBy(col("h"))
+      .as[(String, Long)].collect().toSeq
+    Seq(1, 7, 32).foreach { p =>
+      val got = kmvSketchOf(base.repartition(p), 32).orderBy(col("h"))
+        .as[(String, Long)].collect().toSeq
+      assert(got == expected, s"partitioning $p changed the sketch")
+      assert(got.size == 32)
+    }
+  }
 }
