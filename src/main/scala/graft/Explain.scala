@@ -54,6 +54,8 @@ object Explain {
     "q146_language_mixture", // broadcast token/weight-total scalars (q126 shape)
     "q152_tfidf_neardup",   // broadcast doc-count scalar (q42 shape)
     "q153_kmv_source_ops",  // broadcast source-name pair grid (20 rows)
+    "q154_quality_curriculum", // broadcast doc-count scalar (q42 shape)
+    "q155_temperature_mixture", // broadcast token/weight-total scalars (q126 shape)
     "q127_ann_ivfpq_topk",  // broadcast centroid + codebook assignment (q51 shape)
     "q135_cm_join_size")    // 1-row est x 1-row exact scalar combine
 

@@ -110,6 +110,21 @@ object Relational {
       .drop("_pid")
   }
 
+  /** EXACT integer square root (floor √x) of a nonnegative int64: one
+    * IEEE sqrt plus a ±1 integer correction. A correctly-rounded
+    * double sqrt is within one of the true integer floor for any
+    * int64, and the correction is pure int64 compare/adjust, so the
+    * result is exact and engine-independent — the temperature-
+    * flattening weight (q155) replays the identical CASE in DuckDB
+    * where a bare floor(sqrt(x)) could flip at perfect-square
+    * boundaries. */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when(s0 * s0 > x, s0 - 1L)
+      .when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L)
+      .otherwise(s0)
+  }
+
   /** Z-order (Morton) key over two nonnegative 16-bit dimensions: bit
     * i of `x` lands at position 2i, bit i of `y` at 2i+1, so nearby
     * (x, y) points share key prefixes — the lakehouse data-layout move

@@ -98,6 +98,37 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("quality"))
     },
 
+    // Equi-depth QUALITY deciles — the curriculum-ordering plan (train
+    // low→high quality, or sample per bucket): every document lands in
+    // one of 10 equal-depth buckets of the q21 quality score and the
+    // plan reports each bucket's doc and token mass. ntile() would
+    // funnel the corpus through ONE reducer (a global window with no
+    // partition key); the decile is instead derived from the
+    // range-partitioned two-phase global rank (the q86/q139
+    // discipline) as ((rank−1)·10) div n over the (quality, doc_id)
+    // total order — the oracle replays the same arithmetic on a plain
+    // single-window rank (equivalent semantics, different physical
+    // plan).
+    "q154_quality_curriculum" -> { (s, d) =>
+      val n = TextFns.norm(col("text"))
+      val w = TextFns.words(n)
+      val nw = size(w).cast("long")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), nw.as("n_words"),
+          qualityCol(nw, stopRatioCol(w, nw)).as("quality"))
+        .filter(col("n_words") > 0)
+      val ranked = graft.operators.Relational.globalCumsum(
+        scored, Seq(col("quality"), col("doc_id")), lit(1L), "rank")
+      val total = scored.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("decile", expr("((rank - 1) * 10) div n_total"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+    },
+
     // Context-window CHUNK PLAN — the long-document splitting step of
     // an LLM ingest pipeline: each doc becomes chunks of up to 50
     // tokens with stride 40 (10-token overlap), as pure relational
@@ -840,6 +871,40 @@ object TextQueries {
           col("cum_tokens"))
     },
 
+    // TEMPERATURE-flattened mixture (α = 1/2) — q126's budget fill
+    // with weights DERIVED from the data instead of configured:
+    // w_s = isqrt(source's token mass), the multilingual-sampling
+    // flattening (sampling ∝ n^α, α < 1 — mBERT/XLM/mT5's exponent
+    // move, public) that keeps big sources from drowning small ones:
+    // per-source keep FRACTION ∝ 1/√n_s. The α-power stays exact
+    // integer via Relational.isqrt (IEEE sqrt + ±1 int correction), so
+    // the whole plan — weights, totals, hash order, cross-multiplied
+    // cut — replays in the oracle with zero float risk.
+    "q155_temperature_mixture" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint() // consumers: weights, totals, cumsum
+      val srcW = docs.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+        .select(col("source"),
+          graft.operators.Relational.isqrt(col("src_tokens")).as("w"))
+      val scalars = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        .crossJoin(broadcast(srcW.agg(sum(col("w")).as("w_total"))))
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(lcgHash(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(byHash))
+        .join(broadcast(srcW), "source")
+        .crossJoin(broadcast(scalars))
+        .filter(col("cum_tokens") * 2 * col("w_total") <=
+          col("total_tokens") * col("w"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("w"))
+    },
+
     // PER-LANGUAGE token budgeting — q126's budget-fill arithmetic
     // denominated per predicted LANGUAGE (q22's langId) instead of
     // per source: real mixtures budget by language (the reference
@@ -1263,6 +1328,25 @@ object TextQueries {
          |  percent_rank() OVER (PARTITION BY source
          |    ORDER BY quality DESC, doc_id) AS pr FROM q)
          |SELECT source, doc_id, quality FROM r WHERE pr <= 0.25""".stripMargin,
+
+    // q154: the decile arithmetic replayed over a plain global-window
+    // rank — DuckDB can afford the single-reducer form the Spark side
+    // deliberately avoids.
+    "q154_quality_curriculum" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  string_split(${normSql("text")}, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  ${qualitySql("len(w)", stopRatioSql)} AS quality
+         |  FROM t WHERE len(w) > 0),
+         |r AS (SELECT doc_id, n_words, quality,
+         |  row_number() OVER (ORDER BY quality, doc_id) AS rank FROM q),
+         |n AS (SELECT count(*) AS n_total FROM q)
+         |SELECT CAST(((rank - 1) * 10) // n_total AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  min(quality) AS min_quality,
+         |  max(quality) AS max_quality
+         |FROM r, n GROUP BY 1""".stripMargin,
 
     "q75_chunk_plan" ->
       s"""WITH t AS (SELECT doc_id,
@@ -1719,6 +1803,36 @@ object TextQueries {
          |      FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c, t WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
+
+    // q155: q126's replay with the isqrt weight CTE — the same
+    // floor(sqrt) + ±1 integer correction Relational.isqrt applies.
+    "q155_temperature_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(${graft.functions.Bpe.tokenCountSql("text")}
+         |               AS BIGINT) AS n_tokens
+         |           FROM documents WHERE doc_id >= 0),
+         |sw0 AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |        FROM d GROUP BY 1),
+         |sw1 AS (SELECT source, src_tokens,
+         |          CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT)
+         |            AS s0
+         |        FROM sw0),
+         |sw AS (SELECT source,
+         |         CASE WHEN s0 * s0 > src_tokens THEN s0 - 1
+         |              WHEN (s0 + 1) * (s0 + 1) <= src_tokens THEN s0 + 1
+         |              ELSE s0 END AS w
+         |       FROM sw1),
+         |t AS (SELECT (SELECT sum(n_tokens) FROM d) AS total_tokens,
+         |             (SELECT sum(w) FROM sw) AS w_total),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY ${lcgHashSql("doc_id")}, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM d)
+         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+         |  CAST(sw.w AS BIGINT) AS w
+         |FROM c JOIN sw USING (source), t
+         |WHERE cum_tokens * 2 * w_total <= total_tokens * w""".stripMargin,
 
     // q146: q22's stopword-score CASE composed with q126's window
     // arithmetic, partitioned by the PREDICTED language.

@@ -164,4 +164,52 @@ class ChunkPlanSpec extends AnyFunSuite with SparkTestBase {
         s"$l: $tot tokens -> $packed sequences")
     }
   }
+
+  test("q154 deciles are equi-depth and partition the quality order") {
+    val rows = SparkEntry.queries("q154_quality_curriculum")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy($"decile")
+      .select($"decile", $"n_docs", $"min_quality", $"max_quality")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == (0L to 9L), "missing deciles")
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L,
+      s"not equi-depth: ${sizes.mkString(",")}")
+    // consecutive buckets do not invert the quality order (ties may
+    // straddle a cut, hence >=, not >)
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hiPrev), (_, _, loNext, _)) =>
+        assert(loNext >= hiPrev, "decile quality ranges overlap")
+      case _ => ()
+    }
+    rows.foreach { case (dec, _, lo, hi) =>
+      assert(lo <= hi, s"decile $dec min > max") }
+  }
+
+  test("q155 temperature flattening keeps a LARGER fraction of the " +
+       "small source and stays inside the half-corpus budget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q155").toString
+    val docs = (1 to 40).map(i =>
+        (i.toLong, ("alpha beta gamma delta " * 50).trim, "en", "big", 0L)) ++
+      (41 to 45).map(i =>
+        (i.toLong, ("alpha beta gamma delta " * 5).trim, "en", "small", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source",
+        graft.functions.Bpe.tokenCount($"text").as("n_tokens"))
+      .groupBy($"source").agg(sum($"n_tokens").as("tot"))
+      .as[(String, Long)].collect().toMap
+    val kept = SparkEntry.queries("q155_temperature_mixture")(spark, dir)
+      .groupBy($"source").agg(sum($"n_tokens").as("kept"))
+      .as[(String, Long)].collect().toMap
+    val fracSmall = kept.getOrElse("small", 0L).toDouble / all("small")
+    val fracBig = kept.getOrElse("big", 0L).toDouble / all("big")
+    assert(fracSmall > fracBig,
+      s"flattening inverted: small $fracSmall <= big $fracBig")
+    // the cross-multiplied cut bounds every source by its pro-rata
+    // share of HALF the corpus, so the total kept is <= half
+    assert(kept.values.sum <= all.values.sum / 2 + 1,
+      s"budget blown: ${kept.values.sum} of ${all.values.sum}")
+  }
 }

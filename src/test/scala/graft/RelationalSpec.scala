@@ -115,4 +115,20 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("_pid"), plan)
     graft.Checkpoints.releaseAll(spark)
   }
+
+  test("isqrt is the exact integer floor sqrt, perfect-square " +
+       "boundaries included") {
+    val xs = (0L to 1000L) ++
+      Seq(9L, 15L, 16L, 17L, 99L, 100L, 101L,
+        (1L << 40) - 1L, 1L << 40, (1L << 40) + 1L,
+        999999999999L, 1000000000000L, 4503599627370496L /* 2^52 */)
+    val got = xs.toDF("x")
+      .select(col("x"), Relational.isqrt(col("x")).as("s"))
+      .as[(Long, Long)].collect()
+    assert(got.length == xs.size)
+    got.foreach { case (x, s) =>
+      assert(s >= 0L && s * s <= x && (s + 1L) * (s + 1L) > x,
+        s"isqrt($x) = $s")
+    }
+  }
 }
