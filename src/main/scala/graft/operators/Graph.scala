@@ -142,6 +142,106 @@ object Graph {
     dist
   }
 
+  /** Sampled-source STRESS centrality — how many shortest paths pass
+    * THROUGH each vertex (Shimbel 1953; the integer sibling of
+    * betweenness, which Brandes' accumulation computes with rational
+    * path FRACTIONS that no cross-engine float replay survives).
+    * For each sampled source s:
+    *
+    *  - forward BFS carries σ(v) = #shortest s→v paths (additive:
+    *    first-arrival sigma sums over the frontier's in-edges — the
+    *    [[multiSourceBfs]] loop with one extra summed column);
+    *  - backward pass over the BFS DAG computes h(v) = #shortest-path
+    *    TAILS leaving v, h(v) = Σ_{w ∈ succ(v)} (h(w)+1) where
+    *    succ(v) = neighbors one level deeper — processed deepest level
+    *    first, one join per level;
+    *  - #paths through v from s = σ(v)·h(v) (every prefix pairs with
+    *    every tail), summed over sources with v ≠ s.
+    *
+    * Everything is exact int64 counting, so the whole computation —
+    * both passes — unrolls into the oracle. Bounded `depth` horizon
+    * exactly like [[multiSourceBfs]]: paths longer than the horizon
+    * are not counted (documented truncation, q114/q142 convention).
+    * State is sources × reach rows keyed by vertex; each round is one
+    * equi-join + keyed agg — the iterative-family shuffle shape. */
+  def stressCentrality(edges: DataFrame, sources: Seq[Long], depth: Int,
+                       a: String = "a", b: String = "b"): DataFrame = {
+    require(sources.nonEmpty, "stressCentrality needs at least one source")
+    require(depth >= 1, "stressCentrality needs depth >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // checkpointAlways: the adjacency feeds BOTH passes in every round
+    // AND every later round's visited union — untruncated in audit
+    // mode, the upstream edge subtree would replicate ~3^depth times
+    // (the resolveEntities lesson; the substrate is audited via its
+    // own queries)
+    val adj = Checkpoints.checkpointAlways(
+      edges.select(col(a).as("s"), col(b).as("d"))
+        .union(edges.select(col(b).as("s"), col(a).as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    // ---- forward: (src, v, level, sigma), sigma summed at FIRST
+    // level. Only the per-level frontiers are checkpointed; the
+    // accumulated visited set is their (cheap, <= depth-ary) lazy
+    // union — checkpointing the union itself trips Spark's Union
+    // constraint rewrite on the literal level column.
+    val frontiers = scala.collection.mutable.ArrayBuffer(
+      Checkpoints.checkpoint(sources.toDF("src")
+        .select(col("src"), col("src").as("v"), lit(0L).as("level"),
+          lit(1L).as("sigma"))))
+    var l = 0
+    while (l < depth) {
+      val visitedKeys = frontiers.map(_.select(col("src"), col("v")))
+        .reduce(_ union _)
+      val expanded = frontiers.last.alias("ff").join(adj.alias("aa"),
+          col("ff.v") === col("aa.s"))
+        .select(col("ff.src").as("src"), col("aa.d").as("v"),
+          col("ff.sigma").as("sigma"))
+      val nextF = Checkpoints.checkpoint(expanded
+        .join(visitedKeys, Seq("src", "v"), "left_anti")
+        .groupBy(col("src"), col("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("src"), col("v"), lit((l + 1).toLong).as("level"),
+          col("sigma")))
+      frontiers += nextF
+      l += 1
+    }
+    val visited = frontiers.reduce(_ unionByName _)
+    // ---- backward: h per level, deepest first (level `depth` has no
+    // counted successors inside the horizon -> h = 0)
+    var hNext = Checkpoints.checkpoint(frontiers(depth)
+      .select(col("src"), col("v"), lit(0L).as("h")))
+    val hAll = scala.collection.mutable.ArrayBuffer(hNext)
+    var lv = depth - 1
+    while (lv >= 0) {
+      val atL = frontiers(lv).select(col("src"), col("v"))
+      val contrib = atL.alias("vv").join(adj.alias("aa"),
+          col("vv.v") === col("aa.s"))
+        .join(hNext.alias("hh"),
+          col("vv.src") === col("hh.src") && col("aa.d") === col("hh.v"))
+        .select(col("vv.src").as("src"), col("vv.v").as("v"),
+          col("hh.h").as("hw"))
+        .groupBy(col("src"), col("v"))
+        .agg(sum(col("hw") + 1L).as("hs"))
+      val hL = Checkpoints.checkpoint(atL
+        .join(contrib, Seq("src", "v"), "left")
+        .select(col("src"), col("v"),
+          coalesce(col("hs"), lit(0L)).as("h")))
+      hNext = hL
+      hAll += hL
+      lv -= 1
+    }
+    val h = hAll.reduce(_ unionByName _)
+    val out = visited.join(h, Seq("src", "v"))
+      .filter(col("v") =!= col("src"))
+      .groupBy(col("v"))
+      .agg(sum(col("sigma") * col("h")).as("stress"))
+    // materialize the (small, per-vertex) result, then drop every
+    // intermediate block — releaseAll cleans the result after the query
+    val res = Checkpoints.checkpoint(out)
+    (frontiers ++ hAll :+ adj).foreach(Checkpoints.release)
+    res
+  }
+
   /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
     * relaxation — the weighted sibling of [[egoBfs]] (which measures
     * hops): dist_k(v) = min(dist_{k-1}(v), min over in-edges (u,v) of

@@ -684,6 +684,23 @@ object GraphQueries {
           sum(col("level")).as("total_dist"))
     },
 
+    // Sampled-source STRESS centrality — the through-traffic measure
+    // over q142's landmarks and horizon: how many shortest paths from
+    // the 3 lowest spine vertices pass THROUGH each vertex. Stress is
+    // the integer sibling of betweenness (Brandes' betweenness
+    // accumulation needs rational path FRACTIONS no cross-engine
+    // float replay survives; stress counts whole paths in int64), so
+    // BOTH passes — forward σ path counts, backward shortest-path
+    // tail counts — unroll into the oracle round by round.
+    "q156_stress_centrality" -> { (s, d) =>
+      val e = knnEdges(s, d)
+      val srcs = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Graph.stressCentrality(e, srcs, depth = 3)
+    },
+
     // PERSONALIZED PageRank over the citation spine — importance
     // relative to a 3-vertex seed set (the lowest spine ids, the q114
     // landmark convention): teleport and dangling mass restart to the
@@ -1290,6 +1307,54 @@ object GraphQueries {
          |SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
          |  CAST(sum(level) AS BIGINT) AS total_dist
          |FROM m3 GROUP BY src""".stripMargin
+    },
+
+    // q156: BOTH stress passes unrolled — forward frontiers f1..f3
+    // carry first-arrival σ sums (NOT EXISTS against the accumulated
+    // visited set = the Spark left-anti), backward h3..h0 fold
+    // tail counts one level at a time over the same adjacency.
+    "q156_stress_centrality" -> {
+      def fRound(k: Int) =
+        s"""f$k AS MATERIALIZED (
+           |  SELECT f.src, badj.d AS v, CAST($k AS BIGINT) AS level,
+           |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM f${k - 1} f JOIN badj ON f.v = badj.s
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} vv
+           |                    WHERE vv.src = f.src AND vv.v = badj.d)
+           |  GROUP BY 1, 2),
+           |v$k AS MATERIALIZED (SELECT * FROM v${k - 1}
+           |                     UNION ALL SELECT * FROM f$k)""".stripMargin
+      def hRound(l: Int) =
+        s"""h$l AS MATERIALIZED (
+           |  SELECT f.src, f.v, CAST(coalesce(s.hs, 0) AS BIGINT) AS h
+           |  FROM f$l f LEFT JOIN (
+           |    SELECT f$l.src, f$l.v, sum(h${l + 1}.h + 1) AS hs
+           |    FROM f$l JOIN badj ON f$l.v = badj.s
+           |    JOIN h${l + 1} ON h${l + 1}.src = f$l.src
+           |                  AND h${l + 1}.v = badj.d
+           |    GROUP BY 1, 2) s ON s.src = f.src AND s.v = f.v)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |badj AS (SELECT a AS s, b AS d FROM ed
+         |         UNION SELECT b AS s, a AS d FROM ed),
+         |srcs AS (SELECT v FROM (SELECT DISTINCT s AS v FROM badj)
+         |         ORDER BY v LIMIT 3),
+         |f0 AS MATERIALIZED (SELECT v AS src, v, CAST(0 AS BIGINT) AS level,
+         |                    CAST(1 AS BIGINT) AS sigma FROM srcs),
+         |v0 AS MATERIALIZED (SELECT * FROM f0),
+         |${fRound(1)},
+         |${fRound(2)},
+         |${fRound(3)},
+         |h3 AS MATERIALIZED (SELECT src, v, CAST(0 AS BIGINT) AS h FROM f3),
+         |${hRound(2)},
+         |${hRound(1)},
+         |${hRound(0)},
+         |hh AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+         |       UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+         |SELECT vx.v, CAST(sum(vx.sigma * hh.h) AS BIGINT) AS stress
+         |FROM v3 vx JOIN hh ON hh.src = vx.src AND hh.v = vx.v
+         |WHERE vx.v <> vx.src
+         |GROUP BY 1""".stripMargin
     },
 
     // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the

@@ -562,4 +562,72 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped.contains((1L, 2L, 2L, 2L))) // both 0 and 6 shared
     assert(uncapped.size == 11) // all C(5,2) leaf pairs + (0,6)
   }
+
+  // --- stress centrality ---
+
+  test("stressCentrality matches the hand-counted toy graph") {
+    // path 1-2-3-4-5 plus the 1-6-4 shortcut; sources {1, 2}:
+    // from 1: through-counts 2->1, 6->2, 4->1 (via 6), 3->0, 5->0;
+    // from 2: 1->1, 3->2, 4->1 (via 3), 6->0, 5->0
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 4L))
+    val got = Graph.stressCentrality(es.toDF("a", "b"), Seq(1L, 2L), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 0L, 6L -> 2L))
+  }
+
+  test("stressCentrality horizon truncates tails beyond depth") {
+    // path 1-2-3-4-5, source 1, depth 2: only 1->3 routes through 2
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.stressCentrality(es.toDF("a", "b"), Seq(1L), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 0L))
+  }
+
+  test("stressCentrality equals brute-force sigma_sv * sigma_vt " +
+       "counting on random graphs") {
+    for (seed <- Seq(5, 23, 91)) {
+      val es = randomEdges(seed, 12, 0.25)
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      def bfs(s: Long): (Map[Long, Int], Map[Long, Long]) = {
+        var dist = Map(s -> 0); var sigma = Map(s -> 1L)
+        var frontier = Seq(s)
+        while (frontier.nonEmpty) {
+          val next = scala.collection.mutable.Map[Long, Long]()
+          frontier.foreach { u =>
+            adj(u).foreach { w =>
+              if (!dist.contains(w))
+                next(w) = next.getOrElse(w, 0L) + sigma(u)
+            }
+          }
+          val d = dist(frontier.head) + 1
+          next.foreach { case (w, c) => dist += w -> d; sigma += w -> c }
+          frontier = next.keys.toSeq
+        }
+        (dist, sigma)
+      }
+      val all = verts.map(v => v -> bfs(v)).toMap
+      val sources = verts.take(3)
+      // depth 11 >= any distance on 12 vertices: no truncation
+      val expected = verts
+        .filter(v => sources.exists(s => s != v && all(s)._1.contains(v)))
+        .map { v =>
+          v -> sources.filter(_ != v).map { s =>
+            val (ds, ss) = all(s)
+            val (dv, sv) = all(v)
+            verts.filter(t => t != v && t != s && ds.contains(t)).map { t =>
+              if (ds.contains(v) && dv.contains(t) &&
+                  ds(v) + dv(t) == ds(t)) ss(v) * sv(t)
+              else 0L
+            }.sum
+          }.sum
+        }.toMap
+      val got = Graph.stressCentrality(es.toDF("a", "b"), sources, 11)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
 }
