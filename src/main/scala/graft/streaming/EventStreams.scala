@@ -338,6 +338,55 @@ object EventStreams {
       .groupBy(col("hk")).agg(count(lit(1)).as("cnt"))
   }
 
+  case class KmvState(hs: List[Long], nSeen: Long)
+  case class KmvSketch(source: String, n_seen: Long, hs: Seq[Long])
+
+  /** Streaming KMV maintenance — the q153 per-source k-minimum-values
+    * sketch kept live over a document stream. Shingling is the
+    * row-local [[graft.functions.TextFns.shingles]] form and the hash
+    * is the same row-local `Sketches.mixedStringHash` column the batch
+    * side uses, so the streamed hash SET per source equals the batch
+    * set by construction; per-source keyed state holds the k smallest
+    * distinct hashes (a sorted set insert — IDEMPOTENT like the HLL
+    * max-merge, so shuffled batches AND wholesale redelivery leave the
+    * sketch bit-equal to batch [[graft.operators.Sketches.kmvMinHashes]],
+    * where an additive sketch would double-count; StreamingSpec
+    * asserts both). State is ≤ k longs per source however many
+    * documents arrive; every downstream pair estimate (union /
+    * intersection / Jaccard) reads these sketches only, so cross-
+    * source overlap screening stays live without ever re-shuffling
+    * the corpus. */
+  def kmvStream(docs: Dataset[DocSourced], n: Int = 5,
+                k: Int = 64): Dataset[KmvSketch] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFns
+    docs.toDF()
+      .select(col("source"), explode(
+        TextFns.shingles(TextFns.words(TextFns.norm(col("text"))), n))
+        .as("sh"))
+      .select(col("source"),
+        graft.operators.Sketches.mixedStringHash(col("sh")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvSketch](
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(Nil, 0L))
+          val set = scala.collection.mutable.TreeSet.from(prev.hs)
+          var seen = prev.nSeen
+          rows.foreach { r =>
+            seen += 1L
+            set += r._2
+            if (set.size > k) set -= set.last
+          }
+          // n_seen is monotone per source — the spec's final-update pick
+          val out = KmvState(set.toList, seen)
+          state.update(out)
+          KmvSketch(src, seen, out.hs)
+      }
+  }
+
   /** Streaming HLL maintenance — the q133/q134 distinct sketch kept
     * live over the event stream: per-(window, event_type, bucket)
     * max(rho) is a streaming MAX aggregation, so

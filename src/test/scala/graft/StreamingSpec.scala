@@ -685,6 +685,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("kmvStream sketches after shuffled batches AND a redelivered " +
+       "batch equal the batch KMV sketch exactly (min-k set " +
+       "idempotence)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Dedup, Sketches}
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = Sketches.kmvMinHashes(
+        Dedup.docShingles(docsDf, "doc_id", "text", 5)
+          .join(docsDf.select($"doc_id", $"source"), "doc_id")
+          .select($"source", Sketches.mixedStringHash($"sh").as("h")),
+        "source", col("h"), 64)
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val docs = docsDf.select($"doc_id", $"source", $"text")
+      .as[EventStreams.DocSourced].collect().toSeq
+    val ms = MemoryStream[EventStreams.DocSourced]
+    val q = EventStreams.kmvStream(ms.toDS())
+      .writeStream.format("memory").queryName("kmvstream")
+      .outputMode("update").start()
+    try {
+      val shuffled = new scala.util.Random(11).shuffle(docs)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / 3)).toSeq
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // redeliver the first batch wholesale: a min-k SET insert is
+      // idempotent, so the sketch must not move
+      ms.addData(batches.head: _*); q.processAllAvailable()
+      // final update per source = the row with the largest monotone
+      // n_seen (the memory sink keeps every update)
+      val streamed = spark.table("kmvstream")
+        .as[(String, Long, Seq[Long])].collect().toSeq
+        .groupBy(_._1).map { case (s, rows) =>
+          s -> rows.maxBy(_._2)._3.sorted.toSeq }
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (s, hs) =>
+        assert(hs == batch(s), s"source $s diverged") }
+      assert(streamed.exists(_._2.size == 64), "no sketch reached k")
+    } finally q.stop()
+  }
+
   test("windowQuantiles streamed answers satisfy the declared rank-error " +
        "bound against exact per-window ranks (cross-batch, shuffled order)") {
     implicit val ctx = spark.sqlContext
