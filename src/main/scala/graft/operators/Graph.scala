@@ -142,6 +142,63 @@ object Graph {
     dist
   }
 
+  /** DETERMINISTIC uniform random walks — the graph-embedding
+    * training-corpus primitive (DeepWalk, Perozzi et al. KDD'14;
+    * node2vec with p = q = 1 — public algorithms): `numWalks` walks of
+    * `steps` hops start at every vertex, and each hop moves to a
+    * uniformly-pseudorandom neighbor. The transition is the engine's
+    * LCG hash over (current vertex, walk index, step) modulo the
+    * vertex's degree, indexing into the id-ranked neighbor list — no
+    * RNG state, so walks are reproducible, partitioning-independent,
+    * and REPLAYABLE: the oracle unrolls the hops with the same rank
+    * and hash arithmetic. Returns the exploded trajectory
+    * (start_v, walk_j, step, v) with step 0 = the start vertex.
+    *
+    * Scale shape: the walk frontier is (vertices × numWalks) rows and
+    * each hop is one equi-join against the ranked adjacency — the
+    * standard distributed walk dataflow (keyed exchange per hop, no
+    * per-walk driver state). */
+  def randomWalks(edges: DataFrame, numWalks: Int = 2, steps: Int = 4,
+                  a: String = "a", b: String = "b"): DataFrame = {
+    require(numWalks >= 1 && steps >= 1, "need numWalks, steps >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // checkpointAlways: both relations feed every hop (audit mode
+    // would replicate the substrate per round otherwise)
+    val adj = Checkpoints.checkpointAlways(
+      edges.select(col(a).as("s"), col(b).as("d"))
+        .union(edges.select(col(b).as("s"), col(a).as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    val ranked = Checkpoints.checkpointAlways(adj.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("d"))) - 1L))
+    val deg = ranked.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val starts = adj.select(col("s").as("v")).distinct()
+      .crossJoin((0 until numWalks).map(_.toLong).toDF("walk_j"))
+    var cur = Checkpoints.checkpoint(starts
+      .select(col("v").as("start_v"), col("walk_j"), lit(0L).as("step"),
+        col("v")))
+    val hops = scala.collection.mutable.ArrayBuffer(cur)
+    var t = 1
+    while (t <= steps) {
+      val seed = col("v") * 1000L + col("walk_j") * 101L + lit(t) * 11L
+      val next = Checkpoints.checkpoint(cur
+        .join(deg, cur("v") === deg("s"))
+        .withColumn("pick", pmod(graft.queries.lcgHash(seed), col("deg")))
+        .join(ranked.select(col("s").as("ns"), col("d").as("nd"),
+          col("idx")), col("v") === col("ns") && col("pick") === col("idx"))
+        .select(col("start_v"), col("walk_j"), lit(t.toLong).as("step"),
+          col("nd").as("v")))
+      hops += next
+      cur = next
+      t += 1
+    }
+    val out = hops.reduce(_ unionByName _)
+    val res = Checkpoints.checkpoint(out)
+    (hops :+ adj :+ ranked).foreach(Checkpoints.release)
+    res
+  }
+
   /** Sampled-source STRESS centrality — how many shortest paths pass
     * THROUGH each vertex (Shimbel 1953; the integer sibling of
     * betweenness, which Brandes' accumulation computes with rational

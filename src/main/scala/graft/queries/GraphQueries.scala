@@ -701,6 +701,15 @@ object GraphQueries {
       Graph.stressCentrality(e, srcs, depth = 3)
     },
 
+    // Deterministic uniform random walks over the k-NN spine — the
+    // DeepWalk/node2vec (p = q = 1) training-corpus primitive: 2
+    // walks × 4 hops from every vertex, each hop an LCG-hash pick
+    // into the id-ranked neighbor list. No RNG state → reproducible,
+    // partitioning-independent, and the oracle replays every hop.
+    "q157_random_walks" -> { (s, d) =>
+      Graph.randomWalks(knnEdges(s, d), numWalks = 2, steps = 4)
+    },
+
     // PERSONALIZED PageRank over the citation spine — importance
     // relative to a 3-vertex seed set (the lowest spine ids, the q114
     // landmark convention): teleport and dangling mass restart to the
@@ -1355,6 +1364,42 @@ object GraphQueries {
          |FROM v3 vx JOIN hh ON hh.src = vx.src AND hh.v = vx.v
          |WHERE vx.v <> vx.src
          |GROUP BY 1""".stripMargin
+    },
+
+    // q157: every hop replayed — the same id-ranked neighbor index,
+    // degree modulus, and LCG seed arithmetic.
+    "q157_random_walks" -> {
+      def hop(t: Int) =
+        s"""w$t AS MATERIALIZED (
+           |  SELECT w.start_v, w.walk_j, CAST($t AS BIGINT) AS step,
+           |    wrk.d AS v
+           |  FROM w${t - 1} w
+           |  JOIN wdg ON w.v = wdg.s
+           |  JOIN wrk ON wrk.s = w.v AND wrk.idx =
+           |    (${lcgHashSql(s"w.v * 1000 + w.walk_j * 101 + $t * 11")})
+           |      % wdg.deg)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |badj AS (SELECT a AS s, b AS d FROM ed
+         |         UNION SELECT b AS s, a AS d FROM ed),
+         |wrk AS (SELECT s, d,
+         |         CAST(row_number() OVER (PARTITION BY s ORDER BY d) - 1
+         |           AS BIGINT) AS idx
+         |       FROM badj),
+         |wdg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+         |       FROM badj GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT vv.v AS start_v, CAST(j.j AS BIGINT) AS walk_j,
+         |    CAST(0 AS BIGINT) AS step, vv.v
+         |  FROM (SELECT DISTINCT s AS v FROM badj) vv,
+         |       (SELECT unnest(generate_series(0, 1)) AS j) j),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)},
+         |${hop(4)}
+         |SELECT * FROM w0 UNION ALL SELECT * FROM w1
+         |UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+         |UNION ALL SELECT * FROM w4""".stripMargin
     },
 
     // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the

@@ -563,6 +563,49 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped.size == 11) // all C(5,2) leaf pairs + (0,6)
   }
 
+  // --- deterministic random walks ---
+
+  test("randomWalks hop along real edges, cover every (start, walk) " +
+       "grid cell, and are partitioning-independent") {
+    val es = randomEdges(7, 15, 0.3)
+    val edgeSet = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val w1 = Graph.randomWalks(es.toDF("a", "b"), numWalks = 2, steps = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(w1.length == verts.size * 2 * 5)
+    val byWalk = w1.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toSeq)
+    byWalk.foreach { case ((s0, _), path) =>
+      assert(path.head == s0, "walk must start at its start vertex")
+      path.sliding(2).foreach {
+        case Seq(u, v) => assert(edgeSet((u, v)), s"($u,$v) not an edge")
+        case _ => ()
+      }
+    }
+    val w2 = Graph.randomWalks(es.toDF("a", "b").repartition(7),
+      numWalks = 2, steps = 4).as[(Long, Long, Long, Long)].collect()
+    assert(w1.toSet == w2.toSet, "walks changed under repartitioning")
+  }
+
+  test("randomWalks on a star always return to the center from a leaf") {
+    val es = (1L to 3L).map((0L, _))
+    val paths = Graph.randomWalks(es.toDF("a", "b"), numWalks = 1,
+        steps = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    paths.foreach { case (s0, path) =>
+      path.zipWithIndex.foreach { case (v, i) =>
+        if (s0 == 0L) {
+          // from the center every odd step is a leaf, every even the center
+          if (i % 2 == 0) assert(v == 0L) else assert(v >= 1L && v <= 3L)
+        } else {
+          // leaves alternate leaf -> center -> leaf -> center
+          if (i % 2 == 0) assert(v >= 1L && v <= 3L) else assert(v == 0L)
+        }
+      }
+    }
+  }
+
   // --- stress centrality ---
 
   test("stressCentrality matches the hand-counted toy graph") {
