@@ -629,6 +629,54 @@ object ScaleProbe {
       spans(docs) // codegen warmup
       val (vb, _) = spans(docs); val (vB, nV) = spans(docs10)
       println(f"[probe] span-dedup:  $vb%.1fs -> $vB%.1fs (${vB / vb}%.1fx, $nV spans, rows 10x)")
+
+      // r10 additions — stress centrality (sources PER COPY so the
+      // sources x reach state grows with the data, the honest scale
+      // dimension) and random walks (every vertex starts walks) on the
+      // strong substrate; disjoint copies preserve BFS depth and
+      // degree structure, so both are ~linear when keyed correctly
+      val baseSeeds = strong.select(col("a").as("v"))
+        .union(strong.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val seeds10 = (0L until 10L).flatMap(k =>
+        baseSeeds.map(_ + k * strongStride))
+      def stress(e: DataFrame, seeds: Seq[Long]) =
+        time(Graph.stressCentrality(e, seeds, 3)
+          .agg(sum(col("stress"))).count())
+      def walks(e: DataFrame) = time(Graph.randomWalks(e, 2, 4).count())
+      stress(strong, baseSeeds); walks(strong) // codegen warmup
+      val (stb, _) = stress(strong, baseSeeds)
+      val (stB, _) = stress(strong10, seeds10)
+      val (wkb, _) = walks(strong); val (wkB, nW) = walks(strong10)
+      println(f"[probe] stress:      $stb%.1fs -> $stB%.1fs (${stB / stb}%.1fx, sources+edges 10x)")
+      println(f"[probe] walks:       $wkb%.1fs -> $wkB%.1fs (${wkB / wkb}%.1fx, $nW rows, edges 10x)")
+
+      // q153 KMV pipeline on the suffixed 10x corpus with the SAME
+      // source set: per-source distinct shingles grow 10x (the sketch
+      // build, ~linear) while the pair-estimate stage reads only the
+      // k-row sketches (scale-invariant by construction)
+      val docsS = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      val docsS10 = (0L until 10L).map { k =>
+        docsS.select((col("doc_id") + k * docStride).as("doc_id"),
+          col("source"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k")))).as("text"))
+      }.reduce(_ union _).localCheckpoint()
+      def kmvOps(d: DataFrame) = {
+        val srcHash = Dedup.docShingles(d, "doc_id", "text", 5)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"),
+            graft.operators.Sketches.mixedStringHash(col("sh")).as("h"))
+        val sk = graft.operators.Sketches.kmvMinHashes(
+          srcHash, "source", col("h"), 128)
+        time(graft.operators.Sketches.kmvPairEstimates(sk, "source", 128)
+          .count())
+      }
+      kmvOps(docsS) // codegen warmup
+      val (kvb, _) = kmvOps(docsS); val (kvB, _) = kmvOps(docsS10)
+      println(f"[probe] kmv-ops:     $kvb%.1fs -> $kvB%.1fs (${kvB / kvb}%.1fx, rows 10x, pair grid fixed)")
     }
 
     if (!new java.io.File(s"$big/documents.parquet").exists()) {

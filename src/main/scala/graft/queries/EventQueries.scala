@@ -37,6 +37,27 @@ object EventQueries {
           col("ewma").as("ewma_cents"))
     },
 
+    // Day-of-week SEASONALITY profile — the time-series decomposition
+    // primitive per event type: weekday activity shares as the exact
+    // integer pair (n_events, n_type) (share = n_events/n_type left
+    // rational, the q66 discipline) plus the cent-exact value mass.
+    // The weekday index is days-since-epoch mod 7 (0 = Thursday) —
+    // pure int64 arithmetic identical in both engines, where the
+    // built-in dayofweek()s disagree on week-start conventions.
+    "q159_dow_seasonality" -> { (s, d) =>
+      val dow = pmod(call_function("div",
+        unix_timestamp(col("ts")), lit(86400L)), lit(7L))
+      val byDow = Tables.events(s, d)
+        .groupBy(col("event_type"), dow.as("dow_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100)).as("value_cents"))
+      val totals = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+      byDow.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("dow_idx"), col("n_events"),
+          col("n_type"), col("value_cents"))
+    },
+
     // from_json over the props column + per-type aggregates.
     "q30_events_json" -> { (s, d) =>
       Tables.events(s, d)
@@ -448,6 +469,24 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q159: the same epoch-day mod-7 arithmetic; floor(epoch(ts))
+    // because DuckDB's CAST(double AS BIGINT) rounds where Spark's
+    // unix_timestamp truncates.
+    "q159_dow_seasonality" ->
+      s"""WITH e AS (SELECT event_type,
+         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow_idx,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |d AS (SELECT event_type, CAST(dow_idx AS BIGINT) AS dow_idx,
+         |        CAST(count(*) AS BIGINT) AS n_events,
+         |        CAST(sum(cents) AS BIGINT) AS value_cents
+         |      FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+         |      FROM events GROUP BY 1)
+         |SELECT d.event_type, d.dow_idx, d.n_events, t.n_type,
+         |  d.value_cents
+         |FROM d JOIN t USING (event_type)""".stripMargin,
 
     // q133: the ENTIRE HLL replayed — same PolyHash over the decimal
     // id string (the q122 wordHash twin), same generated

@@ -350,6 +350,47 @@ object TextQueries {
           round(col("est_inter"), 3).as("est_inter"))
     },
 
+    // Collocation mining — the top-50 corpus bigrams by PMI (pointwise
+    // mutual information, Church & Hanks 1990 — public):
+    // P(xy)/(P(x)P(y)) over the bigram-position event space, kept as
+    // the EXACT integer rational n_xy·N/(n_x·n_y) with one shared
+    // rounded division for the ranking (the q66 log-free discipline —
+    // PMI's log is monotone, so ranking the lift IS ranking the PMI).
+    // n_x/n_y are first-/second-position unigram counts, the
+    // consistent denominators for that event space. Min-support 5
+    // guards the rare-pair PMI blowup; ties break on the bigram
+    // string. Bigram totals are a corpus scalar (broadcast, q42
+    // shape).
+    "q158_pmi_collocations" -> { (s, d) =>
+      val words = TextFns.words(TextFns.norm(col("text")))
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFns.shingles(words, 2)).as("bg"))
+        .localCheckpoint() // consumers: pair counts, unigram counts, N
+      val pairCnt = toks.groupBy(col("bg"))
+        .agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+        .withColumn("x", split(col("bg"), " ").getItem(0))
+        .withColumn("y", split(col("bg"), " ").getItem(1))
+      val uni = toks
+        .select(split(col("bg"), " ").getItem(0).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_first"))
+      val uniY = toks
+        .select(split(col("bg"), " ").getItem(1).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_second"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      pairCnt
+        .join(uni.select(col("w").as("x"), col("n_first").as("n_x")), "x")
+        .join(uniY.select(col("w").as("y"), col("n_second").as("n_y")), "y")
+        .crossJoin(broadcast(total))
+        .withColumn("lift", round(
+          (col("n_xy") * col("n_total")).cast("double") /
+            (col("n_x") * col("n_y")), 4))
+        .orderBy(col("lift").desc, col("bg"))
+        .limit(50)
+        .select(col("bg"), col("n_xy"), col("n_x"), col("n_y"),
+          col("n_total"), col("lift"))
+    },
+
     // Chunk-grain (boilerplate) dedup — sub-document duplication that
     // document-level dedup can't see: every q75-geometry chunk
     // (50 tokens, stride 40) is fingerprinted with the portable
@@ -1466,6 +1507,31 @@ object TextQueries {
          |             ELSE n_shared * eu / 128.0 END, 3) AS est_inter
          |FROM est""".stripMargin
     },
+
+    // q158: the PMI pipeline replayed — bigrams via list indexing,
+    // first/second-position unigram counts, and the same integer
+    // cross-multiplied PMI gate.
+    "q158_pmi_collocations" ->
+      s"""WITH w AS (SELECT string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS bg,
+         |         ws[i] AS x, ws[i + 1] AS y
+         |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1))
+         |               AS i
+         |             FROM w WHERE len(ws) >= 2)),
+         |pc AS (SELECT bg, any_value(x) AS x, any_value(y) AS y,
+         |         CAST(count(*) AS BIGINT) AS n_xy
+         |       FROM bg GROUP BY bg HAVING count(*) >= 5),
+         |ux AS (SELECT x AS w, CAST(count(*) AS BIGINT) AS n_x
+         |       FROM bg GROUP BY 1),
+         |uy AS (SELECT y AS w, CAST(count(*) AS BIGINT) AS n_y
+         |       FROM bg GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg)
+         |SELECT pc.bg, pc.n_xy, ux.n_x, uy.n_y, t.n_total,
+         |  round(CAST(pc.n_xy * t.n_total AS DOUBLE) /
+         |    (ux.n_x * uy.n_y), 4) AS lift
+         |FROM pc JOIN ux ON ux.w = pc.x JOIN uy ON uy.w = pc.y, t
+         |ORDER BY lift DESC, pc.bg LIMIT 50""".stripMargin,
 
     "q94_chunk_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural gates for the corpus-statistics queries the oracle's
+  * hash-match cannot express on its own fixture: q158's PMI arithmetic
+  * on a PLANTED collocation (the driver corpus is random text, lift
+  * ~1.0 everywhere) and q159's share completeness. */
+class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("q158 PMI: a planted always-adjacent pair is the only supported " +
+       "bigram and carries the hand-computed lift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q158").toString
+    // 6 docs "new york t<i>": bigrams = {new york} x6 + {york t<i>} x1
+    // each -> only "new york" has support >= 5; N = 12 bigrams,
+    // n_x(new as first) = 6, n_y(york as second) = 6,
+    // lift = 6*12/(6*6) = 2.0
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"new york t$i", "en", "src0", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q158_pmi_collocations")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 1)
+    val (bg, nXy, nX, nY, nTotal, lift) = rows.head
+    assert(bg == "new york")
+    assert((nXy, nX, nY, nTotal) == ((6L, 6L, 6L, 12L)))
+    assert(lift == 2.0)
+  }
+
+  test("q159 weekday shares are complete: per type the dow counts sum " +
+       "to the type total and indexes stay in [0, 6]") {
+    val rows = SparkEntry.queries("q159_dow_seasonality")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= 6L), "dow out of range")
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val total = rs.head._4
+      assert(rs.forall(_._4 == total), s"$tpe: inconsistent n_type")
+      assert(rs.map(_._3).sum == total,
+        s"$tpe: dow counts ${rs.map(_._3).sum} != total $total")
+    }
+  }
+}
