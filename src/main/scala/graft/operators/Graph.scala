@@ -199,6 +199,99 @@ object Graph {
     res
   }
 
+  /** DETERMINISTIC node2vec-style BIASED walks (Grover & Leskovec,
+    * KDD'16 — public): the SECOND-ORDER extension of [[randomWalks]].
+    * After the uniform first hop, each transition from `v` with
+    * predecessor `prev` weights candidate neighbors by position in
+    * the node2vec scheme — `wReturn` for stepping back to `prev`
+    * (α = 1/p), `wCommon` for a common neighbor of `prev` and `v`
+    * (α = 1, distance 1 from prev), `wOut` for an outward vertex
+    * (α = 1/q) — with the rational p/q ratios pre-scaled to exact
+    * integer weights (defaults encode p = q = 2). The pick is the
+    * LCG hash modulo the walk position's total weight, resolved
+    * against the running weight sum over the id-ordered candidate
+    * list — stateless, reproducible, and unrollable hop by hop in the
+    * oracle (the common-neighbor test is an EXISTS against the same
+    * adjacency).
+    *
+    * Scale shape: per hop one equi-join against the adjacency (the
+    * candidate fan-out), one (prev, cand) membership join, and one
+    * per-walk-position window (partition = one neighbor list, ≤ max
+    * degree rows). Returns (start_v, walk_j, step, v). */
+  def biasedWalks(edges: DataFrame, numWalks: Int = 2, steps: Int = 4,
+                  wReturn: Long = 1L, wCommon: Long = 2L, wOut: Long = 1L,
+                  a: String = "a", b: String = "b"): DataFrame = {
+    require(numWalks >= 1 && steps >= 2, "need numWalks >= 1, steps >= 2")
+    require(wReturn > 0 && wCommon > 0 && wOut > 0, "weights must be > 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Checkpoints.checkpointAlways(
+      edges.select(col(a).as("s"), col(b).as("d"))
+        .union(edges.select(col(b).as("s"), col(a).as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    val ranked = Checkpoints.checkpointAlways(adj.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("d"))) - 1L))
+    val deg = ranked.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val starts = adj.select(col("s").as("v")).distinct()
+      .crossJoin((0 until numWalks).map(_.toLong).toDF("walk_j"))
+    val hop0 = Checkpoints.checkpoint(starts
+      .select(col("v").as("start_v"), col("walk_j"), lit(0L).as("step"),
+        col("v")))
+    // hop 1: uniform (no predecessor yet) — the q157 pick
+    val seed1 = col("v") * 1000L + col("walk_j") * 101L + lit(1) * 11L
+    val hop1 = Checkpoints.checkpoint(hop0
+      .join(deg, hop0("v") === deg("s"))
+      .withColumn("pick", pmod(graft.queries.lcgHash(seed1), col("deg")))
+      .join(ranked.select(col("s").as("ns"), col("d").as("nd"), col("idx")),
+        col("v") === col("ns") && col("pick") === col("idx"))
+      .select(col("start_v"), col("walk_j"), lit(1L).as("step"),
+        col("v").as("prev"), col("nd").as("v")))
+    val hops = scala.collection.mutable.ArrayBuffer(hop0,
+      hop1.select(col("start_v"), col("walk_j"), col("step"), col("v")))
+    var cur = hop1 // (start_v, walk_j, step, prev, v)
+    val tracked = scala.collection.mutable.ArrayBuffer(hop0, hop1)
+    var t = 2
+    while (t <= steps) {
+      val cand = cur.select(col("start_v"), col("walk_j"), col("prev"),
+          col("v"))
+        .join(adj.select(col("s").as("cs"), col("d").as("nw")),
+          col("v") === col("cs"))
+      val flagged = cand
+        .join(adj.select(col("s").as("fs"), col("d").as("fd"),
+            lit(1L).as("is_common")),
+          col("prev") === col("fs") && col("nw") === col("fd"), "left")
+        .select(col("start_v"), col("walk_j"), col("prev"), col("v"),
+          col("nw"),
+          when(col("nw") === col("prev"), lit(wReturn))
+            .when(col("is_common").isNotNull, lit(wCommon))
+            .otherwise(lit(wOut)).as("wgt"))
+      val part = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start_v"), col("walk_j"))
+      val seed = col("v") * 1000L + col("walk_j") * 101L + lit(t) * 11L
+      val picked = flagged
+        .withColumn("cum", sum(col("wgt")).over(part.orderBy(col("nw"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("tot", sum(col("wgt")).over(part))
+        .withColumn("r", pmod(graft.queries.lcgHash(seed), col("tot")))
+        .filter(col("cum") - col("wgt") <= col("r") && col("r") < col("cum"))
+      val next = Checkpoints.checkpoint(picked
+        .select(col("start_v"), col("walk_j"), lit(t.toLong).as("step"),
+          col("v").as("prev"), col("nw").as("v")))
+      hops += next.select(col("start_v"), col("walk_j"), col("step"),
+        col("v"))
+      tracked += next
+      cur = next
+      t += 1
+    }
+    val out = hops.reduce(_ unionByName _)
+    val res = Checkpoints.checkpoint(out)
+    (tracked :+ adj :+ ranked).foreach(Checkpoints.release)
+    res
+  }
+
   /** Sampled-source STRESS centrality — how many shortest paths pass
     * THROUGH each vertex (Shimbel 1953; the integer sibling of
     * betweenness, which Brandes' accumulation computes with rational

@@ -684,6 +684,27 @@ object GraphQueries {
           sum(col("level")).as("total_dist"))
     },
 
+    // Landmark HARMONIC centrality — the third distance centrality
+    // over the q114/q142 landmarks and horizon: harmonic(v) =
+    // Σ_s 1/d(s, v), which unlike closeness handles disconnection
+    // natively (unreached pairs contribute 0 instead of poisoning a
+    // total-distance denominator). Within the depth-3 horizon the
+    // denominators are {1, 2, 3}, so the sum stays EXACT scaled by
+    // their lcm 6 — 6 div d per reached pair, int64 end-to-end.
+    "q161_harmonic_centrality" -> { (s, d) =>
+      val e = knnEdges(s, d)
+      val srcs = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Graph.multiSourceBfs(e, srcs, depth = 3)
+        .filter(col("level") > 0)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_sources_reached"),
+          sum(call_function("div", lit(6L), col("level")))
+            .as("harmonic_x6"))
+    },
+
     // Sampled-source STRESS centrality — the through-traffic measure
     // over q142's landmarks and horizon: how many shortest paths from
     // the 3 lowest spine vertices pass THROUGH each vertex. Stress is
@@ -708,6 +729,16 @@ object GraphQueries {
     // partitioning-independent, and the oracle replays every hop.
     "q157_random_walks" -> { (s, d) =>
       Graph.randomWalks(knnEdges(s, d), numWalks = 2, steps = 4)
+    },
+
+    // node2vec-biased walks — q157's corpus generator upgraded to the
+    // SECOND-ORDER transition (Grover & Leskovec's return/in-out
+    // bias, p = q = 2 as exact integer weights 1/2/1): each hop after
+    // the uniform first weights candidates by their relation to the
+    // predecessor, picked by LCG hash against the running weight sum.
+    // The oracle replays every hop, common-neighbor EXISTS included.
+    "q160_node2vec_walks" -> { (s, d) =>
+      Graph.biasedWalks(knnEdges(s, d), numWalks = 2, steps = 4)
     },
 
     // PERSONALIZED PageRank over the citation spine — importance
@@ -1318,6 +1349,32 @@ object GraphQueries {
          |FROM m3 GROUP BY src""".stripMargin
     },
 
+    // q161: the q114 replay aggregated per TARGET with the exact
+    // 6-scaled reciprocal-distance sum.
+    "q161_harmonic_centrality" -> {
+      def round(k: Int) =
+        s"""m$k AS MATERIALIZED (SELECT src, v, min(level) AS level FROM (
+           |  SELECT src, v, level FROM m${k - 1}
+           |  UNION ALL
+           |  SELECT m${k - 1}.src, badj.d AS v, m${k - 1}.level + 1
+           |  FROM m${k - 1} JOIN badj ON m${k - 1}.v = badj.s)
+           |  GROUP BY src, v)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |badj AS (SELECT a AS s, b AS d FROM ed
+         |         UNION SELECT b AS s, a AS d FROM ed),
+         |srcs AS (SELECT v FROM (SELECT DISTINCT s AS v FROM badj)
+         |         ORDER BY v LIMIT 3),
+         |m0 AS MATERIALIZED (SELECT v AS src, v, CAST(0 AS BIGINT) AS level
+         |                    FROM srcs),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v, CAST(count(*) AS BIGINT) AS n_sources_reached,
+         |  CAST(sum(6 // level) AS BIGINT) AS harmonic_x6
+         |FROM m3 WHERE level > 0 GROUP BY v""".stripMargin
+    },
+
     // q156: BOTH stress passes unrolled — forward frontiers f1..f3
     // carry first-arrival σ sums (NOT EXISTS against the accumulated
     // visited set = the Spark left-anti), backward h3..h0 fold
@@ -1400,6 +1457,59 @@ object GraphQueries {
          |SELECT * FROM w0 UNION ALL SELECT * FROM w1
          |UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
          |UNION ALL SELECT * FROM w4""".stripMargin
+    },
+
+    // q160: the biased hops replayed — uniform first hop, then per
+    // hop the candidate fan-out, the CASE weight (EXISTS = common
+    // neighbor of prev and v), the running weight sum, and the same
+    // modular pick.
+    "q160_node2vec_walks" -> {
+      def seed(t: Int) =
+        lcgHashSql(s"w.v * 1000 + w.walk_j * 101 + $t * 11")
+      def pickSeed(t: Int) =
+        lcgHashSql(s"v * 1000 + walk_j * 101 + $t * 11")
+      def hop(t: Int) =
+        s"""c$t AS (SELECT w.start_v, w.walk_j, w.prev, w.v, nadj.d AS nw
+           |        FROM s${t - 1} w JOIN nadj ON w.v = nadj.s),
+           |wt$t AS (SELECT *, CASE WHEN nw = prev THEN 1
+           |           WHEN EXISTS (SELECT 1 FROM nadj e
+           |                        WHERE e.s = prev AND e.d = nw) THEN 2
+           |           ELSE 1 END AS wgt FROM c$t),
+           |cw$t AS (SELECT *,
+           |           sum(wgt) OVER (PARTITION BY start_v, walk_j
+           |             ORDER BY nw ROWS UNBOUNDED PRECEDING) AS cum,
+           |           sum(wgt) OVER (PARTITION BY start_v, walk_j) AS tot
+           |         FROM wt$t),
+           |s$t AS MATERIALIZED (
+           |  SELECT start_v, walk_j, v AS prev, nw AS v FROM cw$t
+           |  WHERE cum - wgt <= (${pickSeed(t)}) % tot
+           |    AND (${pickSeed(t)}) % tot < cum)""".stripMargin
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |nadj AS (SELECT a AS s, b AS d FROM ed
+         |         UNION SELECT b AS s, a AS d FROM ed),
+         |nrk AS (SELECT s, d,
+         |          CAST(row_number() OVER (PARTITION BY s ORDER BY d) - 1
+         |            AS BIGINT) AS idx
+         |        FROM nadj),
+         |ndg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+         |        FROM nadj GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT vv.v AS start_v, CAST(j.j AS BIGINT) AS walk_j, vv.v
+         |  FROM (SELECT DISTINCT s AS v FROM nadj) vv,
+         |       (SELECT unnest(generate_series(0, 1)) AS j) j),
+         |s1 AS MATERIALIZED (
+         |  SELECT w.start_v, w.walk_j, w.v AS prev, nrk.d AS v
+         |  FROM s0 w JOIN ndg ON w.v = ndg.s
+         |  JOIN nrk ON nrk.s = w.v AND nrk.idx = (${seed(1)}) % ndg.deg),
+         |${hop(2)},
+         |${hop(3)},
+         |${hop(4)}
+         |SELECT start_v, walk_j, CAST(0 AS BIGINT) AS step, v FROM s0
+         |UNION ALL SELECT start_v, walk_j, CAST(1 AS BIGINT), v FROM s1
+         |UNION ALL SELECT start_v, walk_j, CAST(2 AS BIGINT), v FROM s2
+         |UNION ALL SELECT start_v, walk_j, CAST(3 AS BIGINT), v FROM s3
+         |UNION ALL SELECT start_v, walk_j, CAST(4 AS BIGINT), v FROM s4""".stripMargin
     },
 
     // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the

@@ -606,6 +606,49 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("biasedWalks equals a local node2vec reference replay on " +
+       "random graphs (weights, pick arithmetic, trajectories)") {
+    def lcg(x: Long): Long = (x * 1103515245L) % 2147483647L
+    for (seed <- Seq(13, 47)) {
+      val es = randomEdges(seed, 14, 0.3)
+      val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+      val verts = adj.keys.toSeq.sorted
+      val (wR, wC, wO) = (1L, 2L, 1L)
+      val expected = (for {
+        s0 <- verts; j <- 0L to 1L
+      } yield {
+        val path = scala.collection.mutable.ArrayBuffer(s0)
+        // uniform first hop
+        val n0 = adj(s0)
+        path += n0((lcg(s0 * 1000L + j * 101L + 11L) % n0.size).toInt)
+        (2 to 4).foreach { t =>
+          val prev = path(path.size - 2); val v = path.last
+          val cands = adj(v)
+          val wgts = cands.map { w =>
+            if (w == prev) wR
+            else if (adj(prev).contains(w)) wC
+            else wO
+          }
+          val tot = wgts.sum
+          val r = lcg(v * 1000L + j * 101L + t * 11L) % tot
+          var cum = 0L; var picked = -1L
+          cands.zip(wgts).foreach { case (w, g) =>
+            if (picked < 0) { cum += g; if (r < cum) picked = w }
+          }
+          path += picked
+        }
+        ((s0, j), path.toSeq)
+      }).toMap
+      val got = Graph.biasedWalks(es.toDF("a", "b"), numWalks = 2,
+          steps = 4)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   // --- stress centrality ---
 
   test("stressCentrality matches the hand-counted toy graph") {
