@@ -59,6 +59,8 @@ object Explain {
     "q157_random_walks",    // broadcast walk-index grid (2 rows)
     "q158_pmi_collocations", // broadcast bigram-total scalar (q42 shape)
     "q160_node2vec_walks",  // broadcast walk-index grid (q157 shape)
+    "q162_equiwidth_histogram", // broadcast min/max scalar (q42 shape)
+    "q163_ab_test",         // 1-row variant x 1-row variant combine (q135 shape)
     "q127_ann_ivfpq_topk",  // broadcast centroid + codebook assignment (q51 shape)
     "q135_cm_join_size")    // 1-row est x 1-row exact scalar combine
 

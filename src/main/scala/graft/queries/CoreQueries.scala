@@ -362,6 +362,27 @@ object CoreQueries {
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
     },
 
+    // Equi-WIDTH histogram — the distribution view between q130's
+    // min/max and q113's equi-DEPTH quantiles: 16 fixed-width buckets
+    // of the order total in exact cents. Bounds are corpus min/max
+    // (broadcast scalars, q42 shape); bucket = (cents−lo)·16 div
+    // (hi−lo+1) — int64 throughout, and each bucket row carries the
+    // exact min/max it actually holds, so the reader needs no side
+    // bound table. One scan + one 16-group aggregate however large
+    // the table.
+    "q162_equiwidth_histogram" -> { (s, d) =>
+      val o = Tables.t(s, d, "orders")
+        .select((dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bucket", expr("(cents - lo) * 16 div (hi - lo + 1)"))
+        .groupBy(col("bucket"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("bucket_min"),
+          max(col("cents")).as("bucket_max"))
+    },
+
     // MERGEABLE quantile sketch — q113's exact form needs the full
     // ranked pass; streams and partial rollups need a summary that
     // MERGES. QDigestAgg (functions/QDigest.scala) is a deterministic
@@ -892,6 +913,22 @@ object CoreQueries {
         |                     (0.75)::DOUBLE, (0.99)::DOUBLE]) AS p)
         |SELECT o.l_returnflag, t.p, o.v
         |FROM o JOIN t ON o.rnk = greatest(1, CAST(ceil(t.p * o.n) AS BIGINT))""".stripMargin,
+
+    // q162: the same cents-exact bucket arithmetic over scalar min/max
+    "q162_equiwidth_histogram" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents FROM orders),
+        |mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+        |b AS (SELECT cents, lo, hi,
+        |        (cents - lo) * 16 // (hi - lo + 1) AS bucket
+        |      FROM o, mm)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS bucket_min,
+        |  CAST(max(cents) AS BIGINT) AS bucket_max
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     // the Morton interleave replayed bit-for-bit as SQL bit arithmetic
     "q116_zorder_layout" -> {

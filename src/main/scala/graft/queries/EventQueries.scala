@@ -58,6 +58,37 @@ object EventQueries {
           col("n_type"), col("value_cents"))
     },
 
+    // Two-proportion A/B test — experiment analysis over the event
+    // stream: variant = user_id parity, conversion = a HIGH-VALUE
+    // purchase (value > 100 — every fixture user purchases SOMETHING,
+    // which would pin p = 1 and zero the pooled variance); the output is the exact integer moments (n_a, k_a, n_b,
+    // k_b) PLUS the pooled two-proportion z-score as ONE shared IEEE
+    // expression — division and sqrt are correctly rounded per IEEE
+    // 754, so the identical op order lands on the identical double in
+    // both engines (the q69 estimator convention). The decision
+    // (|z| vs 1.96) belongs to the reader, the moments make it exact.
+    "q163_ab_test" -> { (s, d) =>
+      val per = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("user_id") >= 0)
+        .groupBy((col("user_id") % 2).as("variant"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("event_type") === "purchase" &&
+            col("value") > 100, col("user_id"))).as("n_converted"))
+      val va = per.filter(col("variant") === 0)
+        .select(col("n_users").as("na"), col("n_converted").as("ka"))
+      val vb = per.filter(col("variant") === 1)
+        .select(col("n_users").as("nb"), col("n_converted").as("kb"))
+      val p = (col("ka") + col("kb")).cast("double") /
+        (col("na") + col("nb"))
+      val z = (col("ka").cast("double") / col("na") -
+          col("kb").cast("double") / col("nb")) /
+        sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      va.crossJoin(broadcast(vb))
+        .select(col("na"), col("ka"), col("nb"), col("kb"),
+          round(z, 4).as("z_score"))
+    },
+
     // from_json over the props column + per-type aggregates.
     "q30_events_json" -> { (s, d) =>
       Tables.events(s, d)
@@ -469,6 +500,27 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q163: identical moments and the identical-op-order z expression
+    "q163_ab_test" ->
+      s"""WITH per AS (SELECT user_id % 2 AS variant,
+         |    count(DISTINCT user_id) AS n_users,
+         |    count(DISTINCT CASE WHEN event_type = 'purchase'
+         |                        AND value > 100 THEN user_id END) AS n_converted
+         |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+         |  GROUP BY 1),
+         |a AS (SELECT n_users AS na, n_converted AS ka FROM per
+         |      WHERE variant = 0),
+         |b AS (SELECT n_users AS nb, n_converted AS kb FROM per
+         |      WHERE variant = 1),
+         |j AS (SELECT CAST(na AS BIGINT) AS na, CAST(ka AS BIGINT) AS ka,
+         |        CAST(nb AS BIGINT) AS nb, CAST(kb AS BIGINT) AS kb
+         |      FROM a, b),
+         |p AS (SELECT *, CAST(ka + kb AS DOUBLE) / (na + nb) AS pp FROM j)
+         |SELECT na, ka, nb, kb,
+         |  round((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb) /
+         |    sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4) AS z_score
+         |FROM p""".stripMargin,
 
     // q159: the same epoch-day mod-7 arithmetic; floor(epoch(ts))
     // because DuckDB's CAST(double AS BIGINT) rounds where Spark's

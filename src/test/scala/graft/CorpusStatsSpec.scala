@@ -30,6 +30,42 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(lift == 2.0)
   }
 
+  test("q162 equi-width buckets partition the cent range: counts " +
+       "cover the table and observed bucket extremes respect the " +
+       "bucket width") {
+    val rows = SparkEntry.queries("q162_equiwidth_histogram")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val (lo, hi) = (rows.head._2, rows.head._3)
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert(rows.map(_._4).sum == total, "bucket counts must cover orders")
+    rows.foreach { case (b, l, h, _, _, bMin, bMax) =>
+      assert(b >= 0L && b < 16L)
+      assert((l, h) == ((lo, hi)), "inconsistent scalar bounds")
+      val width = h - l + 1
+      // observed extremes must map back into their own bucket
+      assert((bMin - l) * 16 / width == b && (bMax - l) * 16 / width == b)
+    }
+  }
+
+  test("q163 A/B moments are consistent and the z-score matches a " +
+       "local recomputation") {
+    val rows = SparkEntry.queries("q163_ab_test")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 1)
+    val (na, ka, nb, kb, z) = rows.head
+    assert(ka >= 0 && ka <= na && kb >= 0 && kb <= nb)
+    assert(ka > 0 || kb > 0, "fixture should have some conversions")
+    assert(ka < na || kb < nb, "fixture should have some non-converters")
+    val p = (ka + kb).toDouble / (na + nb)
+    val zRef = (ka.toDouble / na - kb.toDouble / nb) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(z - zRef) < 1e-3, s"z $z vs local $zRef")
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
