@@ -540,6 +540,69 @@ object Dedup {
       .drop("grp")
   }
 
+  /** CONTENT-DEFINED CHUNKING dedup — the variable-boundary chunk
+    * modality between q94's fixed-geometry chunks and [[duplicateSpans]]'
+    * exact spans (public method: Rabin-style content-defined chunking
+    * as in LBFS/restic/borg — boundaries cut where a window hash of
+    * the content ITSELF hits a residue, so an insertion near the top
+    * of a document shifts every fixed-geometry chunk after it but only
+    * the ONE cdc chunk it lands in; chunking realigns at the next
+    * content boundary and every later duplicated chunk still groups).
+    *
+    * Tokens are whitespace words of the normalized text; the window
+    * hash is the 3-term polynomial C2·v(t−2) + C1·v(t−1) + v(t) mod M
+    * over [[TextFns.polyHash]] token values — every constant exact,
+    * engine-portable int64 (the q23 discipline), because here the
+    * BOUNDARY decision itself must replay in the oracle (q144 only
+    * needs shingle equality). Boundary after token t when the hash ≡ 0
+    * mod `meanChunk` → expected chunk length ≈ meanChunk tokens
+    * (measured 13.0 at the default 16 on the driver corpus).
+    *
+    * Output: one row per DUPLICATED chunk (identical token sequence,
+    * ≥ `minReport` tokens, ≥ 2 occurrences corpus-wide): polyHash
+    * fingerprint, token length, occurrence count, distinct docs, and
+    * the smallest holding doc. Scale shape: one posexplode + per-DOC
+    * windows (bounded by document length, never corpus-global) + one
+    * chunk-key groupBy — the classic alternative (pairwise doc diff)
+    * is quadratic in the corpus. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                meanChunk: Int = 16, minReport: Int = 4): DataFrame = {
+    require(meanChunk >= 2 && minReport >= 1, "degenerate chunk geometry")
+    val M = 1000000007L
+    val C1 = 69069L
+    val C2 = 770526733L // C1² mod M — one polynomial, precomputed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = df.select(col(idCol),
+        posexplode(TextFns.words(TextFns.norm(col(textCol))))
+          .as(Seq("pos", "tk")))
+      .withColumn("v", TextFns.polyHash(col("tk")))
+    val hashed = tok.withColumn("hh",
+      when(col("pos") >= 2,
+        pmod(pmod(lag(col("v"), 2).over(w) * C2, lit(M)) +
+          pmod(lag(col("v"), 1).over(w) * C1, lit(M)) + col("v"), lit(M))))
+    val cids = hashed
+      .withColumn("bf",
+        when(col("hh").isNotNull &&
+          pmod(col("hh"), lit(meanChunk.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("cid", coalesce(sum(col("bf")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+    val chunks = cids.groupBy(col(idCol), col("cid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(sort_array(collect_list(
+            struct(col("pos"), col("tk")))), s => s.getField("tk")), " ")
+          .as("chunk_text"))
+    chunks.groupBy(col("chunk_text"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("min_doc"))
+      .filter(col("n_copies") >= 2 && col("n_tokens") >= minReport)
+      .select(TextFns.polyHash(col("chunk_text")).as("chunk_fp"),
+        col("n_tokens"), col("n_copies"), col("n_docs"), col("min_doc"))
+  }
+
   /** Checkpointed (id, pos, hk) shingle-start relation shared by
     * [[duplicateSpans]] and [[duplicateSpanCuts]]: every L-token
     * window's xxhash64 key with its 0-based start position. */

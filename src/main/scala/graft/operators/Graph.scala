@@ -1107,6 +1107,41 @@ object Graph {
     lab.select(col("v"), col("lab").as("community"))
   }
 
+  /** MODULARITY of a vertex partition over an undirected edge list —
+    * the standard Newman-Girvan quality score
+    * Q = Σ_c [e_in(c)/m − (deg_c/2m)²], reported per community in
+    * EXACT integer form: contrib = 4m·e_in − deg_sum², so
+    * Σ contrib = 4m²·Q and every value replays bit-exactly in any
+    * engine (no float division until the reader derives Q). `edges`
+    * must be distinct undirected pairs (a ≠ b); `labels` must cover
+    * every endpoint (as [[labelPropagation]]'s output does).
+    * One degree aggregate + one two-sided label join + one group —
+    * all keyed exchanges, m is the only broadcast scalar. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 a: String = "a", b: String = "b"): DataFrame = {
+    val ed = Checkpoints.checkpoint(edges.select(col(a), col(b)))
+    val deg = ed.select(col(a).as("v"))
+      .unionByName(ed.select(col(b).as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val m = ed.agg(count(lit(1)).as("m"))
+    val ein = ed
+      .join(labels.select(col("v").as(a), col("community").as("ca")), a)
+      .join(labels.select(col("v").as(b), col("community").as("cb")), b)
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val byComm = labels.join(deg, "v")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("deg_sum"))
+    byComm.join(ein, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("e_in"),
+        col("deg_sum"), col("m"),
+        (lit(4L) * col("m") * col("e_in") -
+          col("deg_sum") * col("deg_sum")).as("contrib"))
+  }
+
   /** FULL k-core decomposition — the per-vertex core NUMBER (largest k
     * with v in the k-core; the degeneracy ordering curation and
     * graph-ML want), not one fixed-k slice like [[kCore]].

@@ -383,6 +383,38 @@ object CoreQueries {
           max(col("cents")).as("bucket_max"))
     },
 
+    // Lag-k AUTOCORRELATION of the daily revenue series — the
+    // time-series diagnostic between q159's weekday profile and q06's
+    // point forecast: aggregate orders to one exact dollars-per-day
+    // value (map-side combinable; the series is ~#days rows however
+    // large the table), then pair each day with day+lag for lag ∈
+    // {1, 7} and emit the exact integer MOMENTS of the paired series
+    // (n, Σx, Σy, Σxy, Σx², Σy²) per lag — Pearson r_k is a pure
+    // derivation, so the oracle checks the whole computation with
+    // zero float risk (the q96 moments discipline on a time series).
+    // Whole dollars keep Σxy inside int64 through ~sf0.3; beyond,
+    // the same expressions in DECIMAL(38,0) are exact.
+    "q164_autocorrelation" -> { (s, d) =>
+      val day = call_function("div",
+        unix_timestamp(col("o_orderdate")), lit(86400L))
+      val series = Tables.t(s, d, "orders")
+        .groupBy(day.as("day"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+        .select(col("day"),
+          call_function("div", col("cents"), lit(100L)).as("x"))
+      val shifted = series
+        .select(col("day"), col("x"),
+          explode(array(lit(1L), lit(7L))).as("lag"))
+        .select(col("lag"), (col("day") + col("lag")).as("day"), col("x"))
+      shifted.join(series.select(col("day"), col("x").as("y")), "day")
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+    },
+
     // MERGEABLE quantile sketch — q113's exact form needs the full
     // ranked pass; streams and partial rollups need a summary that
     // MERGES. QDigestAgg (functions/QDigest.scala) is a deterministic
@@ -929,6 +961,25 @@ object CoreQueries {
         |  CAST(min(cents) AS BIGINT) AS bucket_min,
         |  CAST(max(cents) AS BIGINT) AS bucket_max
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    // q164: the same day-bucket + dollars truncation + lag pairing;
+    // floor(epoch()) because DuckDB CAST(double AS BIGINT) rounds
+    // where Spark unix_timestamp truncates (the q159 lesson)
+    "q164_autocorrelation" ->
+      """WITH s AS (SELECT
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(lg.lag AS BIGINT) AS lag, day + lg.lag AS day, x
+        |      FROM s, (VALUES (1), (7)) AS lg(lag))
+        |SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(l.x) AS BIGINT) AS sum_x,
+        |  CAST(sum(s2.x) AS BIGINT) AS sum_y,
+        |  CAST(sum(l.x * s2.x) AS BIGINT) AS sum_xy,
+        |  CAST(sum(l.x * l.x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(s2.x * s2.x) AS BIGINT) AS sum_y2
+        |FROM l JOIN s s2 USING (day) GROUP BY 1""".stripMargin,
 
     // the Morton interleave replayed bit-for-bit as SQL bit arithmetic
     "q116_zorder_layout" -> {

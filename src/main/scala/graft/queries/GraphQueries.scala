@@ -497,6 +497,21 @@ object GraphQueries {
       Graph.labelPropagation(knnEdges(s, d), rounds = 4)
     },
 
+    // MODULARITY of the q147 partition — the quality score that makes
+    // community detection auditable: Q = Σ_c [e_in(c)/m − (deg_c/2m)²],
+    // reported per community in EXACT integer form as
+    // contrib = 4m·e_in − deg_sum² (so Σ contrib = 4m²·Q — the
+    // q66/q96 ratio discipline applied to partition quality). Per
+    // community: vertex count, internal edges, degree mass, and the
+    // scaled contribution; m rides along as a broadcast scalar (q42
+    // shape). The labels are recomputed through the same 4 LPA rounds
+    // the oracle unrolls, so the whole detect-then-score dataflow is
+    // under one hash gate.
+    "q165_modularity" -> { (s, d) =>
+      val ed = graft.Checkpoints.checkpoint(knnEdges(s, d))
+      Graph.modularity(ed, Graph.labelPropagation(ed, rounds = 4))
+    },
+
     // FULL core decomposition (per-vertex core number via h-index
     // propagation — Graph.coreNumbers) on the q103 substrate, gated
     // through its literal-k slices: {v : core(v) ≥ k} must equal the
@@ -1048,10 +1063,11 @@ object GraphQueries {
        |SELECT u AS a, v AS b FROM e$KCoreUnroll""".stripMargin
   }
 
-  // DuckDB twin of q147: the 4 synchronous LPA rounds unrolled over
-  // the k-NN spine — per round, neighbor-label counts then the
-  // (count DESC, label ASC) top-1, exactly the Spark window.
-  private lazy val communitiesOracleSql: String = {
+  // Shared WITH body for q147/q165: coShip + k-NN spine (`ed`) +
+  // symmetric adjacency + the 4 synchronous LPA rounds unrolled —
+  // per round, neighbor-label counts then the (count DESC, label ASC)
+  // top-1, exactly the Spark window. `lb4` holds the final labels.
+  private lazy val communitiesCtes: String = {
     def round(k: Int) =
       s"""lb$k AS MATERIALIZED (SELECT s AS v, lab FROM (
          |  SELECT adj.s, l.lab, count(*) AS c,
@@ -1059,14 +1075,38 @@ object GraphQueries {
          |      ORDER BY count(*) DESC, l.lab) AS rn
          |  FROM adj JOIN lb${k - 1} l ON adj.d = l.v
          |  GROUP BY adj.s, l.lab) x$k WHERE rn = 1)""".stripMargin
-    s"""WITH $coShipSql,
+    s"""$coShipSql,
        |$knnSql,
        |adj AS MATERIALIZED (SELECT a AS s, b AS d FROM ed
        |       UNION ALL SELECT b AS s, a AS d FROM ed),
        |lb0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lab FROM adj),
-       |${(1 to 4).map(round).mkString(",\n")}
-       |SELECT v, lab AS community FROM lb4""".stripMargin
+       |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
   }
+
+  // DuckDB twin of q147: the shared LPA unroll, labels emitted.
+  private lazy val communitiesOracleSql: String =
+    s"""WITH $communitiesCtes
+       |SELECT v, lab AS community FROM lb4""".stripMargin
+
+  // DuckDB twin of q165: the same labels, then internal-edge counts,
+  // degree mass, and the 4m·e_in − deg² scaled contribution.
+  private lazy val modularityOracleSql: String =
+    s"""WITH $communitiesCtes,
+       |lab AS (SELECT v, lab AS community FROM lb4),
+       |deg AS (SELECT s AS v, count(*) AS deg FROM adj GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+       |ein AS (SELECT la.community, count(*) AS e_in
+       |        FROM ed JOIN lab la ON ed.a = la.v
+       |        JOIN lab lc ON ed.b = lc.v
+       |        WHERE la.community = lc.community GROUP BY 1),
+       |dc AS (SELECT l.community, count(*) AS n_vertices,
+       |         CAST(sum(deg) AS BIGINT) AS deg_sum
+       |       FROM lab l JOIN deg ON l.v = deg.v GROUP BY 1)
+       |SELECT dc.community, CAST(n_vertices AS BIGINT) AS n_vertices,
+       |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, deg_sum, mm.m,
+       |  4 * mm.m * CAST(coalesce(e_in, 0) AS BIGINT)
+       |    - deg_sum * deg_sum AS contrib
+       |FROM dc LEFT JOIN ein ON dc.community = ein.community, mm""".stripMargin
 
   // DuckDB twin of the q145 slice gate: the q103 peel SQL chained over
   // the slice thresholds (the k-core of a j≤k-core is the k-core), so
@@ -1269,6 +1309,7 @@ object GraphQueries {
     "q145_core_numbers" -> coreNumbersOracleSql,
 
     "q147_communities" -> communitiesOracleSql,
+    "q165_modularity" -> modularityOracleSql,
 
     // q151: distinct (edge, year) activity, then active counts,
     // first-appearance counts, and the shifted-year NOT EXISTS loss —

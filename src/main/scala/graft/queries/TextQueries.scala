@@ -430,6 +430,17 @@ object TextQueries {
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", 8)
     },
 
+    // Content-defined chunking dedup (Dedup.cdcChunks scaladoc): the
+    // insertion-robust chunk modality — boundaries are cut by the
+    // content's own window hash, so dup chunks group across documents
+    // whose shared text sits at DIFFERENT offsets. The boundary
+    // decision replays in the oracle (portable polynomial hash, q23
+    // discipline), so the gate covers chunking, not just grouping.
+    "q166_cdc_chunks" -> { (s, d) =>
+      Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+        meanChunk = 16, minReport = 4)
+    },
+
     // Entity resolution END-TO-END under the hash gate: near-dup pair
     // generation (PPJoin, q25 semantics at jaccard >= 0.8) → O(log n)
     // star-contraction components → canonical assignment + group size.
@@ -1568,6 +1579,49 @@ object TextQueries {
          |  max(pos) - min(pos) + 8 AS span_tokens,
          |  min(n_occ) AS n_copies
          |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    // q166: the full cdc replay — token polyhash values, the 3-term
+    // window hash, boundary flags, running chunk ids, ordered chunk
+    // reassembly, and the dup-group fingerprints
+    "q166_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+         |             AS ws FROM documents),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(ws[i], ''),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (acc, x) -> (acc * 31 + x) % 1000000007) AS v,
+         |         ws[i] AS tk
+         |       FROM (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws))) AS i FROM t)),
+         |h AS (SELECT doc_id, pos, tk,
+         |        CASE WHEN pos >= 2 THEN
+         |          ((lag(v, 2) OVER w * 770526733) % 1000000007
+         |           + (lag(v, 1) OVER w * 69069) % 1000000007 + v)
+         |          % 1000000007
+         |        END AS hh
+         |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cid AS (SELECT doc_id, pos, tk,
+         |          coalesce(sum(CASE WHEN hh IS NOT NULL AND hh % 16 = 0
+         |                            THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY pos
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            0) AS cid
+         |        FROM h),
+         |ch AS (SELECT doc_id, cid,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+         |       FROM cid GROUP BY 1, 2),
+         |g AS (SELECT chunk_text, CAST(count(*) AS BIGINT) AS n_copies,
+         |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |        min(n_tokens) AS n_tokens, min(doc_id) AS min_doc
+         |      FROM ch GROUP BY 1
+         |      HAVING count(*) >= 2 AND min(n_tokens) >= 4)
+         |SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(chunk_text, ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp,
+         |  n_tokens, n_copies, n_docs, min_doc FROM g""".stripMargin,
 
     "q93_entity_resolution" ->
       s"""WITH RECURSIVE $shSql,

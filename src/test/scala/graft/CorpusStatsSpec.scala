@@ -66,6 +66,32 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(z - zRef) < 1e-3, s"z $z vs local $zRef")
   }
 
+  test("q164 autocorrelation moments equal a local recomputation of " +
+       "the daily dollar series at both lags") {
+    val got = SparkEntry.queries("q164_autocorrelation")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 7L))
+    val raw = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .selectExpr("unix_timestamp(o_orderdate) AS es",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .as[(Long, Long)].collect()
+    val series: Map[Long, Long] = raw.groupBy(_._1 / 86400)
+      .map { case (d, xs) => d -> xs.map(_._2).sum / 100 }
+    Seq(1L, 7L).foreach { lag =>
+      val pairs = series.toSeq.flatMap { case (d, x) =>
+        series.get(d + lag).map(y => (x, y)) }
+      val exp = (lag, pairs.length.toLong,
+        pairs.map(_._1).sum, pairs.map(_._2).sum,
+        pairs.map(p => p._1 * p._2).sum,
+        pairs.map(p => p._1 * p._1).sum,
+        pairs.map(p => p._2 * p._2).sum)
+      assert(got(lag) == exp, s"lag $lag")
+    }
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(

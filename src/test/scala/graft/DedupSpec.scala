@@ -175,6 +175,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (3L, 5L, 24L, 20L, 3L)))
   }
 
+  test("cdcChunks groups a shared paragraph at DIFFERENT offsets and " +
+       "equals a local chunking twin exactly") {
+    // the insertion-robustness property fixed-geometry chunking lacks:
+    // doc 2 prepends 13 filler tokens, so every q94-style fixed chunk
+    // of the shared paragraph differs — content-defined boundaries
+    // realign after the first cut and the shared chunks still group
+    val para = (0 until 120).map(i => s"p$i")
+    val fix = Seq(
+      (1L, para.mkString(" ")),
+      (2L, ((0 until 13).map(i => s"g$i") ++ para).mkString(" ")),
+      (3L, (0 until 50).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(fix, "doc_id", "text", 16, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    val M = 1000000007L
+    def pv(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+    def chunksOf(ws: Seq[String]): Seq[Seq[String]] = {
+      val vs = ws.map(pv)
+      val cuts = (0 until ws.length).filter { i =>
+        i >= 2 && ((vs(i - 2) * 770526733L) % M +
+          (vs(i - 1) * 69069L) % M + vs(i)) % M % 16 == 0
+      }.map(_ + 1)
+      val starts = 0 +: cuts
+      val ends = cuts :+ ws.length
+      starts.zip(ends).filter { case (s, e) => e > s }
+        .map { case (s, e) => ws.slice(s, e) }
+    }
+    val docs = Map(1L -> para,
+      2L -> ((0 until 13).map(i => s"g$i") ++ para),
+      3L -> (0 until 50).map(i => s"z$i"))
+    val occ = docs.toSeq.flatMap { case (id, ws) =>
+      chunksOf(ws).map(ch => (id, ch.mkString(" "), ch.length.toLong)) }
+    val exp = occ.groupBy(_._2).collect {
+      case (txt, os) if os.length >= 2 && os.head._3 >= 4 =>
+        (pv(txt), os.head._3, os.length.toLong,
+          os.map(_._1).distinct.length.toLong, os.map(_._1).min)
+    }.toSet
+    assert(exp.nonEmpty, "fixture must produce shared interior chunks")
+    assert(exp.exists(_._4 == 2L), "a chunk must group ACROSS the docs")
+    assert(got == exp)
+  }
+
   test("duplicateSpans merges a WITHIN-document repeat into two spans") {
     // the span repeats inside one doc; both occurrences come back,
     // separated by unique filler (no cross-run merge)

@@ -474,6 +474,27 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("modularity on two bridged cliques: hand-computed integer " +
+       "contributions and the 4m²·Q identity") {
+    // same substrate as the LPA test: two K4s + bridge → m = 13; each
+    // community has e_in = 6, deg_sum = 3+3+3+4 = 13, so
+    // contrib = 4·13·6 − 13² = 143 and Σ contrib = 286 = 4m²·Q
+    // (Q = 286/676 ≈ 0.423, the classic two-clique value)
+    val cl = (for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)) :+ ((3L, 10L))
+    val es = cl.toDF("a", "b")
+    val rows = Graph.modularity(es, Graph.labelPropagation(es, rounds = 4))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set(0L, 10L))
+    rows.foreach { case (_, nv, ein, degSum, m, contrib) =>
+      assert((nv, ein, degSum, m) == ((4L, 6L, 13L, 13L)))
+      assert(contrib == 143L)
+    }
+    assert(rows.map(_._6).sum == 286L)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("labelPropagation separates two cliques across a bridge and " +
        "equals the synchronous brute force on random graphs") {
     // two 4-cliques {0..3} and {10..13} joined by bridge 3-10: each
