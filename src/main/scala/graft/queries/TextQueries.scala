@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.Dedup
+import graft.operators.{Dedup, Relational}
 import graft.sources.Tables
 
 /** Text-analysis + deduplication surface over the `documents` table
@@ -428,6 +428,91 @@ object TextQueries {
     // the q25 convention).
     "q144_span_dedup" -> { (s, d) =>
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", 8)
+    },
+
+    // HYBRID RETRIEVAL by Reciprocal Rank Fusion (Cormack, Clarke &
+    // Buettcher, SIGIR 2009 — public): fuse q88's lexical BM25
+    // ranking with a q152-style tf-idf cosine ranking for one fixed
+    // query, rrf = Σ 1000000 div (60 + rank) over the top-100 of each
+    // ranking — the integer-scaled RRF, so the fusion replays
+    // bit-exactly. Float discipline (q88/q163): each per-term BM25
+    // ratio and the cosine spend exactly ONE IEEE division (the
+    // cosine after IEEE-exact integer-valued doubles), and per-doc
+    // ratios add in fixed term order (pivot columns, left-assoc), so
+    // both engines land on identical doubles, identical ranks,
+    // identical fusion. Scale shape: rankings are top-k windows over
+    // candidate sets (docs holding ≥ 1 query term / ≥ 1 dictionary
+    // overlap); the fusion itself joins two ≤ 100-row relations.
+    "q167_rank_fusion" -> { (s, d) =>
+      val qterms = Seq("query", "merge", "spark")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFns.words(TextFns.norm(col("text")))).as("term"))
+      val tf = graft.Checkpoints.checkpoint(
+        toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+      val dict = dfreq.orderBy(col("df_").desc, col("term")).limit(32)
+      val tot = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("totdl"))
+      // ranking A: per-term BM25 ratio (the q88 integer num/den, one
+      // division), summed in fixed term order via pivot columns
+      val ratio = tf.filter(col("term").isin(qterms: _*))
+        .join(dl, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("term"),
+          ((lit(44L) * col("tf") * col("totdl") *
+            (lit(2L) * col("n_docs") - lit(2L) * col("df_") + lit(1L)))
+            .cast("double") /
+            ((lit(2L) * col("df_") + lit(1L)) *
+              (lit(20L) * col("totdl") * col("tf") +
+                lit(6L) * col("totdl") +
+                lit(18L) * col("dl") * col("n_docs"))).cast("double"))
+            .as("r"))
+      val pivCols = qterms.map(t =>
+        coalesce(max(when(col("term") === t, col("r"))), lit(0.0))
+          .as(s"r_$t"))
+      val scoreA = ratio.groupBy(col("doc_id"))
+        .agg(pivCols.head, pivCols.tail: _*)
+        .select(col("doc_id"),
+          qterms.map(t => col(s"r_$t")).reduceLeft(_ + _).as("score"))
+      val rankA = Relational.topKPerGroup(
+        scoreA.filter(col("score") > 0), Seq(),
+        Seq(col("score").desc, col("doc_id")), 100, "ra")
+        .select(col("doc_id"), col("ra"))
+      // ranking B: integer tf-idf weights over the top-32 dictionary
+      // (the q152 weight form), cosine = dot / sqrt(den_d·den_q)
+      val nD = docs.agg(count(lit(1)).cast("long").as("n"))
+      val w = graft.Checkpoints.checkpoint(
+        tf.join(broadcast(dict), "term").crossJoin(broadcast(nD))
+          .select(col("doc_id"), col("term"),
+            call_function("div", col("tf") * col("n") * lit(10L),
+              col("df_")).as("w")))
+      val denD = w.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("den_d"))
+      val qv = dict.crossJoin(broadcast(nD))
+        .filter(col("term").isin(qterms: _*))
+        .select(col("term"),
+          call_function("div", col("n") * lit(10L), col("df_")).as("wq"))
+      val denQ = qv.agg(sum(col("wq") * col("wq")).as("den_q"))
+      val dot = w.join(broadcast(qv), "term")
+        .groupBy(col("doc_id")).agg(sum(col("w") * col("wq")).as("dot"))
+      val cos = dot.filter(col("dot") > 0).join(denD, "doc_id")
+        .crossJoin(broadcast(denQ))
+        .select(col("doc_id"), (col("dot").cast("double") /
+          sqrt(col("den_d").cast("double") * col("den_q").cast("double")))
+          .as("cos"))
+      val rankB = Relational.topKPerGroup(cos, Seq(),
+        Seq(col("cos").desc, col("doc_id")), 100, "rb")
+        .select(col("doc_id"), col("rb"))
+      val fused = rankA.join(rankB, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("ra"), col("rb"),
+          (coalesce(call_function("div", lit(1000000L),
+              lit(60L) + col("ra")), lit(0L)) +
+            coalesce(call_function("div", lit(1000000L),
+              lit(60L) + col("rb")), lit(0L))).as("rrf"))
+      Relational.topKPerGroup(fused, Seq(),
+        Seq(col("rrf").desc, col("doc_id")), 10, "rank")
     },
 
     // Content-defined chunking dedup (Dedup.cdcChunks scaladoc): the
@@ -1579,6 +1664,68 @@ object TextQueries {
          |  max(pos) - min(pos) + 8 AS span_tokens,
          |  min(n_occ) AS n_copies
          |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    // q167: full replay — BM25 ratios pivoted and left-assoc summed,
+    // integer tf-idf cosine with the one-division discipline, both
+    // top-100 rankings, and the integer RRF fusion
+    "q167_rank_fusion" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df_
+         |        FROM tf GROUP BY 1),
+         |dict AS (SELECT term, df_ FROM dfx
+         |         ORDER BY df_ DESC, term LIMIT 32),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(dl) AS BIGINT) AS totdl FROM dl),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ratio AS (SELECT doc_id, term,
+         |    CAST(44 * tf * totdl * (2 * n_docs - 2 * df_ + 1) AS DOUBLE)
+         |    / CAST((2 * df_ + 1) * (20 * totdl * tf + 6 * totdl
+         |        + 18 * dl * n_docs) AS DOUBLE) AS r
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term)
+         |       CROSS JOIN tot
+         |  WHERE term IN ('query', 'merge', 'spark')),
+         |piv AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN term = 'query' THEN r END), 0.0) AS r1,
+         |    coalesce(max(CASE WHEN term = 'merge' THEN r END), 0.0) AS r2,
+         |    coalesce(max(CASE WHEN term = 'spark' THEN r END), 0.0) AS r3
+         |  FROM ratio GROUP BY 1),
+         |ra AS (SELECT doc_id, ra FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY r1 + r2 + r3 DESC, doc_id) AS BIGINT) AS ra
+         |    FROM piv WHERE r1 + r2 + r3 > 0) WHERE ra <= 100),
+         |w AS (SELECT doc_id, tf.term, (tf * n * 10) // df_ AS w
+         |      FROM tf JOIN dict USING (term) CROSS JOIN nd),
+         |dend AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS den_d
+         |         FROM w GROUP BY 1),
+         |qv AS (SELECT term, (n * 10) // df_ AS wq
+         |       FROM dict CROSS JOIN nd
+         |       WHERE term IN ('query', 'merge', 'spark')),
+         |denq AS (SELECT CAST(sum(wq * wq) AS BIGINT) AS den_q FROM qv),
+         |dotp AS (SELECT doc_id, CAST(sum(w * wq) AS BIGINT) AS dot
+         |         FROM w JOIN qv USING (term) GROUP BY 1),
+         |cosr AS (SELECT doc_id, CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(den_d AS DOUBLE) * CAST(den_q AS DOUBLE)) AS cos
+         |    FROM dotp JOIN dend USING (doc_id) CROSS JOIN denq
+         |    WHERE dot > 0),
+         |rb AS (SELECT doc_id, rb FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rb
+         |    FROM cosr) WHERE rb <= 100),
+         |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |        ra.ra, rb.rb,
+         |        coalesce(1000000 // (60 + ra.ra), 0)
+         |          + coalesce(1000000 // (60 + rb.rb), 0) AS rrf
+         |      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, ra, rb, CAST(rrf AS BIGINT) AS rrf, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
 
     // q166: the full cdc replay — token polyhash values, the 3-term
     // window hash, boundary flags, running chunk ids, ordered chunk

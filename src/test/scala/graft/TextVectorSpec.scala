@@ -8,6 +8,29 @@ import graft.functions.{TextFns, VectorFns}
 class TextVectorSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("q167 rank fusion: RRF arithmetic is exactly derivable from " +
+       "the emitted ranks and the top-10 is rrf-ordered") {
+    val rows = SparkEntry.queries("q167_rank_fusion")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Option[Long], Option[Long], Long, Long)].collect()
+      .sortBy(_._5)
+    assert(rows.length == 10)
+    assert(rows.map(_._5).toSeq == (1L to 10L))
+    rows.foreach { case (_, ra, rb, rrf, _) =>
+      ra.foreach(r => assert(r >= 1 && r <= 100))
+      rb.foreach(r => assert(r >= 1 && r <= 100))
+      val exp = ra.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rb.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == exp)
+    }
+    // fusion order: rrf non-increasing down the emitted ranks
+    rows.map(_._4).sliding(2).foreach(p => assert(p(0) >= p(1)))
+    // hybrid, not single-signal: the winners carry BOTH ranks on the
+    // real corpus (every doc holds dictionary terms)
+    assert(rows.count(r => r._2.isDefined && r._3.isDefined) >= 5)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("norm lowercases and collapses whitespace") {
     val got = Seq("  Hello   World  ").toDF("t")
       .select(TextFns.norm($"t")).as[String].head()
