@@ -383,6 +383,66 @@ object CoreQueries {
           max(col("cents")).as("bucket_max"))
     },
 
+    // Per-GROUP OLS trend — grouped linear regression of monthly
+    // revenue on the month index, per customer nation: the exact
+    // integer moments (n, Σx, Σy, Σxy, Σx²) plus the closed-form
+    // slope as the rational n·Σxy − Σx·Σy over n·Σx² − (Σx)² — both
+    // emitted as exact int64 (the q96/q164 moments discipline), the
+    // double slope spending exactly ONE IEEE division. Monthly
+    // pre-aggregation is map-side combinable; the per-group series is
+    // #months rows however large orders grows.
+    "q168_group_trend" -> { (s, d) =>
+      val monthly = Tables.t(s, d, "orders")
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) -
+            lit(1992 * 12 + 1)).cast("long").as("x"))
+        .agg(call_function("div",
+          sum((dec(col("o_totalprice")) * 100).cast("long")),
+          lit(100L)).as("y"))
+      monthly.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"))
+        .select(col("n_name"), col("n"), col("sum_x"), col("sum_y"),
+          col("sum_xy"), col("sum_x2"),
+          (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+            .as("slope_num"),
+          (col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .as("slope_den"))
+        .withColumn("slope",
+          round(col("slope_num").cast("double") /
+            col("slope_den").cast("double"), 4))
+    },
+
+    // Seasonal-trend split of the daily revenue series by centered
+    // 7-day moving window — all-integer decomposition: trend7 = the
+    // full 7-day window SUM (only days with all 7 neighbors present),
+    // resid7 = 7·x − trend7 (the de-trended residual scaled by 7 —
+    // no division anywhere, so every value replays exactly). The
+    // series is #days rows after one map-side-combinable aggregate;
+    // the window is per-series and bounded.
+    "q169_trend_decomposition" -> { (s, d) =>
+      val day = call_function("div",
+        unix_timestamp(col("o_orderdate")), lit(86400L))
+      val series = Tables.t(s, d, "orders")
+        .groupBy(day.as("day"))
+        .agg(call_function("div",
+          sum((dec(col("o_totalprice")) * 100).cast("long")),
+          lit(100L)).as("x"))
+      val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+      series
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend7", sum(col("x")).over(w))
+        .filter(col("n_win") === 7)
+        .select(col("day"), col("x"), col("trend7"),
+          (lit(7L) * col("x") - col("trend7")).as("resid7"))
+    },
+
     // Lag-k AUTOCORRELATION of the daily revenue series — the
     // time-series diagnostic between q159's weekday profile and q06's
     // point forecast: aggregate orders to one exact dollars-per-day
@@ -961,6 +1021,45 @@ object CoreQueries {
         |  CAST(min(cents) AS BIGINT) AS bucket_min,
         |  CAST(max(cents) AS BIGINT) AS bucket_max
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    // q168: the same monthly grid, moments, and rational slope;
+    // 23905 = 1992·12 + 1 (the month-index origin)
+    "q168_group_trend" ->
+      """WITH monthly AS (SELECT n_name,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 23905
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) // 100 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |       JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sum_x,
+        |        CAST(sum(y) AS BIGINT) AS sum_y,
+        |        CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |        CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |      FROM monthly GROUP BY 1)
+        |SELECT n_name, n, sum_x, sum_y, sum_xy, sum_x2,
+        |  n * sum_xy - sum_x * sum_y AS slope_num,
+        |  n * sum_x2 - sum_x * sum_x AS slope_den,
+        |  round(CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+        |    / CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE), 4) AS slope
+        |FROM m""".stripMargin,
+
+    // q169: the same day series and centered RANGE window
+    "q169_trend_decomposition" ->
+      """WITH s AS (SELECT
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, x,
+        |    CAST(count(*) OVER win AS BIGINT) AS n_win,
+        |    CAST(sum(x) OVER win AS BIGINT) AS trend7
+        |  FROM s WINDOW win AS (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT day, x, trend7, 7 * x - trend7 AS resid7
+        |FROM w WHERE n_win = 7""".stripMargin,
 
     // q164: the same day-bucket + dollars truncation + lag pairing;
     // floor(epoch()) because DuckDB CAST(double AS BIGINT) rounds

@@ -92,6 +92,46 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q168 per-nation trend: slope rational derives exactly from " +
+       "the emitted moments and every nation has a real series") {
+    val rows = SparkEntry.queries("q168_group_trend")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(rows.length == 25)
+    rows.foreach { case (_, n, sx, sy, sxy, sx2, num, den, slope) =>
+      assert(n >= 12, "a nation with under a year of months")
+      assert(num == n * sxy - sx * sy)
+      assert(den == n * sx2 - sx * sx)
+      assert(den > 0)
+      // slope is the rounded rational (HALF_UP): within half an ulp
+      // of the 4-decimal grid around num/den
+      assert(math.abs(slope - num.toDouble / den.toDouble) <= 0.50001e-4)
+    }
+  }
+
+  test("q169 trend decomposition equals a local recomputation of the " +
+       "centered 7-day window") {
+    val got = SparkEntry.queries("q169_trend_decomposition")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val raw = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .selectExpr("unix_timestamp(o_orderdate) AS es",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .as[(Long, Long)].collect()
+    val series: Map[Long, Long] = raw.groupBy(_._1 / 86400)
+      .map { case (d, xs) => d -> xs.map(_._2).sum / 100 }
+    val exp = series.flatMap { case (d, x) =>
+      val win = (-3L to 3L).flatMap(k => series.get(d + k))
+      if (win.length == 7) Some(d -> ((x, win.sum, 7 * x - win.sum)))
+      else None
+    }
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
