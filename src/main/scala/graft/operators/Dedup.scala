@@ -603,6 +603,62 @@ object Dedup {
         col("n_tokens"), col("n_copies"), col("n_docs"), col("min_doc"))
   }
 
+  /** GREEDY MAX-COVERAGE data selection — the classic submodular
+    * curation primitive (Nemhauser/Wolsey/Fisher 1978 greedy, public;
+    * the coreset-style "pick documents that cover the most new
+    * content" selection a training-data pipeline runs before
+    * budgeting): universe = distinct word `shingleN`-grams, and each
+    * of `k` rounds picks the document with the largest MARGINAL gain
+    * (new shingles not covered by earlier picks; ties → smaller
+    * doc_id), which carries the (1 − 1/e) approximation guarantee.
+    *
+    * Returns (round, doc_id, gain) for the picked documents, in pick
+    * order. Dataflow per round: one anti-join of the (doc, shingle)
+    * relation against the covered set + one groupBy count + a 1-ROW
+    * driver pick (the BPE-argmax convention — the only driver traffic
+    * is one scalar per round); the covered set is checkpointed with
+    * eager release. k is small and fixed — cost is k keyed passes,
+    * never quadratic in the corpus. */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, shingleN: Int = 3): DataFrame = {
+    require(k >= 1, "pick at least one document")
+    val spark = df.sparkSession
+    val sh = graft.Checkpoints.checkpoint(
+      df.select(col(idCol),
+          explode(TextFns.shingles(
+            TextFns.words(TextFns.norm(col(textCol))), shingleN)).as("s"))
+        .distinct())
+    var covered: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var exhausted = false
+    (1 to k).foreach { round =>
+      if (!exhausted) {
+        val remaining =
+          if (covered == null) sh
+          else sh.join(covered, Seq("s"), "left_anti")
+        val top = remaining.groupBy(col(idCol))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col(idCol))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val id = top.head.getLong(0)
+          picks += ((round.toLong, id, top.head.getLong(1)))
+          // remaining already excludes covered, so union + distinct
+          // equals the covered-set recurrence
+          val newCov = remaining.filter(col(idCol) === id).select(col("s"))
+          val nxt = graft.Checkpoints.checkpoint(
+            if (covered == null) newCov.distinct()
+            else covered.unionByName(newCov).distinct())
+          if (covered != null) graft.Checkpoints.release(covered)
+          covered = nxt
+        }
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("round", idCol, "gain")
+  }
+
   /** Checkpointed (id, pos, hk) shingle-start relation shared by
     * [[duplicateSpans]] and [[duplicateSpanCuts]]: every L-token
     * window's xxhash64 key with its 0-based start position. */

@@ -430,6 +430,16 @@ object TextQueries {
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", 8)
     },
 
+    // Greedy max-coverage selection (Dedup.greedyCoverage scaladoc):
+    // 5 rounds of marginal-gain argmax over word 3-gram coverage —
+    // the submodular "cover the most new content" curation pick. The
+    // oracle unrolls all 5 rounds (anti-join against the growing
+    // covered set, the same (gain DESC, doc_id) argmax).
+    "q170_coverage_picks" -> { (s, d) =>
+      Dedup.greedyCoverage(Tables.documents(s, d), "doc_id", "text",
+        k = 5, shingleN = 3)
+    },
+
     // HYBRID RETRIEVAL by Reciprocal Rank Fusion (Cormack, Clarke &
     // Buettcher, SIGIR 2009 — public): fuse q88's lexical BM25
     // ranking with a q152-style tf-idf cosine ranking for one fixed
@@ -1664,6 +1674,38 @@ object TextQueries {
          |  max(pos) - min(pos) + 8 AS span_tokens,
          |  min(n_occ) AS n_copies
          |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    // q170: the 5 greedy rounds unrolled — each pick CTE is the
+    // (gain DESC, doc_id) argmax over shingles anti-joined against
+    // the union of earlier picks' shingles
+    "q170_coverage_picks" -> {
+      def pick(r: Int) =
+        if (r == 1)
+          """p1 AS MATERIALIZED (SELECT doc_id,
+            |  CAST(count(*) AS BIGINT) AS gain FROM sh GROUP BY 1
+            |  ORDER BY gain DESC, doc_id LIMIT 1),
+            |c1 AS MATERIALIZED (SELECT DISTINCT s FROM sh
+            |  WHERE doc_id IN (SELECT doc_id FROM p1))""".stripMargin
+        else
+          s"""p$r AS MATERIALIZED (SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS gain
+             |  FROM sh ANTI JOIN c${r - 1} USING (s) GROUP BY 1
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c$r AS MATERIALIZED (SELECT s FROM c${r - 1}
+             |  UNION SELECT s FROM sh
+             |  WHERE doc_id IN (SELECT doc_id FROM p$r))""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+         |             AS ws FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    array_to_string(ws[i : i + 2], ' ') AS s
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(1, len(ws) - 2)) AS i
+         |        FROM t WHERE len(ws) >= 3)),
+         |${(1 to 5).map(pick).mkString(",\n")}
+         |${(1 to 5).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, doc_id, gain FROM p$r")
+            .mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // q167: full replay — BM25 ratios pivoted and left-assoc summed,
     // integer tf-idf cosine with the one-division discipline, both

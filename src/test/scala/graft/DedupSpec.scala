@@ -219,6 +219,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == exp)
   }
 
+  test("greedyCoverage picks by MARGINAL gain, not raw size: the " +
+       "overlapping second-largest doc loses to the disjoint one") {
+    // docA: 14 tokens → 12 unique shingles. docB: A's first 10 tokens
+    // + 2 own → 8 shingles shared with A, 2 bridge shingles new.
+    // docC: 11 disjoint tokens → 9 new shingles. Size order would
+    // pick A then B; greedy must pick A (12), C (9), B (2).
+    val aToks = (0 until 14).map(i => s"a$i")
+    val fix = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, (aToks.take(10) ++ Seq("b0", "b1")).mkString(" ")),
+      (3L, (0 until 11).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.greedyCoverage(fix, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 1L, 12L), (2L, 3L, 9L), (3L, 2L, 2L)))
+    // exhaustion: asking for more picks than docs stops cleanly
+    val more = Dedup.greedyCoverage(fix, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(more.length == 3)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("duplicateSpans merges a WITHIN-document repeat into two spans") {
     // the span repeats inside one doc; both occurrences come back,
     // separated by unique filler (no cross-run merge)
