@@ -58,6 +58,49 @@ object EventQueries {
           col("n_type"), col("value_cents"))
     },
 
+    // ROLLING 7-day active users — the classic engagement metric no
+    // plain window aggregate computes (distinct-over-RANGE isn't a
+    // window function): each (user, active-day) pair contributes to
+    // the 7 window-END days it falls inside, then one countDistinct
+    // per day. The contribution explode is a fixed 7× of the
+    // user-DAY relation (already deduped — bounded by users·days, not
+    // events), so the shape survives any event volume.
+    "q171_rolling_actives" -> { (s, d) =>
+      val day = call_function("div", unix_timestamp(col("ts")), lit(86400L))
+      val ud = graft.Checkpoints.checkpoint(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), day.as("day")).distinct())
+      val days = ud.select(col("day")).distinct()
+      val contrib = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      contrib.join(days, "day")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("actives_7d"))
+    },
+
+    // LAST-TOUCH ATTRIBUTION — each purchase credited to the user's
+    // latest view/click at or before the purchase instant, via the
+    // engine's own as-of join (q46's union+window form; oracle =
+    // DuckDB's native ASOF, the q46/q58 convention). Touches are
+    // pre-deduped to one per (user, instant) by min event_type, so
+    // the as-of carry has a deterministic winner under timestamp
+    // ties; purchases with no prior touch credit 'none'.
+    "q172_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("vc"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("touch_type"))
+        .withColumnRenamed("ts", "touch_ts")
+      graft.operators.Joins.asOfJoin(purchases, touches,
+          "user_id", "user_id", "ts", "touch_ts", Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("vc")).as("value_cents"))
+    },
+
     // Two-proportion A/B test — experiment analysis over the event
     // stream: variant = user_id parity, conversion = a HIGH-VALUE
     // purchase (value > 100 — every fixture user purchases SOMETHING,
@@ -500,6 +543,38 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q171: the same user-day dedup, 7-slot contribution explode, and
+    // per-existing-day distinct count
+    "q171_rolling_actives" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM d),
+        |c AS (SELECT user_id, day + k.k AS day
+        |      FROM d, (SELECT unnest(generate_series(0, 6)) AS k) k)
+        |SELECT c.day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |  AS actives_7d
+        |FROM c JOIN days ON c.day = days.day GROUP BY 1""".stripMargin,
+
+    // q172: DuckDB-native ASOF replay of the last-touch credit
+    "q172_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS touch_ts,
+        |        min(event_type) AS touch_type
+        |      FROM events WHERE user_id IS NOT NULL
+        |        AND event_type IN ('view', 'click')
+        |      GROUP BY 1, 2),
+        |j AS (SELECT p.event_id, p.vc, t.touch_type
+        |      FROM p ASOF LEFT JOIN t
+        |        ON p.user_id = t.user_id AND p.ts >= t.touch_ts)
+        |SELECT coalesce(touch_type, 'none') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(vc) AS BIGINT) AS value_cents
+        |FROM j GROUP BY 1""".stripMargin,
 
     // q163: identical moments and the identical-op-order z expression
     "q163_ab_test" ->

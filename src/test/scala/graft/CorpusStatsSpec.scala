@@ -132,6 +132,47 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q171 rolling 7-day actives on a planted calendar: windows " +
+       "count exactly the users active in the prior week") {
+    // u1 active day 0 and day 5, u2 active day 3; emitted days are
+    // the active ones: day 0 → {u1}, day 3 → {u1(d0), u2}, day 5 →
+    // {u1(d5), u2(d3)}
+    val dir = writeEvents(Seq(
+      (1L, 0L * 86400, 1L, "view", 1.0),
+      (2L, 5L * 86400, 1L, "view", 1.0),
+      (3L, 3L * 86400, 2L, "click", 1.0)))
+    val got = SparkEntry.queries("q171_rolling_actives")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("q172 last-touch attribution credits the latest prior touch, " +
+       "same-instant touches count, and untouched purchases go to " +
+       "'none'") {
+    val dir = writeEvents(Seq(
+      (1L, 100L, 1L, "view", 0.0),
+      (2L, 200L, 1L, "click", 0.0),
+      (3L, 300L, 1L, "purchase", 2.0),   // latest touch = click@200
+      (4L, 50L, 2L, "purchase", 1.0),    // no touch → none
+      (5L, 500L, 3L, "view", 0.0),
+      (6L, 500L, 3L, "purchase", 3.0)))  // same instant → view counts
+    val got = SparkEntry.queries("q172_attribution")(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("click", 1L, 200L), ("none", 1L, 100L),
+      ("view", 1L, 300L)))
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
