@@ -659,6 +659,36 @@ object Dedup {
     picks.toSeq.toDF("round", idCol, "gain")
   }
 
+  /** Row-local ARRAY form of the [[cdcChunks]] chunker — the
+    * streaming-legal extraction (pure column expression, no window;
+    * the spanShingles/shingles division of labor): the same polyHash
+    * token values, 3-term boundary hash, and cut arithmetic, built
+    * with transform/filter/zip_with over the token array. Returns
+    * array<struct<chunk_text, n_tokens>>; DedupSpec pins it
+    * chunk-for-chunk against the window form's local twin. */
+  private[graft] def cdcChunkArray(textCol: Column,
+                                   meanChunk: Int = 16): Column = {
+    val M = 1000000007L
+    val C1 = 69069L
+    val C2 = 770526733L
+    val ws = TextFns.words(TextFns.norm(textCol))
+    val vs = transform(ws, w => TextFns.polyHash(w))
+    // cut after 0-based token i (i ≥ 2) whose window hash ≡ 0; the
+    // token at 0-based j sits at element_at(vs, j + 1)
+    val cuts = filter(sequence(lit(0), size(ws) - 1), i =>
+      i >= 2 && pmod(pmod(
+        pmod(element_at(vs, i - 1) * C2, lit(M)) +
+          pmod(element_at(vs, i) * C1, lit(M)) +
+          element_at(vs, i + 1), lit(M)), lit(meanChunk.toLong)) === 0)
+    val bounds = transform(cuts, c => c + 1)
+    val starts = concat(array(lit(0)), bounds)
+    val ends = concat(bounds, array(size(ws)))
+    filter(zip_with(starts, ends, (s, e) =>
+        struct(array_join(slice(ws, s + 1, e - s), " ").as("chunk_text"),
+          (e - s).cast("long").as("n_tokens"))),
+      st => st.getField("n_tokens") > 0)
+  }
+
   /** Checkpointed (id, pos, hk) shingle-start relation shared by
     * [[duplicateSpans]] and [[duplicateSpanCuts]]: every L-token
     * window's xxhash64 key with its 0-based start position. */

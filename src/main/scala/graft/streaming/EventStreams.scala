@@ -338,6 +338,25 @@ object EventStreams {
       .groupBy(col("hk")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming CDC-CHUNK candidate maintenance — the live-corpus twin
+    * of q166: chunking is row-local ([[graft.operators.Dedup
+    * .cdcChunkArray]], the pure-column form spec-pinned to the batch
+    * window chunker), and chunk occurrence counts are additive, so
+    * after any batch split the state equals the batch frequency table
+    * bit-for-bit. The ≥ 2 slice is the live duplicated-chunk set the
+    * batch keeper consumes; cross-document doc counts and keeper
+    * election stay batch-side (the spanCandidateStream division of
+    * labor). State is one row per distinct chunk. */
+  def cdcChunkStream(docs: Dataset[DocText],
+                     meanChunk: Int = 16): DataFrame =
+    docs.toDF()
+      .select(explode(graft.operators.Dedup
+        .cdcChunkArray(col("text"), meanChunk)).as("c"))
+      .select(col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").as("n_tokens"))
+      .groupBy(col("chunk_text"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+
   case class KmvState(hs: List[Long], nSeen: Long)
   case class KmvSketch(source: String, n_seen: Long, hs: Seq[Long])
 

@@ -219,6 +219,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == exp)
   }
 
+  test("cdcChunkArray (the streaming-legal column form) chunks " +
+       "identically to the local window-chunker twin on the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val got = docs.select(col("doc_id"),
+        explode(Dedup.cdcChunkArray($"text", 16)).as("c"))
+      .select($"doc_id", $"c.chunk_text", $"c.n_tokens")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    val M = 1000000007L
+    def pv(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+    def chunksOf(ws: Seq[String]): Seq[Seq[String]] = {
+      val vs = ws.map(pv)
+      val cuts = (0 until ws.length).filter { i =>
+        i >= 2 && ((vs(i - 2) * 770526733L) % M +
+          (vs(i - 1) * 69069L) % M + vs(i)) % M % 16 == 0
+      }.map(_ + 1)
+      val starts = 0 +: cuts
+      val ends = cuts :+ ws.length
+      starts.zip(ends).filter { case (s, e) => e > s }
+        .map { case (s, e) => ws.slice(s, e) }
+    }
+    val texts = docs.as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val exp = chunksOf(norm.split(" ", -1).toSeq)
+        .map(ch => (ch.mkString(" "), ch.length.toLong))
+      // compare as multisets: explode keeps array order per doc but
+      // collect() order across partitions is not contractual
+      assert(got.getOrElse(id, Nil).sorted == exp.sorted, s"doc $id")
+    }
+  }
+
   test("greedyCoverage picks by MARGINAL gain, not raw size: the " +
        "overlapping second-largest doc loses to the disjoint one") {
     // docA: 14 tokens → 12 unique shingles. docB: A's first 10 tokens

@@ -555,6 +555,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("cdcChunkStream after shuffled batches equals the batch chunk " +
+       "frequency table, and its dup slice carries q166's copy counts") {
+    implicit val ctx = spark.sqlContext
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[EventStreams.DocText].collect().toSeq
+    val batch = corpus.toDF()
+      .select(explode(graft.operators.Dedup
+        .cdcChunkArray($"text", 16)).as("c"))
+      .groupBy($"c.chunk_text", $"c.n_tokens")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    val ms = MemoryStream[EventStreams.DocText]
+    val q = EventStreams.cdcChunkStream(ms.toDS())
+      .writeStream.format("memory").queryName("cdcchunks")
+      .outputMode("complete").start()
+    try {
+      val shuffled = new scala.util.Random(29).shuffle(corpus)
+      shuffled.grouped(math.max(1, shuffled.size / 3)).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("cdcchunks")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // the live dup slice agrees with the oracle-gated q166 copies
+      val q166 = SparkEntry.queries("q166_cdc_chunks")(
+          spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      val M = 1000000007L
+      def pv(t: String): Long =
+        t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+      val dupSlice = streamed.filter(r => r._3 >= 2 && r._2 >= 4)
+        .map(r => pv(r._1) -> r._3).toMap
+      assert(dupSlice == q166)
+      assert(dupSlice.nonEmpty)
+    } finally q.stop()
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("packAccountingStream after shuffled batches equals the batch " +
        "per-(source, language) token accounting exactly") {
     implicit val ctx = spark.sqlContext
