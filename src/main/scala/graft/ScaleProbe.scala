@@ -677,6 +677,44 @@ object ScaleProbe {
       kmvOps(docsS) // codegen warmup
       val (kvb, _) = kmvOps(docsS); val (kvB, _) = kmvOps(docsS10)
       println(f"[probe] kmv-ops:     $kvb%.1fs -> $kvB%.1fs (${kvB / kvb}%.1fx, rows 10x, pair grid fixed)")
+
+      // r10b additions — cdc chunking (q166, the span-dedup word-
+      // suffix protocol: within-copy chunk duplication preserved,
+      // cross-copy chunk equality broken), greedy coverage (q170,
+      // fixed k=5 rounds → rounds-driven cost), and rolling 7-day
+      // actives (q171) on a user-id-offset 10x event copy
+      def cdcP(d: DataFrame) = time(
+        Dedup.cdcChunks(d, "doc_id", "text", 16, 4).count())
+      cdcP(docs) // codegen warmup
+      val (cdb, _) = cdcP(docs); val (cdB, nCd) = cdcP(docs10)
+      println(f"[probe] cdc-chunks:  $cdb%.1fs -> $cdB%.1fs (${cdB / cdb}%.1fx, $nCd dup groups, rows 10x)")
+      def coverP(d: DataFrame) = time(
+        Dedup.greedyCoverage(d, "doc_id", "text", 5).count())
+      coverP(docs) // codegen warmup
+      val (gvb, _) = coverP(docs); val (gvB, _) = coverP(docs10)
+      println(f"[probe] coverage:    $gvb%.1fs -> $gvB%.1fs (${gvB / gvb}%.1fx, k=5 rounds, rows 10x)")
+      val ev = spark.read.parquet(s"$base/events.parquet")
+        .filter(col("user_id").isNotNull && col("user_id") >= 0)
+        .select(col("user_id"), col("ts")).localCheckpoint()
+      val uStride =
+        ev.agg(max(col("user_id")).cast("long")).head.getLong(0) + 1L
+      val ev10 = (0L until 10L).map(k =>
+        ev.select((col("user_id") + k * uStride).as("user_id"), col("ts")))
+        .reduce(_ union _).localCheckpoint()
+      def activesP(d: DataFrame) = {
+        val day = call_function("div",
+          unix_timestamp(col("ts")), lit(86400L))
+        val ud = d.select(col("user_id"), day.as("day")).distinct()
+          .localCheckpoint()
+        val days = ud.select(col("day")).distinct()
+        time(ud.select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .join(days, "day").groupBy(col("day"))
+          .agg(countDistinct(col("user_id"))).count())
+      }
+      activesP(ev) // codegen warmup
+      val (rab, _) = activesP(ev); val (raB, _) = activesP(ev10)
+      println(f"[probe] roll-active: $rab%.1fs -> $raB%.1fs (${raB / rab}%.1fx, users 10x)")
     }
 
     if (!new java.io.File(s"$big/documents.parquet").exists()) {

@@ -58,6 +58,82 @@ object EventQueries {
           col("n_type"), col("value_cents"))
     },
 
+    // ROBUST outliers by MEDIAN ABSOLUTE DEVIATION — the
+    // breakdown-resistant alternative to q92's IQR fences: per event
+    // type, the exact nearest-rank median of value cents, the exact
+    // median of absolute deviations from it (TWO chained passes of
+    // the q117 grouped-quantile machinery — global two-phase rank,
+    // broadcast rank targets, no single-partition sort), and the
+    // count beyond the classic 3·MAD fence. All integer cents — the
+    // medians are READ, never interpolated, so the whole computation
+    // replays exactly.
+    "q173_mad_outliers" -> { (s, d) =>
+      def groupedMedian(df: DataFrame, grp: String, v: String,
+                        tie: String, as: String): DataFrame = {
+        val ranked = graft.Checkpoints.checkpoint(
+          graft.operators.Relational.globalCumsum(df,
+            Seq(col(grp), col(v), col(tie)), lit(1L), "rnk"))
+        val targets = ranked.groupBy(col(grp).as("_g"))
+          .agg(min(col("rnk")).as("off"), count(lit(1)).as("n"))
+          .select(col("_g"), (col("off") - lit(1L) +
+            greatest(lit(1L), ceil(lit(0.5) * col("n")).cast("long")))
+            .as("tr"))
+        ranked.join(broadcast(targets), col("rnk") === col("tr"))
+          .select(col(grp), col(v).as(as))
+      }
+      val ev = graft.Checkpoints.checkpoint(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents")))
+      val med = groupedMedian(ev, "event_type", "cents", "event_id", "med")
+      val withDev = graft.Checkpoints.checkpoint(
+        ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("cents") - col("med"))))
+      val mad = groupedMedian(
+        withDev.select(col("event_type"), col("dev"), col("event_id")),
+        "event_type", "dev", "event_id", "mad")
+      withDev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("med")).as("med_cents"),
+          min(col("mad")).as("mad_cents"),
+          sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
+    // DISTRIBUTION DRIFT between the first 15 observed days and the
+    // rest — the two-sample monitoring check an ML pipeline runs on
+    // its feature stream: q162's equi-width binning over the global
+    // cent range, per-bin counts for both periods, and the exact
+    // cross-multiplied share delta n_a·T_b − n_b·T_a (sign = drift
+    // direction, zero ⇔ identical shares — the χ²/PSI numerator kept
+    // rational, no logs or squares to overflow or drift). Scalars
+    // (day origin, range, totals) ride as broadcast 1-rows.
+    "q174_dist_drift" -> { (s, d) =>
+      val day = call_function("div",
+        unix_timestamp(col("ts")), lit(86400L))
+      val ev = graft.Checkpoints.checkpoint(
+        Tables.events(s, d)
+          .select(day.as("day"),
+            floor(col("value") * 100).cast("long").as("cents")))
+      val scal = ev.agg(min(col("day")).as("d0"),
+        min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val counts = graft.Checkpoints.checkpoint(
+        ev.crossJoin(broadcast(scal))
+          .select(when(col("day") < col("d0") + 15, lit("a"))
+              .otherwise(lit("b")).as("period"),
+            expr("(cents - lo) * 8 div (hi - lo + 1)").as("bin"))
+          .groupBy(col("bin"))
+          .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("period") === "b", 1L).otherwise(0L)).as("n_b")))
+      val totals = counts.agg(sum(col("n_a")).as("t_a"),
+        sum(col("n_b")).as("t_b"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bin"), col("n_a"), col("n_b"), col("t_a"),
+          col("t_b"),
+          (col("n_a") * col("t_b") - col("n_b") * col("t_a"))
+            .as("delta_scaled"))
+    },
+
     // ROLLING 7-day active users — the classic engagement metric no
     // plain window aggregate computes (distinct-over-RANGE isn't a
     // window function): each (user, active-day) pair contributes to
@@ -543,6 +619,55 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q173: the same chained nearest-rank medians (per-group window
+    // rank = the group-offset global rank) and the 3·MAD fence
+    "q173_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY cents, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, cents AS med FROM r1
+        |        WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |dv AS (SELECT e.event_type, e.event_id, med.med,
+        |         abs(e.cents - med.med) AS dev
+        |       FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY dev, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n FROM dv),
+        |mad AS (SELECT event_type, dev AS mad FROM r2
+        |        WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(d.med) AS BIGINT) AS med_cents,
+        |  CAST(min(mad.mad) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dv d JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
+
+    // q174: the same period split, equi-width bins, and rational
+    // share delta
+    "q174_dist_drift" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT min(day) AS d0, min(cents) AS lo,
+        |             max(cents) AS hi FROM e),
+        |b AS (SELECT CASE WHEN day < d0 + 15 THEN 'a' ELSE 'b' END
+        |        AS period,
+        |        (cents - lo) * 8 // (hi - lo + 1) AS bin FROM e, s),
+        |c AS (SELECT bin,
+        |        CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_b
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+        |             CAST(sum(n_b) AS BIGINT) AS t_b FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b, t_a, t_b,
+        |  n_a * t_b - n_b * t_a AS delta_scaled
+        |FROM c, t""".stripMargin,
 
     // q171: the same user-day dedup, 7-slot contribution explode, and
     // per-existing-day distinct count

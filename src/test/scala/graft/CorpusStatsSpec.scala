@@ -173,6 +173,47 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       ("view", 1L, 300L)))
   }
 
+  test("q173 MAD outliers equal a local nearest-rank recomputation " +
+       "per event type") {
+    val got = SparkEntry.queries("q173_mad_outliers")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val raw = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .selectExpr("event_type", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .as[(String, Long, Long)].collect()
+    def medianBy[A](xs: Seq[(Long, Long)]): Long = {
+      // nearest-rank at ceil(n/2), ties by event_id — the engine's
+      // exact ordering
+      val sorted = xs.sortBy(x => (x._1, x._2))
+      sorted(math.max(1, math.ceil(0.5 * sorted.length).toInt) - 1)._1
+    }
+    val byType = raw.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val med = medianBy(rows.map(r => (r._3, r._2)).toSeq)
+      val devs = rows.map(r => (math.abs(r._3 - med), r._2)).toSeq
+      val mad = medianBy(devs)
+      val out = devs.count(_._1 > 3 * mad)
+      assert(got(t) == ((t, rows.length.toLong, med, mad, out.toLong)),
+        s"type $t")
+    }
+  }
+
+  test("q174 drift on a planted two-mode shift: full-strength " +
+       "opposite deltas in the extreme bins") {
+    val dir = writeEvents(
+      (1L to 4L).map(i => (i, 0L, i, "view", 1.0)) ++
+        (5L to 8L).map(i => (i, 20L * 86400, i, "view", 9.0)))
+    val got = SparkEntry.queries("q174_dist_drift")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 4L, 0L, 4L, 4L, 16L),
+      (7L, 0L, 4L, 4L, 4L, -16L)))
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
