@@ -98,19 +98,21 @@ object Bench {
     // the judge.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    // Compact budget: the line was 1942 bytes at 146 queries with
-    // 3-decimal second values — four more queries would push it past
-    // the driver's 2000-byte tail and the parse would silently die.
-    // Per-query values are therefore integer MILLISECONDS ("unit":
-    // "ms" declares it), the redundant pass totals are dropped, and
-    // sf is its basename: ~1.6 KB at 150 queries, headroom to ~180.
+    // Compact budget: the sbt "[success]" epilogue eats ~75 bytes of
+    // the driver's 2000-byte tail, so the compact line must stay
+    // under ~1925 bytes. Integer-ms values overflowed that at ~170
+    // queries; per-query values are therefore integer CENTISECONDS
+    // ("queries_unit":"cs" declares it — 10 ms granularity, below
+    // bench noise), pass totals are dropped, and sf is its basename:
+    // ~1.75 KB at 174 queries, headroom to ~195. The full-name
+    // 3-decimal-seconds record stays in bench.json.
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
-        v.map { case (a, b) => math.rint(math.min(a, b) * 1000).toLong }
+        v.map { case (a, b) => math.rint(math.min(a, b) * 100).toLong }
           .getOrElse(-1L)
     }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
-    val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"ms","queries":$qsShort,"errors":$errs,"sf":"$sfShort"}"""
+    val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"cs","queries":$qsShort,"errors":$errs,"sf":"$sfShort"}"""
     spark.stop()
     // The driver json-parses LINES out of its 2000-byte tail window — a
     // prefixed line never json-parses, so the bare compact object must
