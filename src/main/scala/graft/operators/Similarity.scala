@@ -208,7 +208,7 @@ object Similarity {
     * exact-integer mean-recentering — no RNG state, bit-reproducible
     * (see [[MeanScale]]). Superseded rounds release their checkpoint
     * blocks eagerly. */
-  private def lloydCentroids(c: DataFrame, cells: Int, iters: Int,
+  private[graft] def lloydCentroids(c: DataFrame, cells: Int, iters: Int,
                              assign: (DataFrame, DataFrame, Int) => DataFrame
                                = assignCells): DataFrame = {
     var centroids = graft.Checkpoints.checkpoint(c.orderBy(col("n_id")).limit(cells)

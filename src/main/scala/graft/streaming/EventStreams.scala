@@ -357,6 +357,49 @@ object EventStreams {
       .groupBy(col("chunk_text"), col("n_tokens"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming ANN INGEST routing — new vectors routed to their
+    * nearest persisted-index cell as they arrive (the serving-side
+    * complement of the q119/q141 index split: the index is built by a
+    * scheduled batch job, a LIVE stream keeps cell occupancies
+    * current so the operator knows when a rebuild is due). The
+    * centroid table is tiny and FIXED at build time, so it rides into
+    * the stream as a literal struct array and the argmax is row-local
+    * (an `aggregate` fold in cell-ascending order, strict-greater
+    * replacement — exactly assignCells' (sim DESC, cell ASC) top-1,
+    * using [[graft.functions.VectorFns.cosine]] which is spec-pinned
+    * bitwise to the batch ArrayCosine kernel); per-cell counts are
+    * one additive streaming aggregation. StreamingSpec pins the
+    * row-local assign ≡ batch assignCells per vector, and streamed
+    * counts ≡ batch counts under shuffled batches. */
+  def ivfIngestStream(vecs: DataFrame,
+                      centroids: Seq[(Long, Seq[Double])],
+                      vec: String = "cv"): DataFrame = {
+    vecs.select(ivfCellOf(col(vec), centroids).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** The row-local nearest-centroid pick used by [[ivfIngestStream]]
+    * (exposed for the spec's batch-equivalence pin). `centroids` must
+    * be sorted by cell id ascending — the fold's strict-greater
+    * replacement then breaks similarity ties toward the smaller cell,
+    * matching assignCells' window order. */
+  private[graft] def ivfCellOf(vecCol: org.apache.spark.sql.Column,
+                               centroids: Seq[(Long, Seq[Double])])
+      : org.apache.spark.sql.Column = {
+    require(centroids == centroids.sortBy(_._1),
+      "centroids must arrive sorted by cell id")
+    import graft.functions.VectorFns
+    val ctrLit = typedLit(centroids)
+    aggregate(ctrLit,
+      struct(lit(-1L).as("cell"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val sim = VectorFns.cosine(vecCol, c.getField("_2"))
+        when(sim > acc.getField("sim"),
+          struct(c.getField("_1").as("cell"), sim.as("sim")))
+          .otherwise(acc)
+      }).getField("cell")
+  }
+
   case class KmvState(hs: List[Long], nSeen: Long)
   case class KmvSketch(source: String, n_seen: Long, hs: Seq[Long])
 

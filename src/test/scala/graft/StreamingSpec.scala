@@ -555,6 +555,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("ivfIngestStream routes vectors to the same cells as batch " +
+       "assignCells, and streamed occupancies equal batch counts") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.VectorFns
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("n_id"),
+        VectorFns.toDoubleArr($"embedding").as("cv"))
+    val ctrs = Similarity.lloydCentroids(emb, 8, 2)
+    val ctrSeq = ctrs.select($"cell", $"ctr")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // row-local pick ≡ the batch window top-1, vector by vector
+    val rowLocal = emb.select($"n_id",
+        EventStreams.ivfCellOf($"cv", ctrSeq).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val batchAssign = Similarity.assignCells(emb, ctrs, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(rowLocal == batchAssign)
+    val batchCounts = batchAssign.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    // streamed occupancies under shuffled batches
+    val rows = emb.as[(Long, Seq[Double])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.ivfIngestStream(
+        ms.toDS().toDF("n_id", "cv"), ctrSeq)
+      .writeStream.format("memory").queryName("ivfingest")
+      .outputMode("complete").start()
+    try {
+      val shuffled = new scala.util.Random(41).shuffle(rows)
+      shuffled.grouped(math.max(1, shuffled.size / 3)).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("ivfingest")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batchCounts)
+      assert(streamed.size > 1, "fixture should spread across cells")
+    } finally q.stop()
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("cdcChunkStream after shuffled batches equals the batch chunk " +
        "frequency table, and its dup slice carries q166's copy counts") {
     implicit val ctx = spark.sqlContext
