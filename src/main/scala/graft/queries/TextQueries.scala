@@ -15,6 +15,24 @@ import graft.sources.Tables
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** One persisted BM25 inverted index per (session, sfDir) — the
+    * SimQueries.ivfIndexDir convention for the text layer: built on
+    * first use, reused by later q175 runs in the session, so the
+    * bench's repeat passes measure SERVING (probed-term posting scan
+    * + scoring), not the index build. */
+  private val bm25IndexDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def bm25IndexDir(s: SparkSession, d: String): String = {
+    bm25IndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    bm25IndexDirs.getOrElseUpdate((s, d), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_bm25").toString
+      graft.operators.TextIndex.buildBm25Index(
+        graft.sources.Tables.documents(s, d), "doc_id", "text", dir)
+      dir
+    })
+  }
+
   private def normSql(c: String) =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
@@ -428,6 +446,17 @@ object TextQueries {
     // the q25 convention).
     "q144_span_dedup" -> { (s, d) =>
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", 8)
+    },
+
+    // BM25 retrieval served from the PERSISTED inverted index
+    // (TextIndex scaladoc — the q119 build/serve convention for the
+    // text layer): index built once per (session, sfDir), each run
+    // reads only the probed terms' postings (pushed term filter).
+    // Oracle recomputes the identical ranking from the raw documents
+    // table — the index is a pure materialization.
+    "q175_bm25_indexed" -> { (s, d) =>
+      graft.operators.TextIndex.bm25TopKIndexed(s, bm25IndexDir(s, d),
+        Seq("query", "merge", "spark"), 20)
     },
 
     // Greedy max-coverage selection (Dedup.greedyCoverage scaladoc):
@@ -1674,6 +1703,44 @@ object TextQueries {
          |  max(pos) - min(pos) + 8 AS span_tokens,
          |  min(n_occ) AS n_copies
          |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    // q175: the ranking recomputed from the raw documents table —
+    // identical BM25 pieces, pivot order, and rank arithmetic as the
+    // indexed serve (the index is a pure materialization)
+    "q175_bm25_indexed" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df_
+         |        FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(dl) AS BIGINT) AS totdl FROM dl),
+         |ratio AS (SELECT doc_id, term,
+         |    CAST(44 * tf * totdl * (2 * n_docs - 2 * df_ + 1) AS DOUBLE)
+         |    / CAST((2 * df_ + 1) * (20 * totdl * tf + 6 * totdl
+         |        + 18 * dl * n_docs) AS DOUBLE) AS r
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term)
+         |       CROSS JOIN tot
+         |  WHERE term IN ('query', 'merge', 'spark')),
+         |piv AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN term = 'query' THEN r END), 0.0) AS r1,
+         |    coalesce(max(CASE WHEN term = 'merge' THEN r END), 0.0) AS r2,
+         |    coalesce(max(CASE WHEN term = 'spark' THEN r END), 0.0) AS r3
+         |  FROM ratio GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST((CASE WHEN r1 > 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r2 > 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_terms_matched,
+         |  rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY r1 + r2 + r3 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM piv WHERE r1 + r2 + r3 > 0)
+         |WHERE rank <= 20""".stripMargin,
 
     // q170: the 5 greedy rounds unrolled — each pick CTE is the
     // (gain DESC, doc_id) argmax over shingles anti-joined against
