@@ -63,6 +63,7 @@ object Explain {
     "q163_ab_test",         // 1-row variant x 1-row variant combine (q135 shape)
     "q165_modularity",      // broadcast edge-count scalar (q42 shape)
     "q174_dist_drift",      // broadcast range/total scalars (q162 shape)
+    "q175_bm25_indexed",    // broadcast 1-row corpus-stats scalar (q88 shape)
     "q167_rank_fusion",     // broadcast corpus-stats + query-vector scalars (q88 shape)
     "q127_ann_ivfpq_topk",  // broadcast centroid + codebook assignment (q51 shape)
     "q135_cm_join_size")    // 1-row est x 1-row exact scalar combine
