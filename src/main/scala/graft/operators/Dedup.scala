@@ -623,19 +623,23 @@ object Dedup {
                      k: Int, shingleN: Int = 3): DataFrame = {
     require(k >= 1, "pick at least one document")
     val spark = df.sparkSession
-    val sh = graft.Checkpoints.checkpoint(
+    // the uncovered (doc, shingle) relation is CARRIED and shrunk
+    // round to round (anti-join against just the pick's shingles —
+    // a broadcast-sized side), not re-derived from the full set
+    // against an ever-growing covered union
+    // shingles move as xxhash64 keys (the q144/spanShingles
+    // convention): an 8-byte key shuffles and compares cheaper than
+    // the n-gram string, and counting is collision-robust in practice
+    var remaining = graft.Checkpoints.checkpoint(
       df.select(col(idCol),
           explode(TextFns.shingles(
-            TextFns.words(TextFns.norm(col(textCol))), shingleN)).as("s"))
+            TextFns.words(TextFns.norm(col(textCol))), shingleN)).as("s0"))
+        .select(col(idCol), xxhash64(col("s0")).as("s"))
         .distinct())
-    var covered: DataFrame = null
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var exhausted = false
     (1 to k).foreach { round =>
       if (!exhausted) {
-        val remaining =
-          if (covered == null) sh
-          else sh.join(covered, Seq("s"), "left_anti")
         val top = remaining.groupBy(col(idCol))
           .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col(idCol))
@@ -644,14 +648,15 @@ object Dedup {
         else {
           val id = top.head.getLong(0)
           picks += ((round.toLong, id, top.head.getLong(1)))
-          // remaining already excludes covered, so union + distinct
-          // equals the covered-set recurrence
-          val newCov = remaining.filter(col(idCol) === id).select(col("s"))
-          val nxt = graft.Checkpoints.checkpoint(
-            if (covered == null) newCov.distinct()
-            else covered.unionByName(newCov).distinct())
-          if (covered != null) graft.Checkpoints.release(covered)
-          covered = nxt
+          if (round < k) {
+            val nxt = graft.Checkpoints.checkpoint(
+              remaining.join(
+                broadcast(remaining.filter(col(idCol) === id)
+                  .select(col("s"))),
+                Seq("s"), "left_anti"))
+            graft.Checkpoints.release(remaining)
+            remaining = nxt
+          }
         }
       }
     }
