@@ -383,6 +383,41 @@ object CoreQueries {
           max(col("cents")).as("bucket_max"))
     },
 
+    // ASSOCIATION-RULE mining over the order basket — "brands bought
+    // together" (Agrawal-Srikant support/confidence/lift, public):
+    // baskets = distinct (order, brand), pairs by the q15 self-join
+    // shape (never collect-then-explode), support gate as the integer
+    // cross-multiply n_ab·100 ≥ N (≥ 1% of orders — SF-independent),
+    // and the rule statistics in exact integer moments with ONE IEEE
+    // division each for the rounded confidence and lift (the
+    // q158-for-the-star-schema modality: basket mining, not text).
+    "q176_copurchase_rules" -> { (s, d) =>
+      val ob = graft.Checkpoints.checkpoint(
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.t(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct())
+      val nA = ob.groupBy(col("b")).agg(count(lit(1)).as("n_single"))
+      val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = ob.join(ob.select(col("ok"), col("b").as("b2")), "ok")
+        .filter(col("b") < col("b2"))
+        .groupBy(col("b").as("brand_a"), col("b2").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs.crossJoin(broadcast(tot))
+        .filter(col("n_ab") * 100 >= col("n_orders"))
+        .join(nA.select(col("b").as("brand_a"), col("n_single").as("n_a")),
+          "brand_a")
+        .join(nA.select(col("b").as("brand_b"), col("n_single").as("n_b")),
+          "brand_b")
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("n_orders"),
+          round(col("n_ab").cast("double") / col("n_a"), 4).as("conf"),
+          round((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+    },
+
     // Per-GROUP OLS trend — grouped linear regression of monthly
     // revenue on the month index, per customer nation: the exact
     // integer moments (n, Σx, Σy, Σxy, Σx²) plus the closed-form
@@ -1021,6 +1056,29 @@ object CoreQueries {
         |  CAST(min(cents) AS BIGINT) AS bucket_min,
         |  CAST(max(cents) AS BIGINT) AS bucket_max
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    // q176: basket pairs, the same cross-multiplied support gate, and
+    // one-division rounded confidence/lift
+    "q176_copurchase_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |na AS (SELECT b, CAST(count(*) AS BIGINT) AS n_single
+        |       FROM ob GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+        |        FROM ob),
+        |p AS (SELECT a.b AS brand_a, c.b AS brand_b,
+        |        CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        |      GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, na1.n_single AS n_a,
+        |  na2.n_single AS n_b, tot.n_orders,
+        |  round(CAST(n_ab AS DOUBLE) / na1.n_single, 4) AS conf,
+        |  round(CAST(n_ab * tot.n_orders AS DOUBLE)
+        |    / (na1.n_single * na2.n_single), 4) AS lift
+        |FROM p CROSS JOIN tot
+        |  JOIN na na1 ON p.brand_a = na1.b
+        |  JOIN na na2 ON p.brand_b = na2.b
+        |WHERE n_ab * 100 >= tot.n_orders""".stripMargin,
 
     // q168: the same monthly grid, moments, and rational slope;
     // 23905 = 1992·12 + 1 (the month-index origin)

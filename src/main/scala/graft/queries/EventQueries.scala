@@ -58,6 +58,32 @@ object EventQueries {
           col("n_type"), col("value_cents"))
     },
 
+    // TIME-TO-CONVERT within a deadline — for every click, the NEXT
+    // purchase by the same user (the as-of join REVERSED by negating
+    // the time axis: last-at-or-before over −t IS first-at-or-after
+    // over t, so q46's operator serves the forward direction with
+    // zero new machinery), converted iff it lands within 3600 s.
+    // Purchases pre-deduped per (user, instant) for deterministic
+    // carry under ties; exact integer counts and delay sums.
+    "q177_time_to_convert" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("tc"))
+        .withColumn("neg_tc", -col("tc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("tp"))
+        .distinct()
+        .withColumn("neg_tp", -col("tp"))
+      val conv = col("tp").isNotNull && col("tp") - col("tc") <= 3600
+      graft.operators.Joins.asOfJoin(clicks, purchases,
+          "user_id", "user_id", "neg_tc", "neg_tp", Seq("tp"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(conv, 1L).otherwise(0L)).as("n_converted"),
+          sum(when(conv, col("tp") - col("tc")).otherwise(0L))
+            .as("sum_delay_s"))
+    },
+
     // ROBUST outliers by MEDIAN ABSOLUTE DEVIATION — the
     // breakdown-resistant alternative to q92's IQR fences: per event
     // type, the exact nearest-rank median of value cents, the exact
@@ -619,6 +645,28 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q177: the same negated-axis ASOF (DuckDB-native) + deadline
+    "q177_time_to_convert" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tc
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tp
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type = 'purchase'),
+        |j AS (SELECT cc.tc, pp.tp
+        |      FROM (SELECT *, -tc AS neg_tc FROM c) cc
+        |      ASOF LEFT JOIN (SELECT *, -tp AS neg_tp FROM p) pp
+        |        ON cc.user_id = pp.user_id AND cc.neg_tc >= pp.neg_tp)
+        |SELECT CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(sum(CASE WHEN tp IS NOT NULL AND tp - tc <= 3600
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN tp IS NOT NULL AND tp - tc <= 3600
+        |                THEN tp - tc ELSE 0 END) AS BIGINT)
+        |    AS sum_delay_s
+        |FROM j""".stripMargin,
 
     // q173: the same chained nearest-rank medians (per-group window
     // rank = the group-offset global rank) and the 3·MAD fence

@@ -214,6 +214,39 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       (7L, 0L, 4L, 4L, 4L, -16L)))
   }
 
+  test("q176 association rules: moments are internally consistent and " +
+       "every emitted rule passes the 1% support gate") {
+    val rows = SparkEntry.queries("q176_copurchase_rules")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nab, na, nb, n, conf, lift) =>
+      assert(a < b)
+      assert(nab <= math.min(na, nb) && na <= n && nb <= n)
+      assert(nab * 100 >= n, "support gate")
+      assert(math.abs(conf - nab.toDouble / na) <= 0.50001e-4)
+      assert(math.abs(lift - (nab * n).toDouble / (na * nb)) <= 0.50001e-4)
+    }
+  }
+
+  test("q177 time-to-convert: forward as-of picks the NEXT purchase, " +
+       "deadline and direction respected on a planted timeline") {
+    val dir = writeEvents(Seq(
+      (1L, 100L, 1L, "click", 0.0),
+      (2L, 200L, 1L, "purchase", 1.0),   // converted, delay 100
+      (3L, 100L, 2L, "click", 0.0),
+      (4L, 3702L, 2L, "purchase", 1.0),  // 3602s later: too late
+      (5L, 50L, 3L, "click", 0.0),       // no purchase at all
+      (6L, 40L, 4L, "purchase", 1.0),
+      (7L, 60L, 4L, "click", 0.0),       // purchase BEFORE the click
+      (8L, 500L, 5L, "click", 0.0),
+      (9L, 500L, 5L, "purchase", 1.0)))  // same instant: delay 0
+    val got = SparkEntry.queries("q177_time_to_convert")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((5L, 2L, 100L)))
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
