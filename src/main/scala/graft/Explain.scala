@@ -64,6 +64,8 @@ object Explain {
     "q165_modularity",      // broadcast edge-count scalar (q42 shape)
     "q174_dist_drift",      // broadcast range/total scalars (q162 shape)
     "q175_bm25_indexed",    // broadcast 1-row corpus-stats scalar (q88 shape)
+    "q176_copurchase_rules", // broadcast order-count scalar (q42 shape)
+    "q178_ivf_quality",     // broadcast centroid assignment (q51 shape)
     "q167_rank_fusion",     // broadcast corpus-stats + query-vector scalars (q88 shape)
     "q127_ann_ivfpq_topk",  // broadcast centroid + codebook assignment (q51 shape)
     "q135_cm_join_size")    // 1-row est x 1-row exact scalar combine

@@ -45,7 +45,8 @@ object Verify {
     // round report shows those queries ran without their hash oracle.
     val dynamicKeys =
       Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed",
-        "q125_ann_pq_topk", "q127_ann_ivfpq_topk", "q132_bpe_learned")
+        "q125_ann_pq_topk", "q127_ann_ivfpq_topk", "q132_bpe_learned",
+        "q178_ivf_quality")
     val dynamic =
       if (!dynamicKeys.exists(only)) Map.empty[String, String]
       else try SparkEntry.dynamicOracleSql(spark, sfDir)

@@ -56,6 +56,30 @@ object SimQueries {
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
     },
 
+    // IVF INDEX-QUALITY report — the serving-health check an ANN
+    // operator needs at scale: per cell of the q51 index (same 16-cell
+    // deterministic Lloyd build), the occupancy and the SUM of
+    // member-to-centroid cosines as an exact scaled integer
+    // (round(cos·10⁴) summed — a mean of raw doubles would drift with
+    // summation order; the reader divides once). Skewed occupancies or
+    // a falling cosine mass are the rebuild signals. Oracle = the
+    // literal-centroid assignment replay + the same scaled-int sum.
+    "q178_ivf_quality" -> { (s, d) =>
+      import graft.functions.{ArrayCosine, VectorFns}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"),
+          VectorFns.toDoubleArr(col("embedding")).as("cv"))
+      val cents = Similarity.lloydCentroids(emb, 16, 2)
+      Similarity.assignCells(emb, cents, 1)
+        .join(emb, "n_id").join(broadcast(cents), "cell")
+        .select(col("cell"),
+          round(ArrayCosine.cosine(col("cv"), col("ctr")) * 10000, 0)
+            .cast("long").as("cx"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("cx")).as("sum_cos_x10k"))
+    },
+
     // Embedding-cosine near-dup pairs (dense-vector dedup): exact
     // threshold join — the oracle-checked small-scale baseline and the
     // recall oracle for q70, the LSH-bucketed 100 TB variant.
@@ -412,12 +436,26 @@ object SimQueries {
                |FROM assign a JOIN sizes s
                |  ON a.canonical_id = s.canonical_id""".stripMargin)
       }
+    // q178: the same c51 literals — assignment replay + per-cell
+    // occupancy and the scaled-integer cosine mass
+    val q178 =
+      s"""WITH ${ivfSimSql(c51)},
+         |asg AS (SELECT n_id, cell, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn FROM sim)
+         |  WHERE arn <= 1)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CAST(round(sim * 10000, 0) AS BIGINT)) AS BIGINT)
+         |    AS sum_cos_x10k
+         |FROM asg GROUP BY 1""".stripMargin
     // q119 runs the same parameters against the PERSISTED index; the
     // deterministic build makes disk and in-flight indexes bit-equal,
     // so the same replay checks both
     val books = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 64, lloydIters = 2)
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
+      "q178_ivf_quality" -> q178,
       "q125_ann_pq_topk" -> pqOracle(books),
       "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books)) ++ q72map
   }

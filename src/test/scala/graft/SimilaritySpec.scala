@@ -203,6 +203,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     centroids.unpersist()
   }
 
+  test("q178 IVF quality report: occupancies cover the corpus, cosine " +
+       "mass is bounded, and per-cell means are healthy") {
+    val rows = SparkEntry.queries("q178_ivf_quality")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    val n = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == n, "every vector assigned exactly once")
+    assert(rows.map(_._1).toSet.size == rows.length)
+    rows.foreach { case (_, m, sc) =>
+      assert(m >= 1)
+      assert(sc <= 10000L * m && sc >= -10000L * m)
+    }
+    // members sit closer to their OWN centroid than random (mean > 0)
+    assert(rows.map(_._3).sum > 0)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("collectedCentroids is bit-reproducible across executions") {
     // The q51/q72 oracle replay feeds centroids collected in one
     // execution into SQL checked against a SECOND execution's output —
