@@ -54,6 +54,38 @@ object Cdc {
       .select(base.columns.map(col): _*)
   }
 
+  /** Snapshot DIFF — the reconciliation census between two versions of
+    * a keyed table (the check a pipeline runs after replaying a
+    * changelog, before swapping a snapshot live): ONE keyed full-outer
+    * join, then a single wide aggregate — row counts both sides,
+    * keys added / removed, matched keys changed vs identical (null-safe
+    * `<=>` over `compareCols`), and a per-column change count for each
+    * compared column. One exchange however wide the table; no
+    * collect, no row-by-row driver diff. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val b = before.select((keys ++ compareCols).map(col): _*)
+      .withColumn("_inb", lit(1L))
+    val a = after.select(keys.map(col) ++
+        compareCols.map(c => col(c).as(s"${c}__a")): _*)
+      .withColumn("_ina", lit(1L))
+    val j = b.join(a, keys, "full_outer")
+    val both = col("_inb").isNotNull && col("_ina").isNotNull
+    val changed = compareCols.map(c => !(col(c) <=> col(s"${c}__a")))
+      .reduceLeft(_ || _)
+    val aggs = Seq(
+      sum(coalesce(col("_inb"), lit(0L))).as("n_before"),
+      sum(coalesce(col("_ina"), lit(0L))).as("n_after"),
+      sum(when(col("_inb").isNull, 1L).otherwise(0L)).as("n_added"),
+      sum(when(col("_ina").isNull, 1L).otherwise(0L)).as("n_removed"),
+      sum(when(both && changed, 1L).otherwise(0L)).as("n_changed"),
+      sum(when(both && !changed, 1L).otherwise(0L)).as("n_same")) ++
+      compareCols.map(c =>
+        sum(when(both && !(col(c) <=> col(s"${c}__a")), 1L).otherwise(0L))
+          .as(s"chg_$c"))
+    j.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** SCD2 history: every version with its validity interval
     * [valid_from, valid_to) in sequence numbers — valid_to is null for
     * the currently-live version, and delete markers close the prior

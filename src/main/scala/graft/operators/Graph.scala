@@ -1107,6 +1107,48 @@ object Graph {
     lab.select(col("v"), col("lab").as("community"))
   }
 
+  /** SEMI-SUPERVISED label spreading — the graph-SSL primitive (Zhu &
+    * Ghahramani 2002, hard-label variant — public): `seeds` (v, label)
+    * carry fixed ground-truth labels; each synchronous round every
+    * vertex takes the majority label over its LABELED neighbors
+    * ((count DESC, label ASC) — [[labelPropagation]]'s deterministic
+    * vote), and seed vertices stay CLAMPED to their given label — the
+    * property that separates SSL from plain community LPA (a label
+    * cannot be voted off its own seed, so spreading converges toward
+    * the seeds' basins). Fixed rounds → oracle-unrollable; vertices no
+    * label has reached are absent from the output. The
+    * training-data-labeling shape: a few human labels, a similarity
+    * graph, labels for the rest. */
+  def labelSpread(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
+                  a: String = "a", b: String = "b"): DataFrame = {
+    require(rounds >= 1, "at least one spreading round")
+    val und = Checkpoints.checkpointAlways(
+      edges.select(least(col(a), col(b)).as("u"),
+          greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
+    val adj = Checkpoints.checkpointAlways(
+      und.select(col("u").as("s"), col("v").as("d"))
+        .union(und.select(col("v").as("s"), col("u").as("d"))))
+    val sd = Checkpoints.checkpointAlways(
+      seeds.select(col("v"), col("label")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("c").desc, col("label"))
+    var lab = sd
+    (0 until rounds).foreach { _ =>
+      val votes = adj.join(lab.select(col("v").as("d"), col("label")), "d")
+        .groupBy(col("s"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s").as("v"), col("label"))
+      val nxt = Checkpoints.checkpoint(
+        sd.unionByName(
+          votes.join(sd.select(col("v")), Seq("v"), "left_anti")))
+      if (!(lab eq sd)) Checkpoints.release(lab)
+      lab = nxt
+    }
+    lab
+  }
+
   /** MODULARITY of a vertex partition over an undirected edge list —
     * the standard Newman-Girvan quality score
     * Q = Σ_c [e_in(c)/m − (deg_c/2m)²], reported per community in

@@ -17,6 +17,36 @@ import graft.sources.Tables
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The deterministic orders changelog shared by q129/q131/q180:
+    * U1 (+10) on keys %7, U2 (+20) on keys %21, deletes on %11,
+    * key-shifted inserts on %13 — every value derived from the base
+    * table, so both engines rebuild the identical change stream. */
+  private def ordersChangelog(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val upd1 = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U1").as("o_orderstatus"),
+        round(dec(col("o_totalprice")) + dec(lit(10)), 2).cast("double")
+          .as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val upd2 = base.filter(col("o_orderkey") % 21 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U2").as("o_orderstatus"),
+        round(dec(col("o_totalprice")) + dec(lit(20)), 2).cast("double")
+          .as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val dels = base.filter(col("o_orderkey") % 11 === 0)
+      .select(base.columns.map(col) :+ lit(3L).as("seq")
+        :+ lit("D").as("op"): _*)
+    val ins = base.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey")
+        +: base.columns.tail.map(col)
+        :+ lit(1L).as("seq") :+ lit("I").as("op"): _*)
+    upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+  }
+
   // dec/ts: see graft.queries package object (oracle-parity rules)
 
   val defs: Map[String, Q] = Map(
@@ -638,30 +668,22 @@ object CoreQueries {
     // the same log and replays latest-wins in SQL.
     "q129_cdc_snapshot" -> { (s, d) =>
       val base = Tables.orders(s, d).filter(col("o_orderkey") >= 0)
-      val upd1 = base.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit("U1").as("o_orderstatus"),
-          round(dec(col("o_totalprice")) + dec(lit(10)), 2).cast("double")
-            .as("o_totalprice"),
-          col("o_orderdate"), col("o_orderpriority"),
-          lit(1L).as("seq"), lit("U").as("op"))
-      val upd2 = base.filter(col("o_orderkey") % 21 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit("U2").as("o_orderstatus"),
-          round(dec(col("o_totalprice")) + dec(lit(20)), 2).cast("double")
-            .as("o_totalprice"),
-          col("o_orderdate"), col("o_orderpriority"),
-          lit(2L).as("seq"), lit("U").as("op"))
-      val dels = base.filter(col("o_orderkey") % 11 === 0)
-        .select(base.columns.map(col) :+ lit(3L).as("seq")
-          :+ lit("D").as("op"): _*)
-      val ins = base.filter(col("o_orderkey") % 13 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey")
-          +: base.columns.tail.map(col)
-          :+ lit(1L).as("seq") :+ lit("I").as("op"): _*)
-      graft.operators.Cdc.snapshot(base,
-        upd1.unionByName(upd2).unionByName(dels).unionByName(ins),
+      graft.operators.Cdc.snapshot(base, ordersChangelog(base),
         Seq("o_orderkey"), "seq", "op")
+    },
+
+    // Snapshot DIFF / reconciliation (Cdc.snapshotDiff scaladoc): the
+    // census between the base orders table and the q129 changelog
+    // replay — added / removed / changed / identical keys plus
+    // per-column change counts, in ONE keyed full-outer join + one
+    // wide aggregate. The check a lakehouse pipeline runs before
+    // swapping a rebuilt snapshot live.
+    "q180_snapshot_diff" -> { (s, d) =>
+      val base = Tables.orders(s, d).filter(col("o_orderkey") >= 0)
+      val after = graft.operators.Cdc.snapshot(base,
+        ordersChangelog(base), Seq("o_orderkey"), "seq", "op")
+      graft.operators.Cdc.snapshotDiff(base, after, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
     },
 
     // SCD2 history (Cdc.history) over the same derived changelog:
@@ -1236,6 +1258,69 @@ object CoreQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, o_orderpriority
         |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // q180: the q129 snapshot CTEs + a full-outer diff with null-safe
+    // IS [NOT] DISTINCT FROM (Spark's <=>)
+    "q180_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, -1 AS seq, 'I' AS op
+        |  FROM orders WHERE o_orderkey >= 0
+        |), chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) + 10, 2) AS DOUBLE)
+        |      AS o_totalprice,
+        |    o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U2',
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) + 20, 2) AS DOUBLE),
+        |    o_orderdate, o_orderpriority, 2, 'U'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 3, 'D'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority, 1, 'I'
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey % 13 = 0
+        |), latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg)
+        |), snap AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM latest WHERE rn = 1 AND op <> 'D'
+        |), b AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey >= 0
+        |), j AS (
+        |  SELECT b.o_orderkey IS NOT NULL AS inb,
+        |    s.o_orderkey IS NOT NULL AS ina,
+        |    b.o_orderstatus AS st_b, s.o_orderstatus AS st_a,
+        |    b.o_totalprice AS tp_b, s.o_totalprice AS tp_a
+        |  FROM b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey)
+        |SELECT
+        |  CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_before,
+        |  CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after,
+        |  CAST(sum(CASE WHEN NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN inb AND ina AND (st_b IS DISTINCT FROM st_a
+        |    OR tp_b IS DISTINCT FROM tp_a) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN inb AND ina AND st_b IS NOT DISTINCT FROM
+        |    st_a AND tp_b IS NOT DISTINCT FROM tp_a THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_same,
+        |  CAST(sum(CASE WHEN inb AND ina AND st_b IS DISTINCT FROM st_a
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_o_orderstatus,
+        |  CAST(sum(CASE WHEN inb AND ina AND tp_b IS DISTINCT FROM tp_a
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_o_totalprice
+        |FROM j""".stripMargin,
 
     "q131_cdc_history" ->
       """WITH base AS (

@@ -497,6 +497,22 @@ object GraphQueries {
       Graph.labelPropagation(knnEdges(s, d), rounds = 4)
     },
 
+    // SEMI-SUPERVISED label spreading (Graph.labelSpread scaladoc) —
+    // the 3 lowest spine vertices carry their own id as a CLAMPED
+    // ground-truth label; 4 synchronous majority rounds spread the
+    // labels into their basins. The training-data-labeling modality
+    // (few labels + similarity graph → labels for the reachable
+    // rest), distinct from q147's unclamped community LPA. Seeds via
+    // a distributed orderBy-limit — no driver collect.
+    "q179_label_spread" -> { (s, d) =>
+      val ed = graft.Checkpoints.checkpoint(knnEdges(s, d))
+      val seeds = ed.select(col("a").as("v"))
+        .union(ed.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .select(col("v"), col("v").as("label"))
+      Graph.labelSpread(ed, seeds, rounds = 4)
+    },
+
     // MODULARITY of the q147 partition — the quality score that makes
     // community detection auditable: Q = Σ_c [e_in(c)/m − (deg_c/2m)²],
     // reported per community in EXACT integer form as
@@ -1108,6 +1124,31 @@ object GraphQueries {
        |    - deg_sum * deg_sum AS contrib
        |FROM dc LEFT JOIN ein ON dc.community = ein.community, mm""".stripMargin
 
+  // DuckDB twin of q179: the 4 spreading rounds unrolled with the
+  // seed set clamped back in each round (UNION + NOT IN — exactly the
+  // Spark union + left-anti)
+  private lazy val labelSpreadOracleSql: String = {
+    def round(k: Int) =
+      s"""v$k AS MATERIALIZED (SELECT s AS v, label FROM (
+         |  SELECT adj.s, l.label, count(*) AS c,
+         |    row_number() OVER (PARTITION BY adj.s
+         |      ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM adj JOIN l${k - 1} l ON adj.d = l.v
+         |  GROUP BY adj.s, l.label) x$k WHERE rn = 1),
+         |l$k AS MATERIALIZED (SELECT * FROM sd
+         |  UNION ALL SELECT v, label FROM v$k
+         |  WHERE v NOT IN (SELECT v FROM sd))""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |adj AS MATERIALIZED (SELECT a AS s, b AS d FROM ed
+       |       UNION ALL SELECT b AS s, a AS d FROM ed),
+       |sd AS (SELECT v, v AS label FROM (
+       |  SELECT DISTINCT s AS v FROM adj ORDER BY v LIMIT 3)),
+       |l0 AS (SELECT * FROM sd),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT v, label FROM l4""".stripMargin
+  }
+
   // DuckDB twin of the q145 slice gate: the q103 peel SQL chained over
   // the slice thresholds (the k-core of a j≤k-core is the k-core), so
   // three thresholds cost one shrinking peel sequence instead of three
@@ -1310,6 +1351,7 @@ object GraphQueries {
 
     "q147_communities" -> communitiesOracleSql,
     "q165_modularity" -> modularityOracleSql,
+    "q179_label_spread" -> labelSpreadOracleSql,
 
     // q151: distinct (edge, year) activity, then active counts,
     // first-appearance counts, and the shifted-year NOT EXISTS loss —

@@ -30,6 +30,19 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
       (4L, "d", 40.0)))  // insert; k=2 deleted
   }
 
+  test("snapshotDiff censuses added/removed/changed/same with " +
+       "per-column change counts") {
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((2L, "b", 20.0), (3L, "X", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = Cdc.snapshotDiff(before, after, Seq("k"), Seq("s", "v"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // (n_before, n_after, n_added, n_removed, n_changed, n_same,
+    //  chg_s, chg_v)
+    assert(got.toSeq == Seq((3L, 3L, 1L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
   test("history stamps [valid_from, valid_to) and closes versions on delete") {
     val got = Cdc.history(base, changes, Seq("k"), "seq", "op")
       .select(col("k"), col("s"), col("valid_from"), col("valid_to"))

@@ -474,6 +474,23 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("labelSpread clamps seeds, labels exactly the reachable set, " +
+       "and leaves disconnected vertices unlabeled") {
+    // two bridged K4s + a disconnected pair; seeds = {0→0, 1→1, 2→2}
+    val cl = ((for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)) :+ ((3L, 10L))) :+ ((20L, 21L))
+    val seeds = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("v", "label")
+    val got = Graph.labelSpread(cl.toDF("a", "b"), seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // seeds stay clamped even though each is outvoted by the others
+    assert(got(0L) == 0L && got(1L) == 1L && got(2L) == 2L)
+    // exactly the component holding the seeds is labeled
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    assert(got.values.forall(Set(0L, 1L, 2L)))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("modularity on two bridged cliques: hand-computed integer " +
        "contributions and the 4m²·Q identity") {
     // same substrate as the LPA test: two K4s + bridge → m = 13; each
