@@ -383,6 +383,52 @@ object EventQueries {
       v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
     },
 
+    // FUNNEL-STAGE LATENCY — q85's staged firsts extended with the
+    // time dimension: per stage transition (view→click,
+    // click→purchase) the completing-user count and the EXACT
+    // nearest-rank median delay (the q173/q117 grouped-rank
+    // machinery — no interpolation, no single-partition sort), plus
+    // exact min/max. Where q85 counts who converts and q177 gates on
+    // a deadline, this measures HOW LONG each stage takes.
+    "q181_funnel_latency" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") >= col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") >= col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+      val delays = graft.Checkpoints.checkpoint(
+        c.join(v, "user_id")
+          .select(lit("view_to_click").as("stage"), col("user_id"),
+            (col("click_us") - col("view_us")).as("delay_us"))
+          .unionByName(p.join(c, "user_id")
+            .select(lit("click_to_purchase").as("stage"), col("user_id"),
+              (col("purchase_us") - col("click_us")).as("delay_us"))))
+      val ranked = graft.Checkpoints.checkpoint(
+        graft.operators.Relational.globalCumsum(delays,
+          Seq(col("stage"), col("delay_us"), col("user_id")),
+          lit(1L), "rnk"))
+      val targets = ranked.groupBy(col("stage").as("_g"))
+        .agg(min(col("rnk")).as("off"), count(lit(1)).as("n"))
+        .select(col("_g"), (col("off") - lit(1L) +
+          greatest(lit(1L), ceil(lit(0.5) * col("n")).cast("long")))
+          .as("tr"))
+      val med = ranked.join(broadcast(targets), col("rnk") === col("tr"))
+        .select(col("stage"), col("delay_us").as("med_delay_us"))
+      delays.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("delay_us")).as("min_delay_us"),
+          max(col("delay_us")).as("max_delay_us"))
+        .join(broadcast(med), "stage")
+        .select(col("stage"), col("n_users"), col("med_delay_us"),
+          col("min_delay_us"), col("max_delay_us"))
+    },
+
     // First-order journey model: per-user event-type transition counts
     // (lag over the user's exact timeline; '_start' marks session-less
     // entry). The Markov-chain input every product-analytics stack
@@ -645,6 +691,40 @@ object EventQueries {
         |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
         |       ELSE 63.0 * 2147483647 / hk END AS est_users
         |FROM a""".stripMargin,
+
+    // q181: the q85 staged firsts + per-stage nearest-rank median
+    // (per-group window rank = the group-offset global rank)
+    "q181_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS click_us
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= view_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= click_us
+        |      GROUP BY 1),
+        |dl AS (SELECT 'view_to_click' AS stage, c.user_id,
+        |         click_us - view_us AS delay_us
+        |       FROM c JOIN v USING (user_id)
+        |       UNION ALL
+        |       SELECT 'click_to_purchase', p.user_id,
+        |         purchase_us - click_us
+        |       FROM p JOIN c USING (user_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY stage
+        |         ORDER BY delay_us, user_id) AS rn,
+        |         count(*) OVER (PARTITION BY stage) AS n FROM dl),
+        |med AS (SELECT stage, delay_us AS med_delay_us FROM r
+        |        WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |st AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(min(delay_us) AS BIGINT) AS min_delay_us,
+        |         CAST(max(delay_us) AS BIGINT) AS max_delay_us
+        |       FROM dl GROUP BY 1)
+        |SELECT st.stage, n_users, CAST(med_delay_us AS BIGINT)
+        |    AS med_delay_us, min_delay_us, max_delay_us
+        |FROM st JOIN med USING (stage)""".stripMargin,
 
     // q177: the same negated-axis ASOF (DuckDB-native) + deadline
     "q177_time_to_convert" ->

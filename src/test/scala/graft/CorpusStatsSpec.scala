@@ -247,6 +247,21 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((5L, 2L, 100L)))
   }
 
+  test("q181 funnel latency: per-stage counts and exact nearest-rank " +
+       "median delays on a planted funnel") {
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 10L, 1L, "click", 0.0),
+      (3L, 30L, 1L, "purchase", 1.0),
+      (4L, 0L, 2L, "view", 0.0), (5L, 50L, 2L, "click", 0.0),
+      (6L, 0L, 3L, "view", 0.0)))
+    val got = SparkEntry.queries("q181_funnel_latency")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // n=2 delays {10s, 50s} → nearest-rank median = rank ceil(1) = 10s
+    assert(got == Set(
+      ("view_to_click", 2L, 10000000L, 10000000L, 50000000L),
+      ("click_to_purchase", 1L, 20000000L, 20000000L, 20000000L)))
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
