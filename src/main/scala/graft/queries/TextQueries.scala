@@ -760,6 +760,54 @@ object TextQueries {
         "doc_id")
     },
 
+    // SKETCH CALIBRATION — the estimator-evaluation table an engine
+    // needs before TRUSTING a sketch at scale: for every q26 LSH
+    // candidate pair, the integer signature-agreement level (matches
+    // of 32 — the minhash Jaccard estimator's numerator) against the
+    // EXACT 3-gram Jaccard (computed only for the candidate pairs —
+    // bounded by the LSH output, never all-pairs), aggregated per
+    // agreement level as exact scaled-int moments (round(j·10⁴)
+    // summed). A drifting calibration row is the signal the banding
+    // thresholds (q108's 16-of-32) need retuning.
+    "q182_sketch_calibration" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sigs = graft.Checkpoints.checkpoint(
+        Dedup.minhashSignatures(docs, "doc_id", "text"))
+      val cands = graft.Checkpoints.checkpoint(
+        Dedup.lshCandidates(sigs, "doc_id"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val withM = cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), _ + _).as("matches"))
+      val sh = graft.Checkpoints.checkpoint(
+        Dedup.docShingles(docs, "doc_id", "text", 3))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val co = cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh")),
+          Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("co"))
+      withM
+        .join(sz.select(col("doc_id").as("id_a"), col("n_sh").as("sa")),
+          "id_a")
+        .join(sz.select(col("doc_id").as("id_b"), col("n_sh").as("sb")),
+          "id_b")
+        .join(co, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("co"))
+        .select(col("matches"),
+          round(col("co").cast("double") /
+            (col("sa") + col("sb") - col("co")) * 10000, 0)
+            .cast("long").as("jx10k"))
+        .groupBy(col("matches"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jx10k")).as("sum_j_x10k"),
+          min(col("jx10k")).as("min_j_x10k"),
+          max(col("jx10k")).as("max_j_x10k"))
+    },
+
     // SimHash per document (60 portable bits in a long) — oracle-
     // checked via the generated double-polynomial word-hash twin.
     "q27_simhash" -> { (s, d) =>
@@ -1349,6 +1397,54 @@ object TextQueries {
        |  FROM shk GROUP BY doc_id),
        |bands AS ($bands)""".stripMargin
 
+  /** Generated DuckDB twin of q182: the q26 candidate CTEs + the
+    * 32-slot agreement count + exact 3-gram Jaccard (string shingles,
+    * candidates only) bucketed per agreement level. */
+  private def sketchCalibrationSql: String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${minhashBandsBody(mins, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |m AS (SELECT id_a, id_b, CAST(($matches) AS BIGINT) AS matches
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b),
+       |ss AS (SELECT DISTINCT doc_id,
+       |    array_to_string(ws[i : i + 2], ' ') AS sh
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - 2)) AS i
+       |        FROM w WHERE len(ws) >= 3)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |       FROM ss GROUP BY 1),
+       |co AS (SELECT m.id_a, m.id_b, CAST(count(*) AS BIGINT) AS co
+       |  FROM m JOIN ss a ON m.id_a = a.doc_id
+       |         JOIN ss b ON m.id_b = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2),
+       |jx AS (SELECT matches,
+       |    CAST(round(CAST(coalesce(co.co, 0) AS DOUBLE)
+       |      / (za.n_sh + zb.n_sh - coalesce(co.co, 0)) * 10000, 0)
+       |      AS BIGINT) AS jx10k
+       |  FROM m JOIN sz za ON m.id_a = za.doc_id
+       |         JOIN sz zb ON m.id_b = zb.doc_id
+       |         LEFT JOIN co ON m.id_a = co.id_a AND m.id_b = co.id_b)
+       |SELECT matches, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jx10k) AS BIGINT) AS sum_j_x10k,
+       |  min(jx10k) AS min_j_x10k, max(jx10k) AS max_j_x10k
+       |FROM jx GROUP BY 1""".stripMargin
+  }
+
   /** Generated DuckDB twin of the q108 banded near-dup drop decision:
     * q26's candidate pairs, filtered to signature agreement on ≥ 16 of
     * 32 slots (the integer form of est_jaccard ≥ 0.5), grouped to the
@@ -1415,6 +1511,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q26_minhash_lsh" -> minhashLshSql,
+    "q182_sketch_calibration" -> sketchCalibrationSql,
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,
 

@@ -262,6 +262,36 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
       ("click_to_purchase", 1L, 20000000L, 20000000L, 20000000L)))
   }
 
+  test("q182 sketch calibration: full agreement rows carry exact " +
+       "jaccard 1.0 and every moment respects the scaled bounds") {
+    val rows = SparkEntry.queries("q182_sketch_calibration")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, n, sj, minj, maxj) =>
+      assert(m >= 0 && m <= 32 && n >= 1)
+      assert(minj >= 0 && maxj <= 10000 && minj <= maxj)
+      assert(sj >= n * minj && sj <= n * maxj)
+    }
+    // calibration direction: the highest agreement level present
+    // averages at least as high an exact jaccard as the lowest
+    val hi = rows.maxBy(_._1); val lo = rows.minBy(_._1)
+    assert(hi._3.toDouble / hi._2 >= lo._3.toDouble / lo._2)
+    graft.Checkpoints.releaseAll(spark)
+
+    // planted EXACT duplicates pin the top row: identical docs land
+    // in the 32-agreement bucket with exact jaccard precisely 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_q182").toString
+    val txt = (0 until 30).map(i => s"w$i").mkString(" ")
+    Seq((1L, txt, "en", "s0", 0L), (2L, txt, "en", "s0", 0L),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "), "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q182_sketch_calibration")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(planted.toSeq == Seq((32L, 1L, 10000L, 10000L, 10000L)))
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
