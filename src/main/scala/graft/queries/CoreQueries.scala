@@ -413,6 +413,35 @@ object CoreQueries {
           max(col("cents")).as("bucket_max"))
     },
 
+    // GEOCODING ENRICHMENT end-to-end under the gate — the reference's
+    // Affiliations_FC flow (tuple-strings "('CAN', 'Grande Prairie')"
+    // parsed ad hoc in its Geocoding notebook): serialize a
+    // deterministic tuple-string per supplier, PARSE it back with the
+    // F10 struct parser (TextFns.parseCountryTuple — regexp_extract
+    // into a typed struct), then ENRICH by joining the parsed country
+    // against the nation→region dimensions and rolling up. The F10
+    // parser itself is thereby oracle-gated, not just spec'd.
+    "q183_geo_enrichment" -> { (s, d) =>
+      val nat = broadcast(Tables.nation(s, d))
+      val ts = Tables.supplier(s, d)
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          concat(lit("('"), col("n_name"), lit("', 'City-"),
+            pmod(col("s_suppkey"), lit(7L)).cast("string"), lit("')"))
+            .as("tuple_str"))
+      val parsed = ts.select(col("s_suppkey"),
+        graft.functions.TextFns.parseCountryTuple(col("tuple_str")).as("t"))
+        .select(col("s_suppkey"), col("t.country_code").as("cc"),
+          col("t.city").as("city"))
+      parsed
+        .join(nat, col("cc") === col("n_name"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("city"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          countDistinct(col("cc")).as("n_countries"))
+    },
+
     // ASSOCIATION-RULE mining over the order basket — "brands bought
     // together" (Agrawal-Srikant support/confidence/lift, public):
     // baskets = distinct (order, brand), pairs by the q15 self-join
@@ -1078,6 +1107,24 @@ object CoreQueries {
         |  CAST(min(cents) AS BIGINT) AS bucket_min,
         |  CAST(max(cents) AS BIGINT) AS bucket_max
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    // q183: the same serialize → regexp-parse → dimension-join chain
+    "q183_geo_enrichment" ->
+      """WITH t AS (SELECT s_suppkey,
+        |    concat('(''', n_name, ''', ''City-',
+        |      CAST(s_suppkey % 7 AS VARCHAR), ''')') AS ts
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |p AS (SELECT s_suppkey,
+        |    regexp_extract(ts,
+        |      '\(''([^'']*)'',\s*''([^'']*)''\)', 1) AS cc,
+        |    regexp_extract(ts,
+        |      '\(''([^'']*)'',\s*''([^'']*)''\)', 2) AS city
+        |  FROM t)
+        |SELECT r_name, city, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(count(DISTINCT cc) AS BIGINT) AS n_countries
+        |FROM p JOIN nation ON p.cc = n_name
+        |       JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // q176: basket pairs, the same cross-multiplied support gate, and
     // one-division rounded confidence/lift
