@@ -101,18 +101,20 @@ object Bench {
     // Compact budget: the sbt "[success]" epilogue eats ~75 bytes of
     // the driver's 2000-byte tail, so the compact line must stay
     // under ~1925 bytes. Integer-ms values overflowed that at ~170
-    // queries; per-query values are therefore integer CENTISECONDS
-    // ("queries_unit":"cs" declares it — 10 ms granularity, below
-    // bench noise), pass totals are dropped, and sf is its basename:
-    // ~1.75 KB at 174 queries, headroom to ~195. The full-name
-    // 3-decimal-seconds record stays in bench.json.
+    // queries; per-query values are integer CENTISECONDS
+    // ("queries_unit":"cs" — 10 ms granularity, below bench noise),
+    // and since 183 queries left only ~30 bytes of headroom, keys are
+    // the bare query NUMBER ("key_prefix":"q" declares the
+    // reconstruction: "103" = q103): ~1.7 KB at 183 queries, headroom
+    // to ~205. The full-name 3-decimal-seconds record stays in
+    // bench.json.
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" +
+      "\"" + k.takeWhile(_ != '_').drop(1) + "\":" +
         v.map { case (a, b) => math.rint(math.min(a, b) * 100).toLong }
           .getOrElse(-1L)
     }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
-    val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"cs","queries":$qsShort,"errors":$errs,"sf":"$sfShort"}"""
+    val compact = s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"cs","key_prefix":"q","queries":$qsShort,"errors":$errs,"sf":"$sfShort"}"""
     spark.stop()
     // The driver json-parses LINES out of its 2000-byte tail window — a
     // prefixed line never json-parses, so the bare compact object must
