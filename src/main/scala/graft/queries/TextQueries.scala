@@ -760,6 +760,62 @@ object TextQueries {
         "doc_id")
     },
 
+    // QUANTILE NORMALIZATION across sources — the cross-corpus score
+    // calibration a mixing pipeline needs before comparing documents
+    // from different crawls (source A's length distribution mapped
+    // onto the GLOBAL one): each doc's within-source nearest rank is
+    // re-read at the equivalent global rank, tr = ceil(r·N/n_s) in
+    // EXACT integer ceil arithmetic ((r·N + n_s − 1) div n_s — no
+    // double ceil to overshoot). Both rankings ride the two-phase
+    // global rank with broadcast source offsets (the q117/q146
+    // discipline — a handful of huge sources never serialize through
+    // per-source window tasks).
+    "q184_quantile_normalize" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val bySrc = graft.Checkpoints.checkpoint(
+        Relational.globalCumsum(docs,
+          Seq(col("source"), col("n_chars"), col("doc_id")),
+          lit(1L), "gr"))
+      val offs = bySrc.groupBy(col("source").as("_s"))
+        .agg(min(col("gr")).as("off"), count(lit(1)).as("n_s"))
+      val withR = bySrc.join(broadcast(offs), col("source") === col("_s"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("gr") - col("off") + 1L).as("r"), col("n_s"))
+      val spine = graft.Checkpoints.checkpoint(
+        Relational.globalCumsum(
+          docs.select(col("n_chars").as("v"), col("doc_id").as("did")),
+          Seq(col("v"), col("did")), lit(1L), "rr"))
+      val nTot = spine.agg(count(lit(1)).as("n_tot"))
+      withR.crossJoin(broadcast(nTot))
+        .withColumn("tr", call_function("div",
+          col("r") * col("n_tot") + col("n_s") - 1, col("n_s")))
+        .join(spine.select(col("rr").as("tr"), col("v").as("norm_score")),
+          "tr")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_score"))
+    },
+
+    // Tokenizer FERTILITY by (source, language) — subword tokens per
+    // whitespace word, the tokenizer-efficiency metric a multilingual
+    // pipeline tracks (high fertility = the merge table underserves
+    // that language; grounding: the per-language paper mix in the
+    // reference's PaperLanguages sample): exact integer token/word
+    // sums through q118's BPE replace chain + one rounded division.
+    "q185_tokenizer_fertility" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(TextFns.words(TextFns.norm(col("text"))))
+            .cast("long").as("nw"),
+          graft.functions.Bpe.tokenCount(col("text")).as("nt"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("sum_words"),
+          sum(col("nt")).as("sum_subwords"))
+        .withColumn("fertility", round(
+          col("sum_subwords").cast("double") /
+            col("sum_words").cast("double"), 4))
+    },
+
     // SKETCH CALIBRATION — the estimator-evaluation table an engine
     // needs before TRUSTING a sketch at scale: for every q26 LSH
     // candidate pair, the integer signature-agreement level (matches
@@ -1873,6 +1929,39 @@ object TextQueries {
          |${(1 to 5).map(r =>
             s"SELECT CAST($r AS BIGINT) AS round, doc_id, gain FROM p$r")
             .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // q184: per-source and global window ranks + the same integer
+    // ceil target arithmetic
+    "q184_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents
+        |           WHERE doc_id >= 0),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |          AS n_s FROM d),
+        |g AS (SELECT n_chars AS v, CAST(row_number() OVER (
+        |        ORDER BY n_chars, doc_id) AS BIGINT) AS rr FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM d)
+        |SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+        |  CAST(g.v AS BIGINT) AS norm_score
+        |FROM r CROSS JOIN t
+        |JOIN g ON (r.r * t.n_tot + r.n_s - 1) // r.n_s = g.rr""".stripMargin,
+
+    // q185: the same word count + q118 BPE replace chain + rounded
+    // ratio
+    "q185_tokenizer_fertility" -> {
+      s"""WITH t AS (SELECT source, lang,
+         |    CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT)
+         |      AS nw,
+         |    ${graft.functions.Bpe.tokenCountSql("text")} AS nt
+         |  FROM documents)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS sum_words,
+         |  CAST(sum(nt) AS BIGINT) AS sum_subwords,
+         |  round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 4)
+         |    AS fertility
+         |FROM t GROUP BY 1, 2""".stripMargin
     },
 
     // q167: full replay — BM25 ratios pivoted and left-assoc summed,

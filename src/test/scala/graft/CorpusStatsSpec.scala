@@ -292,6 +292,39 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(planted.toSeq == Seq((32L, 1L, 10000L, 10000L, 10000L)))
   }
 
+  test("q184 quantile normalization maps a planted two-source corpus " +
+       "onto hand-computed global values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q184").toString
+    Seq((1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 20L),
+      (3L, "t", "en", "B", 10L), (4L, "t", "en", "B", 20L),
+      (5L, "t", "en", "B", 30L), (6L, "t", "en", "B", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q184_quantile_normalize")(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // A (n=2): ranks 1,2 → global ranks 3,6 → values 20,40
+    // B (n=4): ranks 1..4 → global ranks 2,3,5,6 → 10,20,30,40
+    assert(got == Map(1L -> 20L, 2L -> 40L, 3L -> 10L, 4L -> 20L,
+      5L -> 30L, 6L -> 40L))
+  }
+
+  test("q185 fertility: every (source, lang) row is internally " +
+       "consistent and subwords never undercount words") {
+    val rows = SparkEntry.queries("q185_tokenizer_fertility")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(rows.map(_._3).sum == total)
+    rows.foreach { case (_, _, n, nw, nt, f) =>
+      assert(n >= 1 && nw >= 1)
+      assert(nt >= nw, "BPE merges never cross word boundaries")
+      assert(math.abs(f - nt.toDouble / nw.toDouble) <= 0.50001e-4)
+    }
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
