@@ -248,6 +248,29 @@ object EventQueries {
             .as("avg_value"))
     },
 
+    // MALFORMED-INPUT accounting — the PERMISSIVE-ingestion census
+    // (S-family robustness as a first-class query): a deterministic
+    // fraction of props payloads is corrupted (event_id % 17 —
+    // prefix garbage, invalid JSON in any engine), the parser is the
+    // judge (from_json → null), and the output books per event type:
+    // rows, rows that failed to parse, and the valid rows' exact
+    // key sum. The dead-letter ratio an ingestion pipeline alerts on;
+    // nothing is silently dropped.
+    "q186_malformed_census" -> { (s, d) =>
+      val raw = Tables.events(s, d)
+        .withColumn("payload",
+          when(col("event_id") % 17 === 0,
+            concat(lit("x"), col("props"))).otherwise(col("props")))
+        .withColumn("k",
+          from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+      raw.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k_valid"))
+    },
+
     // Tumbling 1-hour window aggregate (window() Generator; the
     // streaming twin adds a watermark).
     "q31_tumbling_hour" -> { (s, d) =>
@@ -796,6 +819,25 @@ object EventQueries {
         |SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b, t_a, t_b,
         |  n_a * t_b - n_b * t_a AS delta_scaled
         |FROM c, t""".stripMargin,
+
+    // q186: the same deterministic corruption; DuckDB's own parser
+    // judges validity (json_valid), so both engines' parsers must
+    // agree row by row
+    "q186_malformed_census" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 17 = 0 THEN concat('x', props)
+        |         ELSE props END AS payload
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |    CASE WHEN json_valid(payload)
+        |         THEN CAST(json_extract(payload, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_malformed,
+        |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k_valid
+        |FROM p GROUP BY 1""".stripMargin,
 
     // q171: the same user-day dedup, 7-slot contribution explode, and
     // per-existing-day distinct count

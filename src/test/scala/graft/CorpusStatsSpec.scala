@@ -325,6 +325,23 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q186 malformed census: the parser books exactly the corrupted " +
+       "rows and sums only the valid keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q186").toString
+    Seq((17L, 100L, 1L, "view", 0.0, """{"k": 5}"""),
+      (1L, 200L, 1L, "view", 0.0, """{"k": 3}"""),
+      (2L, 300L, 2L, "click", 0.0, """{"k": 4}"""))
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q186_malformed_census")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // event 17 (id % 17 = 0) is corrupted: counted malformed, its k
+    // excluded from the valid sum
+    assert(got == Set(("view", 2L, 1L, 3L), ("click", 1L, 0L, 4L)))
+  }
+
   test("q159 weekday shares are complete: per type the dow counts sum " +
        "to the type total and indexes stay in [0, 6]") {
     val rows = SparkEntry.queries("q159_dow_seasonality")(
