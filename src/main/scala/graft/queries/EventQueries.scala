@@ -206,7 +206,8 @@ object EventQueries {
     // Two-proportion A/B test — experiment analysis over the event
     // stream: variant = user_id parity, conversion = a HIGH-VALUE
     // purchase (value > 100 — every fixture user purchases SOMETHING,
-    // which would pin p = 1 and zero the pooled variance); the output is the exact integer moments (n_a, k_a, n_b,
+    // which would pin p = 1 and zero the pooled variance); the output
+    // is the exact integer moments (n_a, k_a, n_b,
     // k_b) PLUS the pooled two-proportion z-score as ONE shared IEEE
     // expression — division and sqrt are correctly rounded per IEEE
     // 754, so the identical op order lands on the identical double in
