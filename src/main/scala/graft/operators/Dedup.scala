@@ -565,12 +565,21 @@ object Dedup {
     * windows (bounded by document length, never corpus-global) + one
     * chunk-key groupBy — the classic alternative (pairwise doc diff)
     * is quadratic in the corpus. */
+  /** The cdc window-hash constants, shared by BOTH chunker forms so a
+    * same-wrong-constant drift between them is impossible (the lcgHash
+    * one-definition rule). CdcC2 = CdcC1² mod CdcM, precomputed. The
+    * oracle SQL and spec twins embed these as literals deliberately —
+    * they are the independent cross-engine replays. */
+  private[graft] val CdcM = 1000000007L
+  private[graft] val CdcC1 = 69069L
+  private[graft] val CdcC2 = 770526733L
+
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 meanChunk: Int = 16, minReport: Int = 4): DataFrame = {
     require(meanChunk >= 2 && minReport >= 1, "degenerate chunk geometry")
-    val M = 1000000007L
-    val C1 = 69069L
-    val C2 = 770526733L // C1² mod M — one polynomial, precomputed
+    val M = CdcM
+    val C1 = CdcC1
+    val C2 = CdcC2
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val tok = df.select(col(idCol),
@@ -673,9 +682,9 @@ object Dedup {
     * chunk-for-chunk against the window form's local twin. */
   private[graft] def cdcChunkArray(textCol: Column,
                                    meanChunk: Int = 16): Column = {
-    val M = 1000000007L
-    val C1 = 69069L
-    val C2 = 770526733L
+    val M = CdcM
+    val C1 = CdcC1
+    val C2 = CdcC2
     val ws = TextFns.words(TextFns.norm(textCol))
     val vs = transform(ws, w => TextFns.polyHash(w))
     // cut after 0-based token i (i ≥ 2) whose window hash ≡ 0; the
