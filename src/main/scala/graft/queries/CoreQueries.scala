@@ -398,8 +398,8 @@ object CoreQueries {
     // (broadcast scalars, q42 shape); bucket = (cents−lo)·16 div
     // (hi−lo+1) — int64 throughout, and each bucket row carries the
     // exact min/max it actually holds, so the reader needs no side
-    // bound table. One scan + one 16-group aggregate however large
-    // the table.
+    // bound table. One bounds scan + one banded-aggregate scan
+    // however large the table.
     "q162_equiwidth_histogram" -> { (s, d) =>
       val o = Tables.t(s, d, "orders")
         .select((dec(col("o_totalprice")) * 100).cast("long").as("cents"))
