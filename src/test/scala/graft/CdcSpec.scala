@@ -43,6 +43,37 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((3L, 3L, 1L, 1L, 1L, 1L, 1L, 0L)))
   }
 
+  test("snapshotDiff equals a brute-force local diff on random " +
+       "before/after tables, including null column values") {
+    val rnd = new scala.util.Random(17)
+    (0 until 3).foreach { _ =>
+      def randRows(keys: Range): Seq[(Long, Option[String], Double)] =
+        keys.map(k => (k.toLong,
+          if (rnd.nextInt(5) == 0) None
+          else Some(Seq("a", "b", "c")(rnd.nextInt(3))),
+          rnd.nextInt(4).toDouble))
+      val before = randRows(0 until 30)
+      // after: drop some keys, add some, mutate some
+      val after = randRows(10 until 40)
+      val bDf = before.toDF("k", "s", "v")
+      val aDf = after.toDF("k", "s", "v")
+      val got = Cdc.snapshotDiff(bDf, aDf, Seq("k"), Seq("s", "v"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().head
+      val bm = before.map(r => r._1 -> (r._2, r._3)).toMap
+      val am = after.map(r => r._1 -> (r._2, r._3)).toMap
+      val both = bm.keySet & am.keySet
+      val changed = both.count(k => bm(k) != am(k))
+      val chgS = both.count(k => bm(k)._1 != am(k)._1)
+      val chgV = both.count(k => bm(k)._2 != am(k)._2)
+      assert(got == ((bm.size.toLong, am.size.toLong,
+        (am.keySet -- bm.keySet).size.toLong,
+        (bm.keySet -- am.keySet).size.toLong,
+        changed.toLong, (both.size - changed).toLong,
+        chgS.toLong, chgV.toLong)))
+    }
+  }
+
   test("history stamps [valid_from, valid_to) and closes versions on delete") {
     val got = Cdc.history(base, changes, Seq("k"), "seq", "op")
       .select(col("k"), col("s"), col("valid_from"), col("valid_to"))

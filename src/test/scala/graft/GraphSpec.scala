@@ -491,6 +491,39 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("labelSpread equals the synchronous clamped brute force on " +
+       "random graphs") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { _ =>
+      val es = (0 until 24).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seedVs = rnd.shuffle((0L until 12L).toList).take(3)
+      val seeds = seedVs.zip(Seq(100L, 200L, 300L))
+      val got = Graph.labelSpread(es.toDF("a", "b"),
+          seeds.toDF("v", "label"), rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      // brute force: symmetric adjacency, majority vote over labeled
+      // neighbors ((count desc, label asc)), seeds re-clamped
+      val adj = (es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct.flatMap(e => Seq(e, e.swap)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = seeds.toMap
+      (0 until 4).foreach { _ =>
+        val votes = adj.keys.flatMap { v =>
+          val ls = adj(v).flatMap(lab.get)
+          if (ls.isEmpty) None
+          else Some(v -> ls.groupBy(identity).toSeq
+            .map { case (l, xs) => (l, xs.size) }
+            .minBy { case (l, c) => (-c, l) }._1)
+        }.toMap
+        lab = votes ++ seeds.toMap
+      }
+      assert(got == lab, s"edges $es seeds $seeds")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
   test("modularity on two bridged cliques: hand-computed integer " +
        "contributions and the 4m²·Q identity") {
     // same substrate as the LPA test: two K4s + bridge → m = 13; each
