@@ -4,6 +4,18 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Every query whose oracle comes from [[SparkEntry.dynamicOracleSql]]
+    * rather than the static map. A subset run (3rd arg) only triggers
+    * dynamic-oracle generation when it selects one of these, so an
+    * omission silently degrades that query to rows-only during local
+    * iteration — ContractSpec pins this list to the actual keys
+    * `dynamicOracleSql` emits so it can never drift again (the r10
+    * wart: q141 was missing). */
+  val dynamicKeys: Seq[String] =
+    Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed",
+      "q125_ann_pq_topk", "q127_ann_ivfpq_topk", "q132_bpe_learned",
+      "q141_semantic_dedup", "q178_ivf_quality")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name prefixes — run only the
@@ -43,10 +55,6 @@ object Verify {
     // loudly, not silently weaken q51/q72 to the rows-only check. A
     // nonfatal degradation is RECORDED next to the oracle json so the
     // round report shows those queries ran without their hash oracle.
-    val dynamicKeys =
-      Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed",
-        "q125_ann_pq_topk", "q127_ann_ivfpq_topk", "q132_bpe_learned",
-        "q178_ivf_quality")
     val dynamic =
       if (!dynamicKeys.exists(only)) Map.empty[String, String]
       else try SparkEntry.dynamicOracleSql(spark, sfDir)

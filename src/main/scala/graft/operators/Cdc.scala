@@ -61,9 +61,17 @@ object Cdc {
     * keys added / removed, matched keys changed vs identical (null-safe
     * `<=>` over `compareCols`), and a per-column change count for each
     * compared column. One exchange however wide the table; no
-    * collect, no row-by-row driver diff. */
+    * collect, no row-by-row driver diff.
+    *
+    * Contract: `keys` must be UNIQUE in both inputs (the snapshot
+    * contract every caller already holds) — a duplicated key fans out
+    * through the full-outer join and silently inflates every counter;
+    * and `compareCols` must be non-empty (there is nothing to diff
+    * otherwise). */
   def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compare column")
     val b = before.select((keys ++ compareCols).map(col): _*)
       .withColumn("_inb", lit(1L))
     val a = after.select(keys.map(col) ++

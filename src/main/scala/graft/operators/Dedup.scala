@@ -669,6 +669,11 @@ object Dedup {
         }
       }
     }
+    // the last round's carried relation (or the current one on early
+    // exhaustion) is not referenced by the driver-side picks — release
+    // it eagerly like every intermediate, instead of leaving it pinned
+    // until the caller's releaseAll
+    graft.Checkpoints.release(remaining)
     import spark.implicits._
     picks.toSeq.toDF("round", idCol, "gain")
   }

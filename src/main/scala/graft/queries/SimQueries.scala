@@ -173,34 +173,24 @@ object SimQueries {
     * the bench's repeat passes measure the QUERY-ONLY cost, which is
     * the point of an index. Plain parquet on local disk; survives
     * `Checkpoints.releaseAll` by construction. */
-  private val ivfIndexDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-  private def ivfIndexDir(s: SparkSession, d: String): String = {
-    ivfIndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    ivfIndexDirs.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+  private val ivfIndexDirs = new IndexCache("graft_ivf")
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexDirs.get(s, d) { dir =>
       Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         dir, cells = 16, lloydIters = 2)
-      dir
-    })
-  }
+    }
 
   /** One persisted PQ index per (session, sfDir) — the [[ivfIndexDir]]
     * convention for the compressed-code index: built on first use with
     * q125/q127's shared parameters (m=8, k=64, 2 Lloyd iters), reused
     * by every later run in the session, so the bench's repeat passes
     * measure the ADC-scan query cost, not codebook training. */
-  private val pqIndexDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-  private def pqIndexDir(s: SparkSession, d: String): String = {
-    pqIndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    pqIndexDirs.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+  private val pqIndexDirs = new IndexCache("graft_pq")
+  private def pqIndexDir(s: SparkSession, d: String): String =
+    pqIndexDirs.get(s, d) { dir =>
       Similarity.buildPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         dir, m = 8, k = 64, lloydIters = 2)
-      dir
-    })
-  }
+    }
 
   /** One persisted dedup-IVF index per (session, sfDir) — the
     * [[ivfIndexDir]] convention for the DEDUP regime (q72/q141's
@@ -209,18 +199,12 @@ object SimQueries {
     * built on first use, reused by every later q141 run in the
     * session, so the bench's repeat passes measure the dedup-run cost
     * (cell join + verify + components), not the Lloyd build. */
-  private val ivfDedupIndexDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-  private def ivfDedupIndexDir(s: SparkSession, d: String): String = {
-    ivfDedupIndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    ivfDedupIndexDirs.getOrElseUpdate((s, d), {
-      val dir =
-        java.nio.file.Files.createTempDirectory("graft_ivf_dedup").toString
+  private val ivfDedupIndexDirs = new IndexCache("graft_ivf_dedup")
+  private def ivfDedupIndexDir(s: SparkSession, d: String): String =
+    ivfDedupIndexDirs.get(s, d) { dir =>
       Similarity.buildIvfDedupIndex(Tables.embeddings(s, d), "vec_id",
         "embedding", dir, targetCellSize = 256, nprobe = 2, lloydIters = 2)
-      dir
-    })
-  }
+    }
 
   /** The seeded hyperplanes as a DuckDB VALUES list `(pidx, pv)`. Each
     * component is emitted as `(<shortest-round-trip repr>)::DOUBLE` —

@@ -20,18 +20,12 @@ object TextQueries {
     * first use, reused by later q175 runs in the session, so the
     * bench's repeat passes measure SERVING (probed-term posting scan
     * + scoring), not the index build. */
-  private val bm25IndexDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-  private def bm25IndexDir(s: SparkSession, d: String): String = {
-    bm25IndexDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    bm25IndexDirs.getOrElseUpdate((s, d), {
-      val dir =
-        java.nio.file.Files.createTempDirectory("graft_bm25").toString
+  private val bm25IndexDirs = new IndexCache("graft_bm25")
+  private def bm25IndexDir(s: SparkSession, d: String): String =
+    bm25IndexDirs.get(s, d) { dir =>
       graft.operators.TextIndex.buildBm25Index(
         graft.sources.Tables.documents(s, d), "doc_id", "text", dir)
-      dir
-    })
-  }
+    }
 
   private def normSql(c: String) =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"

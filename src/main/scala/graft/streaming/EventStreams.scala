@@ -411,9 +411,15 @@ object EventStreams {
     * set by construction; per-source keyed state holds the k smallest
     * distinct hashes (a sorted set insert — IDEMPOTENT like the HLL
     * max-merge, so shuffled batches AND wholesale redelivery leave the
-    * sketch bit-equal to batch [[graft.operators.Sketches.kmvMinHashes]],
-    * where an additive sketch would double-count; StreamingSpec
-    * asserts both). State is ≤ k longs per source however many
+    * `hs` sketch bit-equal to batch
+    * [[graft.operators.Sketches.kmvMinHashes]], where an additive
+    * sketch would double-count; StreamingSpec asserts both). The
+    * idempotence claim is scoped to `hs` ONLY: `n_seen` is a plain
+    * per-row counter, so a redelivered batch inflates it even while
+    * the sketch stays bit-equal — treat it as a processed-rows
+    * diagnostic, not a replay-stable statistic (every downstream
+    * union/intersection/Jaccard estimate reads `hs` alone).
+    * State is ≤ k longs per source however many
     * documents arrive; every downstream pair estimate (union /
     * intersection / Jaccard) reads these sketches only, so cross-
     * source overlap screening stays live without ever re-shuffling

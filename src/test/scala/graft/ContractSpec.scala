@@ -25,4 +25,58 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("query numbers are contiguous 1..N (dense bench-line invariant)") {
+    // Bench.compactLine ships VALUES ONLY and implies the keys from
+    // this contiguity; a gap or duplicate would silently shift every
+    // later query's recorded timing, so it is pinned here.
+    val nums = SparkEntry.queries.keySet.toSeq
+      .map(n => n.drop(1).takeWhile(_.isDigit).toInt).sorted
+    assert(nums == (1 to nums.size), {
+      val missing = (1 to nums.max).toSet -- nums.toSet
+      val dupes = nums.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      s"non-contiguous query numbers: missing=$missing dupes=$dupes"
+    })
+  }
+
+  test("Verify.dynamicKeys matches the keys dynamicOracleSql emits") {
+    // The r10 wart: q141 was missing from the list, so a subset verify
+    // run never generated its oracle and silently degraded it to
+    // rows-only. Pin the list to the live map (sf0.001 — cells72 = 4
+    // there, so the conditional q72/q141 entries are present).
+    val emitted = SparkEntry.dynamicOracleSql(spark, "/root/testdata/sf0.001").keySet
+    assert(emitted == Verify.dynamicKeys.toSet,
+      s"missing from dynamicKeys: ${emitted -- Verify.dynamicKeys.toSet}; " +
+        s"stale in dynamicKeys: ${Verify.dynamicKeys.toSet -- emitted}")
+  }
+
+  test("compact bench line fits the driver tail at 250 queries") {
+    // The driver keeps the last 2000 bytes of sbt stdout and the
+    // [success] epilogue eats ~75; simulate a 250-query sweep with
+    // worst-ish-case values (4-digit centiseconds) plus two errors and
+    // assert the line still fits AND round-trips through a JSON parse
+    // back to the right (query -> centis) assignment.
+    val centis: Seq[(String, Option[Long])] = (1 to 250).map { i =>
+      val v = if (i % 50 == 0) None else Some(1000L + i) // 10s-ish each
+      (f"q$i%02d_synthetic_name_$i", v)
+    }
+    val line = Bench.compactLine(9999.999, centis, "sf0.1")
+    assert(line.length <= 1925, s"compact line ${line.length} bytes > 1925")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("first").asInt == 1 && node.get("n").asInt == 250)
+    val qv = node.get("qv")
+    assert(qv.size == 250)
+    assert(qv.get(102).asLong == 1103L) // q103 = qv[103-first]
+    assert(qv.get(49).asLong == -1L)    // q50 errored
+    assert(node.get("errors").size == 5)
+    // a non-contiguous subset (SPARK_GRAFT_ONLY) must fall back to
+    // explicit keys rather than mis-assign values
+    val subset = Bench.compactLine(1.0,
+      Seq("q104_citation_hits" -> Some(250L), "q107_skew" -> Some(80L)), "sf0.1")
+    val sn = om.readTree(subset)
+    assert(sn.get("qv") == null)
+    assert(sn.get("queries").get("104").asLong == 250L)
+    assert(sn.get("queries").get("107").asLong == 80L)
+  }
 }
