@@ -547,6 +547,154 @@ object Graph {
       .select(verts("v"), coalesce(col("tgt"), verts("v")).as("comp"))
   }
 
+  /** Min-label reachability coloring over DIRECTED edges — the inner
+    * fixpoint of [[stronglyConnectedComponents]]: for every vertex,
+    * the minimum id over all vertices that can REACH it (forward =
+    * true; ancestors, self included) or that it can reach (forward =
+    * false; descendants). Plain min-propagation rounds keyed by
+    * vertex, run to the true fixpoint (the cached moved-count guard),
+    * bounded by the active subgraph's directed diameter. */
+  private def minReach(verts: DataFrame, edges: DataFrame, forward: Boolean,
+                       maxIter: Int): DataFrame = {
+    val e = if (forward) edges
+            else edges.select(col("d").as("s"), col("s").as("d"))
+    var lbl = Checkpoints.checkpointAlways(
+      verts.select(col("v"), col("v").as("m")))
+    var moved = 1L
+    var i = 0
+    while (moved > 0 && i < maxIter) {
+      val prop = e.alias("ee").join(lbl.alias("ll"),
+          col("ee.s") === col("ll.v"))
+        .groupBy(col("ee.d").as("v")).agg(min(col("ll.m")).as("pm"))
+      val nxt = Checkpoints.checkpointAlways(
+        lbl.alias("lb").join(prop.alias("pp"),
+            col("lb.v") === col("pp.v"), "left")
+          .select(col("lb.v").as("v"),
+            least(col("lb.m"), coalesce(col("pm"), col("lb.m"))).as("m"),
+            (coalesce(col("pm"), col("lb.m")) < col("lb.m")).as("changed")))
+      moved = nxt.filter(col("changed")).count()
+      Checkpoints.release(lbl)
+      lbl = nxt.drop("changed")
+      i += 1
+    }
+    lbl
+  }
+
+  /** STRONGLY connected components over a directed edge list — the
+    * classic directed-graph grouping the citation layer needs (the
+    * reference's paper-reference graph is directed and cyclic in the
+    * wild; mutual-citation clusters are its SCCs). Forward-backward
+    * reachability coloring with all-minima pivots (the FW-BW /
+    * coloring family: Fleischer-Hendrickson-Pinar 2000, Orzan 2004,
+    * Slota-Rajamanickam-Madduri 2014 — public algorithms), run as
+    * whole-graph dataflow in the [[connectedComponentsStar]]
+    * discipline:
+    *
+    * Per outer round on the ACTIVE subgraph:
+    *  1. TRIM to fixpoint: a vertex with no in-edges or no out-edges
+    *     lies on no cycle — it is its own singleton SCC; settle all of
+    *     them at once and repeat (clears DAG tails/sources in
+    *     topological-depth rounds, the standard FW-BW preprocessing).
+    *  2. COLOR: f(v) = min id that reaches v ([[minReach]] forward),
+    *     b(v) = min id v reaches (backward). Both are constant on any
+    *     SCC (members share ancestor and descendant sets).
+    *  3. SETTLE where f(v) = b(v) = c: c is then both an ancestor and
+    *     a descendant of v, so v ∈ SCC(c) — and c ∈ SCC(c) with
+    *     c = min(SCC), so the settled label IS the canonical min
+    *     member id. Remove settled vertices and their edges.
+    *
+    * Every weak component settles at least its min-vertex SCC per
+    * round (f and b of that SCC both equal the component minimum), so
+    * the loop terminates; in practice most pivots settle
+    * simultaneously and rounds ≈ the condensation's level count.
+    * Worst case (a long chain of SCCs) degrades to O(#levels) outer
+    * rounds — the known cost of the coloring family (GraphX's SCC
+    * shares it); trimming keeps the common power-law + DAG-spine case
+    * in a handful of rounds. All state is vertex-keyed DataFrames
+    * (shuffles partition by vertex id, nothing collects); each round
+    * retains ≤ 2 checkpointed relations.
+    *
+    * Returns (v, scc_id = min vertex id in the SCC). */
+  def stronglyConnectedComponents(edges: DataFrame, src: String = "src",
+                                  dst: String = "dst", maxOuter: Int = 50,
+                                  maxInner: Int = 100): DataFrame = {
+    var active = Checkpoints.checkpointAlways(
+      edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+        .filter(col("s") =!= col("d")).distinct())
+    var verts = Checkpoints.checkpointAlways(
+      edges.select(col(src).cast("long").as("v"))
+        .union(edges.select(col(dst).cast("long").as("v"))).distinct())
+    // settled (v, scc_id) accumulator — unioned per round, checkpointed
+    // so the final result's lineage doesn't chain every round's plan
+    var done: DataFrame = null
+    def settle(batch: DataFrame): Unit = {
+      // stripConstraints: the checkpointed batches carry inferred
+      // constraints mentioning projected-away attributes, which crash
+      // Union.rewriteConstraints (see PlanBridge.stripConstraints)
+      val clean = org.apache.spark.sql.graftshim.PlanBridge
+        .stripConstraints(batch)
+      val next = Checkpoints.checkpointAlways(
+        if (done == null) clean else done.union(clean))
+      if (done != null) Checkpoints.release(done)
+      done = next
+    }
+    def removeSettled(settled: DataFrame): Unit = {
+      val nv = Checkpoints.checkpointAlways(
+        verts.join(settled.select(col("v")), Seq("v"), "left_anti"))
+      val na = Checkpoints.checkpointAlways(active
+        .join(settled.select(col("v").as("s")), Seq("s"), "left_anti")
+        .join(settled.select(col("v").as("d")), Seq("d"), "left_anti"))
+      Checkpoints.release(verts); Checkpoints.release(active)
+      verts = nv; active = na
+    }
+    var outer = 0
+    var nActive = verts.count()
+    while (nActive > 0 && outer < maxOuter) {
+      // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
+      var trimmed = 1L
+      var t = 0
+      while (trimmed > 0 && t < maxInner && nActive > 0) {
+        val hasIn = active.select(col("d").as("v")).distinct()
+        val hasOut = active.select(col("s").as("v")).distinct()
+        val onCyclePath = hasIn.join(hasOut, Seq("v")) // in AND out degree ≥ 1
+        val dead = Checkpoints.checkpointAlways(
+          verts.join(onCyclePath, Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("scc_id")))
+        trimmed = dead.count()
+        if (trimmed > 0) {
+          settle(dead)
+          removeSettled(dead)
+          nActive -= trimmed
+        }
+        Checkpoints.release(dead)
+        t += 1
+      }
+      if (nActive > 0) {
+        // 2. color both directions; 3. settle the f = b pivot SCCs
+        val f = minReach(verts, active, forward = true, maxInner)
+        val b = minReach(verts, active, forward = false, maxInner)
+        val settled = Checkpoints.checkpointAlways(
+          f.alias("ff").join(b.alias("bb"), col("ff.v") === col("bb.v"))
+            .filter(col("ff.m") === col("bb.m"))
+            .select(col("ff.v").as("v"), col("ff.m").as("scc_id")))
+        val nSettled = settled.count()
+        Checkpoints.release(f); Checkpoints.release(b)
+        // ≥ 1 SCC settles per weak component per round (the min-vertex
+        // one), so nSettled = 0 only on an empty active set
+        settle(settled)
+        removeSettled(settled)
+        nActive -= nSettled
+        Checkpoints.release(settled)
+      }
+      outer += 1
+    }
+    require(nActive == 0,
+      s"SCC coloring did not converge in $maxOuter outer rounds " +
+        s"($nActive vertices unsettled) — raise maxOuter")
+    // empty edge list → nothing ever settled; keep the (v, scc_id) shape
+    if (done == null) verts.select(col("v"), col("v").as("scc_id")) else done
+  }
+
   /** Triangle enumeration by degree-ordered orientation (Cohen,
     * "Graph Twiddling in a MapReduce World", CiSE'09; the
     * compact-forward scheme — public algorithm). Orient every

@@ -195,7 +195,12 @@ object GraphQueries {
     * construction (one window over the edge list, no extra shuffle
     * shape). */
   private val KnnK = 3
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+
+  /** The DIRECTED k-NN selection under [[knnEdges]]: vertex → each of
+    * its `KnnK` strongest partners. Unreciprocated picks stay one-way,
+    * so the digraph is cyclic in the wild (mutual picks are 2-cycles,
+    * pick-chains close longer ones) — the q187 SCC substrate. */
+  private def knnDirected(s: SparkSession, d: String): DataFrame = {
     val e = coShip(s, d)
     val sym = e.select(col("a").as("s"), col("b").as("nbr"), col("weight"))
       .unionByName(e.select(col("b").as("s"), col("a").as("nbr"),
@@ -204,10 +209,14 @@ object GraphQueries {
       .partitionBy(col("s")).orderBy(col("weight").desc, col("nbr"))
     sym.withColumn("rn", row_number().over(byStrength))
       .filter(col("rn") <= KnnK)
-      .select(least(col("s"), col("nbr")).as("a"),
-        greatest(col("s"), col("nbr")).as("b"))
-      .distinct()
+      .select(col("s").as("src"), col("nbr").as("dst"))
   }
+
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnDirected(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
 
   /** Directed citation-style edges over the k-NN spine (q98): each
     * undirected edge points from the supplier whose FIRST co-ship year
@@ -216,7 +225,7 @@ object GraphQueries {
     * direction. First-seen year comes from the spine itself (min
     * first_yr over a vertex's pairs), so the whole construction is one
     * window-free pass over already-materialized relations. */
-  private def citationEdges(s: SparkSession, d: String): DataFrame = {
+  private def citationJoined(s: SparkSession, d: String): DataFrame = {
     val e = coShip(s, d)
     val fy = e.select(col("a").as("v"), col("first_yr"))
       .unionByName(e.select(col("b").as("v"), col("first_yr")))
@@ -226,17 +235,22 @@ object GraphQueries {
     // it, q105 splits rank mass proportionally by it
     val und = knnEdges(s, d)
       .join(e.select(col("a"), col("b"), col("weight")), Seq("a", "b"))
-    val j = und
+    und
       .join(fy.select(col("v").as("va"), col("fy").as("fya")),
         col("a") === col("va"))
       .join(fy.select(col("v").as("vb"), col("fy").as("fyb")),
         col("b") === col("vb"))
+  }
+
+  private def citationEdges(s: SparkSession, d: String): DataFrame = {
+    val j = citationJoined(s, d)
     val aCites = col("fya") > col("fyb") ||
       (col("fya") === col("fyb") && col("a") > col("b"))
     j.select(when(aCites, col("a")).otherwise(col("b")).as("src"),
       when(aCites, col("b")).otherwise(col("a")).as("dst"),
       col("weight"))
   }
+
 
   val defs: Map[String, Q] = Map(
     // G1+G6: distinct co-membership pairs, weighted by shared groups
@@ -439,6 +453,24 @@ object GraphQueries {
     // (`DynamicNet.scala:256-263`), so this is the faithful rank. Same
     // int64 discipline; per-edge share (r·w) div W(s) unrolls in the
     // oracle exactly like the uniform form.
+    // STRONGLY connected components over the DIRECTED k-NN pick graph
+    // (each supplier → its 3 strongest collaborators; unreciprocated
+    // picks stay one-way, so the digraph is cyclic in the wild — at
+    // sf0.1 one giant 870-vertex SCC plus 2/3/7-vertex satellites and
+    // 104 singleton periphery vertices, the bow-tie shape of real
+    // citation/web graphs). Forward-backward min-reachability
+    // coloring with trim; scc_id = min member. A first-seen-YEAR
+    // direction (the q98 citation DAG) was rejected: tie-broken it is
+    // acyclic (every SCC a singleton), tie-mutual it collapses to one
+    // all-1992 clique — both degenerate.
+    "q187_citation_scc" -> { (s, d) =>
+      val scc = Graph.stronglyConnectedComponents(knnDirected(s, d))
+      val sizes = scc.groupBy(col("scc_id"))
+        .agg(count(lit(1)).as("n_members"))
+      scc.join(sizes, Seq("scc_id"))
+        .select(col("v").as("supp"), col("scc_id"), col("n_members"))
+    },
+
     "q105_citation_pagerank_weighted" -> { (s, d) =>
       Graph.pageRankDirectedInt(citationEdges(s, d), weightCol = "weight")
     },
@@ -1045,11 +1077,14 @@ object GraphQueries {
   // reference them once per round — inlined, DuckDB would re-expand
   // the 485k-row co-ship self-join per reference (observed at sf0.1
   // as a temp-spill disk-full failure on q98 before materialization).
-  private val citationEdgeSql =
+  private val citeFySql =
     """fy AS MATERIALIZED (SELECT v, min(first_year) AS fy FROM (
       |         SELECT s1 AS v, first_year FROM e
       |         UNION ALL SELECT s2 AS v, first_year FROM e) sv
-      |       GROUP BY v),
+      |       GROUP BY v)""".stripMargin
+
+  private val citationEdgeSql =
+    s"""$citeFySql,
       |de AS MATERIALIZED (SELECT
       |         CASE WHEN fa.fy > fb.fy OR (fa.fy = fb.fy AND ed.a > ed.b)
       |              THEN ed.a ELSE ed.b END AS s,
@@ -1059,6 +1094,28 @@ object GraphQueries {
       |       FROM ed JOIN fy fa ON ed.a = fa.v JOIN fy fb ON ed.b = fb.v
       |               JOIN e ew ON ed.a = ew.s1 AND ed.b = ew.s2)"""
       .stripMargin
+
+  // DuckDB twin of q187: the directed k-NN pick edges (rk from knnSql,
+  // kept one-way) and the GENERAL recursive mutual-reachability
+  // closure — SCC(v) = min u with v →* u and u →* v (self included
+  // via the reach base case).
+  private lazy val citationSccOracleSql: String =
+    s"""WITH RECURSIVE $coShipSql,
+       |$knnSql,
+       |dm AS MATERIALIZED (SELECT s, nbr AS d FROM rk WHERE rn <= $KnnK),
+       |verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM dm
+       |  UNION SELECT DISTINCT d FROM dm),
+       |reach(v, u) AS (SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.v, dm.d FROM reach r JOIN dm ON r.u = dm.s),
+       |mut AS (SELECT r1.v, r1.u FROM reach r1
+       |  JOIN reach r2 ON r1.v = r2.u AND r1.u = r2.v),
+       |comp AS (SELECT CAST(v AS BIGINT) AS supp,
+       |    CAST(min(u) AS BIGINT) AS scc_id FROM mut GROUP BY v),
+       |sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM comp GROUP BY 1)
+       |SELECT c.supp, c.scc_id, z.n_members
+       |FROM comp c JOIN sizes z ON c.scc_id = z.scc_id""".stripMargin
 
   // DuckDB twin of Graph.kCore(k=25) on the weight>=6 substrate: the
   // degree peel unrolled (MATERIALIZED for the same inlining reason as
@@ -1330,6 +1387,7 @@ object GraphQueries {
     "q87_pagerank" -> pageRankOracleSql,
 
     "q98_citation_pagerank" -> directedPageRankOracleSql,
+    "q187_citation_scc" -> citationSccOracleSql,
 
     "q99_ktruss" -> kTrussOracleSql,
 

@@ -30,6 +30,25 @@ object PlanBridge {
       case _ => None
     }
 
+  /** The same checkpointed frame with its carried origin CONSTRAINTS
+    * dropped (zero-copy: the new `LogicalRDD` wraps the same persisted
+    * RDD, so [[checkpointRdd]]-based release still works). Needed
+    * because `localCheckpoint` preserves the source plan's inferred
+    * constraints, and a constraint that mentions an attribute OUTSIDE
+    * the checkpoint's own output (e.g. an alias-equality partner
+    * projected away) crashes `Union.rewriteConstraints` with a
+    * NoSuchElementException when two such frames are unioned — the
+    * accumulate-settled-batches pattern in iterative operators.
+    * No-op on non-checkpoint plans. */
+  def stripConstraints(df: DataFrame): DataFrame =
+    analyzed(df) match {
+      case lr: LogicalRDD =>
+        ofRows(df.sparkSession,
+          lr.copy()(df.sparkSession.asInstanceOf[classic.SparkSession],
+            None, None))
+      case _ => df
+    }
+
   /** Idempotently append a strategy to the session's planner. Checks
     * the planner's full strategy list, not just the experimental slot,
     * so a session already configured with

@@ -106,4 +106,50 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  /** Sequential SCC: per-vertex forward DFS reachability, then
+    * scc_id(v) = min u with v →* u and u →* v (self included). */
+  private def bruteScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .diff(seen)
+        seen = seen ++ frontier
+      }
+      seen
+    }
+    val r = verts.map(v => v -> reach(v)).toMap
+    verts.map(v => v -> (r(v).filter(u => r(u).contains(v)) + v).min).toMap
+  }
+
+  test("stronglyConnectedComponents agrees with brute force on random digraphs") {
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      // denser than the undirected trials: directed cycles need both
+      // orientations to appear, and density drives non-trivial SCCs
+      val edges = randomEdges(rnd, nV = 30, nE = 70)
+      val got = Graph.stronglyConnectedComponents(
+        edges.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+      assert(got == bruteScc(edges), s"trial $trial: $edges")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
+  test("stronglyConnectedComponents handles a pure cycle and a pure DAG") {
+    // one n-cycle = one SCC; trim must also clear a DAG chain without
+    // ever entering the coloring phase's worst case
+    val cycle = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val gotC = Graph.stronglyConnectedComponents(cycle.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotC == (0L until 12L).map(_ -> 0L).toMap)
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val gotD = Graph.stronglyConnectedComponents(chain.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotD == (0L to 15L).map(v => v -> v).toMap)
+    graft.Checkpoints.releaseAll(spark)
+  }
 }
