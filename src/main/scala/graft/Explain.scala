@@ -69,7 +69,8 @@ object Explain {
     "q178_ivf_quality",     // broadcast centroid assignment (q51 shape)
     "q167_rank_fusion",     // broadcast corpus-stats + query-vector scalars (q88 shape)
     "q127_ann_ivfpq_topk",  // broadcast centroid + codebook assignment (q51 shape)
-    "q135_cm_join_size")    // 1-row est x 1-row exact scalar combine
+    "q135_cm_join_size",    // 1-row est x 1-row exact scalar combine
+    "q188_communities_refined") // broadcast m + Q_int flag scalars (q42 shape)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

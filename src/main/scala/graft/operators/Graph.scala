@@ -1332,6 +1332,115 @@ object Graph {
           col("deg_sum") * col("deg_sum")).as("contrib"))
   }
 
+  /** LOUVAIN-STYLE local-move refinement of a community partition —
+    * phase 1 of Blondel et al. 2008 (public), made deterministic and
+    * replay-exact: per round every vertex computes its best
+    * neighboring-community move by EXACT integer modularity gain
+    * (with Q_int = Σ_c (4m·e_c − deg_c²) = 4m²·Q, moving v from a to
+    * b changes Q_int by ΔQ = 4m·(k_b − k_a) − 2·deg_v·(d_b − (d_a −
+    * deg_v)), where k_c = v's edge count into c and d_c = c's degree
+    * mass — no floats anywhere), keeping moves with ΔQ > 0, ties →
+    * smaller target label.
+    *
+    * Louvain's sequential sweep can't be distributed verbatim (each
+    * move invalidates the d_c terms of every later gain), so the round
+    * applies the synchronous proposal set ONLY IF the exactly
+    * recomputed Q_int improves; otherwise it falls back to the single
+    * best proposal (ΔQ desc, v asc), whose gain is exact by
+    * construction. Either branch strictly increases Q_int (or the
+    * round is an identity when no vertex proposes), so
+    * Q(refined) ≥ Q(input) ALWAYS holds — GraphSpec asserts it, and
+    * the branch decision is itself replay-exact (two integer Q_int
+    * scalars), so a fixed round count unrolls into the oracle.
+    *
+    * Shapes per round: degree/label joins and (vertex, community)
+    * counts — all keyed exchanges; the two Q_int scalars and m are
+    * 1-row broadcasts (the q42 convention); the single-best fallback
+    * is a distributed TakeOrdered(1), not a global window. Returns
+    * (v, community). */
+  def refineCommunities(edges: DataFrame, labels: DataFrame,
+                        rounds: Int = 2, a: String = "a",
+                        b: String = "b"): DataFrame = {
+    require(rounds >= 1, "at least one refinement round")
+    val und = Checkpoints.checkpointAlways(
+      edges.select(least(col(a), col(b)).as("u"),
+          greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
+    val adj = Checkpoints.checkpointAlways(
+      und.select(col("u").as("s"), col("v").as("d"))
+        .union(und.select(col("v").as("s"), col("u").as("d"))))
+    val deg = Checkpoints.checkpointAlways(
+      adj.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .select(col("s").as("v"), col("deg")))
+    val mm = und.agg(count(lit(1)).as("m"))
+    // exact integer partition score: 4m·Σe_in − Σd_c² (= 4m²·Q)
+    def qint(ls: DataFrame, out: String): DataFrame = {
+      val ein = und
+        .join(ls.select(col("v").as("u"), col("lab").as("lu")), Seq("u"))
+        .join(ls.select(col("v"), col("lab").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .agg(count(lit(1)).as("ein"))
+      val sd = ls.join(deg, "v").groupBy(col("lab"))
+        .agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sd"))
+      ein.crossJoin(sd).crossJoin(broadcast(mm))
+        .select((lit(4L) * col("m") * col("ein") - col("sd")).as(out))
+    }
+    var lab = Checkpoints.checkpointAlways(
+      labels.select(col("v"), col("community").as("lab")))
+    (0 until rounds).foreach { _ =>
+      val dc = lab.join(deg, "v").groupBy(col("lab"))
+        .agg(sum(col("deg")).as("dsum"))
+      val kv = adj.join(lab.select(col("v").as("d"), col("lab")), "d")
+        .groupBy(col("s"), col("lab")).agg(count(lit(1)).as("k"))
+        .select(col("s").as("v"), col("lab"), col("k"))
+      val own = lab.select(col("v"), col("lab").as("cur"))
+        .join(deg, "v")
+        .join(dc.select(col("lab").as("cur"), col("dsum").as("dcur")),
+          Seq("cur"))
+        .join(kv.select(col("v"), col("lab").as("cur"),
+          col("k").as("kown")), Seq("v", "cur"), "left")
+        .na.fill(0L, Seq("kown"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("dq").desc, col("lab"))
+      val prop = Checkpoints.checkpoint(
+        own.join(kv, Seq("v")).filter(col("lab") =!= col("cur"))
+          .join(dc, Seq("lab"))
+          .crossJoin(broadcast(mm))
+          .withColumn("dq",
+            lit(4L) * col("m") * (col("k") - col("kown")) -
+              lit(2L) * col("deg") *
+                (col("dsum") - (col("dcur") - col("deg"))))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1 && col("dq") > 0)
+          .select(col("v"), col("lab").as("tgt"), col("dq")))
+      val pall = Checkpoints.checkpoint(
+        lab.join(prop.select(col("v"), col("tgt")), Seq("v"), "left")
+          .select(col("v"), coalesce(col("tgt"), col("lab")).as("lab")))
+      val flag = qint(pall, "qnew").crossJoin(qint(lab, "qold"))
+        .select((col("qnew") > col("qold")).as("take_all"))
+      val single = prop.orderBy(col("dq").desc, col("v")).limit(1)
+        .select(col("v"), col("tgt"))
+      val nxt = Checkpoints.checkpoint(
+        lab.join(pall.select(col("v"), col("lab").as("pl")), Seq("v"))
+          .join(single.select(col("v"), col("tgt").as("sl")),
+            Seq("v"), "left")
+          .crossJoin(broadcast(flag))
+          .select(col("v"),
+            when(col("take_all"), col("pl"))
+              .when(col("sl").isNotNull, col("sl"))
+              .otherwise(col("lab")).as("lab")))
+      Checkpoints.release(lab)
+      Checkpoints.release(prop)
+      Checkpoints.release(pall)
+      lab = nxt
+    }
+    Checkpoints.release(und)
+    Checkpoints.release(adj)
+    Checkpoints.release(deg)
+    lab.select(col("v"), col("lab").as("community"))
+  }
+
   /** FULL k-core decomposition — the per-vertex core NUMBER (largest k
     * with v in the k-core; the degeneracy ordering curation and
     * graph-ML want), not one fixed-k slice like [[kCore]].

@@ -218,6 +218,11 @@ object GraphQueries {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
+  /** The q147/q188 substrate — spec hook so GraphSpec can assert
+    * Q(refined) ≥ Q(LPA) on the real spine. */
+  private[graft] def knnSpine(s: SparkSession, d: String): DataFrame =
+    knnEdges(s, d)
+
   /** Directed citation-style edges over the k-NN spine (q98): each
     * undirected edge points from the supplier whose FIRST co-ship year
     * is later (tie → higher key) to the earlier one — later work cites
@@ -469,6 +474,17 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_members"))
       scc.join(sizes, Seq("scc_id"))
         .select(col("v").as("supp"), col("scc_id"), col("n_members"))
+    },
+
+    // Louvain-style local-move refinement over the q147 LPA labels —
+    // closes the community family: detect (q147) → score (q165) →
+    // refine (q188). Two guarded synchronous rounds in exact integer
+    // ΔQ arithmetic; Q(refined) ≥ Q(LPA) by construction (GraphSpec
+    // asserts it on this spine).
+    "q188_communities_refined" -> { (s, d) =>
+      val edges = knnEdges(s, d)
+      Graph.refineCommunities(edges,
+        Graph.labelPropagation(edges, rounds = 4), rounds = 2)
     },
 
     "q105_citation_pagerank_weighted" -> { (s, d) =>
@@ -1161,6 +1177,73 @@ object GraphQueries {
     s"""WITH $communitiesCtes
        |SELECT v, lab AS community FROM lb4""".stripMargin
 
+  // One guarded refinement round of the q188 oracle (input labels
+  // rl{r-1}, output rl{r}): per-community degree mass, per-(vertex,
+  // community) edge counts, the exact-integer ΔQ best move per vertex
+  // (ΔQ desc, target label asc; kept if ΔQ > 0), then the guarded
+  // apply — the full proposal set if the recomputed Q_int improves,
+  // else the single best proposal (ΔQ desc, v asc). Mirrors
+  // Graph.refineCommunities term for term.
+  private def refineRoundSql(r: Int): String = {
+    val p = s"rl${r - 1}"
+    s"""dc$r AS MATERIALIZED (SELECT l.lab, CAST(sum(dg.deg) AS BIGINT) AS dsum
+       |  FROM $p l JOIN deg dg ON l.v = dg.v GROUP BY 1),
+       |kv$r AS MATERIALIZED (SELECT adj.s AS v, l.lab,
+       |    CAST(count(*) AS BIGINT) AS k
+       |  FROM adj JOIN $p l ON adj.d = l.v GROUP BY 1, 2),
+       |own$r AS (SELECT l.v, l.lab AS cur, dg.deg, dcc.dsum AS dcur,
+       |    coalesce(kk.k, 0) AS kown
+       |  FROM $p l JOIN deg dg ON l.v = dg.v
+       |  JOIN dc$r dcc ON l.lab = dcc.lab
+       |  LEFT JOIN kv$r kk ON l.v = kk.v AND l.lab = kk.lab),
+       |prop$r AS MATERIALIZED (SELECT v, tgt, dq FROM (
+       |  SELECT v, lab AS tgt, dq,
+       |    row_number() OVER (PARTITION BY v ORDER BY dq DESC, lab) AS rn
+       |  FROM (SELECT o.v, kv.lab,
+       |      4 * mm.m * (kv.k - o.kown)
+       |        - 2 * o.deg * (dcc.dsum - (o.dcur - o.deg)) AS dq
+       |    FROM own$r o JOIN kv$r kv ON o.v = kv.v AND kv.lab <> o.cur
+       |    JOIN dc$r dcc ON kv.lab = dcc.lab
+       |    CROSS JOIN mm) y$r) x$r
+       |  WHERE rn = 1 AND dq > 0),
+       |pall$r AS MATERIALIZED (SELECT l.v, coalesce(pp.tgt, l.lab) AS lab
+       |  FROM $p l LEFT JOIN prop$r pp ON l.v = pp.v),
+       |qold$r AS (SELECT 4 * mm.m * ei.ein - sq.sd AS q FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS ein FROM ed
+       |     JOIN $p la ON ed.a = la.v JOIN $p lc ON ed.b = lc.v
+       |     WHERE la.lab = lc.lab) ei,
+       |  (SELECT CAST(sum(dsum * dsum) AS BIGINT) AS sd FROM dc$r) sq, mm),
+       |dcp$r AS (SELECT l.lab, CAST(sum(dg.deg) AS BIGINT) AS dsum
+       |  FROM pall$r l JOIN deg dg ON l.v = dg.v GROUP BY 1),
+       |qnew$r AS (SELECT 4 * mm.m * ei.ein - sq.sd AS q FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS ein FROM ed
+       |     JOIN pall$r la ON ed.a = la.v JOIN pall$r lc ON ed.b = lc.v
+       |     WHERE la.lab = lc.lab) ei,
+       |  (SELECT CAST(sum(dsum * dsum) AS BIGINT) AS sd FROM dcp$r) sq, mm),
+       |sing$r AS (SELECT v, tgt FROM (
+       |  SELECT v, tgt, row_number() OVER (ORDER BY dq DESC, v) AS rn
+       |  FROM prop$r) z$r WHERE rn = 1),
+       |rl$r AS MATERIALIZED (SELECT l.v,
+       |    CASE WHEN qn.q > qo.q THEN pa.lab
+       |         WHEN sg.v IS NOT NULL THEN sg.tgt
+       |         ELSE l.lab END AS lab
+       |  FROM $p l JOIN pall$r pa ON l.v = pa.v
+       |  LEFT JOIN sing$r sg ON l.v = sg.v
+       |  CROSS JOIN qold$r qo CROSS JOIN qnew$r qn)""".stripMargin
+  }
+
+  // DuckDB twin of q188: the shared LPA unroll seeds rl0, then two
+  // guarded refinement rounds.
+  private lazy val refinedCommunitiesOracleSql: String =
+    s"""WITH $communitiesCtes,
+       |deg AS MATERIALIZED (SELECT s AS v, CAST(count(*) AS BIGINT) AS deg
+       |  FROM adj GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+       |rl0 AS MATERIALIZED (SELECT v, lab FROM lb4),
+       |${refineRoundSql(1)},
+       |${refineRoundSql(2)}
+       |SELECT v, lab AS community FROM rl2""".stripMargin
+
   // DuckDB twin of q165: the same labels, then internal-edge counts,
   // degree mass, and the 4m·e_in − deg² scaled contribution.
   private lazy val modularityOracleSql: String =
@@ -1409,6 +1492,7 @@ object GraphQueries {
 
     "q147_communities" -> communitiesOracleSql,
     "q165_modularity" -> modularityOracleSql,
+    "q188_communities_refined" -> refinedCommunitiesOracleSql,
     "q179_label_spread" -> labelSpreadOracleSql,
 
     // q151: distinct (edge, year) activity, then active counts,

@@ -787,4 +787,37 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(got == expected, s"seed $seed")
     }
   }
+
+  test("refineCommunities is Q-monotone and improves the LPA labels on the spine") {
+    val edges = graft.queries.GraphQueries.knnSpine(spark,
+      "/root/testdata/sf0.01")
+    val lpa = Graph.labelPropagation(edges, rounds = 4)
+    val refined = Graph.refineCommunities(edges, lpa, rounds = 2)
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(edges, labels)
+        .agg(org.apache.spark.sql.functions.sum(col("contrib")))
+        .first.getLong(0)
+    val (q0, q1) = (q(lpa), q(refined))
+    // the guarded-apply construction guarantees ≥; the spine actually
+    // has improving local moves, so refinement must not be a no-op
+    assert(q1 > q0, s"expected strict improvement: Q_lpa=$q0 Q_refined=$q1")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("refineCommunities never decreases modularity on random graphs") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { trial =>
+      val es = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (x, y) => x != y }.distinct
+      val ed = es.toDF("a", "b")
+      val lpa = Graph.labelPropagation(ed, rounds = 2)
+      val refined = Graph.refineCommunities(ed, lpa, rounds = 2)
+      def q(labels: org.apache.spark.sql.DataFrame): Long =
+        Graph.modularity(ed, labels)
+          .agg(org.apache.spark.sql.functions.sum(col("contrib")))
+          .first.getLong(0)
+      assert(q(refined) >= q(lpa), s"trial $trial")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
 }
