@@ -129,4 +129,78 @@ object Quality {
       .select(col(id), col("n_bigrams"),
         call_function("div", col("ps"), col("n_bigrams")).as("lm_score"))
   }
+
+  /** Trigram contexts seen fewer than this many times back off to the
+    * bigram estimate — the reliability threshold that makes backoff
+    * REACHABLE in a self-trained model (every scored trigram's own
+    * context occurs at least once in the same document, so a
+    * plain "count = 0" backoff would never fire). */
+  val Lm3ContextMin = 2L
+
+  /** Stupid-backoff penalty α = 2/5 (Brants et al. 2007 use 0.4) as an
+    * exact integer ratio: backed-off scores are (2·p₂) div 5. */
+  val Lm3BackoffNum = 2L
+  val Lm3BackoffDen = 5L
+
+  /** Order-3 LM quality scoring with STUPID BACKOFF — the trigram
+    * extension of [[bigramLmScore]] (Brants et al. 2007's backoff
+    * scheme, public; the CCNet perplexity-filter modality at the
+    * n-gram order real filters use), in the same exact-integer
+    * discount discipline so the oracle retrains and hash-matches:
+    *
+    *  - TRAIN: corpus trigram counts c(w1,w2,w3), bigram counts
+    *    c(·,·), unigram counts c(·) — three map-side-combinable
+    *    groupBys over one tokenize pass. The model stays a keyed
+    *    RELATION (shuffles like a fact table; no driver structure).
+    *  - SCORE: each trigram occurrence contributes
+    *      c(w1,w2) ≥ [[Lm3ContextMin]] :
+    *        p₃ = (c(w1,w2,w3)·LmScale) div (c(w1,w2) + 1)
+    *      else (unreliable context — back off) :
+    *        p  = (2 · p₂) div 5,  p₂ = (c(w2,w3)·LmScale) div (c(w2) + 1)
+    *    — the +1 prefix discount exactly as in the bigram model, the
+    *    α = 0.4 stupid-backoff penalty as the integer ratio 2/5. A
+    *    document's lm3_score is the MEAN contribution (sum div n).
+    *
+    * Why order 3 matters for curation: a bigram-preserving reshuffle
+    * of templated text keeps every bigram statistic — q148 scores it
+    * identically — but breaks the trigram contexts, so this score
+    * drops (QualitySpec pins the separation). No logs, no doubles.
+    *
+    * Output: (id, n_trigrams, lm3_score) for docs with ≥ 1 trigram. */
+  def trigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
+    import graft.functions.TextFns
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    // one tokenize pass feeds all three count tables and scoring
+    val toks = graft.Checkpoints.checkpoint(
+      df.select(col(id),
+          posexplode(TextFns.words(TextFns.norm(col(text))))
+            .as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .withColumn("w3", lead(col("w1"), 2).over(w)))
+    val tg = toks.filter(col("w3").isNotNull)
+      .select(col(id), col("w1"), col("w2"), col("w3"))
+    val bgAll = toks.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bi = bgAll.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val tri = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+    val p3 = call_function("div", col("ct") * LmScale, col("c12") + 1L)
+    val p2 = call_function("div", col("c23") * LmScale, col("cu2") + 1L)
+    tg.join(tri, Seq("w1", "w2", "w3"))
+      .join(bi.select(col("w1"), col("w2"), col("cb").as("c12")),
+        Seq("w1", "w2"))
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"))
+      .join(uni.select(col("w1").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .select(col(id),
+        when(col("c12") >= Lm3ContextMin, p3)
+          .otherwise(call_function("div",
+            lit(Lm3BackoffNum) * p2, lit(Lm3BackoffDen))).as("p"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("p")).as("ps"))
+      .select(col(id), col("n_trigrams"),
+        call_function("div", col("ps"), col("n_trigrams")).as("lm3_score"))
+  }
 }

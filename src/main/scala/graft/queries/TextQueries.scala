@@ -1273,6 +1273,17 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Order-3 LM with stupid backoff (Quality.trigramLmScore): the
+    // perplexity filter at the n-gram order real curation filters
+    // use — trigram conditionals with the +1 discount, unreliable
+    // contexts (c12 < 2) backing off to 2/5 of the bigram estimate.
+    // Catches bigram-preserving reshuffles that q148 scores
+    // identically (QualitySpec pins the separation).
+    "q189_lm3_quality" -> { (s, d) =>
+      graft.operators.Quality.trigramLmScore(
+        Tables.documents(s, d), "doc_id", "text")
+    },
+
     // COUNT-MIN frequency sketch (Sketches.countMinCells/Estimates)
     // over corpus word bigrams — frequency tracking whose state is a
     // 3×256 counter matrix however large the vocabulary grows.
@@ -2512,6 +2523,42 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score
          |FROM p GROUP BY doc_id""".stripMargin,
+
+    // q189: the trigram model retrained in SQL — same tokenize, the
+    // three count tables, the context-gated CASE between the
+    // discounted trigram conditional and the 2/5-penalized bigram
+    // backoff, the same mean-by-floor-div per doc.
+    "q189_lm3_quality" -> {
+      val S = graft.operators.Quality.LmScale
+      val cmin = graft.operators.Quality.Lm3ContextMin
+      val bn = graft.operators.Quality.Lm3BackoffNum
+      val bd = graft.operators.Quality.Lm3BackoffDen
+      s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+         |             AS ws FROM documents),
+         |tok AS (SELECT doc_id, ws[i] AS w1,
+         |          CASE WHEN i + 1 <= len(ws) THEN ws[i + 1] END AS w2,
+         |          CASE WHEN i + 2 <= len(ws) THEN ws[i + 2] END AS w3
+         |        FROM (SELECT doc_id, ws,
+         |                unnest(generate_series(1, len(ws))) AS i
+         |              FROM t)),
+         |tg AS (SELECT doc_id, w1, w2, w3 FROM tok WHERE w3 IS NOT NULL),
+         |u AS (SELECT w1, count(*) AS cu FROM tok GROUP BY 1),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM tok
+         |       WHERE w2 IS NOT NULL GROUP BY 1, 2),
+         |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM tg GROUP BY 1, 2, 3),
+         |p AS (SELECT tg.doc_id,
+         |        CASE WHEN b12.cb >= $cmin
+         |             THEN (tri.ct * $S) // (b12.cb + 1)
+         |             ELSE ($bn * ((b23.cb * $S) // (u2.cu + 1))) // $bd
+         |        END AS p
+         |      FROM tg JOIN tri USING (w1, w2, w3)
+         |      JOIN bi b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+         |      JOIN bi b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+         |      JOIN u u2 ON tg.w2 = u2.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(p) // count(*) AS BIGINT) AS lm3_score
+         |FROM p GROUP BY doc_id""".stripMargin
+    },
 
     // q122: FULL replay of the Count-Min matrix — every cell (per-depth
     // PolyHash-mod-width bucket counts) and every estimate (least over

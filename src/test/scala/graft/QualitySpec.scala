@@ -86,4 +86,26 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(scores(0L) == 20L * Quality.LmScale / 21L) // 952380
     assert(scores(99L) == Quality.LmScale / 2L)       // 500000
   }
+
+  test("trigramLmScore separates a bigram-preserving reshuffle that " +
+       "bigramLmScore cannot, and backs off exactly") {
+    // T = (a b a c)^6 and S = (a b)^6 (a c)^6 have IDENTICAL bigram
+    // multisets (ab/ba/ac ×6, ca ×5) — an Eulerian-style reshuffle —
+    // but S replaces T's bac/cab continuations with bab/cac ones, so
+    // only the order-3 model can rank T (in-template) above S.
+    val t = Seq.fill(6)("a b a c").mkString(" ")
+    val s = (Seq.fill(6)("a b") ++ Seq.fill(6)("a c")).mkString(" ")
+    val docs = Seq((1L, t), (2L, s), (3L, "x y z")).toDF("doc_id", "text")
+    val lm2 = Quality.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val lm3 = Quality.trigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(lm2(1L) == lm2(2L),
+      "bigram model must NOT separate the bigram-preserving reshuffle")
+    assert(lm3(1L) > lm3(2L),
+      s"trigram model must rank template over reshuffle: $lm3")
+    // doc 3's only trigram has a singleton context (c12 = 1 < 2) →
+    // stupid backoff: (2 · ((1·S) div (1+1))) div 5 = S/5
+    assert(lm3(3L) == 2L * (Quality.LmScale / 2L) / 5L) // 200000
+  }
 }
