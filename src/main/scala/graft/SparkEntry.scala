@@ -39,5 +39,6 @@ object SparkEntry {
     * SQL whose literals were produced from the same `sfDir` it checks. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     SimQueries.dynamicOracles(spark, sfDir) ++
-      TextQueries.dynamicOracles(spark, sfDir)
+      TextQueries.dynamicOracles(spark, sfDir) ++
+      EventQueries.dynamicOracles(spark, sfDir)
 }

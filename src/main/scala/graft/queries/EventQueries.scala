@@ -20,7 +20,76 @@ import graft.sources.Tables
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** One JSON-LINES twin of the events table per (session, sfDir) —
+    * the q190 file-source fixture: every event serialized as one JSON
+    * object (event_id, event_type, value), with the q186 deterministic
+    * corruption protocol (event_id % 17 → prefix garbage, so the whole
+    * LINE is invalid JSON in any engine). Written once per session;
+    * both the Spark scan and the DuckDB oracle read the SAME file.
+    * NOT an [[IndexCache]]: the oracle is executed by the DRIVER'S
+    * DuckDB after this JVM exits, so the fixture must survive the
+    * exit-time sweep — the path is deterministic per scale factor
+    * (bounded: one dir per SF, overwritten by the next session). */
+  private val jsonDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def jsonEventsDir(s: SparkSession, d: String): String = {
+    jsonDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    jsonDirs.getOrElseUpdate((s, d), {
+      val sfName = d.split('/').filter(_.nonEmpty).last
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_jsonl_$sfName").toString
+      val line = to_json(struct(col("event_id"), col("event_type"),
+        col("value")))
+      Tables.events(s, d)
+        .select(when(col("event_id") % 17 === 0, concat(lit("x"), line))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(dir)
+      dir
+    })
+  }
+
+  /** DYNAMIC oracle for q190 (the file path is session-scoped): DuckDB
+    * reads the same file with its own `read_json`; `ignore_errors`
+    * turns each unparseable line into an ALL-NULL row (not a skip), so
+    * dead letters are the rows with a null event_id — the field every
+    * valid line carries (events' key is never null). */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val dir = jsonEventsDir(s, d)
+    Map("q190_json_source_census" ->
+      s"""WITH v AS (SELECT * FROM read_json('$dir/part-*',
+         |    format = 'newline_delimited',
+         |    columns = {event_id: 'BIGINT', event_type: 'VARCHAR',
+         |               value: 'DOUBLE'},
+         |    ignore_errors = true))
+         |SELECT coalesce(event_type, '_corrupt_') AS event_type,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_malformed,
+         |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+         |    AS BIGINT) AS value_cents
+         |FROM v GROUP BY 1""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
+    // JSON-LINES FILE SOURCE census — q186's dead-letter accounting
+    // extended to the file-source path (Ingest.jsonLines: explicit
+    // schema, PERMISSIVE, _corrupt dead-letter column). The fixture
+    // file is derived from events with 1/17 of the lines corrupted;
+    // a dead letter parses to all-null data fields + the raw line in
+    // _corrupt, so the census books it under the '_corrupt_' group
+    // with nothing silently dropped.
+    "q190_json_source_census" -> { (s, d) =>
+      val df = graft.sources.Ingest.jsonLines(s, jsonEventsDir(s, d),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE"))
+      df.groupBy(coalesce(col("event_type"), lit("_corrupt_"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_malformed"),
+          sum(coalesce(floor(col("value") * 100).cast("long"), lit(0L)))
+            .as("value_cents"))
+    },
     // Per-user integer EWMA (α = 1/4) over the time-ordered event
     // stream — the BATCH form of per-entity custom state
     // (groupByKey.mapGroups; the streaming sibling is

@@ -86,6 +86,23 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** JSON-lines scan with an EXPLICIT schema (never inferred — schema
+    * inference is a full extra pass over the data and nondeterministic
+    * under drift) in PERMISSIVE mode with a dead-letter column: a line
+    * that fails to parse yields nulls for every data field and the raw
+    * line in `corruptCol`, so ingestion can census and route dead
+    * letters instead of silently dropping them (the q186 accounting
+    * extended to the file-source path — q190). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType,
+                corruptCol: String = "_corrupt"): DataFrame =
+    spark.read
+      .schema(StructType(schema.fields.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField(corruptCol,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** CSV sink (S6) — single logical dataset, writer-parallel. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

@@ -92,4 +92,29 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(approx - exact).toDouble / exact < 0.1)
     }
   }
+
+  test("jsonLines parses valid lines, dead-letters malformed ones, and " +
+       "tolerates schema drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsontest")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"id": 1, "name": "ok", "v": 2.5}
+        |x{"id": 2, "name": "garbage-prefixed", "v": 1.0}
+        |{"id": 3, "name": "missing-v"}
+        |{"id": 4, "name": "extra-field", "v": 0.5, "unknown": true}
+        |""".stripMargin)
+    val df = graft.sources.Ingest.jsonLines(spark, dir.toString,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, name STRING, v DOUBLE"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 4)
+    // the dead letter: all data fields null, raw line preserved
+    val dead = rows.filter(r => r.isNullAt(0))
+    assert(dead.length == 1 &&
+      dead.head.getString(3).startsWith("x{\"id\": 2"))
+    // schema drift is NOT a dead letter: a missing field is null and
+    // an extra field is ignored, _corrupt stays null for both
+    val byId = rows.filter(!_.isNullAt(0)).map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3))
+    assert(byId(4L).getDouble(2) == 0.5 && byId(4L).isNullAt(3))
+  }
 }
