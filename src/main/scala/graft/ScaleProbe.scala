@@ -715,6 +715,125 @@ object ScaleProbe {
       activesP(ev) // codegen warmup
       val (rab, _) = activesP(ev); val (raB, _) = activesP(ev10)
       println(f"[probe] roll-active: $rab%.1fs -> $raB%.1fs (${raB / rab}%.1fx, users 10x)")
+
+      // r11 additions — indexed BM25 serving (q175), quantile
+      // normalization (q184), and the q186 parse census.
+      //
+      // bm25-serve: the build/serve split's scale claim is that a
+      // query reads the PROBED TERMS' postings, never the corpus —
+      // measured two ways: the wall ratio of the serve at 10x corpus
+      // (postings of the probed terms grow 10x, so ~linear in THEIR
+      // postings), and the serve's file-input bytes as a fraction of
+      // the on-disk postings, which must stay well below 1 at BOTH
+      // sizes (row-group statistics push the term IN-filter down; a
+      // fraction near 1 would mean the serve scans the whole index).
+      // Id-offset copies with UNCHANGED text: per-term postings grow
+      // with the corpus, the honest serving dimension.
+      val docsId10 = (0L until 10L).map(k =>
+        docs.select((col("doc_id") + k * docStride).as("doc_id"),
+          col("text")))
+        .reduce(_ union _).localCheckpoint()
+      val idxB = java.nio.file.Files
+        .createTempDirectory("graft_probe_bm25").toString
+      val idx10 = java.nio.file.Files
+        .createTempDirectory("graft_probe_bm25x").toString
+      graft.operators.TextIndex.buildBm25Index(docs, "doc_id", "text", idxB)
+      graft.operators.TextIndex.buildBm25Index(
+        docsId10, "doc_id", "text", idx10)
+      val terms = spark.read.parquet(s"$idxB/termdf")
+        .orderBy(col("df_").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def dirBytes(p: String): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
+          .asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+      val inBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val inLst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            inBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      def served(dir: String): (Double, Double) = {
+        spark.sparkContext.addSparkListener(inLst)
+        inBytes.set(0L)
+        val (w, _) = time(graft.operators.TextIndex.bm25TopKIndexed(
+          spark, dir, terms, 20).count())
+        Thread.sleep(1000) // listener bus drains async
+        spark.sparkContext.removeSparkListener(inLst)
+        (w, inBytes.get.toDouble / dirBytes(dir))
+      }
+      served(idxB) // codegen warmup
+      val (svb, fracB) = served(idxB)
+      val (svB, frac10) = served(idx10)
+      println(f"[probe] bm25-serve:  $svb%.2fs -> $svB%.2fs " +
+        f"(${svB / svb}%.1fx wall, input/index $fracB%.2f -> $frac10%.2f, " +
+        f"corpus 10x)")
+      assert(fracB < 0.7 && frac10 < 0.7,
+        f"bm25 serve read $fracB%.2f/$frac10%.2f of the index — term " +
+          "pushdown is not pruning")
+
+      // q184 quantile normalization: two range-partitioned two-phase
+      // cumsums + a rank-spine equi-join — no single-reducer window
+      // anywhere, so the honest ratio is ~linear
+      val docsQn = spark.read.parquet(s"$base/documents.parquet")
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint()
+      val docsQn10 = (0L until 10L).map(k =>
+        docsQn.select((col("doc_id") + k * docStride).as("doc_id"),
+          col("source"), col("n_chars")))
+        .reduce(_ union _).localCheckpoint()
+      def qnorm(d: DataFrame) = time {
+        val bySrc = Relational.globalCumsum(d,
+          Seq(col("source"), col("n_chars"), col("doc_id")), lit(1L), "gr")
+        val offs = bySrc.groupBy(col("source").as("_s"))
+          .agg(min(col("gr")).as("off"), count(lit(1)).as("n_s"))
+        val withR = bySrc.join(broadcast(offs), col("source") === col("_s"))
+          .select(col("doc_id"), col("source"),
+            (col("gr") - col("off") + 1L).as("r"), col("n_s"))
+        val spine = Relational.globalCumsum(
+          d.select(col("n_chars").as("v"), col("doc_id").as("did")),
+          Seq(col("v"), col("did")), lit(1L), "rr")
+        val nTot = spine.agg(count(lit(1)).as("n_tot"))
+        withR.crossJoin(broadcast(nTot))
+          .withColumn("tr", call_function("div",
+            col("r") * col("n_tot") + col("n_s") - 1, col("n_s")))
+          .join(spine.select(col("rr").as("tr"), col("v")), "tr")
+          .count()
+      }
+      qnorm(docsQn) // codegen warmup
+      val (qnb, _) = qnorm(docsQn); val (qnB, _) = qnorm(docsQn10)
+      println(f"[probe] qnorm:       $qnb%.1fs -> $qnB%.1fs (${qnB / qnb}%.1fx, rows 10x)")
+
+      // q186 parse census: one scan + one keyed agg, the from_json
+      // judge is row-local — the honest ratio is the scan ratio
+      val evP = spark.read.parquet(s"$base/events.parquet")
+        .select(col("event_id"), col("event_type"), col("props"))
+        .localCheckpoint()
+      val eStride =
+        evP.agg(max(col("event_id")).cast("long")).head.getLong(0) + 1L
+      val evP10 = (0L until 10L).map(k =>
+        evP.select((col("event_id") + k * eStride).as("event_id"),
+          col("event_type"), col("props")))
+        .reduce(_ union _).localCheckpoint()
+      def census(d: DataFrame) = time {
+        d.withColumn("payload",
+            when(col("event_id") % 17 === 0,
+              concat(lit("x"), col("props"))).otherwise(col("props")))
+          .withColumn("k", from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)), sum(when(col("k").isNull, 1L).otherwise(0L)),
+            sum(coalesce(col("k"), lit(0L))))
+          .count()
+      }
+      census(evP) // codegen warmup
+      val (csb, _) = census(evP); val (csB, _) = census(evP10)
+      println(f"[probe] parse-census: $csb%.1fs -> $csB%.1fs (${csB / csb}%.1fx, rows 10x)")
     }
 
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
