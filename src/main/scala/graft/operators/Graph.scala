@@ -444,6 +444,67 @@ object Graph {
     dist
   }
 
+  /** TEMPORAL (time-respecting) EARLIEST-ARRIVAL reachability — the
+    * temporal-graph primitive (Xuan-Ferreira-Jarry 2003 foremost
+    * journeys; Wu et al. VLDB'14 one-pass earliest-arrival — public
+    * algorithms) that static reachability gets WRONG: an edge
+    * (u, v, t) is traversable only at time t ≥ the arrival time at u,
+    * so information/contagion can only flow forward in time (a 1995
+    * collaboration cannot propagate something first reaching its
+    * endpoint in 1997, even though the static path exists).
+    *
+    * Label-correcting dataflow: arrival(v) starts at -1 ("before
+    * everything") on the sources, each round relaxes every edge whose
+    * timestamp is ≥ its tail's arrival and keeps the per-vertex MIN;
+    * labels only decrease and the edge set only widens as labels
+    * drop, so the fixpoint is the true earliest arrival and the
+    * cheap (count, sum) signature detects it (the kCore cached-guard
+    * convention). Rounds ≤ the longest foremost journey's hop count.
+    * Edges are treated as undirected (both traversal directions at
+    * the edge's timestamp).
+    *
+    * Returns (v, arrival) for every temporally reachable vertex;
+    * sources carry the -1 sentinel. */
+  def earliestArrival(edges: DataFrame, sources: Seq[Long],
+                      a: String = "a", b: String = "b", ts: String = "ts",
+                      maxIter: Int = 30): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = Checkpoints.checkpoint(
+      edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"),
+          col(ts).cast("long").as("t"))
+        .union(edges.select(col(b).cast("long").as("u"),
+          col(a).cast("long").as("v"), col(ts).cast("long").as("t")))
+        .filter(col("u") =!= col("v") && col("t").isNotNull)
+        .distinct())
+    var arr = Checkpoints.checkpoint(
+      sources.distinct.map(s => (s, -1L)).toDF("v", "arrival"))
+    var (nPrev, sumPrev) = (0L, 0L)
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      val relaxed = arr.alias("aa").join(sym.alias("ss"),
+          col("aa.v") === col("ss.u") && col("ss.t") >= col("aa.arrival"))
+        .select(col("ss.v").as("v"), col("ss.t").as("arrival"))
+      val next = Checkpoints.checkpoint(
+        arr.union(relaxed).groupBy(col("v"))
+          .agg(min(col("arrival")).as("arrival")))
+      // labels only decrease and vertices only appear, so the
+      // (count, sum) pair changes iff ANY label changed — one cheap
+      // scalar job per round instead of a join-diff
+      val sig = next.agg(count(lit(1)), sum(col("arrival"))).head
+      val (n, sm) = (sig.getLong(0), sig.getLong(1))
+      stable = n == nPrev && sm == sumPrev
+      nPrev = n; sumPrev = sm
+      Checkpoints.release(arr)
+      arr = next
+      i += 1
+    }
+    Checkpoints.release(sym)
+    arr
+  }
+
   /** Connected components by min-label propagation — the clustering
     * step of duplicate-entity resolution (SURVEY.md §2.11): candidate
     * pairs from LSH become edges, components become entity groups.

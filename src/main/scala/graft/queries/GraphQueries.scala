@@ -655,6 +655,22 @@ object GraphQueries {
         .select(col("s1"), col("s2"), col("yr"), col("n"))
     },
 
+    // TEMPORAL earliest-arrival reachability over the per-year co-ship
+    // edges from the 3 lowest spine vertices (the q142 landmark
+    // convention): an edge is traversable only at a year ≥ the arrival
+    // year at its tail, so the result differs from static BFS wherever
+    // the only static path runs backward in time. Sources carry the
+    // -1 "before everything" sentinel.
+    "q191_temporal_reach" -> { (s, d) =>
+      val te = pairYears(s, d).filter(col("yr").isNotNull)
+        .select(col("a"), col("b"), col("yr")).distinct()
+      val srcs = te.select(col("a").as("v"))
+        .union(te.select(col("b").as("v")))
+        .distinct().orderBy(col("v")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Graph.earliestArrival(te, srcs, "a", "b", "yr")
+    },
+
     // Correlated-subquery shape (TPC-H Q2): per-group argmin join —
     // the cheapest supplier per part among its lineitems.
     "q41_min_cost_supplier" -> { (s, d) =>
@@ -1394,6 +1410,25 @@ object GraphQueries {
        |FROM a2 JOIN h2 ON a2.v = h2.v""".stripMargin
   }
 
+  // DuckDB twin of q191: the same per-year distinct pairs, the 3
+  // lowest vertices as sources, and the GENERAL time-respecting
+  // closure — (v, t) states are finite, the recursive UNION dedups
+  // them, and the outer MIN is the earliest arrival.
+  private lazy val temporalReachOracleSql: String =
+    s"""WITH RECURSIVE $coShipSql,
+       |ty AS MATERIALIZED (SELECT DISTINCT s1, s2, CAST(yr AS BIGINT) AS yr
+       |  FROM j),
+       |adj AS MATERIALIZED (SELECT s1 AS u, s2 AS v, yr AS t FROM ty
+       |  UNION SELECT s2, s1, yr FROM ty),
+       |verts AS (SELECT DISTINCT u AS v FROM adj),
+       |src AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+       |reach(v, t) AS (SELECT v, CAST(-1 AS BIGINT) FROM src
+       |  UNION
+       |  SELECT adj.v, adj.t FROM reach r
+       |  JOIN adj ON r.v = adj.u AND adj.t >= r.t)
+       |SELECT v, CAST(min(t) AS BIGINT) AS arrival FROM reach GROUP BY v"""
+      .stripMargin
+
   private lazy val componentsOracleSql =
     s"""WITH RECURSIVE $coShipSql,
        |ed AS (SELECT s1 AS a, s2 AS b FROM e
@@ -1471,6 +1506,7 @@ object GraphQueries {
 
     "q98_citation_pagerank" -> directedPageRankOracleSql,
     "q187_citation_scc" -> citationSccOracleSql,
+    "q191_temporal_reach" -> temporalReachOracleSql,
 
     "q99_ktruss" -> kTrussOracleSql,
 

@@ -139,6 +139,48 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Sequential label-correcting earliest arrival (undirected temporal
+    * edges, t ≥ tail arrival, sources at -1). */
+  private def bruteArrival(edges: Seq[(Long, Long, Long)],
+                           sources: Seq[Long]): Map[Long, Long] = {
+    val sym = edges.flatMap { case (u, v, t) => Seq((u, v, t), (v, u, t)) }
+      .filter(e => e._1 != e._2).distinct
+    var arr = sources.map(_ -> -1L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      sym.foreach { case (u, v, t) =>
+        if (arr.get(u).exists(t >= _) && arr.get(v).forall(t < _)) {
+          arr += v -> t; changed = true
+        }
+      }
+    }
+    arr
+  }
+
+  test("earliestArrival agrees with brute force on random temporal graphs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        rnd.nextInt(6).toLong)).filter(e => e._1 != e._2).distinct
+      val srcs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(3)
+      val got = Graph.earliestArrival(edges.toDF("a", "b", "ts"), srcs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteArrival(edges, srcs), s"trial $trial: $edges")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
+  test("earliestArrival respects time where static reachability does not") {
+    // 1 -(t=5)- 2 -(t=3)- 3: statically connected, but the only journey
+    // to 3 runs backward in time — temporally unreachable
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L))
+    val got = Graph.earliestArrival(edges.toDF("a", "b", "ts"), Seq(1L))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> -1L, 2L -> 5L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("stronglyConnectedComponents handles a pure cycle and a pure DAG") {
     // one n-cycle = one SCC; trim must also clear a DAG chain without
     // ever entering the coloring phase's worst case
