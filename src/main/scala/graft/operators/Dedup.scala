@@ -333,17 +333,14 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  /** LSH banding: hash each band of `rowsPerBand` signature slots,
-    * self-join on (band, bandHash) → candidate pairs. Classic
-    * probability: docs with Jaccard j collide in a band with j^r, in
-    * any of b bands with 1-(1-j^r)^b. */
-  def lshCandidates(sigs: DataFrame, idCol: String,
-                    numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+  /** The (id, band, bkey) banding relation under [[lshCandidates]] —
+    * band key = LCG fold over the band's signature slots (exact int64:
+    * h < 2^31, h·1103515245 < 2^62) — engine-portable where the
+    * original xxhash64-of-concat was not; slot values stay longs. */
+  private def bandKeys(sigs: DataFrame, idCol: String,
+                       numPerms: Int, rowsPerBand: Int): DataFrame = {
     val bands = numPerms / rowsPerBand
-    // band key = LCG fold over the band's signature slots (exact int64:
-    // h < 2^31, h·1103515245 < 2^62) — engine-portable where the
-    // original xxhash64-of-concat was not; slot values stay longs.
-    val banded = sigs.select(col(idCol),
+    sigs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => (0 until rowsPerBand).foldLeft(lit(0L)) { (h, r) =>
           pmod(h * lit(1103515245L) +
@@ -351,12 +348,84 @@ object Dedup {
             lit(graft.queries.LcgMod))
         })))
       .select(col(idCol), col("pos").as("band"), col("col").as("bkey"))
+  }
+
+  /** LSH banding: hash each band of `rowsPerBand` signature slots,
+    * self-join on (band, bandHash) → candidate pairs. Classic
+    * probability: docs with Jaccard j collide in a band with j^r, in
+    * any of b bands with 1-(1-j^r)^b. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandKeys(sigs, idCol, numPerms, rowsPerBand)
     banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
       .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Persist the corpus' minhash index — signatures + band keys as two
+    * parquet tables under `dir` (the IVF/PQ/BM25 build/serve
+    * convention brought to the dedup layer): the CORPUS is tokenized
+    * and signed exactly once; every later admission run reads only
+    * these two keyed relations. */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        dir: String, numPerms: Int = 32,
+                        rowsPerBand: Int = 4): Unit = {
+    val sigs = graft.Checkpoints.checkpoint(
+      minhashSignatures(docs, idCol, textCol, numPerms))
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    bandKeys(sigs, idCol, numPerms, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    graft.Checkpoints.release(sigs)
+  }
+
+  /** INCREMENTAL near-dup ADMISSION — the production ingestion shape
+    * none of the whole-corpus dedup queries exercise: an incoming
+    * batch is checked against the [[buildMinhashIndex]] corpus WITHOUT
+    * touching corpus text. Batch docs are signed and banded (cost ∝
+    * batch), candidates come from ONE equi-join of batch band keys
+    * against the persisted band table, the verify is the 32-slot
+    * signature agreement count against the persisted signature table,
+    * and each batch doc gets its best corpus match ((n_agree DESC,
+    * corpus id ASC) top-1) with an `is_dup` admission verdict at
+    * `minAgree` agreeing slots (16/32 ≈ Jaccard 0.5). Docs with no
+    * band collision — including sub-shingle-length ones that have no
+    * signature at all — surface with a null match and is_dup = false:
+    * nothing is silently dropped. Corpus-side serve cost is the keyed
+    * index join; the corpus is never rescanned. */
+  def incrementalNearDup(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, batch: DataFrame, idCol: String,
+                         textCol: String, minAgree: Int = 16,
+                         numPerms: Int = 32,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val bs = graft.Checkpoints.checkpoint(
+      minhashSignatures(batch, idCol, textCol, numPerms))
+    val bb = bandKeys(bs, idCol, numPerms, rowsPerBand)
+    val cb = spark.read.parquet(s"$dir/bands")
+    val cs = spark.read.parquet(s"$dir/sigs")
+    val cand = bb.select(col(idCol).as("bid"), col("band"), col("bkey"))
+      .join(cb.select(col(idCol).as("cid"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("bid"), col("cid")).distinct()
+    val agree = cand
+      .join(bs.select(col(idCol).as("bid"), col("sig").as("sig_b")), "bid")
+      .join(cs.select(col(idCol).as("cid"), col("sig").as("sig_c")), "cid")
+      .select(col("bid"), col("cid"),
+        aggregate(zip_with(col("sig_b"), col("sig_c"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).as("n_agree"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bid")).orderBy(col("n_agree").desc, col("cid"))
+    val best = agree.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bid"), col("cid"), col("n_agree"))
+    batch.select(col(idCol).as("bid")).distinct()
+      .join(best, Seq("bid"), "left")
+      .select(col("bid").as(idCol), col("cid").as("dup_of"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        (coalesce(col("n_agree"), lit(0L)) >= minAgree).as("is_dup"))
   }
 
   /** End-to-end near-duplicate entity resolution — the reference's

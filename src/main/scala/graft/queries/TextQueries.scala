@@ -20,6 +20,32 @@ object TextQueries {
     * first use, reused by later q175 runs in the session, so the
     * bench's repeat passes measure SERVING (probed-term posting scan
     * + scoring), not the index build. */
+  /** One persisted minhash index per (session, sfDir) — the build/
+    * serve split for q192's incremental admission (built with q26's
+    * signature parameters; the oracle recomputes the same chain from
+    * the documents table, so it never reads these files). */
+  private val minhashIndexDirs = new IndexCache("graft_minhash")
+  private def minhashIndexDir(s: SparkSession, d: String): String =
+    minhashIndexDirs.get(s, d) { dir =>
+      graft.operators.Dedup.buildMinhashIndex(
+        Tables.documents(s, d), "doc_id", "text", dir)
+    }
+
+  /** The q192 increment: every 7th document re-enters with its id
+    * offset by 10^6 and its text either kept verbatim (exact copy,
+    * 1/14), reversed (novel, 1/21), or with its last word dropped
+    * (near-dup, the rest) — the CASE order matches the oracle. */
+  private def incrementBatch(s: SparkSession, d: String): DataFrame = {
+    val ws = TextFns.words(TextFns.norm(col("text")))
+    Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 14 === 0, TextFns.norm(col("text")))
+          .when(col("doc_id") % 21 === 0, array_join(reverse(ws), " "))
+          .otherwise(array_join(slice(ws, lit(1), size(ws) - 1), " "))
+          .as("text"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+  }
+
   private val bm25IndexDirs = new IndexCache("graft_bm25")
   private def bm25IndexDir(s: SparkSession, d: String): String =
     bm25IndexDirs.get(s, d) { dir =>
@@ -755,6 +781,19 @@ object TextQueries {
         "doc_id")
     },
 
+    // INCREMENTAL near-dup admission against the PERSISTED minhash
+    // index (Dedup.buildMinhashIndex / incrementalNearDup) — the
+    // production ingestion shape: a derived increment (1/14 exact
+    // copies, 1/21 reversed novel docs, the rest drop-last-word
+    // near-dups, ids offset by 10^6) is signed and checked against
+    // the corpus' band + signature tables; corpus text is never
+    // rescanned. Per batch doc: best corpus match + is_dup verdict
+    // at 16/32 agreeing slots.
+    "q192_incremental_neardup" -> { (s, d) =>
+      Dedup.incrementalNearDup(s, minhashIndexDir(s, d),
+        incrementBatch(s, d), "doc_id", "text")
+    },
+
     // QUANTILE NORMALIZATION across sources — the cross-corpus score
     // calibration a mixing pipeline needs before comparing documents
     // from different crawls (source A's length distribution mapped
@@ -1459,6 +1498,75 @@ object TextQueries {
        |  FROM shk GROUP BY doc_id),
        |bands AS ($bands)""".stripMargin
 
+  /** [[minhashBandsBody]] generalized to any source relation and a CTE
+    * -name suffix, so the q192 oracle can run the SAME chain over the
+    * corpus and over the derived increment side by side (`sig$sfx`,
+    * `bands$sfx`). */
+  private def minhashChainSql(src: String, sfx: String): String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig$sfx")
+      .mkString("\n  UNION ALL ")
+    s"""w$sfx AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+       |           FROM $src),
+       |wh$sfx AS (SELECT doc_id, list_transform(ws, w -> ${wordHashSql("w")})
+       |             AS hs
+       |       FROM w$sfx),
+       |shk$sfx AS (SELECT DISTINCT doc_id,
+       |    (((hs[i] * 31 + hs[i+1]) % 1000000007) * 31 + hs[i+2])
+       |      % 1000000007 AS k
+       |  FROM (SELECT doc_id, hs,
+       |          unnest(generate_series(1, len(hs) - 2)) AS i
+       |        FROM wh$sfx WHERE len(hs) >= 3)),
+       |sig$sfx AS (SELECT doc_id,
+       |    $mins
+       |  FROM shk$sfx GROUP BY doc_id),
+       |bands$sfx AS ($bands)""".stripMargin
+  }
+
+  // Generated DuckDB twin of q192: the derived increment (exact copy /
+  // reversed novel / drop-last-word near-dup), the minhash chain run
+  // over BOTH relations, the band-collision candidate join, the
+  // 32-slot agreement verify, and the (n_agree DESC, cid ASC) top-1
+  // admission verdict — term for term Dedup.incrementalNearDup over
+  // the recomputed index.
+  private def incrementalNearDupSql: String = {
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sb.m$i = sc.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val nws = s"string_split(${normSql("text")}, ' ')"
+    s"""WITH bt0 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 14 = 0 THEN ${normSql("text")}
+       |         WHEN doc_id % 21 = 0
+       |           THEN array_to_string(list_reverse($nws), ' ')
+       |         ELSE array_to_string($nws[1 : len($nws) - 1], ' ')
+       |    END AS text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |bt AS (SELECT doc_id + 1000000 AS doc_id, text FROM bt0),
+       |${minhashChainSql("documents", "c")},
+       |${minhashChainSql("bt", "b")},
+       |cand AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |  FROM bandsb bb JOIN bandsc cb
+       |    ON bb.band = cb.band AND bb.bkey = cb.bkey),
+       |agr AS (SELECT cand.bid, cand.cid, CAST(($matches) AS BIGINT)
+       |    AS n_agree
+       |  FROM cand JOIN sigb sb ON cand.bid = sb.doc_id
+       |            JOIN sigc sc ON cand.cid = sc.doc_id),
+       |best AS (SELECT bid, cid, n_agree FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bid
+       |      ORDER BY n_agree DESC, cid) AS rn FROM agr) x WHERE rn = 1)
+       |SELECT bt.doc_id, best.cid AS dup_of,
+       |  CAST(coalesce(best.n_agree, 0) AS BIGINT) AS n_agree,
+       |  coalesce(best.n_agree, 0) >= 16 AS is_dup
+       |FROM bt LEFT JOIN best ON bt.doc_id = best.bid""".stripMargin
+  }
+
   /** Generated DuckDB twin of q182: the q26 candidate CTEs + the
     * 32-slot agreement count + exact 3-gram Jaccard (string shingles,
     * candidates only) bucketed per agreement level. */
@@ -1573,6 +1681,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q26_minhash_lsh" -> minhashLshSql,
+    "q192_incremental_neardup" -> incrementalNearDupSql,
     "q182_sketch_calibration" -> sketchCalibrationSql,
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,

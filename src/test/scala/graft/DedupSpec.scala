@@ -403,4 +403,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute)
     assert(got.nonEmpty) // the tiny vocab guarantees repeats
   }
+
+  test("incrementalNearDup admits exact copies and near-dups against the " +
+       "persisted index and rejects novel docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about distributed dataflow"),
+      (3L, "yet another unrelated piece of text with many unique words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_test").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and"),
+      (12L, "entirely novel content that shares no shingles with anything"),
+      (13L, "x y")) // sub-shingle-length: no signature at all
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(spark, dir, batch, "doc_id", "text")
+      .as[(Long, Option[Long], Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, Some(1L), 32L, true)))  // exact: all slots
+    val (_, m11, a11, d11) = got(11L)                 // near-dup: most slots
+    assert(m11.contains(1L) && d11 && a11 >= 16L && a11 < 32L)
+    assert(got(12L)._4 == false && got(12L)._2.isEmpty)
+    assert(got(13L) == ((13L, None, 0L, false)))      // surfaced, not dropped
+    assert(got.size == 4)
+  }
 }
