@@ -238,4 +238,38 @@ object Joins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bkt")
   }
+
+  /** INTERVAL-OVERLAP JOIN between two interval relations with NO
+    * equi-key — the non-equi join Spark has no native operator for
+    * (the bare `lStart < rEnd AND rStart < lEnd` predicate plans as a
+    * nested-loop cross product): [[intervalJoin]]'s bucketization
+    * applied to BOTH sides. Each interval explodes to the fixed-width
+    * buckets it covers, the join is a plain equi-join on the bucket
+    * id, the true half-open overlap predicate re-verifies inside the
+    * bucket, and a pair overlapping several shared buckets is emitted
+    * EXACTLY ONCE by the algebraic rule "keep the match only in the
+    * bucket containing the overlap's own start" (greatest of the two
+    * starts) — no distinct, no extra shuffle. Fan-out per row =
+    * ceil(interval length / bucketWidth); size `bucketWidth` near the
+    * typical interval length. Intervals are half-open [start, end);
+    * empty ones match nothing. Callers disambiguate column names
+    * before joining (the output carries both sides' columns). */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: Column): Column =
+      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("_bkt", explode(sequence(
+        bucket(col(lStart)), bucket(col(lEnd) - 1))))
+    val r = right.filter(col(rEnd) > col(rStart))
+      .withColumn("_bkt", explode(sequence(
+        bucket(col(rStart)), bucket(col(rEnd) - 1))))
+    l.join(r, Seq("_bkt"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(bucket(greatest(col(lStart), col(rStart))) === col("_bkt"))
+      .drop("_bkt")
+  }
 }

@@ -391,6 +391,45 @@ object EventQueries {
           max(col("us")).as("sess_end_us"))
     },
 
+    // INTERVAL-OVERLAP JOIN (Joins.overlapJoin) — which user sessions
+    // overlap which error-heavy hours (incident impact attribution):
+    // q32's sessions as half-open [first, last+1) micro intervals,
+    // incidents = hours with ≥ 2 error events, joined with NO equi-key
+    // through hour-bucket equi-join + emit-once dedup (the bare theta
+    // predicate would plan as a nested loop).
+    "q193_session_incident_overlap" -> { (s, d) =>
+      val us = unix_micros(col("ts"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          us.as("us"))
+      val sess = ev
+        .withColumn("prev", lag(col("us"), 1).over(byUser))
+        .withColumn("flag",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("flag")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("us")).as("s_st"), (max(col("us")) + 1L).as("s_en"))
+      val H = 3600000000L
+      val inc = ev.filter(col("event_type") === "error")
+        .groupBy(call_function("div", col("us"), lit(H)).as("hr"))
+        .agg(count(lit(1)).as("n_errors"))
+        .filter(col("n_errors") >= 2L)
+        .select((col("hr") * H).as("i_st"), (col("hr") * H + H).as("i_en"),
+          col("n_errors"))
+      graft.operators.Joins
+        .overlapJoin(sess, inc, "s_st", "s_en", "i_st", "i_en", H)
+        .select(col("user_id"), col("session_idx"),
+          col("s_st").as("sess_start_us"),
+          col("i_st").as("incident_start_us"), col("n_errors"),
+          (least(col("s_en"), col("i_en")) -
+            greatest(col("s_st"), col("i_st"))).as("overlap_us"))
+    },
+
     // Grouping sets: ROLLUP over (year, priority) on orders.
     "q33_orders_rollup" -> { (s, d) =>
       Tables.orders(s, d)
@@ -1155,6 +1194,46 @@ object EventQueries {
         |  CAST(min(us) AS BIGINT) AS sess_start_us,
         |  CAST(max(us) AS BIGINT) AS sess_end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // q193: the q32 session chain, the error-hour incidents, and the
+    // plain theta overlap join (the oracle can afford the nested loop
+    // the engine buckets away)
+    "q193_session_incident_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |          AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |             THEN 1 ELSE 0 END AS flag
+        |      FROM l),
+        |s AS (SELECT user_id, us,
+        |        CAST(sum(flag) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS session_idx
+        |      FROM f),
+        |ses AS (SELECT user_id, session_idx,
+        |          CAST(min(us) AS BIGINT) AS s_st,
+        |          CAST(max(us) + 1 AS BIGINT) AS s_en
+        |        FROM s GROUP BY 1, 2),
+        |inc AS (SELECT us // 3600000000 AS hr,
+        |          CAST(count(*) AS BIGINT) AS n_errors
+        |        FROM e WHERE event_type = 'error'
+        |        GROUP BY 1 HAVING count(*) >= 2),
+        |inw AS (SELECT CAST(hr * 3600000000 AS BIGINT) AS i_st,
+        |          CAST(hr * 3600000000 + 3600000000 AS BIGINT) AS i_en,
+        |          n_errors
+        |        FROM inc)
+        |SELECT ses.user_id, ses.session_idx,
+        |  ses.s_st AS sess_start_us, inw.i_st AS incident_start_us,
+        |  inw.n_errors,
+        |  CAST(least(ses.s_en, inw.i_en) - greatest(ses.s_st, inw.i_st)
+        |    AS BIGINT) AS overlap_us
+        |FROM ses JOIN inw ON ses.s_st < inw.i_en AND inw.i_st < ses.s_en"""
+        .stripMargin,
 
     "q33_orders_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,

@@ -138,6 +138,34 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  test("overlapJoin equals the theta join and emits each pair exactly once " +
+       "(multi-bucket spans, negative starts, empty intervals)") {
+    val rnd = new scala.util.Random(13)
+    val ls = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong - 30
+      (i.toLong, s, s + rnd.nextInt(200).toLong) // some empty (en == st)
+    }.toDF("lid", "lst", "len_")
+    val rs = (1 to 60).map { i =>
+      val s = rnd.nextInt(1000).toLong - 30
+      (1000L + i, s, s + rnd.nextInt(120).toLong)
+    }.toDF("rid", "rst", "ren")
+    val got = Joins.overlapJoin(ls, rs, "lst", "len_", "rst", "ren", 50L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val want = ls.join(rs, col("lst") < col("ren") && col("rst") < col("len_"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == want.sorted)
+    assert(got.size == got.distinct.size, "a pair was emitted twice")
+    assert(want.nonEmpty)
+  }
+
+  test("overlapJoin plans a hash join on the bucket key, never a nested loop") {
+    val ls = Seq((1L, 0L, 10L)).toDF("lid", "lst", "len_")
+    val rs = Seq((2L, 5L, 15L)).toDF("rid", "rst", "ren")
+    val plan = Joins.overlapJoin(ls, rs, "lst", "len_", "rst", "ren", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("intervalJoin plans a hash join on the bucket key, never a nested loop") {
     val pts = Seq((1L, 5L)).toDF("pid", "t")
     val ivs = Seq((9L, 0L, 10L)).toDF("iid", "lo", "hi")
