@@ -610,35 +610,62 @@ object Graph {
 
   /** Min-label reachability coloring over DIRECTED edges — the inner
     * fixpoint of [[stronglyConnectedComponents]]: for every vertex,
-    * the minimum id over all vertices that can REACH it (forward =
-    * true; ancestors, self included) or that it can reach (forward =
-    * false; descendants). Plain min-propagation rounds keyed by
-    * vertex, run to the true fixpoint (the cached moved-count guard),
-    * bounded by the active subgraph's directed diameter. */
-  private def minReach(verts: DataFrame, edges: DataFrame, forward: Boolean,
-                       maxIter: Int): DataFrame = {
-    val e = if (forward) edges
-            else edges.select(col("d").as("s"), col("s").as("d"))
-    var lbl = Checkpoints.checkpointAlways(
-      verts.select(col("v"), col("v").as("m")))
+    * BOTH the minimum id over all vertices that can REACH it (dir 0 —
+    * ancestors, self included) and over all it can reach (dir 1 —
+    * descendants). The two directions run in ONE tagged fixpoint
+    * (state keyed by (v, dir) over the forward + reversed edge union),
+    * so the loop takes max(fwd, bwd) convergence rounds instead of
+    * their sum and half the per-round scheduling. Returns
+    * (v, f = dir-0 min, b = dir-1 min). */
+  private def minReachBoth(verts: DataFrame, edges: DataFrame,
+                           maxIter: Int): DataFrame = {
+    val e2 = edges.select(col("s"), col("d"), lit(0).as("dir"))
+      .union(edges.select(col("d").as("s"), col("s").as("d"),
+        lit(1).as("dir")))
+    // lblCp stays the BARE checkpoint so releases are real (a release
+    // on a projection over it would be a structural no-op)
+    var lblCp = Checkpoints.checkpointAlways(
+      verts.select(col("v"), explode(array(lit(0), lit(1))).as("dir"))
+        .withColumn("m", col("v")).withColumn("changed", lit(false)))
     var moved = 1L
     var i = 0
     while (moved > 0 && i < maxIter) {
-      val prop = e.alias("ee").join(lbl.alias("ll"),
-          col("ee.s") === col("ll.v"))
-        .groupBy(col("ee.d").as("v")).agg(min(col("ll.m")).as("pm"))
+      val lbl = lblCp.drop("changed")
+      // SHORTCUTTING (pointer jumping on the label relation): the
+      // current label m(v) is by invariant a vertex that reaches v
+      // (dir-adjusted), and reachability is transitive, so (m → v) is
+      // a valid propagation edge — each round then relays minima over
+      // doubling distances and the fixpoint arrives in O(log diameter)
+      // rounds instead of O(diameter) (the Hash-Min-with-shortcuts
+      // trick from the CC literature, valid here for the same
+      // transitivity reason). The original edges stay in the union, so
+      // the fixpoint itself is unchanged.
+      val lblEdges = lbl.filter(col("m") =!= col("v"))
+        .select(col("m").as("s"), col("v").as("d"), col("dir"))
+      val prop = e2.union(lblEdges).alias("ee").join(lbl.alias("ll"),
+          col("ee.s") === col("ll.v") && col("ee.dir") === col("ll.dir"))
+        .groupBy(col("ee.d").as("v"), col("ee.dir").as("dir"))
+        .agg(min(col("ll.m")).as("pm"))
       val nxt = Checkpoints.checkpointAlways(
         lbl.alias("lb").join(prop.alias("pp"),
-            col("lb.v") === col("pp.v"), "left")
-          .select(col("lb.v").as("v"),
+            col("lb.v") === col("pp.v") && col("lb.dir") === col("pp.dir"),
+            "left")
+          .select(col("lb.v").as("v"), col("lb.dir").as("dir"),
             least(col("lb.m"), coalesce(col("pm"), col("lb.m"))).as("m"),
             (coalesce(col("pm"), col("lb.m")) < col("lb.m")).as("changed")))
       moved = nxt.filter(col("changed")).count()
-      Checkpoints.release(lbl)
-      lbl = nxt.drop("changed")
+      if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+        System.err.println(s"[scc]   reach round=$i moved=$moved")
+      Checkpoints.release(lblCp)
+      lblCp = nxt
       i += 1
     }
-    lbl
+    val out = Checkpoints.checkpointAlways(
+      lblCp.groupBy(col("v"))
+        .agg(min(when(col("dir") === 0, col("m"))).as("f"),
+          min(when(col("dir") === 1, col("m"))).as("b")))
+    Checkpoints.release(lblCp)
+    out
   }
 
   /** STRONGLY connected components over a directed edge list — the
@@ -653,12 +680,17 @@ object Graph {
     *
     * Per outer round on the ACTIVE subgraph:
     *  1. TRIM to fixpoint: a vertex with no in-edges or no out-edges
-    *     lies on no cycle — it is its own singleton SCC; settle all of
-    *     them at once and repeat (clears DAG tails/sources in
-    *     topological-depth rounds, the standard FW-BW preprocessing).
-    *  2. COLOR: f(v) = min id that reaches v ([[minReach]] forward),
-    *     b(v) = min id v reaches (backward). Both are constant on any
-    *     SCC (members share ancestor and descendant sets).
+    *     lies on no cycle — the peel iterates on the edge relation
+    *     alone and every vertex dropped along the way settles as a
+    *     singleton in one batch (clears DAG tails/sources; the
+    *     standard FW-BW preprocessing).
+    *  2. COLOR: f(v) = min id that reaches v, b(v) = min id v reaches
+    *     — BOTH directions in one tagged [[minReachBoth]] fixpoint
+    *     with label SHORTCUTTING (each round also propagates along
+    *     the current (label → vertex) edges, valid by reachability
+    *     transitivity, so convergence is sub-diameter). f and b are
+    *     constant on any SCC (members share ancestor and descendant
+    *     sets).
     *  3. SETTLE where f(v) = b(v) = c: c is then both an ancestor and
     *     a descendant of v, so v ∈ SCC(c) — and c ∈ SCC(c) with
     *     c = min(SCC), so the settled label IS the canonical min
@@ -711,35 +743,58 @@ object Graph {
     var outer = 0
     var nActive = verts.count()
     while (nActive > 0 && outer < maxOuter) {
-      // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
-      var trimmed = 1L
+      // 1. TRIM to fixpoint: no-in or no-out vertices lie on no cycle.
+      // The peel iterates on the EDGE relation alone (one checkpoint +
+      // one carried count per iteration); every vertex dropped along
+      // the way is settled as a singleton in ONE batch at the end —
+      // per-iteration settle/remove churn was the dominant constant
+      // at fixture scale.
+      var eCount = -1L
+      var prevCount = -2L
       var t = 0
-      while (trimmed > 0 && t < maxInner && nActive > 0) {
+      while (eCount != prevCount && t < maxInner) {
         val hasIn = active.select(col("d").as("v")).distinct()
         val hasOut = active.select(col("s").as("v")).distinct()
-        val onCyclePath = hasIn.join(hasOut, Seq("v")) // in AND out degree ≥ 1
-        val dead = Checkpoints.checkpointAlways(
-          verts.join(onCyclePath, Seq("v"), "left_anti")
-            .select(col("v"), col("v").as("scc_id")))
-        trimmed = dead.count()
-        if (trimmed > 0) {
-          settle(dead)
-          removeSettled(dead)
-          nActive -= trimmed
-        }
-        Checkpoints.release(dead)
+        val ok = hasIn.join(hasOut, Seq("v")) // in AND out degree ≥ 1
+        val nxtE = Checkpoints.checkpointAlways(active
+          .join(ok.select(col("v").as("s")), Seq("s"), "left_semi")
+          .join(ok.select(col("v").as("d")), Seq("d"), "left_semi"))
+        prevCount = if (t == 0) active.count() else eCount
+        eCount = nxtE.count()
+        Checkpoints.release(active)
+        active = nxtE
+        if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+          System.err.println(s"[scc] outer=$outer trim=$t edges=$eCount")
         t += 1
       }
+      // alive after the peel = vertices with both directions in the
+      // surviving edge set; everything else is a singleton SCC
+      val aliveV = Checkpoints.checkpointAlways(
+        active.select(col("d").as("v")).distinct()
+          .join(active.select(col("s").as("v")).distinct(), Seq("v")))
+      val dead = Checkpoints.checkpointAlways(
+        verts.join(aliveV, Seq("v"), "left_anti")
+          .select(col("v"), col("v").as("scc_id")))
+      val trimmed = dead.count()
+      if (trimmed > 0) {
+        settle(dead)
+        Checkpoints.release(verts)
+        verts = aliveV
+        nActive -= trimmed
+      } else Checkpoints.release(aliveV)
+      Checkpoints.release(dead)
+      if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+        System.err.println(s"[scc] outer=$outer trimmed=$trimmed nActive=$nActive")
       if (nActive > 0) {
         // 2. color both directions; 3. settle the f = b pivot SCCs
-        val f = minReach(verts, active, forward = true, maxInner)
-        val b = minReach(verts, active, forward = false, maxInner)
+        val fb = minReachBoth(verts, active, maxInner)
         val settled = Checkpoints.checkpointAlways(
-          f.alias("ff").join(b.alias("bb"), col("ff.v") === col("bb.v"))
-            .filter(col("ff.m") === col("bb.m"))
-            .select(col("ff.v").as("v"), col("ff.m").as("scc_id")))
+          fb.filter(col("f") === col("b"))
+            .select(col("v"), col("f").as("scc_id")))
         val nSettled = settled.count()
-        Checkpoints.release(f); Checkpoints.release(b)
+        if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+          System.err.println(s"[scc] outer=$outer colored settled=$nSettled nActive=$nActive")
+        Checkpoints.release(fb)
         // ≥ 1 SCC settles per weak component per round (the min-vertex
         // one), so nSettled = 0 only on an empty active set
         settle(settled)
