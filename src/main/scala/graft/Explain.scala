@@ -49,6 +49,7 @@ object Explain {
     "q120_quantile_sketch", // broadcast 1-row sketch scalar (q42 shape)
     "q121_bloom_join",      // broadcast 1-row Bloom-filter scalar (q42 shape)
     "q124_mixture_sample",  // broadcast budget + weight-total scalars
+    "q194_customer_frontier", // broadcast prune-vector scalar (q42 shape)
     "q125_ann_pq_topk",     // broadcast codebook/ADC-table assignment (q51 shape)
     "q126_token_mixture",   // broadcast token-total + weight-total scalars
     "q146_language_mixture", // broadcast token/weight-total scalars (q126 shape)

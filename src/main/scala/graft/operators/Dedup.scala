@@ -190,6 +190,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark DECONTAMINATION census (Brown et al., "Language Models
+    * are Few-Shot Learners", appendix C; Gao et al., "The Pile" — both
+    * public methodology): per corpus document, how many of its n-gram
+    * shingles occur in ANY benchmark document — the check a training
+    * pipeline runs so eval data never leaks into the training mix.
+    * Distinct from dedup: the comparison set is an EXTERNAL benchmark,
+    * not the corpus itself, and the verdict is per-corpus-doc with the
+    * overlap magnitude, not a pair list.
+    *
+    * Scale shape: benchmarks are small by nature (MBs of eval sets vs
+    * TBs of corpus), so the distinct benchmark shingle-key set is
+    * BROADCAST and the corpus side streams map-side through one hash
+    * probe — the corpus is never shuffled except the per-doc count on
+    * its own id. Shingle keys ride [[docShingleKeys]]' portable
+    * polynomial chain, so an oracle replays every key. Documents
+    * shorter than n words carry no n-gram evidence and are not in the
+    * census (no shingles ⇒ no verdict).
+    *
+    * Returns one row per corpus doc with ≥ 1 shingle: (id, n_shingles,
+    * n_hit, contaminated = 1 iff any shingle hit). */
+  def contaminationCensus(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 5): DataFrame = {
+    // two consumers (total + hit counts) — shingle once
+    val sh = graft.Checkpoints.checkpoint(
+      docShingleKeys(corpus, idCol, textCol, n))
+    val benchKeys = docShingleKeys(benchmark, idCol, textCol, n)
+      .select(col("shk")).distinct()
+    val totals = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(benchKeys), "shk")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        (col("n_hit") >= 1L).cast("long").as("contaminated"))
+  }
+
   /** MinHash signatures: sig[i] = min over shingle keys k of
     * (a_i·k + b_i) mod (2^31 - 1) — the portable affine family over
     * [[docShingleKeys]], with literal per-permutation constants

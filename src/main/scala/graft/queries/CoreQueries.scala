@@ -715,6 +715,26 @@ object CoreQueries {
         Seq("o_orderstatus", "o_totalprice"))
     },
 
+    // Pareto SKYLINE (Relational.skyline) — the maximal frontier of
+    // the customer base on (order count, lifetime spend, recency):
+    // customers no other customer beats on all three at once. Exact
+    // integer dims (cents via the DECIMAL cast, epoch days via the
+    // q164 floor-div); the operator runs prune → per-partition
+    // frontier → frontier-sized merge, while the oracle is the O(n²)
+    // NOT-EXISTS dominance self-join the operator exists to avoid.
+    "q194_customer_frontier" -> { (s, d) =>
+      val day = call_function("div",
+        unix_timestamp(col("o_orderdate")), lit(86400L))
+      val cust = Tables.orders(s, d).filter(col("o_custkey") >= 0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((dec(col("o_totalprice")) * 100).cast("long"))
+            .as("spend_cents"),
+          max(day).as("last_day"))
+      graft.operators.Relational.skyline(cust,
+        Seq("n_orders", "spend_cents", "last_day"))
+    },
+
     // SCD2 history (Cdc.history) over the same derived changelog:
     // every version a key ever had with its [valid_from, valid_to)
     // sequence interval — lead() inside the per-key ordering the
@@ -1187,6 +1207,25 @@ object CoreQueries {
         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
         |SELECT day, x, trend7, 7 * x - trend7 AS resid7
         |FROM w WHERE n_win = 7""".stripMargin,
+
+    // q194: the dominance definition verbatim — the O(n²) NOT-EXISTS
+    // self-join over the same exact-integer customer dims. Strict
+    // dominance (≥ everywhere, > somewhere); identical-vector ties
+    // all survive on both engines.
+    "q194_customer_frontier" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS spend_cents,
+        |    max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+        |      AS last_day
+        |  FROM orders WHERE o_custkey >= 0 GROUP BY 1)
+        |SELECT o_custkey, n_orders, spend_cents, last_day FROM c a
+        |WHERE NOT EXISTS (SELECT 1 FROM c b WHERE
+        |  b.n_orders >= a.n_orders AND b.spend_cents >= a.spend_cents
+        |  AND b.last_day >= a.last_day
+        |  AND (b.n_orders > a.n_orders OR b.spend_cents > a.spend_cents
+        |       OR b.last_day > a.last_day))""".stripMargin,
 
     // q164: the same day-bucket + dollars truncation + lag pairing;
     // floor(epoch()) because DuckDB CAST(double AS BIGINT) rounds

@@ -131,4 +131,52 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
         s"isqrt($x) = $s")
     }
   }
+
+  /** Local brute-force skyline: strict dominance, ties survive. */
+  private def bruteSkyline(rows: Seq[(Long, Seq[Long])])
+      : Set[Long] = {
+    def dominates(a: Seq[Long], b: Seq[Long]): Boolean =
+      a.zip(b).forall { case (x, y) => x >= y } && a != b
+    rows.filter { case (_, v) =>
+      !rows.exists { case (_, w) => dominates(w, v) }
+    }.map(_._1).toSet
+  }
+
+  test("skyline equals brute-force dominance on random data, " +
+       "every dim count and partition layout") {
+    val rnd = new scala.util.Random(41)
+    for (nDims <- 1 to 4; parts <- Seq(1, 7, 32)) {
+      // small value range → plenty of ties and duplicate vectors
+      val rows = (1L to 300L).map(i =>
+        (i, Seq.fill(nDims)(rnd.nextInt(8).toLong)))
+      val df = rows.map { case (i, v) =>
+          (i, v.padTo(4, -1L)) }
+        .map { case (i, Seq(a, b, c, dd)) => (i, a, b, c, dd) }
+        .toDF("id", "d1", "d2", "d3", "d4")
+        .repartition(parts)
+      val dims = (1 to nDims).map(k => s"d$k")
+      val got = Relational.skyline(df, dims)
+        .select("id").as[Long].collect().toSet
+      assert(got == bruteSkyline(rows), s"nDims=$nDims parts=$parts")
+    }
+  }
+
+  test("skyline keeps all copies of a tied maximal vector and every " +
+       "non-dim column intact") {
+    val df = Seq((1L, 5L, 5L, "a"), (2L, 5L, 5L, "b"),
+        (3L, 5L, 4L, "c"), (4L, 4L, 5L, "d"), (5L, 1L, 1L, "e"))
+      .toDF("id", "x", "y", "tag")
+    val got = Relational.skyline(df, Seq("x", "y"))
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    // (5,5) twice: identical vectors dominate nothing — both stay;
+    // (5,4)/(4,5) are dominated by (5,5); (1,1) is dominated.
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("skyline rejects non-BIGINT dims") {
+    val df = Seq((1L, 2)).toDF("id", "d")
+    intercept[IllegalArgumentException] {
+      Relational.skyline(df, Seq("d"))
+    }
+  }
 }
