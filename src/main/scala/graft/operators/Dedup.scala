@@ -222,10 +222,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"))
     val hits = sh.join(broadcast(benchKeys), "shk")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    totals.join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_hit"))
-      .select(col(idCol), col("n_shingles"), col("n_hit"),
-        (col("n_hit") >= 1L).cast("long").as("contaminated"))
+    // materialize the verdicts so sh (the shared shingle block) can be
+    // released HERE instead of leaking until the caller's releaseAll;
+    // the output is one row per corpus doc — checkpoint-sized
+    val out = graft.Checkpoints.checkpoint(
+      totals.join(hits, Seq(idCol), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col(idCol), col("n_shingles"), col("n_hit"),
+          (col("n_hit") >= 1L).cast("long").as("contaminated")))
+    graft.Checkpoints.release(sh)
+    out
   }
 
   /** MinHash signatures: sig[i] = min over shingle keys k of

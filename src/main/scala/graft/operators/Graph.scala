@@ -502,6 +502,11 @@ object Graph {
       i += 1
     }
     Checkpoints.release(sym)
+    // a silent non-fixpoint would return quietly incomplete arrivals —
+    // same discipline as the SCC outer require
+    require(stable,
+      s"earliestArrival did not converge in $maxIter rounds " +
+        "(a foremost journey is longer) — raise maxIter")
     arr
   }
 
@@ -660,6 +665,13 @@ object Graph {
       lblCp = nxt
       i += 1
     }
+    // unconverged f/b labels could settle vertices into WRONG SCCs
+    // while still draining nActive — the outer require would not catch
+    // it, so the fixpoint itself must assert (shortcutting makes
+    // maxIter rounds unreachable in practice; the guard is free)
+    require(moved == 0,
+      s"SCC reachability coloring did not converge in $maxIter rounds " +
+        "— raise maxInner")
     val out = Checkpoints.checkpointAlways(
       lblCp.groupBy(col("v"))
         .agg(min(when(col("dir") === 0, col("m"))).as("f"),

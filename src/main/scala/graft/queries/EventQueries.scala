@@ -29,7 +29,14 @@ object EventQueries {
     * NOT an [[IndexCache]]: the oracle is executed by the DRIVER'S
     * DuckDB after this JVM exits, so the fixture must survive the
     * exit-time sweep — the path is deterministic per scale factor
-    * (bounded: one dir per SF, overwritten by the next session). */
+    * (bounded: one dir per SF, overwritten by the next session).
+    * SINGLE-DRIVER ASSUMPTION, accepted explicitly: a concurrent
+    * second session on the SAME scale factor could overwrite the file
+    * between this session's Spark run and the driver's post-exit
+    * DuckDB read. The harness runs one verify driver at a time (the
+    * round contract), and the overwrite is byte-identical anyway (the
+    * fixture is a deterministic function of the SF's events table), so
+    * even a concurrent writer converges to the same content. */
   private val jsonDirs =
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
   private def jsonEventsDir(s: SparkSession, d: String): String = {

@@ -23,11 +23,17 @@ private[queries] final class IndexCache(prefix: String) {
       if (!live) IndexCache.deleteTree(dir)
       live
     }
-    dirs.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-      build(dir)
-      dir
-    })
+    // serialized: TrieMap.getOrElseUpdate may evaluate the builder
+    // TWICE under concurrent first use, and the losing build's temp dir
+    // would never be registered (leaks past the shutdown sweep). Builds
+    // happen once per (session, sfDir), so coarse locking costs nothing.
+    dirs.synchronized {
+      dirs.getOrElseUpdate((s, d), {
+        val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+        build(dir)
+        dir
+      })
+    }
   }
 
   private[queries] def sweep(): Unit = {

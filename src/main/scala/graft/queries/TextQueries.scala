@@ -1441,6 +1441,27 @@ object TextQueries {
           words, col("source"), col("w"), 1L, 50L, 100)
         .select(col("g").as("source"), col("k").as("word"),
           col("cnt"), col("n_group"))
+    },
+
+    // Benchmark decontamination CENSUS (q65's overlap list upgraded to
+    // the per-document verdict a training-mix builder consumes — Brown
+    // et al. "Language Models are Few-Shot Learners" appendix C / Gao
+    // et al. "The Pile", both public methodology): corpus = doc_id %
+    // 50 != 0, benchmark = the % 50 == 0 eval subset. One row per
+    // corpus doc with ≥ 1 5-gram shingle: total shingle count, hits
+    // against ANY benchmark shingle, and the binary contaminated
+    // verdict — zero-hit docs INCLUDED (q65 only lists the overlapping
+    // ones; a census must prove the clean ones clean too). The
+    // benchmark shingle-KEY set is broadcast (eval sets are MBs vs a
+    // TB corpus); the corpus side streams map-side through one hash
+    // probe plus its own per-doc count — the corpus is never shuffled
+    // except on its own doc id.
+    "q195_contamination_census" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationCensus(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
     }
   )
 
@@ -2305,6 +2326,37 @@ object TextQueries {
          |FROM sh5 JOIN b USING (s)
          |WHERE doc_id % 50 <> 0
          |GROUP BY doc_id""".stripMargin,
+
+    // q195: the q65 split replayed on the portable 5-gram shingle-KEY
+    // chain (word polyHash → 5-slot fold, all exact int64 mod
+    // arithmetic) with the per-doc census shape — zero-hit corpus docs
+    // included via the LEFT join.
+    "q195_contamination_census" -> {
+      def chain(pred: String, sfx: String): String = {
+        val fold = (1 until 5).foldLeft("hs[i]")((acc, k) =>
+          s"(($acc) * 31 + hs[i+$k]) % 1000000007")
+        s"""w$sfx AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+           |       FROM documents WHERE $pred),
+           |wh$sfx AS (SELECT doc_id,
+           |    list_transform(ws, w -> ${wordHashSql("w")}) AS hs FROM w$sfx),
+           |shk$sfx AS (SELECT DISTINCT doc_id, $fold AS k
+           |  FROM (SELECT doc_id, hs,
+           |          unnest(generate_series(1, len(hs) - 4)) AS i
+           |        FROM wh$sfx WHERE len(hs) >= 5))""".stripMargin
+      }
+      s"""WITH ${chain("doc_id % 50 <> 0", "c")},
+         |${chain("doc_id % 50 = 0", "b")},
+         |bk AS (SELECT DISTINCT k FROM shkb),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |        FROM shkc GROUP BY 1),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM shkc JOIN bk USING (k) GROUP BY 1)
+         |SELECT doc_id, n_shingles,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN coalesce(n_hit, 0) >= 1 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS contaminated
+         |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
+    },
 
     "q66_tfidf_topterms" ->
       s"""WITH toks AS (SELECT doc_id,

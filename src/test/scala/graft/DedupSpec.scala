@@ -30,6 +30,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("contaminationCensus flags planted benchmark overlap") {
+    // corpus doc 10 CONTAINS benchmark doc 100's 5-gram verbatim
+    // (planted leak); doc 11 shares no 5-gram with any benchmark doc;
+    // doc 12 is too short to carry a 5-gram (absent from the census)
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"),
+      (11L, "one two three four five six"),
+      (12L, "too short here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationCensus(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 10: 3 shingles (7 words), exactly 1 hits the benchmark
+    assert(got(10L) == ((3L, 1L, 1L)))
+    // doc 11: 2 shingles, clean — present with contaminated = 0
+    assert(got(11L) == ((2L, 0L, 0L)))
+    assert(!got.contains(12L)) // no shingle ⇒ no verdict
+    assert(got.size == 2)
+  }
+
   test("minhash LSH candidates include true near-dup pairs") {
     val cands = Dedup.lshCandidates(
       Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
