@@ -622,6 +622,13 @@ object Graph {
     * so the loop takes max(fwd, bwd) convergence rounds instead of
     * their sum and half the per-round scheduling. Returns
     * (v, f = dir-0 min, b = dir-1 min). */
+  // debug-only wall clock for the sccDebug traces (no effect otherwise)
+  private val sccT0 = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sccMs: Long = {
+    sccT0.compareAndSet(0L, System.nanoTime())
+    (System.nanoTime() - sccT0.get()) / 1000000L
+  }
+
   private def minReachBoth(verts: DataFrame, edges: DataFrame,
                            maxIter: Int): DataFrame = {
     val e2 = edges.select(col("s"), col("d"), lit(0).as("dir"))
@@ -634,33 +641,42 @@ object Graph {
         .withColumn("m", col("v")).withColumn("changed", lit(false)))
     var moved = 1L
     var i = 0
-    while (moved > 0 && i < maxIter) {
-      val lbl = lblCp.drop("changed")
-      // SHORTCUTTING (pointer jumping on the label relation): the
-      // current label m(v) is by invariant a vertex that reaches v
-      // (dir-adjusted), and reachability is transitive, so (m → v) is
-      // a valid propagation edge — each round then relays minima over
-      // doubling distances and the fixpoint arrives in O(log diameter)
-      // rounds instead of O(diameter) (the Hash-Min-with-shortcuts
-      // trick from the CC literature, valid here for the same
-      // transitivity reason). The original edges stay in the union, so
-      // the fixpoint itself is unchanged.
-      val lblEdges = lbl.filter(col("m") =!= col("v"))
+    // SHORTCUTTING (pointer jumping on the label relation): the
+    // current label m(v) is by invariant a vertex that reaches v
+    // (dir-adjusted), and reachability is transitive, so (m → v) is
+    // a valid propagation edge — each step then relays minima over
+    // doubling distances and the fixpoint arrives in O(log diameter)
+    // steps instead of O(diameter) (the Hash-Min-with-shortcuts
+    // trick from the CC literature, valid here for the same
+    // transitivity reason). The original edges stay in the union, so
+    // the fixpoint itself is unchanged.
+    def step(l: DataFrame): DataFrame = {
+      val lblEdges = l.filter(col("m") =!= col("v"))
         .select(col("m").as("s"), col("v").as("d"), col("dir"))
-      val prop = e2.union(lblEdges).alias("ee").join(lbl.alias("ll"),
+      val prop = e2.union(lblEdges).alias("ee").join(l.alias("ll"),
           col("ee.s") === col("ll.v") && col("ee.dir") === col("ll.dir"))
         .groupBy(col("ee.d").as("v"), col("ee.dir").as("dir"))
         .agg(min(col("ll.m")).as("pm"))
+      l.alias("lb").join(prop.alias("pp"),
+          col("lb.v") === col("pp.v") && col("lb.dir") === col("pp.dir"),
+          "left")
+        .select(col("lb.v").as("v"), col("lb.dir").as("dir"),
+          least(col("lb.m"), coalesce(col("pm"), col("lb.m"))).as("m"),
+          col("lb.m0").as("m0"))
+    }
+    // TWO steps per checkpointed round: the checkpoint + count fixed
+    // cost (the dominant per-round cost of a Spark fixpoint) is paid
+    // once per two propagation steps; `m0` carries the round-start
+    // label so `changed` is still exact.
+    while (moved > 0 && i < maxIter) {
+      val l0 = lblCp.drop("changed").withColumn("m0", col("m"))
+      val l2 = step(step(l0))
       val nxt = Checkpoints.checkpointAlways(
-        lbl.alias("lb").join(prop.alias("pp"),
-            col("lb.v") === col("pp.v") && col("lb.dir") === col("pp.dir"),
-            "left")
-          .select(col("lb.v").as("v"), col("lb.dir").as("dir"),
-            least(col("lb.m"), coalesce(col("pm"), col("lb.m"))).as("m"),
-            (coalesce(col("pm"), col("lb.m")) < col("lb.m")).as("changed")))
+        l2.select(col("v"), col("dir"), col("m"),
+          (col("m") < col("m0")).as("changed")))
       moved = nxt.filter(col("changed")).count()
       if (java.lang.Boolean.getBoolean("graft.sccDebug"))
-        System.err.println(s"[scc]   reach round=$i moved=$moved")
+        System.err.println(s"[scc +${sccMs}ms]   reach round=$i moved=$moved")
       Checkpoints.release(lblCp)
       lblCp = nxt
       i += 1
@@ -722,27 +738,134 @@ object Graph {
     * Returns (v, scc_id = min vertex id in the SCC). */
   def stronglyConnectedComponents(edges: DataFrame, src: String = "src",
                                   dst: String = "dst", maxOuter: Int = 50,
-                                  maxInner: Int = 100): DataFrame = {
-    var active = Checkpoints.checkpointAlways(
-      edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
-        .filter(col("s") =!= col("d")).distinct())
-    var verts = Checkpoints.checkpointAlways(
-      edges.select(col(src).cast("long").as("v"))
-        .union(edges.select(col(dst).cast("long").as("v"))).distinct())
-    // settled (v, scc_id) accumulator — unioned per round, checkpointed
-    // so the final result's lineage doesn't chain every round's plan
-    var done: DataFrame = null
-    def settle(batch: DataFrame): Unit = {
-      // stripConstraints: the checkpointed batches carry inferred
-      // constraints mentioning projected-away attributes, which crash
-      // Union.rewriteConstraints (see PlanBridge.stripConstraints)
-      val clean = org.apache.spark.sql.graftshim.PlanBridge
-        .stripConstraints(batch)
-      val next = Checkpoints.checkpointAlways(
-        if (done == null) clean else done.union(clean))
-      if (done != null) Checkpoints.release(done)
-      done = next
+                                  maxInner: Int = 100): DataFrame =
+    stronglyConnectedComponents(edges, src, dst, maxOuter, maxInner,
+      pivotFastPath = true)
+
+  /** [[pivotScc]] — the GIANT-SCC fast path of
+    * [[stronglyConnectedComponents]] (the classic FW-BW first step,
+    * Fleischer-Hendrickson-Pinar 2000): one forward + one backward
+    * frontier BFS from a single pivot, both directions in ONE tagged
+    * frontier (state keyed by (v, dir)), intersected into the pivot's
+    * SCC. On scale-free graphs a max-degree pivot lands in the giant
+    * bow-tie core with overwhelming probability, so two bounded
+    * frontier sweeps — each round a frontier-sized join, no
+    * groupBy-min over the full label state and no label-edge union —
+    * replace the first (most expensive) whole-graph coloring round.
+    * Frontiers shrink as the wave passes; every shuffle is keyed by
+    * (v, dir) and AQE right-sizes the tiny late rounds.
+    *
+    * Returns the member vertices of the pivot's SCC (column v; always
+    * contains the pivot itself). */
+  private def pivotScc(pivot: Long, edges: DataFrame,
+                       maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = edges.select(col("s"), col("d"), lit(0).as("dir"))
+      .union(edges.select(col("d").as("s"), col("s").as("d"),
+        lit(1).as("dir")))
+    var reached = Checkpoints.checkpointAlways(
+      Seq((pivot, 0), (pivot, 1)).toDF("v", "dir"))
+    var frontier = reached
+    var n = 1L
+    var i = 0
+    // MULTI-HOP rounds: each checkpointed round advances the wave
+    // `Hops` hops inside ONE plan (hop → distinct → anti-join reached,
+    // chained), so the job/checkpoint/count fixed cost is paid once
+    // per Hops hops instead of per hop — the wave is diameter-bound,
+    // and per-round scheduling is the dominant cost of a Spark
+    // fixpoint at any scale. The anti-join uses the round-start
+    // `reached` for every hop (a vertex first seen at hop j can be
+    // re-expanded at hop k > j within the round); the closing distinct
+    // dedupes, so the only cost is bounded intra-round re-expansion —
+    // the standard batched-frontier trade.
+    val Hops = 5
+    var lastHop = Hops.toLong
+    while (n > 0 && lastHop == Hops && i < maxIter) {
+      var cur = frontier
+      var acc: DataFrame = null
+      for (h <- 1 to Hops) {
+        cur = cur.alias("f").join(e2.alias("e"),
+            col("f.v") === col("e.s") && col("f.dir") === col("e.dir"))
+          .select(col("e.d").as("v"), col("e.dir").as("dir")).distinct()
+          .join(reached, Seq("v", "dir"), "left_anti")
+        val tagged = cur.withColumn("hop", lit(h.toLong))
+        acc = if (acc == null) tagged else acc.union(tagged)
+      }
+      // keep each vertex's FIRST hop: max(hop) then tells whether the
+      // wave was still alive at the round's last hop — if it died
+      // earlier, the fixpoint is already reached and the usual
+      // confirm round (an entire extra multi-hop job) is skipped
+      val nf = Checkpoints.checkpointAlways(
+        acc.groupBy(col("v"), col("dir")).agg(min(col("hop")).as("hop")))
+      // cheap: nf is already materialized by the checkpoint
+      val stats = nf.agg(count(lit(1)), coalesce(max(col("hop")), lit(0L))).head
+      n = stats.getLong(0)
+      lastHop = stats.getLong(1)
+      if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+        System.err.println(
+          s"[scc +${sccMs}ms]   pivot bfs round=$i new=$n lastHop=$lastHop")
+      if (n > 0) {
+        // stripConstraints: the checkpoints carry inferred constraints
+        // over projected-away attributes that crash
+        // Union.rewriteConstraints (see PlanBridge.stripConstraints)
+        val strip = org.apache.spark.sql.graftshim.PlanBridge.stripConstraints _
+        val nr = Checkpoints.checkpointAlways(
+          strip(reached).union(strip(nf).select(col("v"), col("dir"))))
+        if (frontier ne reached) Checkpoints.release(frontier)
+        Checkpoints.release(reached)
+        reached = nr
+        frontier = nf
+      } else {
+        Checkpoints.release(nf)
+        if (frontier ne reached) Checkpoints.release(frontier)
+        frontier = reached
+      }
+      i += 1
     }
+    if (frontier ne reached) Checkpoints.release(frontier)
+    require(n == 0 || lastHop < Hops,
+      s"pivot reachability BFS did not converge in $maxIter rounds " +
+        "— raise maxInner")
+    // in the SCC ⟺ reached in BOTH directions (ancestor AND descendant)
+    val core = Checkpoints.checkpointAlways(
+      reached.groupBy(col("v")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") === 2).select(col("v")))
+    Checkpoints.release(reached)
+    core
+  }
+
+  private def stronglyConnectedComponents(edges: DataFrame, src: String,
+                                          dst: String, maxOuter: Int,
+                                          maxInner: Int,
+                                          pivotFastPath: Boolean): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+      System.err.println(s"[scc +${sccMs}ms] enter")
+    // checkpoint the RAW edge projection once: `active` and `verts`
+    // both derive from it, and the input subtree (e.g. a window over
+    // the co-ship spine) must not execute twice
+    val rawE = Checkpoints.checkpointAlways(
+      edges.select(col(src).cast("long").as("s"),
+        col(dst).cast("long").as("d")))
+    var active = Checkpoints.checkpointAlways(
+      rawE.filter(col("s") =!= col("d")).distinct())
+    var verts = Checkpoints.checkpointAlways(
+      rawE.select(col("s").as("v"))
+        .union(rawE.select(col("d").as("v"))).distinct())
+    Checkpoints.release(rawE)
+    // settled (v, scc_id) accumulator — each batch is ALREADY a bare
+    // checkpoint, so the result is a lazy union over materialized
+    // blocks (bounded by maxOuter batches): no per-round re-checkpoint
+    // of the growing union, no lineage chaining. The batches stay
+    // alive as the result's inputs; the harness releaseAll reclaims
+    // them once the consumer's action completes.
+    // stripConstraints: the checkpointed batches carry inferred
+    // constraints mentioning projected-away attributes, which crash
+    // Union.rewriteConstraints (see PlanBridge.stripConstraints)
+    val batches = scala.collection.mutable.ListBuffer[DataFrame]()
+    def settle(batch: DataFrame): Unit =
+      batches += org.apache.spark.sql.graftshim.PlanBridge
+        .stripConstraints(batch)
     def removeSettled(settled: DataFrame): Unit = {
       val nv = Checkpoints.checkpointAlways(
         verts.join(settled.select(col("v")), Seq("v"), "left_anti"))
@@ -754,7 +877,16 @@ object Graph {
     }
     var outer = 0
     var nActive = verts.count()
+    if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+      System.err.println(s"[scc +${sccMs}ms] init nActive=$nActive")
     while (nActive > 0 && outer < maxOuter) {
+      // The giant-SCC fast path runs INSTEAD of the first trim+color
+      // round: the pivot sweeps don't need a trimmed graph (satellites
+      // just never enter the core), and the single trim that follows
+      // core removal peels the original DAG tails AND the newly
+      // exposed core-adjacent satellites in one phase — one trim
+      // fixpoint instead of two.
+      val pivotRound = pivotFastPath && outer == 0
       // 1. TRIM to fixpoint: no-in or no-out vertices lie on no cycle.
       // The peel iterates on the EDGE relation alone (one checkpoint +
       // one carried count per iteration); every vertex dropped along
@@ -764,7 +896,7 @@ object Graph {
       var eCount = -1L
       var prevCount = -2L
       var t = 0
-      while (eCount != prevCount && t < maxInner) {
+      while (!pivotRound && eCount != prevCount && t < maxInner) {
         val hasIn = active.select(col("d").as("v")).distinct()
         val hasOut = active.select(col("s").as("v")).distinct()
         val ok = hasIn.join(hasOut, Seq("v")) // in AND out degree ≥ 1
@@ -776,28 +908,56 @@ object Graph {
         Checkpoints.release(active)
         active = nxtE
         if (java.lang.Boolean.getBoolean("graft.sccDebug"))
-          System.err.println(s"[scc] outer=$outer trim=$t edges=$eCount")
+          System.err.println(s"[scc +${sccMs}ms] outer=$outer trim=$t edges=$eCount")
         t += 1
       }
       // alive after the peel = vertices with both directions in the
       // surviving edge set; everything else is a singleton SCC
-      val aliveV = Checkpoints.checkpointAlways(
-        active.select(col("d").as("v")).distinct()
-          .join(active.select(col("s").as("v")).distinct(), Seq("v")))
-      val dead = Checkpoints.checkpointAlways(
-        verts.join(aliveV, Seq("v"), "left_anti")
-          .select(col("v"), col("v").as("scc_id")))
-      val trimmed = dead.count()
-      if (trimmed > 0) {
-        settle(dead)
-        Checkpoints.release(verts)
-        verts = aliveV
-        nActive -= trimmed
-      } else Checkpoints.release(aliveV)
-      Checkpoints.release(dead)
-      if (java.lang.Boolean.getBoolean("graft.sccDebug"))
-        System.err.println(s"[scc] outer=$outer trimmed=$trimmed nActive=$nActive")
-      if (nActive > 0) {
+      if (!pivotRound) {
+        val aliveV = Checkpoints.checkpointAlways(
+          active.select(col("d").as("v")).distinct()
+            .join(active.select(col("s").as("v")).distinct(), Seq("v")))
+        val dead = Checkpoints.checkpointAlways(
+          verts.join(aliveV, Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("scc_id")))
+        val trimmed = dead.count()
+        if (trimmed > 0) {
+          settle(dead) // dead stays alive as a result batch
+          Checkpoints.release(verts)
+          verts = aliveV
+          nActive -= trimmed
+        } else { Checkpoints.release(aliveV); Checkpoints.release(dead) }
+        if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+          System.err.println(s"[scc +${sccMs}ms] outer=$outer trimmed=$trimmed nActive=$nActive")
+      }
+      if (nActive > 0 && pivotRound) {
+        // GIANT-SCC FAST PATH (first round only): two tagged frontier
+        // sweeps from the max-degree pivot extract the bow-tie core,
+        // so the first — and by far the largest — whole-graph coloring
+        // never runs; the general FW-BW coloring below then only sees
+        // the satellites the next round's trim didn't already peel.
+        // The argmax row and the (min, count) of the core are bounded
+        // 1-row collects (the repo's scalar-argmax convention).
+        val pivotRow = active
+          .select(col("s").as("v")).union(active.select(col("d").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("v")).limit(1).collect()
+        val pivot = pivotRow(0).getLong(0)
+        if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+          System.err.println(s"[scc +${sccMs}ms] argmax pivot=$pivot")
+        val core = pivotScc(pivot, active, maxInner)
+        val mc = core.agg(min(col("v")), count(lit(1))).head
+        val (coreMin, coreN) = (mc.getLong(0), mc.getLong(1))
+        if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+          System.err.println(
+            s"[scc +${sccMs}ms] outer=$outer pivot=$pivot core=$coreN min=$coreMin")
+        val settled = Checkpoints.checkpointAlways(
+          core.select(col("v"), lit(coreMin).as("scc_id")))
+        Checkpoints.release(core)
+        settle(settled) // stays alive as a result batch
+        removeSettled(settled)
+        nActive -= coreN
+      } else if (nActive > 0) {
         // 2. color both directions; 3. settle the f = b pivot SCCs
         val fb = minReachBoth(verts, active, maxInner)
         val settled = Checkpoints.checkpointAlways(
@@ -805,22 +965,24 @@ object Graph {
             .select(col("v"), col("f").as("scc_id")))
         val nSettled = settled.count()
         if (java.lang.Boolean.getBoolean("graft.sccDebug"))
-          System.err.println(s"[scc] outer=$outer colored settled=$nSettled nActive=$nActive")
+          System.err.println(s"[scc +${sccMs}ms] outer=$outer colored settled=$nSettled nActive=$nActive")
         Checkpoints.release(fb)
         // ≥ 1 SCC settles per weak component per round (the min-vertex
         // one), so nSettled = 0 only on an empty active set
-        settle(settled)
+        settle(settled) // stays alive as a result batch
         removeSettled(settled)
         nActive -= nSettled
-        Checkpoints.release(settled)
       }
       outer += 1
     }
     require(nActive == 0,
       s"SCC coloring did not converge in $maxOuter outer rounds " +
         s"($nActive vertices unsettled) — raise maxOuter")
+    if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+      System.err.println(s"[scc +${sccMs}ms] return")
     // empty edge list → nothing ever settled; keep the (v, scc_id) shape
-    if (done == null) verts.select(col("v"), col("v").as("scc_id")) else done
+    if (batches.isEmpty) verts.select(col("v"), col("v").as("scc_id"))
+    else batches.reduce(_ union _)
   }
 
   /** Triangle enumeration by degree-ordered orientation (Cohen,

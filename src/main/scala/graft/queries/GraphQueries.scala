@@ -105,6 +105,9 @@ object GraphQueries {
     strongCache.keys.filter(_._1 == s).foreach { k =>
       strongCache.remove(k).foreach(graft.Checkpoints.release)
     }
+    knnDirCache.keys.filter(_._1 == s).foreach { k =>
+      knnDirCache.remove(k).foreach(graft.Checkpoints.release)
+    }
     viewMats.keys.filter(_._1 == s).foreach { k =>
       viewMats.remove(k).foreach(_.foreach(graft.Checkpoints.release))
     }
@@ -200,16 +203,32 @@ object GraphQueries {
     * its `KnnK` strongest partners. Unreciprocated picks stay one-way,
     * so the digraph is cyclic in the wild (mutual picks are 2-cycles,
     * pick-chains close longer ones) — the q187 SCC substrate. */
+  private val knnDirCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def knnDirected(s: SparkSession, d: String): DataFrame = {
-    val e = coShip(s, d)
-    val sym = e.select(col("a").as("s"), col("b").as("nbr"), col("weight"))
-      .unionByName(e.select(col("b").as("s"), col("a").as("nbr"),
-        col("weight")))
-    val byStrength = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s")).orderBy(col("weight").desc, col("nbr"))
-    sym.withColumn("rn", row_number().over(byStrength))
-      .filter(col("rn") <= KnnK)
-      .select(col("s").as("src"), col("nbr").as("dst"))
+    // PINNED like [[strongEdges]]/[[pairYears]]: a dozen queries
+    // (q83/q84/q147/q165/q187/q188, triangles, common-neighbors, …)
+    // consume the k-NN selection, and each un-cached call would re-run
+    // the co-ship groupBy AND the per-vertex top-k window — the two
+    // most expensive steps of the whole graph substrate. One bench
+    // pass builds it once; every later consumer reads the pinned
+    // 2·KnnK-per-vertex edge list.
+    knnDirCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    knnDirCache.getOrElseUpdate((s, d), {
+      knnDirCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        knnDirCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      val e = coShip(s, d)
+      val sym = e.select(col("a").as("s"), col("b").as("nbr"), col("weight"))
+        .unionByName(e.select(col("b").as("s"), col("a").as("nbr"),
+          col("weight")))
+      val byStrength = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("weight").desc, col("nbr"))
+      graft.Checkpoints.checkpointPinned(
+        sym.withColumn("rn", row_number().over(byStrength))
+          .filter(col("rn") <= KnnK)
+          .select(col("s").as("src"), col("nbr").as("dst")))
+    })
   }
 
   private def knnEdges(s: SparkSession, d: String): DataFrame =
