@@ -134,6 +134,60 @@ object SimQueries {
         queriesSubset(s, d), "vec_id", "embedding", 5)
     },
 
+    // Retrieval-quality EVAL, recall@k: the similarity family GENERATES
+    // top-k lists (q28/q29/q51/q119/q125/q127); this GRADES one — per
+    // query, how many of the exact brute-force top-5 the q51 IVF run
+    // (cells=16, nprobe=4) actually retrieved. All-integer verdict
+    // (n_hit of n_exact), so the measured recall itself hash-matches
+    // the oracle's replay (literal-centroid ANN ∩ exact ranking). At
+    // scale this is exactly how ANN recall is audited: a SAMPLED query
+    // set (the % 20 subset) gets the exact ranking — corpus × sample,
+    // not corpus² — and the serving index is graded against it.
+    "q196_ann_recall_at_k" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = queriesSubset(s, d)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      val ann = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      exact.select(col("q_id"), col("n_id"))
+        .join(ann.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+    },
+
+    // Retrieval-quality EVAL, NDCG@k — position-aware grading of the
+    // same IVF run: gain of a retrieved neighbor = its graded exact
+    // relevance (6 − exact_rank ∈ 5..1, 0 if outside the exact top-5),
+    // discounted by retrieval position. Discounts are the HARMONIC
+    // 1/rank family scaled by lcm(1..5) = 60 (the q161 exact-integer
+    // discipline — the discount function in Järvelin & Kekäläinen's
+    // DCG is a free parameter; the usual 1/log2(rank+1) is irrational
+    // and could never hash-match across engines). Emitted as the
+    // integer pair (dcg_x60, idcg_x60); NDCG = their one division,
+    // left to the reader. dcg = idcg ⟺ the ANN list equals the exact
+    // list in order — SimilaritySpec pins the full-probe case to
+    // exactly that.
+    "q197_ann_ndcg_at_k" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = queriesSubset(s, d)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      val ann = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      val w = call_function("div", lit(60L), col("rn")) // exact: rn | 60
+      val idcg = exact
+        .select(col("q_id"), ((lit(6L) - col("rn")) * w).as("g"))
+        .groupBy(col("q_id")).agg(sum(col("g")).as("idcg_x60"))
+      val rel = exact.select(col("q_id"), col("n_id"),
+        (lit(6L) - col("rn")).as("rel"))
+      val dcg = ann.select(col("q_id"), col("n_id"), w.as("w"))
+        .join(rel, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("rel"), lit(0L)) * col("w")).as("dcg"))
+      idcg.join(dcg, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("dcg"), lit(0L)).as("dcg_x60"),
+          col("idcg_x60"))
+    },
+
     // Product-quantization ANN (m=8 subspaces × 64 codewords = 48-bit
     // codes vs 64 floats): ADC lookup-table scan over the compressed
     // corpus, exact-IP re-rank of the 50-deep shortlist — the
@@ -346,8 +400,10 @@ object SimQueries {
     // q51 = ivfTopK(topK=5, cells=16, nprobe=4, lloydIters=2)
     val c51 = Similarity.collectedCentroids(emb, "vec_id", "embedding",
       cells = 16, lloydIters = 2)
-    val q51 =
-      s"""WITH ${ivfSimSql(c51)},
+    // the q51 ANN ranking as a reusable CTE chain (`annr`): q51 selects
+    // it directly; q196/q197 grade it against the exact ranking `exr`
+    val annCtes =
+      s"""${ivfSimSql(c51)},
          |idx AS (SELECT n_id, cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY n_id
          |      ORDER BY sim DESC, cell) AS arn FROM sim)
@@ -362,11 +418,45 @@ object SimQueries {
          |scored AS (SELECT q_id, n_id,
          |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cos
          |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
-         |            JOIN e ec ON cand.n_id = ec.vec_id)
-         |SELECT q_id, n_id, cos, rn FROM (
+         |            JOIN e ec ON cand.n_id = ec.vec_id),
+         |annr AS (SELECT q_id, n_id, cos, rn FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM scored)
-         |WHERE rn <= 5""".stripMargin
+         |WHERE rn <= 5)""".stripMargin
+    // the q28 exact ranking, rebuilt on the shared `e` CTE
+    val exrCte =
+      """exr AS (SELECT q_id, n_id, rn FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+        |               c.vec_id) AS BIGINT) AS rn
+        |  FROM e q JOIN e c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id)
+        |WHERE rn <= 5)""".stripMargin
+    val q51 = s"WITH $annCtes\nSELECT q_id, n_id, cos, rn FROM annr"
+    val q196 =
+      s"""WITH $annCtes,
+         |$exrCte
+         |SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(CASE WHEN a.n_id IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+         |FROM exr x LEFT JOIN annr a
+         |  ON x.q_id = a.q_id AND x.n_id = a.n_id
+         |GROUP BY 1""".stripMargin
+    val q197 =
+      s"""WITH $annCtes,
+         |$exrCte,
+         |idcg AS (SELECT q_id,
+         |    CAST(sum((6 - rn) * (60 // rn)) AS BIGINT) AS idcg_x60
+         |  FROM exr GROUP BY 1),
+         |dcg AS (SELECT a.q_id,
+         |    CAST(sum(coalesce(6 - x.rn, 0) * (60 // a.rn)) AS BIGINT)
+         |      AS dcg_x60
+         |  FROM annr a LEFT JOIN exr x
+         |    ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |  GROUP BY 1)
+         |SELECT i.q_id, CAST(coalesce(d.dcg_x60, 0) AS BIGINT) AS dcg_x60,
+         |  i.idcg_x60
+         |FROM idcg i LEFT JOIN dcg d ON i.q_id = d.q_id""".stripMargin
     // q72 = cosinePairsIvf(minCos=0.4, targetCellSize=256, nprobe=2,
     // lloydIters=2) — cells are data-adaptive; past 64 cells the engine
     // switches to two-level assignment, which this replay does not
@@ -439,6 +529,7 @@ object SimQueries {
     val books = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 64, lloydIters = 2)
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
+      "q196_ann_recall_at_k" -> q196, "q197_ann_ndcg_at_k" -> q197,
       "q178_ivf_quality" -> q178,
       "q125_ann_pq_topk" -> pqOracle(books),
       "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books)) ++ q72map

@@ -53,6 +53,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(indexed == inflight)
   }
 
+  test("recall@k and NDCG@k grade the IVF run correctly (q196/q197)") {
+    val recall = graft.queries.SimQueries.defs("q196_ann_recall_at_k")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(recall.nonEmpty)
+    // n_hit ∈ [0, n_exact]; the aggregate recall matches the raw sets
+    recall.foreach { case (q, nExact, nHit) =>
+      assert(nHit >= 0 && nHit <= nExact, s"q=$q hit=$nHit of $nExact")
+    }
+    val ivf = topSet(
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5))
+    assert(recall.map(_._3).sum == (ivf & exact).size)
+    val ndcg = graft.queries.SimQueries.defs("q197_ann_ndcg_at_k")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(ndcg.length == recall.length)
+    // dcg ≤ idcg always; idcg for a full 5-list is Σ (6−i)·(60/i) = 522
+    ndcg.foreach { case (q, dcg, idcg) =>
+      assert(dcg >= 0 && dcg <= idcg, s"q=$q dcg=$dcg idcg=$idcg")
+      assert(idcg == 522L, s"q=$q idcg=$idcg")
+    }
+    // a query whose ANN list equals its exact list scores a perfect
+    // NDCG: with nprobe = cells the IVF run IS exact (pinned above),
+    // so every query must hit dcg == idcg
+    val perfect = {
+      val ex = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        5, cells = 8, nprobe = 8)
+      val w = call_function("div", lit(60L), col("rn"))
+      val rel = ex.select(col("q_id"), col("n_id"),
+        (lit(6L) - col("rn")).as("rel"))
+      full.select(col("q_id"), col("n_id"), w.as("w"))
+        .join(rel, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("rel"), lit(0L)) * col("w")).as("dcg"))
+        .as[(Long, Long)].collect()
+    }
+    assert(perfect.nonEmpty && perfect.forall(_._2 == 522L))
+  }
+
   test("sign-LSH ANN recall is monotone in the probe count (0/2/4)") {
     def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
     val r = Seq(0, 2, 4).map { p =>
