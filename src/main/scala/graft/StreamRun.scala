@@ -85,6 +85,60 @@ object StreamRun {
     srcDir.toString
   }
 
+  /** INCREMENTAL near-dup ADMISSION as a stream — the q192 production
+    * path run end-to-end: the increment corpus arrives as file drops,
+    * each micro-batch is signed and banded against the PERSISTED
+    * minhash band index (built once from the corpus — the serve side
+    * never rescans corpus text), and the per-doc admission verdicts
+    * are append-written to the sink. Admission is per-document against
+    * the static corpus index, so the accumulated sink state must equal
+    * the one-shot batch verdicts of q192 EXACTLY, regardless of how
+    * the increment was micro-batched. Returns (mismatches, rows). */
+  def runAdmission(spark: SparkSession, sfDir: String,
+                   workDir: String): (Long, Long) = {
+    import graft.operators.Dedup
+    val idxDir = s"$workDir/minhash_index"
+    Dedup.buildMinhashIndex(
+      Tables.documents(spark, sfDir), "doc_id", "text", idxDir)
+    // stage the q192 increment as 4 id-ordered file drops
+    val inc = graft.queries.TextQueries.incrementBatch(spark, sfDir)
+    val srcDir = Paths.get(workDir, "doc_drops")
+    Files.createDirectories(srcDir)
+    val n = inc.count()
+    val withIdx = inc.withColumn("_rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    val numDrops = 4
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      stageDropFile(withIdx.filter(col("_rn").between(lo, hi)).drop("_rn"),
+        srcDir, f"drop_$i%02d")
+    }
+    val outA = s"$workDir/sink_admission"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val qA = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_admission")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        Dedup.incrementalNearDup(spark, idxDir, df, "doc_id", "text")
+          .write.mode("append").parquet(outA)
+        Checkpoints.releaseAll(spark) // drop the batch's signature blocks
+      }.start()
+    try qA.processAllAvailable() finally qA.stop()
+    val streamed = spark.read.parquet(outA)
+    val batch = Dedup.incrementalNearDup(spark, idxDir, inc,
+      "doc_id", "text")
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -170,10 +224,12 @@ object StreamRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (tBad, cBad, tRows, cRows) = run(spark, sfDir, workDir)
+    val (aBad, aRows) = runAdmission(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
-      s"tumbling_windows=$tRows coedge_groups=$cRows sf=$sfDir")
+      s"admission=${verdict(aBad)} tumbling_windows=$tRows " +
+      s"coedge_groups=$cRows admission_docs=$aRows sf=$sfDir")
     spark.stop()
-    if (tBad + cBad > 0) sys.exit(1)
+    if (tBad + cBad + aBad > 0) sys.exit(1)
   }
 }

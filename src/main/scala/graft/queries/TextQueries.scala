@@ -35,7 +35,7 @@ object TextQueries {
     * offset by 10^6 and its text either kept verbatim (exact copy,
     * 1/14), reversed (novel, 1/21), or with its last word dropped
     * (near-dup, the rest) — the CASE order matches the oracle. */
-  private def incrementBatch(s: SparkSession, d: String): DataFrame = {
+  private[graft] def incrementBatch(s: SparkSession, d: String): DataFrame = {
     val ws = TextFns.words(TextFns.norm(col("text")))
     Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),

@@ -16,4 +16,12 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(tBad == 0, s"$tBad tumbling windows diverge from batch twin")
     assert(cBad == 0, s"$cBad co-edge groups diverge from batch twin")
   }
+
+  test("streamed incremental near-dup admission matches q192's batch verdicts") {
+    val work = java.nio.file.Files.createTempDirectory("stream_adm").toString
+    val (aBad, aRows) =
+      StreamRun.runAdmission(spark, "/root/testdata/sf0.001", work)
+    assert(aRows > 0)
+    assert(aBad == 0, s"$aBad admission verdicts diverge from the q192 batch")
+  }
 }
