@@ -50,6 +50,23 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
         s"stale in dynamicKeys: ${Verify.dynamicKeys.toSet -- emitted}")
   }
 
+  test("AUDIT.json covers exactly the declared query surface") {
+    // The r11 wart: q194 landed after the audit regen, so AUDIT.json
+    // shipped 193/194 plans. Pin the committed audit's key set to the
+    // live query map so a late-added query can never miss the plan
+    // audit again. Cheap textual extraction (no JSON lib on the test
+    // classpath): every query name appears as a quoted key of the
+    // "queries" object.
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("AUDIT.json")), "UTF-8")
+    val audited = "\"(q\\d+_[A-Za-z0-9_]+)\"".r
+      .findAllMatchIn(audit).map(_.group(1)).toSet
+    val declared = SparkEntry.queries.keySet
+    assert(audited == declared,
+      s"missing from AUDIT.json: ${declared -- audited}; " +
+        s"stale in AUDIT.json: ${audited -- declared}")
+  }
+
   test("compact bench line fits the driver tail at 250 queries") {
     // The driver keeps the last 2000 bytes of sbt stdout and the
     // [success] epilogue eats ~75; simulate a 250-query sweep with
