@@ -740,24 +740,29 @@ object Graph {
                                   dst: String = "dst", maxOuter: Int = 50,
                                   maxInner: Int = 100): DataFrame =
     stronglyConnectedComponents(edges, src, dst, maxOuter, maxInner,
-      pivotFastPath = true)
+      pivotFastPath = true, numPivots = 1)
 
   /** [[pivotScc]] — the GIANT-SCC fast path of
-    * [[stronglyConnectedComponents]] (the classic FW-BW first step,
-    * Fleischer-Hendrickson-Pinar 2000): one forward + one backward
-    * frontier BFS from a single pivot, both directions in ONE tagged
-    * frontier (state keyed by (v, dir)), intersected into the pivot's
-    * SCC. On scale-free graphs a max-degree pivot lands in the giant
-    * bow-tie core with overwhelming probability, so two bounded
-    * frontier sweeps — each round a frontier-sized join, no
-    * groupBy-min over the full label state and no label-edge union —
-    * replace the first (most expensive) whole-graph coloring round.
-    * Frontiers shrink as the wave passes; every shuffle is keyed by
-    * (v, dir) and AQE right-sizes the tiny late rounds.
+    * [[stronglyConnectedComponents]] (the parallel FW-BW first step,
+    * Fleischer-Hendrickson-Pinar 2000; multi-pivot per Slota-
+    * Rajamanickam-Madduri 2014): one forward + one backward frontier
+    * BFS from EACH of up to `NumPivots` max-degree pivots, all waves
+    * in ONE tagged frontier (state keyed by (p, v, dir)), each
+    * intersected into its pivot's SCC. On a scale-free graph a
+    * max-degree pivot lands in the giant bow-tie core with
+    * overwhelming probability, and on a MULTI-COMPONENT graph (a
+    * sharded corpus; the 10x disjoint-copy scale probe) the degree-
+    * ranked pivot set seeds several components at once — so the first
+    * (and by far the largest) whole-graph coloring round never runs,
+    * and the general FW-BW coloring only sees satellites. SCCs are
+    * equivalence classes, so per-pivot cores are pairwise identical
+    * (same SCC) or disjoint — the settle dedupes by (v, scc_id).
+    * Frontiers shrink as the waves pass; every shuffle is keyed by
+    * (p, v, dir) and AQE right-sizes the tiny late rounds.
     *
-    * Returns the member vertices of the pivot's SCC (column v; always
-    * contains the pivot itself). */
-  private def pivotScc(pivot: Long, edges: DataFrame,
+    * Returns the settled rows (v, scc_id = min member id) of every
+    * pivot's SCC (always contains the pivots themselves). */
+  private def pivotScc(pivots: Seq[Long], edges: DataFrame,
                        maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -765,14 +770,15 @@ object Graph {
       .union(edges.select(col("d").as("s"), col("s").as("d"),
         lit(1).as("dir")))
     var reached = Checkpoints.checkpointAlways(
-      Seq((pivot, 0), (pivot, 1)).toDF("v", "dir"))
+      pivots.flatMap(p => Seq((p, p, 0), (p, p, 1)))
+        .toDF("p", "v", "dir"))
     var frontier = reached
     var n = 1L
     var i = 0
-    // MULTI-HOP rounds: each checkpointed round advances the wave
-    // `Hops` hops inside ONE plan (hop → distinct → anti-join reached,
+    // MULTI-HOP rounds: each checkpointed round advances every wave
+    // `Hops` hops inside ONE plan (hop -> distinct -> anti-join reached,
     // chained), so the job/checkpoint/count fixed cost is paid once
-    // per Hops hops instead of per hop — the wave is diameter-bound,
+    // per Hops hops instead of per hop — the waves are diameter-bound,
     // and per-round scheduling is the dominant cost of a Spark
     // fixpoint at any scale. The anti-join uses the round-start
     // `reached` for every hop (a vertex first seen at hop j can be
@@ -787,17 +793,19 @@ object Graph {
       for (h <- 1 to Hops) {
         cur = cur.alias("f").join(e2.alias("e"),
             col("f.v") === col("e.s") && col("f.dir") === col("e.dir"))
-          .select(col("e.d").as("v"), col("e.dir").as("dir")).distinct()
-          .join(reached, Seq("v", "dir"), "left_anti")
+          .select(col("f.p").as("p"), col("e.d").as("v"),
+            col("e.dir").as("dir")).distinct()
+          .join(reached, Seq("p", "v", "dir"), "left_anti")
         val tagged = cur.withColumn("hop", lit(h.toLong))
         acc = if (acc == null) tagged else acc.union(tagged)
       }
-      // keep each vertex's FIRST hop: max(hop) then tells whether the
-      // wave was still alive at the round's last hop — if it died
-      // earlier, the fixpoint is already reached and the usual
-      // confirm round (an entire extra multi-hop job) is skipped
+      // keep each (pivot, vertex)'s FIRST hop: max(hop) then tells
+      // whether ANY wave was still alive at the round's last hop — if
+      // all died earlier, the fixpoint is already reached and the
+      // usual confirm round (an entire extra multi-hop job) is skipped
       val nf = Checkpoints.checkpointAlways(
-        acc.groupBy(col("v"), col("dir")).agg(min(col("hop")).as("hop")))
+        acc.groupBy(col("p"), col("v"), col("dir"))
+          .agg(min(col("hop")).as("hop")))
       // cheap: nf is already materialized by the checkpoint
       val stats = nf.agg(count(lit(1)), coalesce(max(col("hop")), lit(0L))).head
       n = stats.getLong(0)
@@ -811,7 +819,8 @@ object Graph {
         // Union.rewriteConstraints (see PlanBridge.stripConstraints)
         val strip = org.apache.spark.sql.graftshim.PlanBridge.stripConstraints _
         val nr = Checkpoints.checkpointAlways(
-          strip(reached).union(strip(nf).select(col("v"), col("dir"))))
+          strip(reached).union(
+            strip(nf).select(col("p"), col("v"), col("dir"))))
         if (frontier ne reached) Checkpoints.release(frontier)
         Checkpoints.release(reached)
         reached = nr
@@ -821,24 +830,81 @@ object Graph {
         if (frontier ne reached) Checkpoints.release(frontier)
         frontier = reached
       }
+      // WAVE DEDUPE (after the first round only — hub pivots of one
+      // SCC are mutually within a few hops): pivots reached by another
+      // pivot's wave in BOTH directions share that pivot's SCC, so all
+      // but one representative per known-equivalent group are dropped
+      // — their waves would reproduce an identical core. On a single
+      // giant-SCC graph this collapses all NumPivots redundant waves
+      // to one before the expensive mid-wave rounds. The probe rows
+      // are a bounded <= 2·P² collect; the union-find is driver-side
+      // over <= P pivots. Unconfirmed equivalences simply keep both
+      // waves — correct, just less pruned.
+      if (i == 0 && n > 0 && pivots.length > 1) {
+        val hits = reached.filter(col("v").isin(pivots: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Number](2).intValue))
+        val mutual = hits.groupBy(t => (t._1, t._2))
+          .collect { case ((p, q), rs) if rs.map(_._3).distinct.length == 2 =>
+            (p, q) }
+        val rep = scala.collection.mutable.Map(pivots.map(p => p -> p): _*)
+        def find(x: Long): Long =
+          if (rep(x) == x) x else { val r = find(rep(x)); rep(x) = r; r }
+        mutual.foreach { case (p, q) =>
+          if (rep.contains(p) && rep.contains(q)) {
+            val (a, b) = (find(p), find(q))
+            if (a != b) rep(math.max(a, b)) = math.min(a, b)
+          }
+        }
+        val keep = pivots.map(find).distinct
+        if (keep.length < pivots.length) {
+          if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+            System.err.println(
+              s"[scc +${sccMs}ms]   wave dedupe ${pivots.length}->${keep.length}")
+          val nr = Checkpoints.checkpointAlways(
+            reached.filter(col("p").isin(keep: _*)))
+          val nfr = Checkpoints.checkpointAlways(
+            frontier.filter(col("p").isin(keep: _*)))
+          if (frontier ne reached) Checkpoints.release(frontier)
+          Checkpoints.release(reached)
+          reached = nr
+          frontier = nfr
+        }
+      }
       i += 1
     }
     if (frontier ne reached) Checkpoints.release(frontier)
     require(n == 0 || lastHop < Hops,
       s"pivot reachability BFS did not converge in $maxIter rounds " +
         "— raise maxInner")
-    // in the SCC ⟺ reached in BOTH directions (ancestor AND descendant)
-    val core = Checkpoints.checkpointAlways(
-      reached.groupBy(col("v")).agg(count(lit(1)).as("nd"))
-        .filter(col("nd") === 2).select(col("v")))
+    // v is in SCC(p) <=> reached from p in BOTH directions; cores of
+    // same-SCC pivots are identical, so (v, min member) dedupes them
+    val core = reached.groupBy(col("p"), col("v"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") === 2)
+      .select(col("p"), col("v"))
+    val settled = Checkpoints.checkpointAlways(
+      core.join(core.groupBy(col("p")).agg(min(col("v")).as("scc_id")),
+          Seq("p"))
+        .select(col("v"), col("scc_id")).distinct())
     Checkpoints.release(reached)
-    core
+    settled
   }
 
-  private def stronglyConnectedComponents(edges: DataFrame, src: String,
+  /** `numPivots` > 1 launches several tagged waves at once — the
+    * multi-pivot FW-BW variant for heavily SHARDED graphs (many weak
+    * components, each with its own giant SCC), where the degree-ranked
+    * pivot set seeds several components in one BFS. Measured on the
+    * single-giant-SCC fixture, redundant same-SCC waves cost more than
+    * the wave-dedupe recovers (16 pivots: +55% wall), while the
+    * general coloring already settles every remaining component
+    * CONCURRENTLY in one fixpoint — so the production default is 1;
+    * the multi-pivot path stays property-tested (GraphPropertySpec)
+    * for the sharded regime. */
+  private[graft] def stronglyConnectedComponents(edges: DataFrame, src: String,
                                           dst: String, maxOuter: Int,
                                           maxInner: Int,
-                                          pivotFastPath: Boolean): DataFrame = {
+                                          pivotFastPath: Boolean,
+                                          numPivots: Int): DataFrame = {
     if (java.lang.Boolean.getBoolean("graft.sccDebug"))
       System.err.println(s"[scc +${sccMs}ms] enter")
     // checkpoint the RAW edge projection once: `active` and `verts`
@@ -931,29 +997,27 @@ object Graph {
           System.err.println(s"[scc +${sccMs}ms] outer=$outer trimmed=$trimmed nActive=$nActive")
       }
       if (nActive > 0 && pivotRound) {
-        // GIANT-SCC FAST PATH (first round only): two tagged frontier
-        // sweeps from the max-degree pivot extract the bow-tie core,
-        // so the first — and by far the largest — whole-graph coloring
-        // never runs; the general FW-BW coloring below then only sees
-        // the satellites the next round's trim didn't already peel.
-        // The argmax row and the (min, count) of the core are bounded
-        // 1-row collects (the repo's scalar-argmax convention).
-        val pivotRow = active
+        // GIANT-SCC FAST PATH (first round only): tagged frontier
+        // sweeps from the top-degree pivot set extract the bow-tie
+        // cores — several weak components' giants at once on a
+        // sharded graph — so the first (and by far the largest)
+        // whole-graph coloring never runs; the general FW-BW coloring
+        // below then only sees the satellites the next round's trim
+        // didn't already peel. The pivot rows are a bounded
+        // `NumPivots`-row collect (the repo's scalar-argmax
+        // convention).
+        val pivots = active
           .select(col("s").as("v")).union(active.select(col("d").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-          .orderBy(col("deg").desc, col("v")).limit(1).collect()
-        val pivot = pivotRow(0).getLong(0)
+          .orderBy(col("deg").desc, col("v")).limit(numPivots)
+          .collect().map(_.getLong(0)).toSeq
         if (java.lang.Boolean.getBoolean("graft.sccDebug"))
-          System.err.println(s"[scc +${sccMs}ms] argmax pivot=$pivot")
-        val core = pivotScc(pivot, active, maxInner)
-        val mc = core.agg(min(col("v")), count(lit(1))).head
-        val (coreMin, coreN) = (mc.getLong(0), mc.getLong(1))
+          System.err.println(s"[scc +${sccMs}ms] pivots=${pivots.take(4)}…")
+        val settled = pivotScc(pivots, active, maxInner)
+        val coreN = settled.count()
         if (java.lang.Boolean.getBoolean("graft.sccDebug"))
           System.err.println(
-            s"[scc +${sccMs}ms] outer=$outer pivot=$pivot core=$coreN min=$coreMin")
-        val settled = Checkpoints.checkpointAlways(
-          core.select(col("v"), lit(coreMin).as("scc_id")))
-        Checkpoints.release(core)
+            s"[scc +${sccMs}ms] outer=$outer pivot cores settled=$coreN")
         settle(settled) // stays alive as a result batch
         removeSettled(settled)
         nActive -= coreN

@@ -139,6 +139,25 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-pivot SCC agrees with brute force on sharded digraphs") {
+    // the multi-pivot regime: several weak components, each with its
+    // own non-trivial SCC structure — degree-ranked pivots seed
+    // multiple components at once and same-SCC waves must dedupe
+    val rnd = new scala.util.Random(47)
+    (1 to 2).foreach { trial =>
+      val shards = (0 until 3).flatMap { c =>
+        randomEdges(rnd, nV = 12, nE = 30)
+          .map { case (a, b) => (a + c * 100L, b + c * 100L) }
+      }
+      val got = Graph.stronglyConnectedComponents(
+        shards.toDF("src", "dst"), "src", "dst", 50, 100,
+        pivotFastPath = true, numPivots = 8)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteScc(shards), s"trial $trial: $shards")
+      graft.Checkpoints.releaseAll(spark)
+    }
+  }
+
   /** Sequential label-correcting earliest arrival (undirected temporal
     * edges, t ≥ tail arrival, sources at -1). */
   private def bruteArrival(edges: Seq[(Long, Long, Long)],
