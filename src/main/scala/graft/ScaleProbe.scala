@@ -151,6 +151,32 @@ object ScaleProbe {
       val (mb, _) = msbfs(strong); val (mB, _) = msbfs(strong10)
       println(f"[probe] sssp:        $pb2%.1fs -> $pB2%.1fs (${pB2 / pb2}%.1fx, edges 10x)")
       println(f"[probe] msbfs:       $mb%.1fs -> $mB%.1fs (${mB / mb}%.1fx, edges 10x)")
+
+      // r12 SCC on the DIRECTED k-NN pick graph (one giant bow-tie
+      // core per copy — the q187 substrate shape). The base run is the
+      // production single-pivot fast path; the 10-copy run is the
+      // SHARDED regime multi-pivot exists for: 16 degree-ranked pivots
+      // seed every copy's giant SCC in ONE tagged BFS (same round
+      // count as one copy — diameter is copy-invariant), wave dedupe
+      // collapses same-SCC extras, and the coloring only ever sees
+      // satellites. Honest ratio: ~linear wall at 10x edges.
+      val byS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("w").desc, col("nbr"))
+      val dknn = pairs.withColumn("rn", row_number().over(byS))
+        .filter(col("rn") <= 3)
+        .select(col("s").as("src"), col("nbr").as("dst")).localCheckpoint()
+      val dStride = dknn.agg(greatest(max(col("src")), max(col("dst")))
+        .cast("long")).head.getLong(0) + 1L
+      val dknn10 = (0L until 10L).map { k =>
+        dknn.select((col("src") + k * dStride).as("src"),
+          (col("dst") + k * dStride).as("dst"))
+      }.reduce(_ union _).localCheckpoint()
+      def scc(e: DataFrame, p: Int) =
+        time(Graph.stronglyConnectedComponents(e, "src", "dst", 50, 100,
+          pivotFastPath = true, numPivots = p).count())
+      scc(dknn, 1) // codegen warmup
+      val (sb, _) = scc(dknn, 1); val (sB, nS) = scc(dknn10, 16)
+      println(f"[probe] scc:         $sb%.1fs -> $sB%.1fs (${sB / sb}%.1fx, $nS verts, edges 10x, 16 pivots)")
     }
 
     // --- skew survival (q107's substrate): one key holds ~20% of
