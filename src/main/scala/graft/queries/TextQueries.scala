@@ -1462,6 +1462,43 @@ object TextQueries {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 5)
+    },
+
+    // DECONTAMINATED training mix — the operational closure of the
+    // census: q195's verdicts APPLIED. Contaminated corpus docs (≥ 1
+    // benchmark 5-gram) are dropped (shingle-less docs kept: no
+    // n-gram evidence is not evidence of leakage), then each source
+    // fills HALF its clean token mass in the deterministic lcg-hash
+    // order — the q126 budget-fill discipline on the decontaminated
+    // corpus. Every stage is exact integers (token counts, cumsum,
+    // the cross-multiplied cut), so the picked set hash-matches the
+    // oracle's full replay: census chain → NOT IN filter → token
+    // cumsum → cut.
+    "q198_decontaminated_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val census = Dedup.contaminationCensus(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+      val clean = docs.filter(col("doc_id") % 50 =!= 0)
+        .join(census.select(col("doc_id"), col("contaminated")),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("contaminated"), lit(0L)) === 0L)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint() // consumers: per-source totals + cumsum
+      val srcTot = clean.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(lcgHash(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      clean.withColumn("cum_tokens", sum(col("n_tokens")).over(byHash))
+        .join(broadcast(srcTot), "source")
+        .filter(col("cum_tokens") * 2 <= col("src_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
     }
   )
 
@@ -1472,6 +1509,23 @@ object TextQueries {
   // both branches.
   private val CmMults = Seq(31L, 37L, 41L)
   private val CmWidth = 256
+
+  /** Shared DuckDB chain of the 5-gram shingle-KEY family (q195/q198):
+    * word polyHash list → 5-slot fold keys, distinct per doc — every
+    * step exact nonnegative int64 mod arithmetic (the Spark twin is
+    * [[Dedup.docShingleKeys]] with n = 5). */
+  private def shingleKeyChainSql(pred: String, sfx: String): String = {
+    val fold = (1 until 5).foldLeft("hs[i]")((acc, k) =>
+      s"(($acc) * 31 + hs[i+$k]) % 1000000007")
+    s"""w$sfx AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+       |       FROM documents WHERE $pred),
+       |wh$sfx AS (SELECT doc_id,
+       |    list_transform(ws, w -> ${wordHashSql("w")}) AS hs FROM w$sfx),
+       |shk$sfx AS (SELECT DISTINCT doc_id, $fold AS k
+       |  FROM (SELECT doc_id, hs,
+       |          unnest(generate_series(1, len(hs) - 4)) AS i
+       |        FROM wh$sfx WHERE len(hs) >= 5))""".stripMargin
+  }
 
   /** DuckDB twin of TextFns.polyHash over a word expression. */
   private def wordHashSql(w: String, mult: Long = 31L,
@@ -2332,20 +2386,8 @@ object TextQueries {
     // arithmetic) with the per-doc census shape — zero-hit corpus docs
     // included via the LEFT join.
     "q195_contamination_census" -> {
-      def chain(pred: String, sfx: String): String = {
-        val fold = (1 until 5).foldLeft("hs[i]")((acc, k) =>
-          s"(($acc) * 31 + hs[i+$k]) % 1000000007")
-        s"""w$sfx AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
-           |       FROM documents WHERE $pred),
-           |wh$sfx AS (SELECT doc_id,
-           |    list_transform(ws, w -> ${wordHashSql("w")}) AS hs FROM w$sfx),
-           |shk$sfx AS (SELECT DISTINCT doc_id, $fold AS k
-           |  FROM (SELECT doc_id, hs,
-           |          unnest(generate_series(1, len(hs) - 4)) AS i
-           |        FROM wh$sfx WHERE len(hs) >= 5))""".stripMargin
-      }
-      s"""WITH ${chain("doc_id % 50 <> 0", "c")},
-         |${chain("doc_id % 50 = 0", "b")},
+      s"""WITH ${shingleKeyChainSql("doc_id % 50 <> 0", "c")},
+         |${shingleKeyChainSql("doc_id % 50 = 0", "b")},
          |bk AS (SELECT DISTINCT k FROM shkb),
          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
          |        FROM shkc GROUP BY 1),
@@ -2357,6 +2399,31 @@ object TextQueries {
          |    AS BIGINT) AS contaminated
          |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
     },
+
+    // q198: the q195 chain reused verbatim (shared CTE builder), the
+    // contaminated set as a NOT IN filter, then the q126 budget-fill
+    // replay (token-count twin, lcg-hash order, integer cut) per
+    // source at the 1/2 clean-mass budget.
+    "q198_decontaminated_mix" ->
+      s"""WITH ${shingleKeyChainSql("doc_id % 50 <> 0", "c")},
+         |${shingleKeyChainSql("doc_id % 50 = 0", "b")},
+         |bk AS (SELECT DISTINCT k FROM shkb),
+         |bad AS (SELECT DISTINCT doc_id FROM shkc JOIN bk USING (k)),
+         |cln AS (SELECT doc_id, source,
+         |    CAST(${graft.functions.Bpe.tokenCountSql("text")} AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents WHERE doc_id % 50 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+         |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |       FROM cln GROUP BY 1),
+         |cc AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${lcgHashSql("doc_id")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM cln)
+         |SELECT cc.doc_id, cc.source, cc.n_tokens, cc.cum_tokens
+         |FROM cc JOIN st USING (source)
+         |WHERE cum_tokens * 2 <= src_tokens""".stripMargin,
 
     "q66_tfidf_topterms" ->
       s"""WITH toks AS (SELECT doc_id,

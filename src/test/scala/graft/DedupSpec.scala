@@ -53,6 +53,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 2)
   }
 
+  test("decontaminated mix (q198) excludes every contaminated doc and " +
+       "fills at most half of each source's clean token mass") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val contaminated = Dedup.contaminationCensus(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 5)
+      .filter(col("contaminated") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty, "fixture should plant some overlap")
+    val mix = graft.queries.TextQueries.defs("q198_decontaminated_mix")(
+        spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(mix.nonEmpty)
+    // no contaminated or benchmark doc is ever picked
+    mix.foreach { case (id, _, _, _) =>
+      assert(!contaminated.contains(id), s"contaminated doc $id in mix")
+      assert(id % 50 != 0, s"benchmark doc $id in mix")
+    }
+    // per source: picked mass <= half the CLEAN source mass, and the
+    // picked set is a prefix of the hash order (cum_tokens consistent)
+    val cleanBySrc = docs.filter(col("doc_id") % 50 =!= 0)
+      .filter(!col("doc_id").isInCollection(
+        if (contaminated.isEmpty) Seq(-1L) else contaminated.toSeq))
+      .select(col("source"),
+        graft.functions.Bpe.tokenCount(col("text")).as("n"))
+      .groupBy("source").agg(sum("n").as("tot"))
+      .as[(String, Long)].collect().toMap
+    mix.groupBy(_._2).foreach { case (src, rows) =>
+      val picked = rows.map(_._3).sum
+      assert(picked * 2 <= cleanBySrc(src),
+        s"$src picked $picked of clean ${cleanBySrc(src)}")
+    }
+  }
+
   test("minhash LSH candidates include true near-dup pairs") {
     val cands = Dedup.lshCandidates(
       Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
