@@ -108,6 +108,9 @@ object GraphQueries {
     knnDirCache.keys.filter(_._1 == s).foreach { k =>
       knnDirCache.remove(k).foreach(graft.Checkpoints.release)
     }
+    sccCache.keys.filter(_._1 == s).foreach { k =>
+      sccCache.remove(k).foreach(graft.Checkpoints.release)
+    }
     viewMats.keys.filter(_._1 == s).foreach { k =>
       viewMats.remove(k).foreach(_.foreach(graft.Checkpoints.release))
     }
@@ -228,6 +231,26 @@ object GraphQueries {
         sym.withColumn("rn", row_number().over(byStrength))
           .filter(col("rn") <= KnnK)
           .select(col("s").as("src"), col("nbr").as("dst")))
+    })
+  }
+
+  /** Session-pinned SCC assignment over [[knnDirected]] — the
+    * build/serve split at the GRAPH-ANALYTICS layer (the q119/q125
+    * IndexCache convention): the SCC fixpoint runs once per
+    * (session, sfDir), and every consumer (q187's membership report,
+    * q199's condensation DAG) serves from the pinned (v, scc_id)
+    * relation. The pin is a fresh materialized block, so the
+    * operator's internal settle batches stay releasable. */
+  private val sccCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def sccSpine(s: SparkSession, d: String): DataFrame = {
+    sccCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    sccCache.getOrElseUpdate((s, d), {
+      sccCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        sccCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      graft.Checkpoints.checkpointPinned(
+        Graph.stronglyConnectedComponents(knnDirected(s, d)))
     })
   }
 
@@ -488,11 +511,30 @@ object GraphQueries {
     // acyclic (every SCC a singleton), tie-mutual it collapses to one
     // all-1992 clique — both degenerate.
     "q187_citation_scc" -> { (s, d) =>
-      val scc = Graph.stronglyConnectedComponents(knnDirected(s, d))
+      val scc = sccSpine(s, d)
       val sizes = scc.groupBy(col("scc_id"))
         .agg(count(lit(1)).as("n_members"))
       scc.join(sizes, Seq("scc_id"))
         .select(col("v").as("supp"), col("scc_id"), col("n_members"))
+    },
+
+    // CONDENSATION of the citation SCCs — the DAG a scheduler or
+    // generation-analysis consumer reads once cycles are contracted
+    // (the classic SCC -> condensation step): one row per ordered
+    // pair of distinct SCCs with the directed cross-edge count.
+    // Serves from the pinned SCC spine (the build/serve split — the
+    // fixpoint never reruns per consumer); two keyed joins + one
+    // aggregate, all hash-partitioned.
+    "q199_citation_condensation" -> { (s, d) =>
+      val scc = sccSpine(s, d)
+      knnDirected(s, d)
+        .join(scc.select(col("v").as("src"), col("scc_id").as("scc_a")),
+          "src")
+        .join(scc.select(col("v").as("dst"), col("scc_id").as("scc_b")),
+          "dst")
+        .filter(col("scc_a") =!= col("scc_b"))
+        .groupBy(col("scc_a"), col("scc_b"))
+        .agg(count(lit(1)).as("n_cross_edges"))
     },
 
     // Louvain-style local-move refinement over the q147 LPA labels —
@@ -1150,8 +1192,11 @@ object GraphQueries {
   // kept one-way) and the GENERAL recursive mutual-reachability
   // closure — SCC(v) = min u with v →* u and u →* v (self included
   // via the reach base case).
-  private lazy val citationSccOracleSql: String =
-    s"""WITH RECURSIVE $coShipSql,
+  // Shared recursive CTE body of the q187/q199 oracles: directed k-NN
+  // pick edges (`dm`) -> general mutual-reachability closure -> per-
+  // vertex SCC assignment (`comp`).
+  private lazy val citationSccCtes: String =
+    s"""$coShipSql,
        |$knnSql,
        |dm AS MATERIALIZED (SELECT s, nbr AS d FROM rk WHERE rn <= $KnnK),
        |verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM dm
@@ -1161,12 +1206,26 @@ object GraphQueries {
        |  SELECT r.v, dm.d FROM reach r JOIN dm ON r.u = dm.s),
        |mut AS (SELECT r1.v, r1.u FROM reach r1
        |  JOIN reach r2 ON r1.v = r2.u AND r1.u = r2.v),
-       |comp AS (SELECT CAST(v AS BIGINT) AS supp,
-       |    CAST(min(u) AS BIGINT) AS scc_id FROM mut GROUP BY v),
+       |comp AS MATERIALIZED (SELECT CAST(v AS BIGINT) AS supp,
+       |    CAST(min(u) AS BIGINT) AS scc_id FROM mut GROUP BY v)""".stripMargin
+
+  private lazy val citationSccOracleSql: String =
+    s"""WITH RECURSIVE $citationSccCtes,
        |sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
        |  FROM comp GROUP BY 1)
        |SELECT c.supp, c.scc_id, z.n_members
        |FROM comp c JOIN sizes z ON c.scc_id = z.scc_id""".stripMargin
+
+  // q199: the condensation DAG -- one row per ordered pair of DISTINCT
+  // SCCs connected by >= 1 original edge, with the cross-edge count.
+  private lazy val citationCondensationOracleSql: String =
+    s"""WITH RECURSIVE $citationSccCtes
+       |SELECT ca.scc_id AS scc_a, cb.scc_id AS scc_b,
+       |  CAST(count(*) AS BIGINT) AS n_cross_edges
+       |FROM dm JOIN comp ca ON dm.s = ca.supp
+       |        JOIN comp cb ON dm.d = cb.supp
+       |WHERE ca.scc_id <> cb.scc_id
+       |GROUP BY 1, 2""".stripMargin
 
   // DuckDB twin of Graph.kCore(k=25) on the weight>=6 substrate: the
   // degree peel unrolled (MATERIALIZED for the same inlining reason as
@@ -1525,6 +1584,7 @@ object GraphQueries {
 
     "q98_citation_pagerank" -> directedPageRankOracleSql,
     "q187_citation_scc" -> citationSccOracleSql,
+    "q199_citation_condensation" -> citationCondensationOracleSql,
     "q191_temporal_reach" -> temporalReachOracleSql,
 
     "q99_ktruss" -> kTrussOracleSql,

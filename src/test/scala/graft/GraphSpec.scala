@@ -788,6 +788,28 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("citation condensation (q199) is a DAG over the SCC assignment") {
+    // SCC correctness implies the contracted graph is acyclic — assert
+    // it structurally: Kahn peeling on the collected condensation
+    // edges (bounded: #SCC pairs ≤ edge count at fixture scale) must
+    // consume every edge
+    val cond = graft.queries.GraphQueries
+      .defs("q199_citation_condensation")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect()
+    assert(cond.nonEmpty)
+    assert(cond.forall { case (a, b, n) => a != b && n >= 1 })
+    var edges = cond.map(c => (c._1, c._2)).toSet
+    var progress = true
+    while (edges.nonEmpty && progress) {
+      val hasIncoming = edges.map(_._2)
+      val sourcesOnly = edges.map(_._1) -- hasIncoming
+      progress = sourcesOnly.nonEmpty
+      edges = edges.filterNot(e => sourcesOnly.contains(e._1))
+    }
+    assert(edges.isEmpty, s"cycle among SCCs: $edges")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("refineCommunities is Q-monotone and improves the LPA labels on the spine") {
     val edges = graft.queries.GraphQueries.knnSpine(spark,
       "/root/testdata/sf0.01")
