@@ -1049,6 +1049,55 @@ object Graph {
     else batches.reduce(_ union _)
   }
 
+  /** Longest-path LEVELS of a DAG — topological GENERATIONS (layer =
+    * length of the longest directed path ending at the vertex; the
+    * standard generation/stratum assignment consumed after an SCC
+    * condensation). Iterative monotone Bellman relax as whole-graph
+    * dataflow: lvl(v) starts 0 everywhere, each round takes
+    * max(lvl(v), max over in-edges (p → v) of lvl(p) + 1). Levels
+    * only INCREASE and are bounded by the DAG depth, so the scalar
+    * sum signature detects the fixpoint in depth+1 rounds; on a
+    * CYCLIC input levels grow without bound and the convergence
+    * require fires — the operator doubles as a cycle detector.
+    * All state vertex-keyed; rounds = depth (small for condensations
+    * of scale-free graphs — the giant core contracts to one vertex).
+    *
+    * Returns (v, generation) for every vertex of the edge list. */
+  def dagGenerations(edges: DataFrame, src: String = "src",
+                     dst: String = "dst", maxIter: Int = 100): DataFrame = {
+    val e = Checkpoints.checkpointAlways(
+      edges.select(col(src).cast("long").as("s"),
+        col(dst).cast("long").as("d")).distinct())
+    var lvl = Checkpoints.checkpointAlways(
+      e.select(col("s").as("v")).union(e.select(col("d").as("v"))).distinct()
+        .withColumn("lvl", lit(0L)))
+    var sumPrev = -1L
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      val relax = e.alias("ee").join(lvl.alias("ll"),
+          col("ee.s") === col("ll.v"))
+        .groupBy(col("ee.d").as("v"))
+        .agg(max(col("ll.lvl") + 1L).as("pl"))
+      val nxt = Checkpoints.checkpointAlways(
+        lvl.alias("l0").join(relax, Seq("v"), "left")
+          .select(col("v"),
+            greatest(col("lvl"), coalesce(col("pl"), col("lvl"))).as("lvl")))
+      // levels only increase: the sum changes iff any level changed
+      val sm = nxt.agg(coalesce(sum(col("lvl")), lit(0L))).head.getLong(0)
+      stable = sm == sumPrev
+      sumPrev = sm
+      Checkpoints.release(lvl)
+      lvl = nxt
+      i += 1
+    }
+    Checkpoints.release(e)
+    require(stable,
+      s"dagGenerations did not converge in $maxIter rounds — " +
+        "the input has a directed cycle or depth > maxIter")
+    lvl.select(col("v"), col("lvl").as("generation"))
+  }
+
   /** Triangle enumeration by degree-ordered orientation (Cohen,
     * "Graph Twiddling in a MapReduce World", CiSE'09; the
     * compact-forward scheme — public algorithm). Orient every

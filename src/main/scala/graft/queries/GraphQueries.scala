@@ -537,6 +537,33 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_cross_edges"))
     },
 
+    // Topological GENERATIONS over the condensation — the stratum
+    // assignment the citation layer reads once cycles are contracted
+    // (generation = longest chain of distinct mutual-citation
+    // clusters leading to this one). Condensation edges from the
+    // pinned SCC spine, then Graph.dagGenerations' monotone Bellman
+    // relax; isolated SCCs (no condensation edge) are generation 0.
+    // On a non-DAG the operator's convergence require would fire —
+    // acyclicity is not assumed, it is enforced.
+    "q200_citation_generations" -> { (s, d) =>
+      val scc = sccSpine(s, d)
+      val condEdges = knnDirected(s, d)
+        .join(scc.select(col("v").as("src"), col("scc_id").as("scc_a")),
+          "src")
+        .join(scc.select(col("v").as("dst"), col("scc_id").as("scc_b")),
+          "dst")
+        .filter(col("scc_a") =!= col("scc_b"))
+        .select(col("scc_a").as("src"), col("scc_b").as("dst"))
+      val gens = Graph.dagGenerations(condEdges)
+      val sizes = scc.groupBy(col("scc_id"))
+        .agg(count(lit(1)).as("n_members"))
+      sizes
+        .join(gens.select(col("v").as("scc_id"), col("generation")),
+          Seq("scc_id"), "left")
+        .na.fill(0L, Seq("generation"))
+        .select(col("scc_id"), col("generation"), col("n_members"))
+    },
+
     // Louvain-style local-move refinement over the q147 LPA labels —
     // closes the community family: detect (q147) → score (q165) →
     // refine (q188). Two guarded synchronous rounds in exact integer
@@ -1216,6 +1243,30 @@ object GraphQueries {
        |SELECT c.supp, c.scc_id, z.n_members
        |FROM comp c JOIN sizes z ON c.scc_id = z.scc_id""".stripMargin
 
+  // q200: generations via a SECOND recursive CTE over the condensation
+  // edges -- state is (vertex, len) pairs, deduped by the recursive
+  // UNION, so it is bounded by V x depth (never path-count); the max
+  // aggregation sits OUTSIDE the recursion. Isolated SCCs surface at
+  // generation 0 through the LEFT join.
+  private lazy val citationGenerationsOracleSql: String =
+    s"""WITH RECURSIVE $citationSccCtes,
+       |ce AS MATERIALIZED (SELECT DISTINCT ca.scc_id AS s, cb.scc_id AS d
+       |  FROM dm JOIN comp ca ON dm.s = ca.supp
+       |          JOIN comp cb ON dm.d = cb.supp
+       |  WHERE ca.scc_id <> cb.scc_id),
+       |cv AS (SELECT DISTINCT s AS v FROM ce
+       |  UNION SELECT DISTINCT d FROM ce),
+       |lp(v, len) AS (SELECT v, 0 FROM cv
+       |  UNION
+       |  SELECT ce.d, lp.len + 1 FROM lp JOIN ce ON lp.v = ce.s),
+       |lvl AS (SELECT v, CAST(max(len) AS BIGINT) AS generation
+       |        FROM lp GROUP BY v),
+       |sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM comp GROUP BY 1)
+       |SELECT z.scc_id, CAST(coalesce(l.generation, 0) AS BIGINT)
+       |    AS generation, z.n_members
+       |FROM sizes z LEFT JOIN lvl l ON z.scc_id = l.v""".stripMargin
+
   // q199: the condensation DAG -- one row per ordered pair of DISTINCT
   // SCCs connected by >= 1 original edge, with the cross-edge count.
   private lazy val citationCondensationOracleSql: String =
@@ -1585,6 +1636,7 @@ object GraphQueries {
     "q98_citation_pagerank" -> directedPageRankOracleSql,
     "q187_citation_scc" -> citationSccOracleSql,
     "q199_citation_condensation" -> citationCondensationOracleSql,
+    "q200_citation_generations" -> citationGenerationsOracleSql,
     "q191_temporal_reach" -> temporalReachOracleSql,
 
     "q99_ktruss" -> kTrussOracleSql,

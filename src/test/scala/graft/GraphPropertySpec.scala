@@ -158,6 +158,35 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dagGenerations equals brute-force longest path on random DAGs " +
+       "and detects cycles") {
+    val rnd = new scala.util.Random(53)
+    (1 to 3).foreach { trial =>
+      // random DAG: edges only low id -> high id
+      val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .collect { case (a, b) if a < b => (a, b) }.distinct
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // brute force: relax in id order (a valid topological order here)
+      val lvl = scala.collection.mutable.Map(verts.map(_ -> 0L): _*)
+      verts.sorted.foreach { v =>
+        edges.filter(_._1 == v).foreach { case (_, w) =>
+          lvl(w) = math.max(lvl(w), lvl(v) + 1L)
+        }
+      }
+      val got = Graph.dagGenerations(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == lvl.toMap, s"trial $trial: $edges")
+      graft.Checkpoints.releaseAll(spark)
+    }
+    // a cycle must fail loudly, not settle on garbage levels
+    val ex = intercept[IllegalArgumentException] {
+      Graph.dagGenerations(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), maxIter = 20)
+    }
+    assert(ex.getMessage.contains("cycle"))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   /** Sequential label-correcting earliest arrival (undirected temporal
     * edges, t ≥ tail arrival, sources at -1). */
   private def bruteArrival(edges: Seq[(Long, Long, Long)],
