@@ -126,9 +126,13 @@ object StreamRun {
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt_admission")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        Dedup.incrementalNearDup(spark, idxDir, df, "doc_id", "text")
-          .write.mode("append").parquet(outA)
-        Checkpoints.releaseAll(spark) // drop the batch's signature blocks
+        // the operator released its own internal signature block; the
+        // returned verdicts are a bare checkpoint we release after the
+        // append — no session-wide releaseAll from inside a stream
+        val verdicts = Dedup.incrementalNearDup(
+          spark, idxDir, df, "doc_id", "text")
+        verdicts.write.mode("append").parquet(outA)
+        Checkpoints.release(verdicts)
       }.start()
     try qA.processAllAvailable() finally qA.stop()
     val streamed = spark.read.parquet(outA)

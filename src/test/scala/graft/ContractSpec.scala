@@ -59,7 +59,9 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // "queries" object.
     val audit = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("AUDIT.json")), "UTF-8")
-    val audited = "\"(q\\d+_[A-Za-z0-9_]+)\"".r
+    // anchored to OBJECT-valued keys ("qN_...": {) so a future string
+    // field naming a query can't satisfy the pin for an unaudited one
+    val audited = "\"(q\\d+_[A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
       .findAllMatchIn(audit).map(_.group(1)).toSet
     val declared = SparkEntry.queries.keySet
     assert(audited == declared,
