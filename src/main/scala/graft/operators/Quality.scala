@@ -106,6 +106,43 @@ object Quality {
     * Output: (id, n_bigrams, lm_score) for every doc with ≥ 1 bigram.
     * Thresholding is the caller's policy (compose with [[expect]] or
     * a curation funnel stage). */
+  /** PII CENSUS — the scrub pass an LLM training pipeline runs before
+    * publishing a corpus (C4's and Dolma's PII handling — public
+    * methodology): per document, occurrence counts of the three
+    * classic machine-detectable identifier shapes (emails, NANP-style
+    * phone fragments, dotted-quad IPs) on the raw text, plus the
+    * REDACTED length — what the text becomes once every match is
+    * replaced by a fixed tag (emails first, then IPs, then phones —
+    * the order is part of the contract). Counts are independent
+    * per-pattern on the ORIGINAL text (a phone-shaped fragment inside
+    * an email counts for both; the redaction chain removes it once).
+    * Entirely row-local — no shuffle at all: censusing is
+    * embarrassingly parallel at any corpus size, and the patterns are
+    * ASCII character classes that parse identically under Java regex
+    * and RE2, so a DuckDB oracle replays every count and length. */
+  def piiCensus(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    def n(pat: String) =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, PiiEmail, "<pii>"),
+        PiiIp, "<pii>"),
+      PiiPhone, "<pii>")
+    df.select(col(id),
+      n(PiiEmail).as("n_emails"),
+      n(PiiPhone).as("n_phones"),
+      n(PiiIp).as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"))
+  }
+
+  /** The three census patterns — shared verbatim with the oracle SQL
+    * (ASCII classes only; `\b` is the same word boundary in Java
+    * regex and RE2). */
+  val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhone = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
   def bigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
     import graft.functions.TextFns
     val w = org.apache.spark.sql.expressions.Window

@@ -1512,6 +1512,37 @@ object TextQueries {
         .filter(col("cum_tokens") * 2 <= col("src_tokens"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"))
+    },
+
+    // PII CENSUS — the pre-publish scrub pass (C4/Dolma methodology):
+    // per doc, counts of emails / phone fragments / dotted-quad IPs
+    // plus the redacted length. The fixture text is a digit-free word
+    // soup, so identifiers are PLANTED deterministically from doc_id
+    // (the q186/q190 planted-corruption protocol): every 7th doc gets
+    // an email, every 11th a phone, every 13th an IP — zero-count docs
+    // stay in the census (clean must be provably clean). Entirely
+    // row-local; the ASCII patterns parse identically under Java
+    // regex and RE2, so the oracle replays every count and length.
+    "q201_pii_census" -> { (s, d) =>
+      import graft.operators.Quality
+      val planted = concat(
+        TextFns.norm(col("text")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"),
+            (col("doc_id") % 100).cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (call_function("div", col("doc_id"), lit(256L)) % 256)
+              .cast("string"))).otherwise(lit("")))
+      Quality.piiCensus(
+        Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
     }
   )
 
@@ -2437,6 +2468,43 @@ object TextQueries {
          |SELECT cc.doc_id, cc.source, cc.n_tokens, cc.cum_tokens
          |FROM cc JOIN st USING (source)
          |WHERE cum_tokens * 2 <= src_tokens""".stripMargin,
+
+    // q201: the same planted derivation, DuckDB's RE2 on the same
+    // ASCII patterns (Quality.Pii* literals), counts via
+    // regexp_extract_all length and the same 3-step redaction chain
+    // (emails, then IPs, then phones).
+    "q201_pii_census" -> {
+      import graft.operators.Quality
+      // single-line on purpose: this fragment is interpolated into a
+      // stripMargin string below, and pre-stripped lines whose content
+      // starts with the || operator would be re-stripped into garbage
+      val plant =
+        s"${normSql("text")} " +
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' " +
+        "|| CAST(doc_id % 100 AS VARCHAR) || '@example.com' " +
+        "ELSE '' END " +
+        "|| CASE WHEN doc_id % 11 = 0 THEN ' call 555-' " +
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+        "ELSE '' END " +
+        "|| CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' " +
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.' " +
+        "|| CAST((doc_id // 256) % 256 AS VARCHAR) " +
+        "ELSE '' END"
+      s"""WITH pd AS (SELECT doc_id, $plant AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Quality.PiiEmail}'))
+         |    AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Quality.PiiPhone}'))
+         |    AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${Quality.PiiIp}'))
+         |    AS BIGINT) AS n_ips,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Quality.PiiEmail}', '<pii>', 'g'),
+         |    '${Quality.PiiIp}', '<pii>', 'g'),
+         |    '${Quality.PiiPhone}', '<pii>', 'g')) AS BIGINT)
+         |    AS redacted_len
+         |FROM pd""".stripMargin
+    },
 
     "q66_tfidf_topterms" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -59,6 +59,28 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(got._2 == 1L) // id=1 violates; id=2's null predicate does not
   }
 
+  test("piiCensus counts each identifier shape and redacts them in order") {
+    val docs = Seq(
+      (1L, "write to alice.smith@corp.example.org or call 555-0199 now"),
+      (2L, "server at 192.168.1.10 and 10.0.0.1 no contacts"),
+      (3L, "clean text with no identifiers at all"),
+      // x@y.z has a 1-char TLD (pattern wants {2,}) -> NOT an email;
+      // the phone fragment inside a@b.io's neighborhood still counts
+      (4L, "a@b.io x@y.z 555-1234 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val got = Quality.piiCensus(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 0)
+    assert(got(2L) == ((0L, 0L, 2L,
+      "server at <pii> and <pii> no contacts".length.toLong)))
+    assert(got(3L) == ((0L, 0L, 0L,
+      "clean text with no identifiers at all".length.toLong)))
+    assert(got(4L)._1 == 1 && got(4L)._2 == 1 && got(4L)._3 == 1)
+    // redaction shrinks exactly the docs that had matches
+    assert(got(1L)._4 < "write to alice.smith@corp.example.org or call 555-0199 now".length)
+  }
+
   test("bigramLmScore matches hand-computed integer conditionals and " +
        "ranks templated text above out-of-distribution text") {
     // corpus: "a b a c", "a b" → prefix counts a=3, b=1;
