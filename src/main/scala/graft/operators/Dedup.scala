@@ -479,6 +479,51 @@ object Dedup {
     out
   }
 
+  /** Quality-aware near-dup CANONICAL SELECTION — the cluster-level
+    * verdict pass a production fuzzy-dedup run ends with: q108's
+    * pairwise drop rule keeps per-PAIR minima, but duplicates chain
+    * (A~B, B~C with A and C below threshold), and the pipeline must
+    * keep exactly ONE representative per transitive cluster — and the
+    * BEST one, not the lowest id (the reference's author-dedup archive
+    * keeps the richest profile, `archive/links.md:6-39`).
+    *
+    * LSH candidate pairs at ≥ `minAgree`/`numPerms` signature
+    * agreement become edges; [[Graph.connectedComponentsStar]]
+    * (O(log n) large-star/small-star rounds — duplicate chains make
+    * label propagation's diameter unbounded) gives clusters; the
+    * keeper is the longest member (normalized word count), ties to the
+    * smallest id, computed with one max(struct) aggregate — never a
+    * global window. Singleton docs never enter the pair graph and are
+    * implicitly kept; output is one verdict row per CLUSTERED doc.
+    *
+    * Returns (doc_id, cluster_id = min id in cluster, keeper_id,
+    * kept 0/1, n_members). */
+  def nearDupKeeper(docs: DataFrame, idCol: String, textCol: String,
+                    minAgree: Int = 16, numPerms: Int = 32): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms)
+    // pinned even in no-checkpoint audit mode: the star-contraction
+    // loop's per-round guards would otherwise re-run the LSH subtree
+    val edges = graft.Checkpoints.checkpointAlways(
+      minhashEstimate(lshCandidates(sigs, idCol, numPerms), sigs, idCol)
+        .filter(col("est_jaccard") >= minAgree.toDouble / numPerms)
+        .select(col("id_a"), col("id_b")))
+    val cc = Graph.connectedComponentsStar(edges, "id_a", "id_b")
+    val nWords = docs.select(col(idCol).as("v"),
+      size(TextFns.words(TextFns.norm(col(textCol)))).cast("long")
+        .as("n_words"))
+    val members = cc.join(nWords, "v")
+    val keepers = members.groupBy(col("comp"))
+      .agg(max(struct(col("n_words"), (-col("v")).as("negid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), (-col("best.negid")).as("keeper_id"),
+        col("n_members"))
+    members.join(keepers, "comp")
+      .select(col("v").as("doc_id"), col("comp").as("cluster_id"),
+        col("keeper_id"),
+        when(col("v") === col("keeper_id"), 1L).otherwise(0L).as("kept"),
+        col("n_members"))
+  }
+
   /** End-to-end near-duplicate entity resolution — the reference's
     * intended author-dedup flow (`archive/links.md:6-39`) generalized:
     * prefix-filtered exact Jaccard pairs (swap in [[lshCandidates]] for

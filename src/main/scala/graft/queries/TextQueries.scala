@@ -1543,6 +1543,17 @@ object TextQueries {
       Quality.piiCensus(
         Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
         "doc_id", "text")
+    },
+
+    // Quality-aware near-dup CANONICAL SELECTION — where q108 keeps
+    // per-PAIR minima, this closes the transitive chains (A~B, B~C ⇒
+    // one cluster even when A!~C): LSH pairs → star-contraction
+    // components → keep the LONGEST member per cluster (ties to min
+    // id). The oracle replays the whole chain — q26's signature/band
+    // CTEs, then a recursive min-reachability CTE for the components —
+    // so the clustering itself is hash-checked, not just the pairs.
+    "q202_neardup_keeper" -> { (s, d) =>
+      Dedup.nearDupKeeper(Tables.documents(s, d), "doc_id", "text")
     }
   )
 
@@ -1765,6 +1776,57 @@ object TextQueries {
        |FROM m WHERE matches >= 16 GROUP BY id_b""".stripMargin
   }
 
+  /** Generated DuckDB twin of the q202 cluster keeper: q26's
+    * signature/band/candidate CTEs → edges at ≥ 16/32 slot agreement →
+    * a RECURSIVE min-reachability CTE (min reachable id over the
+    * symmetrized edge set ≡ the star contraction's component minimum)
+    * → per-cluster keeper by (n_words DESC, doc_id) — the exact
+    * argmax the Spark max(struct) computes. */
+  private def nearDupKeeperSql: String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${minhashBandsBody(mins, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |e AS (SELECT id_a AS a, id_b AS b
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b
+       |  WHERE ($matches) >= 16),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |verts AS (SELECT DISTINCT a AS v FROM sym),
+       |reach(v, r) AS (SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT sym.b AS v, reach.r FROM reach JOIN sym ON sym.a = reach.v),
+       |cc AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY v),
+       |nw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+       |rk AS (SELECT cc.doc_id, cc.cluster_id, row_number() OVER (
+       |    PARTITION BY cc.cluster_id
+       |    ORDER BY nw.n_words DESC, cc.doc_id) AS rn
+       |  FROM cc JOIN nw USING (doc_id)),
+       |k AS (SELECT cluster_id, doc_id AS keeper_id FROM rk WHERE rn = 1),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |       FROM cc GROUP BY 1)
+       |SELECT cc.doc_id, cc.cluster_id, k.keeper_id,
+       |  CAST(CASE WHEN cc.doc_id = k.keeper_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept,
+       |  sz.n_members
+       |FROM cc JOIN k USING (cluster_id) JOIN sz USING (cluster_id)"""
+      .stripMargin
+  }
+
   /** Generated DuckDB twin of Dedup.simhash64 as CTEs ending in
     * `sig(doc_id, simhash)`: distinct-word counts → the 60-bit packed
     * double-polynomial word hash (Dedup.wordHash60) → per-bit
@@ -1804,6 +1866,7 @@ object TextQueries {
     "q182_sketch_calibration" -> sketchCalibrationSql,
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,
+    "q202_neardup_keeper" -> nearDupKeeperSql,
 
     "q27_simhash" ->
       s"""WITH $simhashSigSql

@@ -115,6 +115,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nearDupKeeper closes transitive chains and keeps the longest " +
+       "member per cluster, ties to the smallest id") {
+    // A~B and B~C by construction (each adjacent pair shares most
+    // shingles); A and C differ more — the CHAIN must still land in
+    // one cluster. C is longest → keeper. Doc 40 is a singleton and
+    // must be absent from the verdicts.
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val chain = Seq(
+      (10L, s"$base a1 a2"),
+      (20L, s"$base a1 a2 b1"),
+      (30L, s"$base a1 a2 b1 b2 b3"),
+      (40L, "totally unrelated text about something else entirely now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupKeeper(chain, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out.map(_._1) == Set(10L, 20L, 30L))
+    assert(out == Set(
+      (10L, 10L, 30L, 0L, 3L),
+      (20L, 10L, 30L, 0L, 3L),
+      (30L, 10L, 30L, 1L, 3L)))
+    // equal-length tie goes to the smaller id
+    val tie = Seq((7L, base), (3L, base)).toDF("doc_id", "text")
+    val t = Dedup.nearDupKeeper(tie, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(t == Set((3L, 3L, 3L, 1L, 2L), (7L, 3L, 3L, 0L, 2L)))
+  }
+
   test("resolveEntities maps duplicates to one canonical id") {
     val got = Dedup.resolveEntities(docs, "doc_id", "text", 0.8)
       .as[(Long, Long)].collect().toMap
