@@ -150,6 +150,77 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT pairs — the subset
+    * detector symmetric Jaccard is blind to. A short doc quoted whole
+    * inside a long one has J = |A|/|B| (arbitrarily small) but
+    * containment C(A→B) = |S(A)∩S(B)| / |S(A)| = 1; training-data
+    * pipelines need this direction to drop quotes, boilerplate
+    * inclusions, and truncated re-crawls that survive a Jaccard gate.
+    *
+    * Candidate generation is the containment form of the PPJoin prefix
+    * rule: the CONTAINED side probes with its sz − ⌈τ·sz⌉ + 1 RAREST
+    * shingles (global-df rank, the [[ngramJaccardPairs]] index), while
+    * the container side must index every shingle — no symmetric length
+    * filter exists (that asymmetry is the operator's point). Candidate
+    * volume is Σ_prefix df(shingle); rarity-first prefixes keep it
+    * near-linear. The positional filter on the probe side and the
+    * verify threshold are EXACT integer math (τ = tNum/tDen, never a
+    * double): a's remaining tokens after the match rank must reach
+    * ⌈τ·sz_a⌉, i.e. (1 + sz_a − rnk)·tDen ≥ tNum·sz_a.
+    *
+    * Verification is the same codegen merge-scan
+    * ([[graft.functions.SortedLongOverlap]]) on value-sorted hash
+    * arrays. Returns ORDERED pairs (id_a = contained, id_b =
+    * container, n_shared, sz_a, c_x10k = ⌊co·10⁴/sz_a⌋) — a
+    * mutually-containing near-identical pair appears in both
+    * directions. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tNum: Long = 7,
+                       tDen: Long = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"need 0 < tNum/tDen <= 1: $tNum/$tDen")
+    val sh = graft.Checkpoints.checkpoint(docShingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("hk")))
+    val ranked = sh
+      .withColumn("df_", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hk"))))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("df_"), col("hk"))))
+    val docs = graft.Checkpoints.checkpoint(ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("sz"),
+        collect_list(struct(col("rnk"), col("hk"))).as("shl"))
+      .select(col(idCol), col("sz"),
+        transform(array_sort(col("shl")), _.getField("hk")).as("shs"),
+        array_sort(transform(col("shl"), _.getField("hk"))).as("shv")))
+    graft.Checkpoints.release(sh)
+    // probe prefix: ceil(τ·sz) = (sz·tNum + tDen − 1) div tDen, all long
+    val alpha = floor((col("sz") * tNum + (tDen - 1)) / tDen).cast("long")
+    val prefix = docs.select(col(idCol), col("sz"),
+        posexplode(slice(col("shs"), lit(1),
+          (col("sz") - alpha + 1).cast("int"))))
+      .select(col(idCol), col("sz"), (col("pos") + 1).as("rnk"),
+        col("col").as("hk"))
+    val cands = prefix.select(col(idCol).as("id_a"), col("sz").as("za"),
+        col("rnk").as("ra"), col("hk"))
+      .join(docs.select(col(idCol).as("id_b"),
+          explode(col("shv")).as("hk")), Seq("hk"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (lit(1) + col("za") - col("ra")) * lit(tDen) >= lit(tNum) * col("za"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(docs.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+        col("shv").as("shv_a")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col("shv").as("shv_b")),
+        "id_b")
+      .withColumn("co",
+        graft.functions.SortedLongOverlap.overlap(col("shv_a"), col("shv_b"))
+          .cast("long"))
+      .filter(col("co") * lit(tDen) >= lit(tNum) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("co").as("n_shared"),
+        col("sz_a"),
+        floor(col("co") * 10000L / col("sz_a")).cast("long").as("c_x10k"))
+  }
+
   /** Prime modulus of the portable shingle/word hash ([[docShingleKeys]])
     * and the affine minhash permutations — shared with the generated
     * DuckDB oracle SQL (TextQueries q26), so signatures replay

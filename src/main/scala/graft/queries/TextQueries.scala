@@ -653,6 +653,16 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.4)
     },
 
+    // ASYMMETRIC containment pairs (|S(A)∩S(B)| / |S(A)| ≥ 0.7) — the
+    // quote/subset detector symmetric Jaccard is blind to; candidate
+    // generation is the containment form of the prefix rule (probe =
+    // rarest sz−⌈τ·sz⌉+1 shingles, container side fully indexed),
+    // verify exact integer. Oracle = the full O(shared-shingle) exact
+    // relation, so the prefix pruning itself is proven complete.
+    "q203_containment_pairs" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 3)
+    },
+
     // Inverted-index construction (the reference stores abstracts AS
     // inverted indexes, `PaperAbstractsInvertedIndex.txt`; SURVEY.md
     // §2.11): per-word document-frequency + sorted posting list.
@@ -2657,6 +2667,23 @@ object TextQueries {
          |FROM co JOIN cnt ca ON co.id_a = ca.doc_id
          |        JOIN cnt cb ON co.id_b = cb.doc_id
          |WHERE round(CAST(co.co AS DOUBLE) / (ca.sz + cb.sz - co.co), 4) >= 0.4""".stripMargin,
+
+    // q203: the exact ORDERED containment relation — co-counts over
+    // every shingle-sharing pair in both directions, τ = 7/10 as pure
+    // integer compares, floor-div scaled containment (DuckDB // ≡ the
+    // Spark floor(exact-double division) at these magnitudes)
+    "q203_containment_pairs" ->
+      s"""WITH $shSql,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |        FROM sh GROUP BY 1),
+         |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS co
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT co.id_a, co.id_b, co.co AS n_shared, ca.sz AS sz_a,
+         |  CAST((co.co * 10000) // ca.sz AS BIGINT) AS c_x10k
+         |FROM co JOIN cnt ca ON co.id_a = ca.doc_id
+         |WHERE co.co * 10 >= 7 * ca.sz""".stripMargin,
 
     // mechanical replay of the Bpe replace chain (same merge table,
     // chr(31)/chr(30) delimiters), then the same half-corpus fill

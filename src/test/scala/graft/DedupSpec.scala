@@ -198,6 +198,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("containmentPairs finds a quoted subset that Jaccard misses, " +
+       "in the contained->container direction only") {
+    // doc 1 (8 shingles) is quoted whole inside doc 2 (28 shingles):
+    // J = 8/28 < 0.3 — invisible to a 0.7 Jaccard gate — but
+    // C(1→2) = 1.0 and C(2→1) = 8/28 < 0.7
+    val quoted = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val host = s"h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 $quoted x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val corpus = Seq((1L, quoted), (2L, host),
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 8L, 8L, 10000L)))
+    // symmetric-Jaccard control: the same pair is below a 0.7 gate
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(!j.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("containmentPairs is exact vs brute force on random docs") {
+    // the containment prefix + positional filters must lose NO ordered
+    // pair: co >= ceil(t*sz_a) forces a shared shingle inside the
+    // probe prefix by pigeonhole, for ANY rarity order
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    for ((tn, td) <- Seq((7L, 10L), (1L, 3L), (1L, 1L))) {
+      val brute = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia != ib
+        sa = shingles(ta); sb = shingles(tb)
+        co = (sa & sb).size
+        if co * td >= tn * sa.size
+      } yield (ia, ib) -> (co.toLong, sa.size.toLong,
+        co.toLong * 10000L / sa.size)).toMap
+      val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", 3, tn, td)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(p => (p._1, p._2) -> (p._3, p._4, p._5)).toMap
+      assert(got == brute, s"threshold $tn/$td")
+    }
+  }
+
   test("sortedNeighborhoodPairs emits exactly the rank-window pairs") {
     import org.apache.spark.sql.functions._
     // keys crafted so sort order differs from id order, with a tie
