@@ -31,6 +31,7 @@ object Explain {
   private val intendedNlj = Set(
     "q10_yearly_grid",      // broadcast year-grid cross join
     "q28_cosine_topk",      // brute-force baseline: broadcast queries
+    "q204_ann_sq8_topk",    // broadcast query-codes × compressed scan
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q51_ann_ivf_topk",     // broadcast centroid assignment

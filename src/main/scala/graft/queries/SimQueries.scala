@@ -238,6 +238,18 @@ object SimQueries {
     "q127_ann_ivfpq_topk" -> { (s, d) =>
       Similarity.ivfPqTopKIndexed(ivfIndexDir(s, d), pqIndexDir(s, d),
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // Scalar-quantized (SQ8) ANN — the third member of the compression
+    // family: per-dim [lo,hi] ranges + uint8 codes (4× smaller corpus,
+    // vs PQ's 48-bit codes), served by a pure INTEGER dot-product scan
+    // over the persisted codes with an exact float re-rank of the
+    // 50-deep shortlist. Integer approximate scores make the shortlist
+    // exactly reproducible — the oracle replays quantize → int-dot →
+    // shortlist → re-rank from the literal ranges (dynamicOracles).
+    "q204_ann_sq8_topk" -> { (s, d) =>
+      Similarity.sqTopKIndexed(sqIndexDir(s, d), Tables.embeddings(s, d),
+        queriesSubset(s, d), "vec_id", "embedding", 5)
     }
   )
 
@@ -263,6 +275,17 @@ object SimQueries {
     pqIndexDirs.get(s, d) { dir =>
       Similarity.buildPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         dir, m = 8, k = 64, lloydIters = 2)
+    }
+
+  /** One persisted SQ8 index per (session, sfDir) — the [[ivfIndexDir]]
+    * convention for the scalar-quantized corpus (per-dim ranges +
+    * uint8 codes): built on first use, so the bench measures the
+    * integer-dot compressed scan, not the range pass. */
+  private val sqIndexDirs = new IndexCache("graft_sq")
+  private def sqIndexDir(s: SparkSession, d: String): String =
+    sqIndexDirs.get(s, d) { dir =>
+      Similarity.buildSqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir)
     }
 
   /** One persisted dedup-IVF index per (session, sfDir) — the
@@ -547,11 +570,48 @@ object SimQueries {
     // so the same replay checks both
     val books = Similarity.collectedPqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 64, lloydIters = 2)
+    // q204: the SQ8 ranges are deterministic (exact min/max), so the
+    // recomputed global scale equals the persisted index's bit-for-bit
+    // (the q119 build-replay argument)
+    val sqS = {
+      val p = Similarity.collectedSqParams(emb, "vec_id", "embedding")
+      val s = p.map(t => math.max(math.abs(t._2), math.abs(t._3))).max
+      if (s > 0) s else 1.0
+    }
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
       "q196_ann_recall_at_k" -> q196, "q197_ann_ndcg_at_k" -> q197,
       "q178_ivf_quality" -> q178,
       "q125_ann_pq_topk" -> pqOracle(books),
-      "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books)) ++ q72map
+      "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books),
+      "q204_ann_sq8_topk" -> sqOracle(sqS)) ++ q72map
+  }
+
+  /** q204 replay: the literal global scale re-quantizes every vector
+    * (the SAME (x·127.0)/s op order as the Spark transform, so the
+    * float path is bit-reproducible), the integer dot product over
+    * code lists picks the 50-deep shortlist with NO float-tie hazard,
+    * and the exact-IP re-rank mirrors the pq tail. */
+  private def sqOracle(s: Double): String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cd AS MATERIALIZED (SELECT vec_id, list_transform(v, x ->
+       |    least(greatest(CAST(floor(x * 127.0 / ($s)::DOUBLE) AS BIGINT),
+       |      -127), 127)) AS cl
+       |  FROM e),
+       |sq AS MATERIALIZED (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    CAST(list_inner_product(q.cl, c.cl) AS BIGINT) AS sq_ip
+       |  FROM cd q JOIN cd c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sq_ip DESC, n_id) AS srn FROM sq) WHERE srn <= 50),
+       |scored AS (SELECT q_id, n_id,
+       |    round(list_inner_product(eq.v, ec.v), 4) AS ip
+       |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+       |            JOIN e ec ON cand.n_id = ec.vec_id)
+       |SELECT q_id, n_id, ip, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ip DESC, n_id) AS BIGINT) AS rn FROM scored)
+       |WHERE rn <= 5""".stripMargin
   }
 
   /** PQ codebooks as a DuckDB VALUES list `(sub, cell, ctr)` — the

@@ -336,6 +336,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(composedRecall >= 0.4, s"IVFPQ recall $composedRecall")
   }
 
+  test("SQ8 integer-dot top-k recalls the exact inner-product top-k " +
+       "and a corpus-wide shortlist removes the approximation") {
+    val sqDir = java.nio.file.Files.createTempDirectory("sqidx").toString
+    Similarity.buildSqIndex(emb, "vec_id", "embedding", sqDir)
+    // codes are SIGNED int8 around zero (symmetric quantization)
+    val codes = spark.read.parquet(s"$sqDir/codes.parquet")
+    val minMax = codes.select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).as[(Long, Long)].head()
+    assert(minMax._1 >= -127L && minMax._2 <= 127L)
+    assert(minMax._1 < 0L, "symmetric codes must use the negative range")
+    // exact-IP reference (SQ approximates the inner product)
+    val ip = graft.functions.VectorFns.dot(col("qv"), col("cv"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      graft.functions.VectorFns.toDoubleArr(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.toDoubleArr(col("embedding")).as("cv"))
+    val exactIp = topSet(graft.operators.Relational.topKPerGroup(
+      q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), round(ip, 4).as("s")),
+      Seq(col("q_id")), Seq(col("s").desc, col("n_id")), 5))
+    val sq = topSet(Similarity.sqTopKIndexed(sqDir, emb, queries,
+      "vec_id", "embedding", 5))
+    val recall = (sq & exactIp).size.toDouble / exactIp.size
+    // 8-bit per-dim quantization is far finer than PQ's 48-bit codes;
+    // measured 1.0 on this fixture — assert a safe floor
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+    // a corpus-wide shortlist makes the exact re-rank see everything
+    // the integer scan ranked: result == exact-IP top-k by definition
+    val n = emb.count().toInt
+    val full = topSet(Similarity.sqTopKIndexed(sqDir, emb, queries,
+      "vec_id", "embedding", 5, shortlist = n + 1))
+    assert(full == exactIp, "full-shortlist SQ8 != exact-IP top-k")
+  }
+
   test("indexed PQ / IVF+PQ queries over the persisted indexes equal " +
        "the build-per-query pipelines") {
     val pqDir = java.nio.file.Files.createTempDirectory("pqidx").toString
