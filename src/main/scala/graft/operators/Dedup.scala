@@ -305,6 +305,37 @@ object Dedup {
     out
   }
 
+  /** N-GRAM NOVELTY census — the incremental-contribution metric a
+    * curation pipeline ranks arrivals by: for each doc, how many of
+    * its distinct n-gram keys were already introduced by an EARLIER
+    * doc (ids are arrival order), and the floor-scaled novelty
+    * fraction. A re-crawl scores 0; the first sighting of content
+    * scores 10000; partial quotes land in between — the corpus-level
+    * complement of the pairwise dedup family (no pairs, no clusters:
+    * two keyed shuffles total, both with map-side combine, so the
+    * census costs O(shingles) at any corpus size).
+    *
+    * Returns (id, n_shingles, n_seen_before, novelty_x10k) for every
+    * doc with ≥ 1 shingle. */
+  def noveltyCensus(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    // two consumers of the shingle relation (first-sighting aggregate
+    // + the join back) — shingle once
+    val sh = graft.Checkpoints.checkpoint(
+      docShingleKeys(docs, idCol, textCol, n))
+    val first = sh.groupBy(col("shk")).agg(min(col(idCol)).as("first_id"))
+    val out = graft.Checkpoints.checkpoint(sh.join(first, "shk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col(idCol), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .select(col(idCol), col("n_shingles"), col("n_seen_before"),
+        floor((col("n_shingles") - col("n_seen_before")) * 10000L /
+          col("n_shingles")).cast("long").as("novelty_x10k")))
+    graft.Checkpoints.release(sh)
+    out
+  }
+
   /** MinHash signatures: sig[i] = min over shingle keys k of
     * (a_i·k + b_i) mod (2^31 - 1) — the portable affine family over
     * [[docShingleKeys]], with literal per-permutation constants

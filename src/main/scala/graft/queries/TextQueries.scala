@@ -1564,6 +1564,14 @@ object TextQueries {
     // so the clustering itself is hash-checked, not just the pairs.
     "q202_neardup_keeper" -> { (s, d) =>
       Dedup.nearDupKeeper(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // N-gram NOVELTY census — per doc, how much of its content was
+    // already introduced by an earlier arrival (ids = arrival order):
+    // the corpus-level curation metric (re-crawl → 0, first sighting →
+    // 10000). Two keyed shuffles, no pair space.
+    "q205_ngram_novelty" -> { (s, d) =>
+      Dedup.noveltyCensus(Tables.documents(s, d), "doc_id", "text")
     }
   )
 
@@ -1877,6 +1885,30 @@ object TextQueries {
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,
     "q202_neardup_keeper" -> nearDupKeeperSql,
+
+    // q205: the q26 3-gram shingle-KEY chain, then first-sighting =
+    // min doc_id per key and the per-doc seen-before tally — every
+    // step exact int64, floor-div scaled novelty
+    "q205_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ')
+       |             AS ws FROM documents),
+       |wh AS (SELECT doc_id, list_transform(ws, w -> ${wordHashSql("w")})
+       |       AS hs FROM w),
+       |shk AS (SELECT DISTINCT doc_id,
+       |    (((hs[i] * 31 + hs[i+1]) % 1000000007) * 31 + hs[i+2])
+       |      % 1000000007 AS k
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2))
+       |          AS i
+       |        FROM wh WHERE len(hs) >= 3)),
+       |f AS (SELECT k, min(doc_id) AS first_id FROM shk GROUP BY 1)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_seen_before,
+       |  CAST(((count(*) - sum(CASE WHEN f.first_id < s.doc_id
+       |      THEN 1 ELSE 0 END)) * 10000) // count(*) AS BIGINT)
+       |    AS novelty_x10k
+       |FROM shk s JOIN f ON s.k = f.k
+       |GROUP BY 1""".stripMargin,
 
     "q27_simhash" ->
       s"""WITH $simhashSigSql

@@ -198,6 +198,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("noveltyCensus scores a re-crawl 0, a first sighting 10000, and " +
+       "a partial quote by its unseen fraction") {
+    val base = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10" // 8 shingles
+    val corpus = Seq(
+      (1L, base),                     // all 8 first sightings -> 10000
+      (2L, base),                     // exact re-crawl -> 0
+      (3L, s"n1 n2 n3 n4 f1 f2 f3"),  // 5 shingles: 2 seen, 3 novel
+      (4L, "x y")                     // sub-shingle: absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyCensus(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 8L, 0L, 10000L),
+      (2L, 8L, 8L, 0L),
+      (3L, 5L, 2L, 6000L)))
+  }
+
   test("containmentPairs finds a quoted subset that Jaccard misses, " +
        "in the contained->container direction only") {
     // doc 1 (8 shingles) is quoted whole inside doc 2 (28 shingles):
