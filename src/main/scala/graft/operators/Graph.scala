@@ -544,6 +544,64 @@ object Graph {
     lbl
   }
 
+  /** Approximate Neighborhood Function via mergeable KMV registers —
+    * HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    * Centralities with HyperBall", 2013; ANF: Palmer, Gibbons,
+    * Faloutsos KDD'02) with K-MINIMUM-VALUES registers instead of HLL:
+    * per vertex and hop h, the k smallest distinct hashes over the
+    * h-hop ball, with est(|ball|) = (k−1)·M / kth-min once the
+    * register fills. KMV is chosen over HLL deliberately — the
+    * register is a DETERMINISTIC function of the ball (k smallest of a
+    * fixed hash image), so the whole sketch state is exactly
+    * replayable by an oracle (the q69 KMV-twin discipline), while the
+    * estimator keeps the sketch-family guarantee the q44 HLL gate can
+    * only rows-check.
+    *
+    * State is one (v, reg[≤k]) row per vertex; a hop is one edge join
+    * + one groupBy with an order-free merge (distinct ∪ → sort → take
+    * k), so a hop costs exactly what a BFS hop costs but with k longs
+    * of state per vertex instead of the ball itself — THE reason ANF
+    * scales where exact per-vertex reach sets (O(n·ball)) cannot.
+    *
+    * Returns (v, hop ∈ [1, maxHop], n_reg, kth_min = max of the
+    * register, est_reach: exact n_reg while the register is partial,
+    * the KMV estimate once full). */
+  def anfKmv(edges: DataFrame, a: String = "a", b: String = "b",
+             maxHop: Int = 3, k: Int = 8): DataFrame = {
+    val M = 2147483647L
+    val sym = Checkpoints.checkpoint(
+      edges.select(col(a).as("s"), col(b).as("d"))
+        .union(edges.select(col(b).as("s"), col(a).as("d")))
+        .distinct())
+    val hash = (v: org.apache.spark.sql.Column) =>
+      pmod(v * lit(1103515245L) + lit(12345L), lit(M))
+    var state = Checkpoints.checkpoint(
+      sym.select(col("s").as("v")).distinct()
+        .select(col("v"), array(hash(col("v"))).as("reg")))
+    val outs = (1 to maxHop).map { h =>
+      val contrib = sym.join(state, sym("d") === state("v"))
+        .select(sym("s").as("v"), col("reg"))
+      // every hop's state stays pinned until the caller's releaseAll:
+      // the per-hop output rows below read their hop's register block,
+      // and the whole chain is maxHop × k longs per vertex — tiny
+      val next = Checkpoints.checkpoint(
+        contrib.union(state.select(col("v"), col("reg")))
+          .groupBy(col("v"))
+          .agg(slice(array_sort(array_distinct(
+            flatten(collect_list(col("reg"))))), 1, k).as("reg")))
+      state = next
+      val kth = element_at(col("reg"), size(col("reg")))
+      state.select(col("v"), lit(h.toLong).as("hop"),
+        size(col("reg")).cast("long").as("n_reg"),
+        kth.as("kth_min"),
+        when(size(col("reg")) < k, size(col("reg")).cast("long"))
+          .otherwise(floor(lit((k - 1) * M) / greatest(kth, lit(1L)))
+            .cast("long"))
+          .as("est_reach"))
+    }
+    outs.reduce(_ unionByName _)
+  }
+
   /** Connected components by alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14 — public algorithm): the 100 TB path that

@@ -488,6 +488,17 @@ object GraphQueries {
       Graph.pageRankInt(knnEdges(s, d))
     },
 
+    // Approximate Neighborhood Function (HyperBall with KMV registers)
+    // over the k-NN spine: per vertex and hop ≤ 3, the k=8 smallest
+    // ball hashes and the KMV reach estimate. The register is a
+    // deterministic function of the ball, so the ENTIRE sketch state
+    // is oracle-replayed (recursive BFS → per-ball k-min ranking) —
+    // the sketch scale path (k longs per vertex, one join + one merge
+    // groupBy per hop) under a full hash-match gate.
+    "q206_anf_reach" -> { (s, d) =>
+      Graph.anfKmv(knnEdges(s, d))
+    },
+
     // DIRECTED citation-style PageRank (3 rounds, damping 85/100,
     // scale 1e12) with explicit dangling-mass redistribution — the
     // centrality q87 cannot express (pageRankInt symmetrizes; the
@@ -1637,6 +1648,39 @@ object GraphQueries {
     "q34_cosupply_components" -> componentsOracleSql,
     "q78_components_star" -> componentsOracleSql,
     "q87_pagerank" -> pageRankOracleSql,
+
+    // q206: exact balls by bounded recursive BFS, then the k-min hash
+    // ranking per (vertex, hop) — the KMV register replayed whole
+    "q206_anf_reach" ->
+      s"""WITH RECURSIVE $coShipSql,
+         |$knnSql,
+         |sy2 AS (SELECT a AS s, b AS d FROM ed
+         |        UNION SELECT b AS s, a AS d FROM ed),
+         |verts AS (SELECT DISTINCT s AS v FROM sy2),
+         |r(v, u, h) AS (SELECT v, v, 0 FROM verts
+         |  UNION
+         |  SELECT r.v, e.d, r.h + 1 FROM r JOIN sy2 e ON e.s = r.u
+         |  WHERE r.h < 3),
+         |bl AS (SELECT v, u, min(h) AS hm FROM r GROUP BY 1, 2),
+         |hh AS (SELECT v, u, hm,
+         |    (u * 1103515245 + 12345) % 2147483647 AS hu FROM bl),
+         |hs AS (SELECT DISTINCT hp.hop, b.v, b.hu
+         |  FROM hh b JOIN (VALUES (1), (2), (3)) hp(hop)
+         |    ON b.hm <= hp.hop),
+         |rk2 AS (SELECT hop, v, hu,
+         |    row_number() OVER (PARTITION BY hop, v ORDER BY hu) AS rn,
+         |    count(*) OVER (PARTITION BY hop, v) AS nd
+         |  FROM hs)
+         |SELECT v, CAST(hop AS BIGINT) AS hop,
+         |  CAST(least(nd, 8) AS BIGINT) AS n_reg,
+         |  CAST(max(CASE WHEN rn = least(nd, 8) THEN hu END) AS BIGINT)
+         |    AS kth_min,
+         |  CAST(CASE WHEN nd < 8 THEN nd
+         |    ELSE (CAST(7 AS BIGINT) * 2147483647)
+         |      // greatest(max(CASE WHEN rn = least(nd, 8) THEN hu END), 1)
+         |    END AS BIGINT) AS est_reach
+         |FROM rk2 WHERE rn <= 8
+         |GROUP BY v, hop, nd""".stripMargin,
 
     "q98_citation_pagerank" -> directedPageRankOracleSql,
     "q187_citation_scc" -> citationSccOracleSql,

@@ -88,6 +88,32 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("anfKmv registers equal the exact k-min ball hashes on random " +
+       "graphs (the whole sketch state, not just the estimate)") {
+    val M = 2147483647L
+    val k = 8
+    def h(u: Long): Long = (u * 1103515245L + 12345L) % M
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val edges = randomEdges(rnd, nV = 30, nE = 40)
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val got = Graph.anfKmv(edges.toDF("a", "b"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+      val brute = (for {
+        v <- verts; hop <- 1 to 3
+      } yield {
+        val ball = bruteBfs(edges, v, hop).keySet
+        val hashes = ball.map(h).toSeq.distinct.sorted
+        val reg = hashes.take(k)
+        val est = if (reg.size < k) reg.size.toLong
+                  else (k - 1) * M / math.max(reg.last, 1L)
+        (v, hop.toLong) -> (reg.size.toLong, reg.last, est)
+      }).toMap
+      assert(got == brute, s"trial $trial")
+    }
+  }
+
   test("rootClosure resolves the min-parent chain on random forests") {
     val rnd = new scala.util.Random(13)
     (1 to 3).foreach { trial =>
