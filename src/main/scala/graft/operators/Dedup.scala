@@ -676,18 +676,29 @@ object Dedup {
     * near-identical signatures, which are exactly the rows that must
     * meet anyway. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhash64(df, idCol, textCol), idCol, "simhash",
+      maxHamming)
+
+  /** Banded Hamming pairs over ANY 64-bit signature relation — the
+    * [[simhashPairs]] bucket join factored out so every signature
+    * family reuses it (simhash text signatures, q207's perceptual
+    * image hashes): 4 disjoint 16-bit bands, pigeonhole-EXACT for
+    * `maxHamming < 4` (≤ 3 differing bits touch ≤ 3 bands, so one band
+    * matches exactly and the pair surfaces from its bucket — never an
+    * all-pairs scan). Returns (id_a < id_b, hamming ≤ maxHamming). */
+  def hammingPairs64(sig: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"pigeonhole exactness over 4 bands needs 0 <= maxHamming < 4, got $maxHamming")
-    val sig = simhash64(df, idCol, textCol)
-    val banded = sig.select(col(idCol), col("simhash"),
+    val banded = sig.select(col(idCol), col(sigCol),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col(idCol), col("simhash"), col("pos").as("band"),
+        shiftright(col(sigCol), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col(idCol), col(sigCol), col("pos").as("band"),
         col("col").as("bkey"))
-    banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+    banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
         col("band"), col("bkey"))
-      .join(banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      .join(banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
         col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

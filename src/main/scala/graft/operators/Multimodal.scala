@@ -200,6 +200,73 @@ object Multimodal {
     * content-derived `ARRAY<FLOAT>` embedding that feeds the
     * [[Similarity]] ops. Undecodable payloads yield the zero vector.
     * Same per-partition streaming shape as [[features]]. */
+  /** Deterministic synthetic grayscale PNG — a REAL JDK PNG encode of
+    * a w×h pattern (the q80/q100 synth-under-the-gate move for STILL
+    * images). PNG is lossless, so the decoded pixels equal the planted
+    * pattern exactly and an oracle can predict every downstream pixel
+    * computation arithmetically. */
+  def synthPatternPng(width: Int, height: Int,
+                      pattern: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = pattern(x, y) & 0xff
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual DIFFERENCE hash (dHash, Krawetz's 64-bit variant):
+    * bit(x, y) = 1 iff lum(x+1, y) > lum(x, y) over the top-left 9×8
+    * luminance grid — REAL ImageIO decode per row (the per-partition
+    * codec tier), integer BT.601 luminance (identical to
+    * [[imageHistogramFeatures]]'s). Gradient signs are invariant to
+    * uniform brightness shifts — the property that makes dHash a
+    * PERCEPTUAL signature where a byte hash is not (MultimodalSpec
+    * pins it). Inputs are expected pre-resized ([[imageResize]]) to
+    * ≥ 9×8; smaller images hash their available prefix grid.
+    * Returns (media_id, dhash, ok). */
+  def dHash64(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img =
+          if (m.content == null || m.content.isEmpty) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) (m.media_id, 0L, false)
+        else {
+          val w = math.min(img.getWidth, 9)
+          val h = math.min(img.getHeight, 8)
+          def lum(px: Int): Int =
+            (((px >> 16) & 0xff) * 299 + ((px >> 8) & 0xff) * 587 +
+              (px & 0xff) * 114) / 1000
+          var hash = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x + 1 < w) {
+              if (lum(img.getRGB(x + 1, y)) > lum(img.getRGB(x, y)))
+                hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (m.media_id, hash, true)
+        }
+      }
+    }.toDF("media_id", "dhash", "ok")
+  }
+
   def imageHistogramFeatures(media: Dataset[Media], bins: Int = 16): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -1572,6 +1572,35 @@ object TextQueries {
     // 10000). Two keyed shuffles, no pair space.
     "q205_ngram_novelty" -> { (s, d) =>
       Dedup.noveltyCensus(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // PERCEPTUAL image near-dup — the multimodal member of the dedup
+    // family (image re-posts/brightness-shifted copies that byte or
+    // text hashes never see): REAL PNG bytes synthesized per doc
+    // (lossless, so the planted 9×8 gradient pattern decodes exactly;
+    // docs in one decade share it up to a one-pixel perturbation), the
+    // REAL ImageIO codec decodes every image, dHash64 signs the
+    // luminance gradient field, and the simhash 16-bit band join pairs
+    // signatures at hamming ≤ 3 — pigeonhole-exact, never all-pairs.
+    // The oracle predicts pixels → gradient bits → hash → band buckets
+    // → hamming arithmetically: a codec that doesn't really decode
+    // pixels cannot fake it (the q106 discipline).
+    "q207_image_phash_neardup" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dec = id / 10
+          val pert = (id % 10).toInt
+          graft.operators.Multimodal.Media(id, "image/png",
+            graft.operators.Multimodal.synthPatternPng(9, 8, (x, y) =>
+              ((dec * 31 + x * x * (1 + dec % 13) * 3
+                + y * 7 * (1 + dec % 7) + (x + y + dec) % 11
+                + (if (x == 0 && y == 0) pert else 0)) % 256).toInt))
+        })
+      val sig = graft.operators.Multimodal.dHash64(media)
+        .filter(col("ok"))
+      Dedup.hammingPairs64(sig, "media_id", "dhash", 3)
     }
   )
 
@@ -1885,6 +1914,40 @@ object TextQueries {
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,
     "q202_neardup_keeper" -> nearDupKeeperSql,
+
+    // q207: pixels → gradient bits → hash → band buckets → hamming,
+    // every step exact integer arithmetic on doc_id
+    "q207_image_phash_neardup" ->
+      s"""WITH dd AS (SELECT doc_id, doc_id // 10 AS dec,
+       |      doc_id % 10 AS pert FROM documents WHERE doc_id >= 0),
+       |gx AS (SELECT unnest(generate_series(0, 8)) AS x),
+       |gy AS (SELECT unnest(generate_series(0, 7)) AS y),
+       |px AS (SELECT doc_id, x, y,
+       |    (dec * 31 + x * x * (1 + dec % 13) * 3
+       |      + y * 7 * (1 + dec % 7) + (x + y + dec) % 11
+       |      + CASE WHEN x = 0 AND y = 0 THEN pert ELSE 0 END) % 256 AS p
+       |  FROM dd CROSS JOIN gx CROSS JOIN gy),
+       |bits AS (SELECT a.doc_id, a.x, a.y,
+       |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b
+       |    ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+       |  WHERE a.x < 8),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN y * 8 + x < 63
+       |        THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END)
+       |      + CASE WHEN max(CASE WHEN y * 8 + x = 63 THEN bit
+       |          ELSE 0 END) = 1
+       |        THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS h
+       |  FROM bits GROUP BY 1),
+       |bnd AS (SELECT doc_id, h, bb.band,
+       |    (h >> (bb.band * 16)) & 65535 AS bkey
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bb(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.h AS ha, b.h AS hb
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
 
     // q205: the q26 3-gram shingle-KEY chain, then first-sighting =
     // min doc_id per key and the per-doc seen-before tally — every

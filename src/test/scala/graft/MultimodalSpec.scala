@@ -227,6 +227,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Seq[Float])].collect().toMap.apply(40L))
   }
 
+  test("dHash64 is invariant to uniform brightness shifts, flips one " +
+       "bit per local gradient inversion, and real-decodes the PNGs") {
+    // pattern in [0, 200] so +50 shifts without mod-256 wraparound
+    def pat(x: Int, y: Int): Int = (x * x * 3 + y * 7 + (x + y) % 11) % 200
+    val media = Seq(
+      Media(1L, "image/png", Multimodal.synthPatternPng(9, 8, pat)),
+      // brightness-shifted copy: gradient SIGNS unchanged -> same hash
+      Media(2L, "image/png",
+        Multimodal.synthPatternPng(9, 8, (x, y) => pat(x, y) + 50)),
+      // one inverted local gradient: pixel (1,0) pushed below (0,0)
+      // and above... only the (0,0)->(1,0) and (1,0)->(2,0) compares
+      // can change -> hamming <= 2, >= 1
+      Media(3L, "image/png", Multimodal.synthPatternPng(9, 8, (x, y) =>
+        if (x == 1 && y == 0) 0 else pat(x, y) + 50)),
+      Media(4L, "image/png", Array[Byte](1, 2, 3)) // undecodable
+    ).toDS()
+    val got = Multimodal.dHash64(media)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._2 && got(2L)._2 && got(3L)._2 && !got(4L)._2)
+    assert(got(1L)._1 == got(2L)._1,
+      "uniform brightness shift must not change dHash")
+    val ham = java.lang.Long.bitCount(got(2L)._1 ^ got(3L)._1)
+    assert(ham >= 1 && ham <= 2, s"local inversion flipped $ham bits")
+    // the byte-hash CONTROL: the shifted copy's PNG bytes differ, so a
+    // byte fingerprint splits what the perceptual hash unifies
+    assert(!java.util.Arrays.equals(
+      media.collect()(0).content, media.collect()(1).content))
+  }
+
   test("imageHistogramFeatures extracts content-derived luminance histograms") {
     val real = Seq(
       Media(20L, "image", pngBytes(10, 10, 0xffffff)), // all white → top bin
