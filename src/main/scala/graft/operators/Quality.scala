@@ -143,6 +143,36 @@ object Quality {
   val PiiPhone = "\\b[0-9]{3}-[0-9]{4}\\b"
   val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** K-ANONYMITY census with one LOCAL-RECODING generalization step —
+    * the other pre-publish governance gate next to [[piiCensus]]
+    * (Sweeney, "k-Anonymity: a model for protecting privacy", 2002):
+    * rows whose FINE quasi-identifier tuple groups fewer than k
+    * records are re-identifiable by join; the standard remedy pools
+    * exactly those rows at a COARSER tuple (drop the finest column)
+    * and re-checks. Emits one row per fine QI group: size, the
+    * generalization level used (0 = fine ok, 1 = pooled), the
+    * effective group size after pooling, and the residual `ok`
+    * verdict — the table a release review reads. Two groupBys and a
+    * key-equality join: census cost is O(groups), never O(rows²). */
+  def kAnonymityCensus(df: DataFrame, fine: Seq[String],
+                       coarse: Seq[String], k: Int): DataFrame = {
+    require(coarse.forall(fine.contains),
+      "coarse QI must be a subset of the fine QI (a generalization)")
+    val g0 = df.groupBy(fine.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+    val pooled = g0.filter(col("group_size") < k)
+      .groupBy(coarse.map(col): _*)
+      .agg(sum(col("group_size")).as("pooled_size"))
+    val eff = when(col("group_size") >= k, col("group_size"))
+      .otherwise(col("pooled_size"))
+    g0.join(pooled, coarse, "left")
+      .select(fine.map(col) ++ Seq(
+        col("group_size"),
+        when(col("group_size") >= k, 0L).otherwise(1L).as("level"),
+        eff.as("eff_size"),
+        when(eff >= k, 1L).otherwise(0L).as("ok")): _*)
+  }
+
   def bigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
     import graft.functions.TextFns
     val w = org.apache.spark.sql.expressions.Window

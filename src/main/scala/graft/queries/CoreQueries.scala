@@ -68,6 +68,23 @@ object CoreQueries {
           count(lit(1)).as("count_order"))
     },
 
+    // K-anonymity census over the customer quasi-identifiers
+    // (nation, market segment, account-balance kilo-bucket) with one
+    // local-recoding generalization step (pool fine violators at the
+    // coarser (nation, segment) tuple) — the release-review table a
+    // data-governance pass reads before publishing (pairs with q201's
+    // PII scrub). O(groups) dataflow: two groupBys + one keyed join.
+    "q208_k_anonymity" -> { (s, d) =>
+      import graft.operators.Quality
+      val qi = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("bal_kilo"))
+      Quality.kAnonymityCensus(qi,
+        Seq("nationkey", "mktsegment", "bal_kilo"),
+        Seq("nationkey", "mktsegment"), k = 5)
+    },
+
     // Projection + conjunctive/disjunctive predicates (P1/P6/P8/P9);
     // both filter and column pruning reach the parquet scan.
     "q02_parts_filter" -> { (s, d) =>
@@ -1465,6 +1482,26 @@ object CoreQueries {
         |  WHERE l.v IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT * FROM stats UNION ALL SELECT * FROM hist""".stripMargin,
+
+    "q208_k_anonymity" ->
+      """WITH g0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kilo,
+        |    CAST(count(*) AS BIGINT) AS group_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |v AS (SELECT nationkey, mktsegment,
+        |    CAST(sum(group_size) AS BIGINT) AS pooled_size
+        |  FROM g0 WHERE group_size < 5 GROUP BY 1, 2)
+        |SELECT g0.nationkey, g0.mktsegment, g0.bal_kilo, g0.group_size,
+        |  CAST(CASE WHEN g0.group_size >= 5 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS level,
+        |  CAST(CASE WHEN g0.group_size >= 5 THEN g0.group_size
+        |    ELSE v.pooled_size END AS BIGINT) AS eff_size,
+        |  CAST(CASE WHEN (CASE WHEN g0.group_size >= 5 THEN g0.group_size
+        |      ELSE v.pooled_size END) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS ok
+        |FROM g0 LEFT JOIN v ON g0.nationkey = v.nationkey
+        |  AND g0.mktsegment = v.mktsegment""".stripMargin,
 
     "q67_hash_sample" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,

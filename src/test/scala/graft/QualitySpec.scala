@@ -130,4 +130,26 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     // stupid backoff: (2 · ((1·S) div (1+1))) div 5 = S/5
     assert(lm3(3L) == 2L * (Quality.LmScale / 2L) / 5L) // 200000
   }
+
+  test("kAnonymityCensus pools fine violators at the coarse tuple and " +
+       "flags groups that stay re-identifiable even after pooling") {
+    import org.apache.spark.sql.functions.col
+    // (nat, seg, kb): A = 5 rows fine-ok; B splits 2+3 across kb but
+    // pools to 5 at (nat, seg); C is a lone row that stays below k
+    val rows = Seq.fill(5)((1L, "s1", 0L)) ++
+      Seq.fill(2)((2L, "s1", 0L)) ++ Seq.fill(3)((2L, "s1", 1L)) ++
+      Seq((3L, "s2", 7L))
+    val df = rows.toDF("nationkey", "mktsegment", "bal_kilo")
+    val got = Quality.kAnonymityCensus(df,
+        Seq("nationkey", "mktsegment", "bal_kilo"),
+        Seq("nationkey", "mktsegment"), k = 5)
+      .select(col("nationkey"), col("bal_kilo"), col("group_size"),
+        col("level"), col("eff_size"), col("ok"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 5L, 0L, 5L, 1L),   // fine group already k-anonymous
+      (2L, 0L, 2L, 1L, 5L, 1L),   // violator, saved by pooling
+      (2L, 1L, 3L, 1L, 5L, 1L),   // violator, saved by pooling
+      (3L, 7L, 1L, 1L, 1L, 0L)))  // re-identifiable even pooled
+  }
 }
