@@ -143,6 +143,61 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** INCREMENTAL novelty as a stream — the ORDER-DEPENDENT counterpart
+    * of [[runAdmission]] (whose verdicts are independent of batching):
+    * the corpus arrives as id-ordered file drops, each micro-batch is
+    * scored against the persisted first-sighting index (plus its own
+    * batch-local arrivals) and APPENDS its shingle minima to that
+    * index — evolving state, which is exactly what the one-shot q205
+    * census cannot exercise. With id-ordered drops the accumulated
+    * sink must equal q205's batch census EXACTLY, whatever the batch
+    * boundaries. Returns (mismatches, rows). */
+  def runNovelty(spark: SparkSession, sfDir: String,
+                 workDir: String): (Long, Long) = {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val srcDir = Paths.get(workDir, "novelty_drops")
+    Files.createDirectories(srcDir)
+    val n = docs.count()
+    val withIdx = docs.withColumn("_rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    val numDrops = 4
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      stageDropFile(withIdx.filter(col("_rn").between(lo, hi)).drop("_rn"),
+        srcDir, f"drop_$i%02d")
+    }
+    val stateDir = s"$workDir/novelty_state"
+    // seed an empty typed segment so every read of the state works
+    Seq.empty[(Long, Long)].toDF("shk", "first_id")
+      .write.mode("overwrite").parquet(stateDir)
+    val outN = s"$workDir/sink_novelty"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val qN = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_novelty")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val verdicts = Dedup.incrementalNovelty(
+          spark, stateDir, df, "doc_id", "text")
+        verdicts.write.mode("append").parquet(outN)
+        Checkpoints.release(verdicts)
+      }.start()
+    try qN.processAllAvailable() finally qN.stop()
+    val streamed = spark.read.parquet(outN)
+    val batch = Dedup.noveltyCensus(docs, "doc_id", "text")
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -229,11 +284,14 @@ object StreamRun {
     spark.sparkContext.setLogLevel("WARN")
     val (tBad, cBad, tRows, cRows) = run(spark, sfDir, workDir)
     val (aBad, aRows) = runAdmission(spark, sfDir, workDir)
+    val (nBad, nRows) = runNovelty(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
-      s"admission=${verdict(aBad)} tumbling_windows=$tRows " +
-      s"coedge_groups=$cRows admission_docs=$aRows sf=$sfDir")
+      s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
+      s"tumbling_windows=$tRows " +
+      s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
+      s"sf=$sfDir")
     spark.stop()
-    if (tBad + cBad + aBad > 0) sys.exit(1)
+    if (tBad + cBad + aBad + nBad > 0) sys.exit(1)
   }
 }

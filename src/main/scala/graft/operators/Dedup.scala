@@ -336,6 +336,47 @@ object Dedup {
     out
   }
 
+  /** INCREMENTAL novelty — [[noveltyCensus]]'s ingestion form (the
+    * q192 admission shape for the ORDER-DEPENDENT metric): the batch is
+    * scored against the persisted first-sighting index PLUS its own
+    * batch-local earlier arrivals (first = min(state, batch min), so a
+    * shingle introduced mid-batch is already "seen" by later docs of
+    * the same batch), then the batch's shingle minima are APPENDED to
+    * the index — the corpus is never rescanned. State is (shk,
+    * first_id): O(distinct shingles), compacted by min-on-read over
+    * appended segments (a real deployment would fold segments
+    * periodically; min is associative so compaction commutes with
+    * reads). When batches arrive id-ordered, the accumulated verdicts
+    * equal the one-shot census EXACTLY (StreamRun parity gate). */
+  def incrementalNovelty(spark: org.apache.spark.sql.SparkSession,
+                         stateDir: String, batch: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3): DataFrame = {
+    val sh = graft.Checkpoints.checkpoint(
+      docShingleKeys(batch, idCol, textCol, n))
+    val bFirst = sh.groupBy(col("shk")).agg(min(col(idCol)).as("b_first"))
+    val state = spark.read.parquet(stateDir)
+      .groupBy(col("shk")).agg(min(col("first_id")).as("s_first"))
+    val first = bFirst.join(state, Seq("shk"), "left")
+      .select(col("shk"),
+        least(col("b_first"), coalesce(col("s_first"), col("b_first")))
+          .as("first_id"))
+    val out = graft.Checkpoints.checkpoint(sh.join(first, "shk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col(idCol), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .select(col(idCol), col("n_shingles"), col("n_seen_before"),
+        floor((col("n_shingles") - col("n_seen_before")) * 10000L /
+          col("n_shingles")).cast("long").as("novelty_x10k")))
+    // append the batch minima BEFORE releasing the shingle block (the
+    // append evaluates bFirst, which reads sh); the verdicts above are
+    // already materialized, so they cannot see the appended segment
+    bFirst.select(col("shk"), col("b_first").as("first_id"))
+      .write.mode("append").parquet(stateDir)
+    graft.Checkpoints.release(sh)
+    out
+  }
+
   /** MinHash signatures: sig[i] = min over shingle keys k of
     * (a_i·k + b_i) mod (2^31 - 1) — the portable affine family over
     * [[docShingleKeys]], with literal per-permutation constants

@@ -24,4 +24,13 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(aRows > 0)
     assert(aBad == 0, s"$aBad admission verdicts diverge from the q192 batch")
   }
+
+  test("streamed incremental novelty (evolving first-sighting index) " +
+       "matches q205's one-shot census") {
+    val work = java.nio.file.Files.createTempDirectory("stream_nov").toString
+    val (nBad, nRows) =
+      StreamRun.runNovelty(spark, "/root/testdata/sf0.001", work)
+    assert(nRows > 0)
+    assert(nBad == 0, s"$nBad novelty verdicts diverge from the q205 batch")
+  }
 }
