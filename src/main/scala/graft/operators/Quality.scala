@@ -143,6 +143,40 @@ object Quality {
   val PiiPhone = "\\b[0-9]{3}-[0-9]{4}\\b"
   val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** URL census — the link-hygiene pass a crawl pipeline runs before
+    * host-level aggregation (C4/CCNet methodology): per doc, the first
+    * URL's host, registrable domain (last two labels), path, and the
+    * query string with TRACKING parameters (utm_*) stripped in
+    * original order — the canonical form host dedup and per-domain
+    * quotas key on. Entirely row-local (one projection, no shuffle);
+    * ASCII regexes identical under Java regex and RE2, list order
+    * preserved by both engines' split/filter/join, so an oracle
+    * replays every field. Docs without a URL surface with empty
+    * fields and zero counts — provably link-free. */
+  def urlCensus(df: DataFrame, id: String, text: String): DataFrame = {
+    val url = regexp_extract(col(text), UrlPattern, 0)
+    val host = regexp_extract(url, "https?://([a-z0-9.-]+)", 1)
+    val qs = regexp_extract(url, "\\?([a-z0-9=&_.-]*)", 1)
+    val parts = split(qs, "&")
+    val kept = filter(parts, p => not(p.startsWith("utm_")))
+    val nParams = when(qs === "", 0L).otherwise(size(parts).cast("long"))
+    val nKept = when(qs === "", 0L).otherwise(size(kept).cast("long"))
+    df.select(col(id),
+      host.as("host"),
+      regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1).as("domain"),
+      regexp_extract(url, "https?://[a-z0-9.-]+(/[a-z0-9/._-]*)", 1)
+        .as("path"),
+      array_join(kept, "&").as("clean_params"),
+      nParams.as("n_params"),
+      (nParams - nKept).as("n_tracking"))
+  }
+
+  /** The census URL shape — shared verbatim with the oracle SQL (ASCII
+    * classes only; no backtracking constructs, so Java regex and RE2
+    * agree). Space-free by construction: a URL in word-soup text ends
+    * at the first space. */
+  val UrlPattern = "https?://[a-z0-9.-]+[a-z0-9/?=&_.-]*"
+
   /** K-ANONYMITY census with one LOCAL-RECODING generalization step —
     * the other pre-publish governance gate next to [[piiCensus]]
     * (Sweeney, "k-Anonymity: a model for protecting privacy", 2002):

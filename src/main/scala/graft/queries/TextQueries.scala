@@ -1574,6 +1574,28 @@ object TextQueries {
       Dedup.noveltyCensus(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // URL census — link hygiene before host aggregation (C4/CCNet):
+    // host / registrable domain / path extraction plus tracking-param
+    // (utm_*) stripping in original order. URLs are PLANTED
+    // deterministically from doc_id (the q201 protocol; every 4th doc
+    // stays link-free so the zero case is provably covered); the whole
+    // pass is one row-local projection.
+    "q209_url_census" -> { (s, d) =>
+      import graft.operators.Quality
+      val planted = concat(
+        TextFns.norm(col("text")),
+        when(col("doc_id") % 4 =!= 0, concat(
+          lit(" see https://sub"), (col("doc_id") % 7).cast("string"),
+          lit(".host"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=a&x="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=b&ref="), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit("")))
+      Quality.urlCensus(
+        Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+    },
+
     // PERCEPTUAL image near-dup — the multimodal member of the dedup
     // family (image re-posts/brightness-shifted copies that byte or
     // text hashes never see): REAL PNG bytes synthesized per doc
@@ -1914,6 +1936,40 @@ object TextQueries {
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,
     "q202_neardup_keeper" -> nearDupKeeperSql,
+
+    // q209: the same planted derivation, then RE2 extraction and
+    // order-preserving list ops on the query string
+    "q209_url_census" -> {
+      import graft.operators.Quality
+      val plant =
+        s"${normSql("text")} " +
+        "|| CASE WHEN doc_id % 4 <> 0 THEN ' see https://sub' " +
+        "|| CAST(doc_id % 7 AS VARCHAR) || '.host' " +
+        "|| CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' " +
+        "|| CAST(doc_id % 50 AS VARCHAR) || '?utm_source=a&x=' " +
+        "|| CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=b&ref=' " +
+        "|| CAST(doc_id % 3 AS VARCHAR) ELSE '' END"
+      s"""WITH pd AS (SELECT doc_id, $plant AS t FROM documents),
+         |u AS (SELECT doc_id,
+         |    regexp_extract(t, '${Quality.UrlPattern}', 0) AS url FROM pd),
+         |p AS (SELECT doc_id, url,
+         |    regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS host,
+         |    regexp_extract(url, '\\?([a-z0-9=&_.-]*)', 1) AS qs FROM u)
+         |SELECT doc_id, host,
+         |  regexp_extract(host, '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain,
+         |  regexp_extract(url, 'https?://[a-z0-9.-]+(/[a-z0-9/._-]*)', 1)
+         |    AS path,
+         |  array_to_string(list_filter(string_split(qs, '&'),
+         |    pp -> NOT starts_with(pp, 'utm_')), '&') AS clean_params,
+         |  CAST(CASE WHEN qs = '' THEN 0
+         |    ELSE len(string_split(qs, '&')) END AS BIGINT) AS n_params,
+         |  CAST(CASE WHEN qs = '' THEN 0
+         |    ELSE len(string_split(qs, '&'))
+         |      - len(list_filter(string_split(qs, '&'),
+         |          pp -> NOT starts_with(pp, 'utm_'))) END AS BIGINT)
+         |    AS n_tracking
+         |FROM p""".stripMargin
+    },
 
     // q207: pixels → gradient bits → hash → band buckets → hamming,
     // every step exact integer arithmetic on doc_id

@@ -131,6 +131,22 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(lm3(3L) == 2L * (Quality.LmScale / 2L) / 5L) // 200000
   }
 
+  test("urlCensus extracts host/domain/path and strips tracking params " +
+       "in original order; link-free docs come back empty") {
+    val docs = Seq(
+      (1L, "read https://a.news.example.org/world/item?utm_source=x&q=1&utm_medium=y&page=2 now"),
+      (2L, "plain https://example.com/top"),
+      (3L, "no links here at all")).toDF("doc_id", "text")
+    val got = Quality.urlCensus(docs, "doc_id", "text")
+      .as[(Long, String, String, String, String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a.news.example.org", "example.org",
+      "/world/item", "q=1&page=2", 4L, 2L)))
+    assert(got(2L) == ((2L, "example.com", "example.com", "/top",
+      "", 0L, 0L)))
+    assert(got(3L) == ((3L, "", "", "", "", 0L, 0L)))
+  }
+
   test("kAnonymityCensus pools fine violators at the coarse tuple and " +
        "flags groups that stay re-identifiable even after pooling") {
     import org.apache.spark.sql.functions.col
