@@ -1574,6 +1574,33 @@ object TextQueries {
       Dedup.noveltyCensus(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // LSH dedup-verdict RECALL curve — what q182's per-candidate
+    // calibration cannot see: pairs the banding MISSED entirely. The
+    // exact relation comes from the INDEPENDENT PPJoin path (q25's
+    // prefix-filtered exact Jaccard at 0.3), the LSH verdicts from the
+    // q108 chain (bands → ≥16/32 agreement); per true-Jaccard decile,
+    // how many true pairs the production dedup would actually flag —
+    // the measured S-curve that picks band geometry at scale, vs the
+    // 1-(1-j^r)^b theory.
+    "q210_lsh_dedup_eval" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ex = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val lsh = Dedup.minhashEstimate(
+          Dedup.lshCandidates(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("flagged"))
+      ex.join(lsh, Seq("id_a", "id_b"), "left")
+        .select(floor(col("jaccard") * 10).cast("long").as("decile"),
+          coalesce(col("flagged"), lit(0L)).as("flagged"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(col("flagged")).as("n_flagged"))
+        .select(col("decile"), col("n_true"), col("n_flagged"),
+          floor(col("n_flagged") * 10000L / col("n_true")).cast("long")
+            .as("recall_x10k"))
+    },
+
     // URL census — link hygiene before host aggregation (C4/CCNet):
     // host / registrable domain / path extraction plus tracking-param
     // (utm_*) stripping in original order. URLs are PLANTED
@@ -1896,6 +1923,60 @@ object TextQueries {
       .stripMargin
   }
 
+  /** Generated DuckDB twin of the q210 recall curve: the q26
+    * signature/band/agreement chain for the LSH verdicts, the q25
+    * exact shingle-join relation for the truth, joined per
+    * true-Jaccard decile. */
+  private def lshDedupEvalSql: String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${minhashBandsBody(mins, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |lshp AS (SELECT id_a, id_b
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b
+       |  WHERE ($matches) >= 16),
+       |ss2 AS (SELECT DISTINCT doc_id,
+       |    array_to_string(ws[i : i + 2], ' ') AS s2
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - 2)) AS i
+       |        FROM w WHERE len(ws) >= 3)),
+       |sz2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |        FROM ss2 GROUP BY 1),
+       |co2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS co
+       |       FROM ss2 a JOIN ss2 b ON a.s2 = b.s2 AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |ex2 AS (SELECT id_a, id_b,
+       |    round(CAST(co AS DOUBLE) / (za.n_sh + zb.n_sh - co), 4) AS j
+       |  FROM co2 JOIN sz2 za ON co2.id_a = za.doc_id
+       |           JOIN sz2 zb ON co2.id_b = zb.doc_id
+       |  WHERE round(CAST(co AS DOUBLE) / (za.n_sh + zb.n_sh - co), 4)
+       |    >= 0.3)
+       |SELECT CAST(floor(j * 10) AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  CAST((sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 10000) // count(*) AS BIGINT) AS recall_x10k
+       |FROM ex2 LEFT JOIN lshp l
+       |  ON ex2.id_a = l.id_a AND ex2.id_b = l.id_b
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Generated DuckDB twin of Dedup.simhash64 as CTEs ending in
     * `sig(doc_id, simhash)`: distinct-word counts → the 60-bit packed
     * double-polynomial word hash (Dedup.wordHash60) → per-bit
@@ -1936,6 +2017,7 @@ object TextQueries {
 
     "q108_banded_neardup_drop" -> bandedNearDupSql,
     "q202_neardup_keeper" -> nearDupKeeperSql,
+    "q210_lsh_dedup_eval" -> lshDedupEvalSql,
 
     // q209: the same planted derivation, then RE2 extraction and
     // order-preserving list ops on the query string

@@ -261,6 +261,61 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lsh dedup-eval recall table equals brute force (independent " +
+       "exact truth AND replayed signatures)") {
+    // corpus spanning the jaccard range: bases plus suffix-mutated
+    // copies at several overlap levels
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val bases = (0 until 8).map(i =>
+      Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val corpus = bases.zipWithIndex.flatMap { case (b, i) =>
+      val extra = (1 to (i % 4)).map(j => s"x${i}_$j").mkString(" ")
+      Seq((i * 10L, b), (i * 10L + 1, if (extra.isEmpty) b else s"$b $extra"))
+    }
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sigs = corpus.map { case (id, t) =>
+      id -> Dedup.localMinhashSig(t) }.toMap
+    val brute = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      co = (sa & sb).size
+      j = math.rint(co.toDouble / (sa.size + sb.size - co) * 10000) / 10000
+      if j >= 0.3
+    } yield {
+      val m = sigs(ia).zip(sigs(ib)).count(p => p._1 == p._2)
+      (math.floor(j * 10).toLong, if (m >= 16) 1L else 0L)
+    }).groupBy(_._1).map { case (dec, xs) =>
+      val flagged = xs.map(_._2).sum
+      dec -> (xs.size.toLong, flagged,
+        flagged * 10000L / xs.size)
+    }
+    import org.apache.spark.sql.functions._
+    val df = corpus.toDF("doc_id", "text")
+    val ex = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3)
+    val s2 = Dedup.minhashSignatures(df, "doc_id", "text")
+    val lsh = Dedup.minhashEstimate(
+        Dedup.lshCandidates(s2, "doc_id"), s2, "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("flagged"))
+    val got = ex.join(lsh, Seq("id_a", "id_b"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("decile"),
+        coalesce(col("flagged"), lit(0L)).as("flagged"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_true"), sum(col("flagged")).as("n_flagged"))
+      .select(col("decile"), col("n_true"), col("n_flagged"),
+        floor(col("n_flagged") * 10000L / col("n_true")).cast("long")
+          .as("recall_x10k"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == brute)
+    // an LSH-flagged pair is only countable if the exact path saw it:
+    // bands alone may surface sub-0.3 pairs, never the reverse
+    assert(brute.values.forall { case (t, f, _) => f <= t })
+  }
+
   test("sortedNeighborhoodPairs emits exactly the rank-window pairs") {
     import org.apache.spark.sql.functions._
     // keys crafted so sort order differs from id order, with a tie
