@@ -207,6 +207,26 @@ object SimQueries {
           col("idcg_x60"))
     },
 
+    // Retrieval-quality EVAL, MRR@k — the third member of the eval
+    // triad (q196 recall = coverage, q197 NDCG = position-weighted
+    // gain, MRR = how fast the FIRST relevant result appears — the
+    // metric interactive search reads). Reciprocal ranks ride the same
+    // lcm(1..5) = 60 integer scale as q197's discounts; a query whose
+    // ANN list contains no exact-top-5 member keeps a row with rank 0
+    // (the census convention — misses must be provably counted).
+    "q211_ann_mrr_at_k" -> { (s, d) =>
+      val (exact, ann) = gradedRankings(s, d)
+      val hits = ann.select(col("q_id"), col("n_id"), col("rn"))
+        .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(min(col("rn")).as("fr"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("fr"), lit(0L)).as("first_hit_rank"),
+          coalesce(call_function("div", lit(60L), col("fr")), lit(0L))
+            .as("rr_x60"))
+    },
+
     // Product-quantization ANN (m=8 subspaces × 64 codewords = 48-bit
     // codes vs 64 floats): ADC lookup-table scan over the compressed
     // corpus, exact-IP re-rank of the 50-deep shortlist — the
@@ -499,6 +519,17 @@ object SimQueries {
          |SELECT i.q_id, CAST(coalesce(d.dcg_x60, 0) AS BIGINT) AS dcg_x60,
          |  i.idcg_x60
          |FROM idcg i LEFT JOIN dcg d ON i.q_id = d.q_id""".stripMargin
+    val q211 =
+      s"""WITH $annCtes,
+         |$exrCte,
+         |h AS (SELECT a.q_id, min(a.rn) AS fr
+         |  FROM annr a JOIN exr x ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |  GROUP BY 1)
+         |SELECT q.q_id,
+         |  CAST(coalesce(h.fr, 0) AS BIGINT) AS first_hit_rank,
+         |  CAST(coalesce(60 // h.fr, 0) AS BIGINT) AS rr_x60
+         |FROM (SELECT DISTINCT q_id FROM exr) q
+         |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin
     // q72 = cosinePairsIvf(minCos=0.4, targetCellSize=256, nprobe=2,
     // lloydIters=2) — cells are data-adaptive; past 64 cells the engine
     // switches to two-level assignment, which this replay does not
@@ -580,6 +611,7 @@ object SimQueries {
     }
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
       "q196_ann_recall_at_k" -> q196, "q197_ann_ndcg_at_k" -> q197,
+      "q211_ann_mrr_at_k" -> q211,
       "q178_ivf_quality" -> q178,
       "q125_ann_pq_topk" -> pqOracle(books),
       "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books),

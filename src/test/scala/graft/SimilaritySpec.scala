@@ -90,6 +90,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long)].collect()
     }
     assert(perfect.nonEmpty && perfect.forall(_._2 == 522L))
+
+    // MRR@k (q211): one row per query; rr = 60/first_hit_rank on the
+    // same integer scale, 0 on a total miss; consistency with recall —
+    // a query with any hit has rank in [1,5], a zero-hit query rank 0
+    val mrr = graft.queries.SimQueries.defs("q211_ann_mrr_at_k")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(mrr.length == recall.length)
+    val hitsByQ = recall.map(r => r._1 -> r._3).toMap
+    mrr.foreach { case (q, fr, rr) =>
+      if (hitsByQ(q) == 0L) assert(fr == 0L && rr == 0L, s"q=$q")
+      else {
+        assert(fr >= 1L && fr <= 5L, s"q=$q fr=$fr")
+        assert(rr == 60L / fr, s"q=$q rr=$rr fr=$fr")
+      }
+    }
   }
 
   test("sign-LSH ANN recall is monotone in the probe count (0/2/4)") {
