@@ -66,6 +66,7 @@ object Explain {
     "q165_modularity",      // broadcast edge-count scalar (q42 shape)
     "q174_dist_drift",      // broadcast range/total scalars (q162 shape)
     "q175_bm25_indexed",    // broadcast 1-row corpus-stats scalar (q88 shape)
+    "q212_bm25_incremental", // broadcast 1-row corpus-stats scalar (q88 shape)
     "q176_copurchase_rules", // broadcast order-count scalar (q42 shape)
     "q184_quantile_normalize", // broadcast total-count scalar (q42 shape)
     "q178_ivf_quality",     // broadcast centroid assignment (q51 shape)

@@ -45,6 +45,49 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** APPEND a disjoint batch to a persisted BM25 index — the q192
+    * admission shape for the retrieval index: the BIG relations
+    * (postings, doclens) grow by parquet append (cost ∝ batch; the
+    * corpus is never re-tokenized), while the SMALL sidecars (termdf —
+    * vocabulary-sized; stats — one row) are recomputed additively and
+    * rewritten (df and length totals are sums, so merge = group-sum of
+    * old + batch). Serving from the appended index is BIT-EQUAL to a
+    * one-shot build over the union: identical posting/doclen rows,
+    * identical sidecar values → identical IEEE score arithmetic
+    * (TextIndexSpec pins it). Contract: batch doc ids must be disjoint
+    * from the indexed corpus (re-ingesting an id would double-count —
+    * deletions/updates are tombstones in a real deployment). */
+  def appendToBm25Index(spark: SparkSession, dir: String, batch: DataFrame,
+                        idCol: String, textCol: String): Unit = {
+    val toks = batch.select(col(idCol).as("doc_id"),
+      explode(TextFns.words(TextFns.norm(col(textCol)))).as("term"))
+    val tf = graft.Checkpoints.checkpoint(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    tf.write.mode("append").parquet(s"$dir/postings")
+    val dl = graft.Checkpoints.checkpoint(
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    dl.write.mode("append").parquet(s"$dir/doclens")
+    // sidecar rewrite: materialize merged values BEFORE overwriting
+    // the paths they were read from (Spark refuses a lazy
+    // read-overwrite cycle on the same location)
+    val mergedDf = graft.Checkpoints.checkpoint(
+      spark.read.parquet(s"$dir/termdf")
+        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df_")))
+        .groupBy(col("term")).agg(sum(col("df_")).as("df_")))
+    mergedDf.write.mode("overwrite").parquet(s"$dir/termdf")
+    val mergedStats = graft.Checkpoints.checkpoint(
+      spark.read.parquet(s"$dir/stats")
+        .unionByName(dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("totdl")))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("totdl")).as("totdl")))
+    mergedStats.write.mode("overwrite").parquet(s"$dir/stats")
+    graft.Checkpoints.release(mergedDf)
+    graft.Checkpoints.release(mergedStats)
+    graft.Checkpoints.release(dl)
+    graft.Checkpoints.release(tf)
+  }
+
   /** Top-`k` documents for a conjunctive-OR term query served from the
     * persisted index: per matched term the q88 integer (num, den) BM25
     * pieces, one IEEE division each, summed per doc in the caller's

@@ -75,6 +75,21 @@ object TextQueries {
         graft.sources.Tables.documents(s, d), "doc_id", "text", dir)
     }
 
+  /** One INCREMENTALLY-assembled BM25 index per (session, sfDir): built
+    * from 80% of the corpus, then the remaining 20% APPENDED
+    * (TextIndex.appendToBm25Index) — the q192 ingestion shape for the
+    * retrieval index. Serving from it is bit-equal to the one-shot
+    * build, which is exactly what q212's oracle (= q175's) checks. */
+  private val bm25IncIndexDirs = new IndexCache("graft_bm25i")
+  private def bm25IncIndexDir(s: SparkSession, d: String): String =
+    bm25IncIndexDirs.get(s, d) { dir =>
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.operators.TextIndex.buildBm25Index(
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", dir)
+      graft.operators.TextIndex.appendToBm25Index(
+        s, dir, docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+    }
+
   private def normSql(c: String) =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
@@ -503,6 +518,17 @@ object TextQueries {
     // table — the index is a pure materialization.
     "q175_bm25_indexed" -> { (s, d) =>
       graft.operators.TextIndex.bm25TopKIndexed(s, bm25IndexDir(s, d),
+        Seq("query", "merge", "spark"), 20)
+    },
+
+    // BM25 over the INCREMENTALLY-assembled index (80% built + 20%
+    // appended): postings/doclens grow by parquet append, the
+    // vocabulary-sized sidecars merge additively — and the serve is
+    // bit-equal to the one-shot build, so the oracle is literally
+    // q175's. The production index-maintenance shape: new docs cost
+    // O(batch), the corpus is never re-tokenized.
+    "q212_bm25_incremental" -> { (s, d) =>
+      graft.operators.TextIndex.bm25TopKIndexed(s, bm25IncIndexDir(s, d),
         Seq("query", "merge", "spark"), 20)
     },
 
@@ -2010,6 +2036,41 @@ object TextQueries {
        |               unnest(generate_series(1, len(words)-2)) AS i
        |             FROM w WHERE len(words) >= 3))""".stripMargin
 
+  private lazy val bm25IndexedSql: String =
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(${normSql("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df_
+         |        FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(dl) AS BIGINT) AS totdl FROM dl),
+         |ratio AS (SELECT doc_id, term,
+         |    CAST(44 * tf * totdl * (2 * n_docs - 2 * df_ + 1) AS DOUBLE)
+         |    / CAST((2 * df_ + 1) * (20 * totdl * tf + 6 * totdl
+         |        + 18 * dl * n_docs) AS DOUBLE) AS r
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term)
+         |       CROSS JOIN tot
+         |  WHERE term IN ('query', 'merge', 'spark')),
+         |piv AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN term = 'query' THEN r END), 0.0) AS r1,
+         |    coalesce(max(CASE WHEN term = 'merge' THEN r END), 0.0) AS r2,
+         |    coalesce(max(CASE WHEN term = 'spark' THEN r END), 0.0) AS r3
+         |  FROM ratio GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST((CASE WHEN r1 > 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r2 > 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_terms_matched,
+         |  rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY r1 + r2 + r3 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM piv WHERE r1 + r2 + r3 > 0)
+         |WHERE rank <= 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q26_minhash_lsh" -> minhashLshSql,
     "q192_incremental_neardup" -> incrementalNearDupSql,
@@ -2404,40 +2465,10 @@ object TextQueries {
     // q175: the ranking recomputed from the raw documents table —
     // identical BM25 pieces, pivot order, and rank arithmetic as the
     // indexed serve (the index is a pure materialization)
-    "q175_bm25_indexed" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |    unnest(string_split(${normSql("text")}, ' ')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY 1),
-         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df_
-         |        FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |               CAST(sum(dl) AS BIGINT) AS totdl FROM dl),
-         |ratio AS (SELECT doc_id, term,
-         |    CAST(44 * tf * totdl * (2 * n_docs - 2 * df_ + 1) AS DOUBLE)
-         |    / CAST((2 * df_ + 1) * (20 * totdl * tf + 6 * totdl
-         |        + 18 * dl * n_docs) AS DOUBLE) AS r
-         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term)
-         |       CROSS JOIN tot
-         |  WHERE term IN ('query', 'merge', 'spark')),
-         |piv AS (SELECT doc_id,
-         |    coalesce(max(CASE WHEN term = 'query' THEN r END), 0.0) AS r1,
-         |    coalesce(max(CASE WHEN term = 'merge' THEN r END), 0.0) AS r2,
-         |    coalesce(max(CASE WHEN term = 'spark' THEN r END), 0.0) AS r3
-         |  FROM ratio GROUP BY 1)
-         |SELECT doc_id,
-         |  CAST((CASE WHEN r1 > 0 THEN 1 ELSE 0 END)
-         |    + (CASE WHEN r2 > 0 THEN 1 ELSE 0 END)
-         |    + (CASE WHEN r3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_terms_matched,
-         |  rank FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    ORDER BY r1 + r2 + r3 DESC, doc_id) AS BIGINT) AS rank
-         |  FROM piv WHERE r1 + r2 + r3 > 0)
-         |WHERE rank <= 20""".stripMargin,
+    "q175_bm25_indexed" -> bm25IndexedSql,
+    // same final index state by construction -> same replay
+    "q212_bm25_incremental" -> bm25IndexedSql,
+
 
     // q170: the 5 greedy rounds unrolled — each pick CTE is the
     // (gain DESC, doc_id) argmax over shingles anti-joined against

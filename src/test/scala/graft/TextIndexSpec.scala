@@ -62,4 +62,30 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == exp)
     assert(got.nonEmpty)
   }
+
+  test("appendToBm25Index: build(80%) + append(20%) serves BIT-EQUAL " +
+       "to the one-shot build, and the sidecars merge additively") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Files.createTempDirectory("graft_bm25_full").toString
+    val inc = Files.createTempDirectory("graft_bm25_inc").toString
+    TextIndex.buildBm25Index(docs, "doc_id", "text", full)
+    TextIndex.buildBm25Index(
+      docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", inc)
+    TextIndex.appendToBm25Index(
+      spark, inc, docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+    graft.Checkpoints.releaseAll(spark)
+    // sidecars: identical values after the additive merge
+    def rows(path: String) = spark.read.parquet(path)
+      .collect().map(_.toSeq).toSet
+    assert(rows(s"$inc/termdf") == rows(s"$full/termdf"))
+    assert(rows(s"$inc/stats") == rows(s"$full/stats"))
+    assert(rows(s"$inc/doclens") == rows(s"$full/doclens"))
+    // serve: identical ranking, scores included (exact IEEE equality —
+    // same posting rows, same sidecar values, same expression tree)
+    val terms = Seq("query", "merge", "spark")
+    def serve(dir: String) =
+      TextIndex.bm25TopKIndexed(spark, dir, terms, 20)
+        .collect().map(_.toSeq).toSeq
+    assert(serve(inc) == serve(full))
+  }
 }
