@@ -1600,6 +1600,27 @@ object TextQueries {
       Dedup.noveltyCensus(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // CLUSTER-safe train/val/test split — q79 keys the split on the
+    // EXACT-prefix canon, which still leaks fuzzy near-dups across
+    // splits (the eval-contamination a paraphrased copy causes); this
+    // keys on the TRANSITIVE LSH cluster id (q202's components), so a
+    // whole duplicate cluster lands in one split by construction.
+    // Unclustered docs key on their own id — same hash ladder as q79.
+    "q213_cluster_safe_split" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+      val clusters = Dedup.nearDupKeeper(docs, "doc_id", "text")
+        .select(col("doc_id"), col("cluster_id"))
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canon"))
+        .withColumn("bucket", lcgHash(col("canon")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("canon"), col("split"))
+    },
+
     // LSH dedup-verdict RECALL curve — what q182's per-candidate
     // calibration cannot see: pairs the banding MISSED entirely. The
     // exact relation comes from the INDEPENDENT PPJoin path (q25's
@@ -1949,6 +1970,50 @@ object TextQueries {
       .stripMargin
   }
 
+  /** Generated DuckDB twin of the q213 cluster-safe split: q202's
+    * recursive component chain gives the cluster canon, unclustered
+    * docs fall back to their own id, then q79's hash ladder. */
+  private def clusterSafeSplitSql: String = {
+    val perms = Dedup.minhashPerms(32)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until 4).foldLeft("0")((h, r) =>
+        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${minhashBandsBody(mins, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |e AS (SELECT id_a AS a, id_b AS b
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b
+       |  WHERE ($matches) >= 16),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |verts AS (SELECT DISTINCT a AS v FROM sym),
+       |reach(v, r) AS (SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT sym.b AS v, reach.r FROM reach JOIN sym ON sym.a = reach.v),
+       |cc AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY v),
+       |cn AS (SELECT d.doc_id,
+       |    CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS canon
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |  WHERE d.doc_id >= 0),
+       |bk AS (SELECT doc_id, canon,
+       |  (${lcgHashSql("canon")}) % 100 AS bucket FROM cn)
+       |SELECT doc_id, canon,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM bk""".stripMargin
+  }
+
   /** Generated DuckDB twin of the q210 recall curve: the q26
     * signature/band/agreement chain for the LSH verdicts, the q25
     * exact shingle-join relation for the truth, joined per
@@ -2079,6 +2144,7 @@ object TextQueries {
     "q108_banded_neardup_drop" -> bandedNearDupSql,
     "q202_neardup_keeper" -> nearDupKeeperSql,
     "q210_lsh_dedup_eval" -> lshDedupEvalSql,
+    "q213_cluster_safe_split" -> clusterSafeSplitSql,
 
     // q209: the same planted derivation, then RE2 extraction and
     // order-preserving list ops on the query string

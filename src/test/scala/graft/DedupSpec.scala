@@ -198,6 +198,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cluster-safe split puts a whole near-dup chain in ONE split " +
+       "keyed by the cluster minimum") {
+    import org.apache.spark.sql.functions._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val chain = Seq(
+      (10L, s"$base a1 a2"), (20L, s"$base a1 a2 b1"),
+      (30L, s"$base a1 a2 b1 b2 b3"),
+      (40L, "totally unrelated text about something else entirely now"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.nearDupKeeper(chain, "doc_id", "text")
+      .select(col("doc_id"), col("cluster_id"))
+    val split = chain.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canon"))
+      .as[(Long, Long)].collect().toMap
+    // chain members share the canon (= min id 10); the singleton keys
+    // on itself — the q79 hash ladder then maps canon -> split, so
+    // same canon == same split by construction
+    assert(split(10L) == 10L && split(20L) == 10L && split(30L) == 10L)
+    assert(split(40L) == 40L)
+  }
+
   test("noveltyCensus scores a re-crawl 0, a first sighting 10000, and " +
        "a partial quote by its unseen fraction") {
     val base = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10" // 8 shingles
