@@ -34,6 +34,7 @@ object Explain {
     "q204_ann_sq8_topk",    // broadcast query-codes × compressed scan
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
+    "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)
     "q51_ann_ivf_topk",     // broadcast centroid assignment
     "q72_embed_neardup_ivf", // broadcast centroid assignment (same as q51)
     "q56_embed_neardup",    // exact all-pairs baseline (documented)

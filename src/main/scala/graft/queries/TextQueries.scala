@@ -1600,6 +1600,53 @@ object TextQueries {
       Dedup.noveltyCensus(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // DATASET CARD — the datasheet a curation run publishes (Gebru et
+    // al., "Datasheets for Datasets"): one (metric, value) relation
+    // with the corpus-level facts a consumer reads before training —
+    // volume (docs/chars/words/vocabulary), provenance spread
+    // (langs/sources/top-lang share), redundancy (exact-dup excess =
+    // docs − distinct normalized texts; near-dup excess = clustered
+    // docs − clusters, q202's transitive components), and shape
+    // (short-doc count, scaled mean length). All exact integers; the
+    // scalar one-row joins are broadcast crossJoins (the q42 shape).
+    "q214_dataset_card" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = TextFns.words(TextFns.norm(col("text")))
+      val base = docs.select(col("lang"), col("source"), col("n_chars"),
+        size(words).cast("long").as("nw"), TextFns.norm(col("text")).as("tk"))
+      val agg1 = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("nw")).as("total_words"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("nw") < 20, 1L).otherwise(0L)).as("short_docs"),
+        (count(lit(1)) - countDistinct(col("tk"))).as("exact_dup_excess"))
+      val topLang = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c")).as("top_lang_docs"))
+      val vocab = docs.select(explode(words).as("w"))
+        .agg(countDistinct(col("w")).as("distinct_words"))
+      val nd = Dedup.nearDupKeeper(docs, "doc_id", "text")
+        .agg((count(lit(1)) - countDistinct(col("cluster_id")))
+          .as("neardup_excess"))
+      agg1.crossJoin(topLang).crossJoin(vocab).crossJoin(nd)
+        .withColumn("mean_words_x100",
+          floor(col("total_words") * 100L / col("n_docs")).cast("long"))
+        .select(explode(map(
+          lit("n_docs"), col("n_docs"),
+          lit("total_chars"), col("total_chars"),
+          lit("total_words"), col("total_words"),
+          lit("distinct_words"), col("distinct_words"),
+          lit("n_langs"), col("n_langs"),
+          lit("n_sources"), col("n_sources"),
+          lit("top_lang_docs"), col("top_lang_docs"),
+          lit("exact_dup_excess"), col("exact_dup_excess"),
+          lit("neardup_excess"), col("neardup_excess"),
+          lit("short_docs"), col("short_docs"),
+          lit("mean_words_x100"), col("mean_words_x100")))
+          .as(Seq("metric", "value")))
+    },
+
     // CLUSTER-safe train/val/test split — q79 keys the split on the
     // EXACT-prefix canon, which still leaks fuzzy near-dups across
     // splits (the eval-contamination a paraphrased copy causes); this
@@ -1925,7 +1972,13 @@ object TextQueries {
     * symmetrized edge set ≡ the star contraction's component minimum)
     * → per-cluster keeper by (n_words DESC, doc_id) — the exact
     * argmax the Spark max(struct) computes. */
-  private def nearDupKeeperSql: String = {
+  /** Shared CTE chain of every cluster-consuming oracle (q202 keeper,
+    * q213 split, q214 card): q26's signature/band/candidate CTEs →
+    * verified edges at ≥ `minMatches`/32 slot agreement → symmetric
+    * closure → the recursive min-reachability components `cc(doc_id,
+    * cluster_id)` (min reachable id ≡ the star contraction's component
+    * minimum). Callers prepend WITH RECURSIVE and append their tail. */
+  private def minhashClusterCtes(minMatches: Int): String = {
     val perms = Dedup.minhashPerms(32)
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
@@ -1939,21 +1992,25 @@ object TextQueries {
     val matches = (0 until 32)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH RECURSIVE ${minhashBandsBody(mins, bands)},
+    s"""${minhashBandsBody(mins, bands)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |e AS (SELECT id_a AS a, id_b AS b
        |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
        |            JOIN sig sb ON sb.doc_id = cand.id_b
-       |  WHERE ($matches) >= 16),
+       |  WHERE ($matches) >= $minMatches),
        |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
        |verts AS (SELECT DISTINCT a AS v FROM sym),
        |reach(v, r) AS (SELECT v, v AS r FROM verts
        |  UNION
        |  SELECT sym.b AS v, reach.r FROM reach JOIN sym ON sym.a = reach.v),
        |cc AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-       |       FROM reach GROUP BY v),
+       |       FROM reach GROUP BY v)""".stripMargin
+  }
+
+  private def nearDupKeeperSql: String = {
+    s"""WITH RECURSIVE ${minhashClusterCtes(16)},
        |nw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
        |rk AS (SELECT cc.doc_id, cc.cluster_id, row_number() OVER (
        |    PARTITION BY cc.cluster_id
@@ -1974,34 +2031,7 @@ object TextQueries {
     * recursive component chain gives the cluster canon, unclustered
     * docs fall back to their own id, then q79's hash ladder. */
   private def clusterSafeSplitSql: String = {
-    val perms = Dedup.minhashPerms(32)
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      s"min((k * $a + $b) % ${Dedup.MinhashMod}) AS m$i"
-    }.mkString(",\n    ")
-    def bandKey(b: Int): String =
-      (0 until 4).foldLeft("0")((h, r) =>
-        s"(($h * 1103515245 + m${b * 4 + r}) % $LcgMod)")
-    val bands = (0 until 8).map(b =>
-      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bkey FROM sig")
-      .mkString("\n  UNION ALL ")
-    val matches = (0 until 32)
-      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH RECURSIVE ${minhashBandsBody(mins, bands)},
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |e AS (SELECT id_a AS a, id_b AS b
-       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
-       |            JOIN sig sb ON sb.doc_id = cand.id_b
-       |  WHERE ($matches) >= 16),
-       |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-       |verts AS (SELECT DISTINCT a AS v FROM sym),
-       |reach(v, r) AS (SELECT v, v AS r FROM verts
-       |  UNION
-       |  SELECT sym.b AS v, reach.r FROM reach JOIN sym ON sym.a = reach.v),
-       |cc AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-       |       FROM reach GROUP BY v),
+    s"""WITH RECURSIVE ${minhashClusterCtes(16)},
        |cn AS (SELECT d.doc_id,
        |    CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS canon
        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
@@ -2145,6 +2175,45 @@ object TextQueries {
     "q202_neardup_keeper" -> nearDupKeeperSql,
     "q210_lsh_dedup_eval" -> lshDedupEvalSql,
     "q213_cluster_safe_split" -> clusterSafeSplitSql,
+
+    // q214: the shared cluster chain for neardup_excess, plus plain
+    // corpus aggregates; `w` (from the chain) supplies the word lists
+    "q214_dataset_card" ->
+      s"""WITH RECURSIVE ${minhashClusterCtes(16)},
+         |base AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |    CAST(len(w.ws) AS BIGINT) AS nw,
+         |    ${normSql("d.text")} AS tk
+         |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+         |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    CAST(sum(nw) AS BIGINT) AS total_words,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(sum(CASE WHEN nw < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS short_docs,
+         |    CAST(count(*) - count(DISTINCT tk) AS BIGINT)
+         |      AS exact_dup_excess
+         |  FROM base),
+         |tl AS (SELECT CAST(max(c) AS BIGINT) AS top_lang_docs FROM
+         |  (SELECT count(*) AS c FROM documents GROUP BY lang)),
+         |vb AS (SELECT CAST(count(DISTINCT wo) AS BIGINT)
+         |    AS distinct_words
+         |  FROM (SELECT unnest(ws) AS wo FROM w)),
+         |nd AS (SELECT CAST(count(*) - count(DISTINCT cluster_id)
+         |    AS BIGINT) AS neardup_excess FROM cc)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM a1
+         |  UNION ALL SELECT 'total_chars', total_chars FROM a1
+         |  UNION ALL SELECT 'total_words', total_words FROM a1
+         |  UNION ALL SELECT 'distinct_words', distinct_words FROM vb
+         |  UNION ALL SELECT 'n_langs', n_langs FROM a1
+         |  UNION ALL SELECT 'n_sources', n_sources FROM a1
+         |  UNION ALL SELECT 'top_lang_docs', top_lang_docs FROM tl
+         |  UNION ALL SELECT 'exact_dup_excess', exact_dup_excess FROM a1
+         |  UNION ALL SELECT 'neardup_excess', neardup_excess FROM nd
+         |  UNION ALL SELECT 'short_docs', short_docs FROM a1
+         |  UNION ALL SELECT 'mean_words_x100',
+         |    (total_words * 100) // n_docs FROM a1)""".stripMargin,
 
     // q209: the same planted derivation, then RE2 extraction and
     // order-preserving list ops on the query string

@@ -147,6 +147,31 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((3L, "", "", "", "", 0L, 0L)))
   }
 
+  test("dataset card reports hand-computed corpus facts on a planted " +
+       "fixture (exact-dup and near-dup excess included)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("card_fix").toString
+    Seq(
+      (1L, "a b c a", "en", "s1", 7L),
+      (2L, "a b c a", "en", "s1", 7L),   // exact dup of 1
+      (3L, "d e", "fr", "s2", 3L),       // sub-shingle short doc
+      (4L, "p q r s t u v w", "en", "s2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val card = graft.queries.TextQueries.defs("q214_dataset_card")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(card == Map(
+      "n_docs" -> 4L, "total_chars" -> 32L,
+      "total_words" -> 18L,            // 4 + 4 + 2 + 8
+      "distinct_words" -> 13L,         // a b c d e p q r s t u v w
+      "n_langs" -> 2L, "n_sources" -> 2L,
+      "top_lang_docs" -> 3L,           // en
+      "exact_dup_excess" -> 1L,        // docs 1,2 share the text key
+      "neardup_excess" -> 1L,          // cluster {1,2}: 2 members - 1
+      "short_docs" -> 4L,              // every doc < 20 words
+      "mean_words_x100" -> 450L))      // 18*100 // 4
+  }
+
   test("kAnonymityCensus pools fine violators at the coarse tuple and " +
        "flags groups that stay re-identifiable even after pooling") {
     import org.apache.spark.sql.functions.col
