@@ -77,7 +77,8 @@ object Explain {
     "q188_communities_refined", // broadcast m + Q_int flag scalars (q42 shape)
     "q196_ann_recall_at_k", // brute-force exact side (q28) + centroid assignment (q51)
     "q197_ann_ndcg_at_k",   // brute-force exact side (q28) + centroid assignment (q51)
-    "q211_ann_mrr_at_k")    // brute-force exact side (q28) + centroid assignment (q51)
+    "q211_ann_mrr_at_k",    // brute-force exact side (q28) + centroid assignment (q51)
+    "q215_hard_negatives")  // brute-force exact side (q28) + centroid assignment (q51)
 
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")

@@ -227,6 +227,22 @@ object SimQueries {
             .as("rr_x60"))
     },
 
+    // HARD-NEGATIVE mining — the contrastive-training data op (DPR,
+    // Karpukhin et al. 2020: negatives that the retriever ranks high
+    // but that are NOT true neighbors train the sharpest boundaries):
+    // from the graded substrate, the ANN-retrieved neighbors OUTSIDE
+    // the exact top-k, with both ranks kept (ann_rank = how hard the
+    // negative, exact absence = why it is a negative). Derived from
+    // the pinned rankings — no extra scan of the corpus.
+    "q215_hard_negatives" -> { (s, d) =>
+      val (exact, ann) = gradedRankings(s, d)
+      ann.select(col("q_id"), col("n_id"), col("rn").as("ann_rank"))
+        .join(exact.select(col("q_id"), col("n_id"), lit(1L).as("pos")),
+          Seq("q_id", "n_id"), "left")
+        .filter(col("pos").isNull)
+        .select(col("q_id"), col("n_id"), col("ann_rank"))
+    },
+
     // Product-quantization ANN (m=8 subspaces × 64 codewords = 48-bit
     // codes vs 64 floats): ADC lookup-table scan over the compressed
     // corpus, exact-IP re-rank of the 50-deep shortlist — the
@@ -519,6 +535,13 @@ object SimQueries {
          |SELECT i.q_id, CAST(coalesce(d.dcg_x60, 0) AS BIGINT) AS dcg_x60,
          |  i.idcg_x60
          |FROM idcg i LEFT JOIN dcg d ON i.q_id = d.q_id""".stripMargin
+    val q215 =
+      s"""WITH $annCtes,
+         |$exrCte
+         |SELECT a.q_id, a.n_id, a.rn AS ann_rank
+         |FROM annr a LEFT JOIN exr x
+         |  ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |WHERE x.n_id IS NULL""".stripMargin
     val q211 =
       s"""WITH $annCtes,
          |$exrCte,
@@ -612,6 +635,7 @@ object SimQueries {
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
       "q196_ann_recall_at_k" -> q196, "q197_ann_ndcg_at_k" -> q197,
       "q211_ann_mrr_at_k" -> q211,
+      "q215_hard_negatives" -> q215,
       "q178_ivf_quality" -> q178,
       "q125_ann_pq_topk" -> pqOracle(books),
       "q127_ann_ivfpq_topk" -> ivfPqOracle(c51, books),

@@ -105,6 +105,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         assert(rr == 60L / fr, s"q=$q rr=$rr fr=$fr")
       }
     }
+
+    // hard negatives (q215): exactly the ANN rows outside the exact
+    // top-5 — per query, |ann| − n_hit of them, none overlapping exact
+    val hard = graft.queries.SimQueries.defs("q215_hard_negatives")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val annRows = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    val annByQ = annRows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val hardByQ = hard.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    annByQ.foreach { case (q, n) =>
+      assert(hardByQ(q) == n - hitsByQ(q), s"q=$q")
+    }
+    val exactSet = exact
+    assert(hard.forall(h => !exactSet.contains((h._1, h._2))))
+    assert(hard.forall(h => h._3 >= 1L && h._3 <= 5L))
   }
 
   test("sign-LSH ANN recall is monotone in the probe count (0/2/4)") {
