@@ -68,6 +68,25 @@ object TextQueries {
     }) }
   }
 
+  /** Session-pinned q202 near-dup CLUSTER verdicts shared by q202 /
+    * q213 / q214 (the censusSpine convention): the LSH chain + star
+    * contraction is the dominant stage of all three and runs once per
+    * (session, sfDir). Build serialized (the IndexCache race). */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def clusterSpine(s: SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    clusterCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    clusterCache.synchronized { clusterCache.getOrElseUpdate((s, d), {
+      clusterCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        clusterCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      graft.Checkpoints.checkpointPinned(Dedup.nearDupKeeper(
+        Tables.documents(s, d), "doc_id", "text"))
+    }) }
+  }
+
   private val bm25IndexDirs = new IndexCache("graft_bm25")
   private def bm25IndexDir(s: SparkSession, d: String): String =
     bm25IndexDirs.get(s, d) { dir =>
@@ -1588,9 +1607,7 @@ object TextQueries {
     // id). The oracle replays the whole chain — q26's signature/band
     // CTEs, then a recursive min-reachability CTE for the components —
     // so the clustering itself is hash-checked, not just the pairs.
-    "q202_neardup_keeper" -> { (s, d) =>
-      Dedup.nearDupKeeper(Tables.documents(s, d), "doc_id", "text")
-    },
+    "q202_neardup_keeper" -> { (s, d) => clusterSpine(s, d) },
 
     // N-gram NOVELTY census — per doc, how much of its content was
     // already introduced by an earlier arrival (ids = arrival order):
@@ -1626,7 +1643,7 @@ object TextQueries {
         .agg(count(lit(1)).as("c")).agg(max(col("c")).as("top_lang_docs"))
       val vocab = docs.select(explode(words).as("w"))
         .agg(countDistinct(col("w")).as("distinct_words"))
-      val nd = Dedup.nearDupKeeper(docs, "doc_id", "text")
+      val nd = clusterSpine(s, d) // pinned — shared with q202/q213
         .agg((count(lit(1)) - countDistinct(col("cluster_id")))
           .as("neardup_excess"))
       agg1.crossJoin(topLang).crossJoin(vocab).crossJoin(nd)
@@ -1655,7 +1672,7 @@ object TextQueries {
     // Unclustered docs key on their own id — same hash ladder as q79.
     "q213_cluster_safe_split" -> { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
-      val clusters = Dedup.nearDupKeeper(docs, "doc_id", "text")
+      val clusters = clusterSpine(s, d) // pinned — shared with q202/q214
         .select(col("doc_id"), col("cluster_id"))
       docs.select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
