@@ -862,6 +862,95 @@ object ScaleProbe {
       println(f"[probe] parse-census: $csb%.1fs -> $csB%.1fs (${csB / csb}%.1fx, rows 10x)")
     }
 
+    // --- r12b probes: the second-wave shapes with genuinely NEW scale
+    // behavior — containment prefix join (q203), KMV-HyperBall ANF
+    // (q206), SQ8 compressed serve (q204). Fixtures-only, the same
+    // corpus protocols as the families above.
+    {
+      import graft.operators.Graph
+      // q203 containment: per-copy word-suffix corpus (the entity-res
+      // protocol — within-copy containment structure preserved,
+      // cross-copy sharing 0). Candidate volume is Σ_prefix
+      // df(shingle); with rarity-first probe prefixes the honest
+      // growth is ~linear — superlinear means the container-side
+      // index found a hot shingle the prefix no longer avoids.
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val docStride =
+        docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) + 1L
+      val docs10 = (0L until 10L).map { k =>
+        docs.select((col("doc_id") + k * docStride).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k")))).as("text"))
+      }.reduce(_ union _).localCheckpoint()
+      def cont(d: DataFrame) = time(
+        Dedup.containmentPairs(d, "doc_id", "text", 3).count())
+      cont(docs); cont(docs10) // codegen warmup at both sizes
+      val (cb, _) = cont(docs); val (cB, nC) = cont(docs10)
+      println(f"[probe] containment: $cb%.1fs -> $cB%.1fs (${cB / cb}%.1fx, $nC pairs, rows 10x)")
+
+      // q206 ANF: 10 disjoint id-offset copies of the co-ship top-3
+      // spine (the graph-family corpus — degree structure preserved,
+      // so ball growth per hop is copy-invariant). Hop count is fixed
+      // (3) and state is k longs per vertex, so the honest growth is
+      // ~linear wall; superlinear means register merges stopped being
+      // size-bounded.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val m = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val prs = m.select(col("l_orderkey"), col("l_suppkey").as("s"))
+        .join(m.select(col("l_orderkey"), col("l_suppkey").as("nbr")),
+          Seq("l_orderkey"))
+        .filter(col("s") =!= col("nbr"))
+        .groupBy(col("s"), col("nbr")).agg(count(lit(1)).as("w"))
+      val byW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("w").desc, col("nbr"))
+      val spine = prs.withColumn("rn", row_number().over(byW))
+        .filter(col("rn") <= 3)
+        .select(least(col("s"), col("nbr")).as("a"),
+          greatest(col("s"), col("nbr")).as("b")).distinct()
+        .localCheckpoint()
+      val vStride =
+        spine.agg(greatest(max(col("a")), max(col("b"))).cast("long"))
+          .head.getLong(0) + 1L
+      val spine10 = (0L until 10L).map(k =>
+        spine.select((col("a") + k * vStride).as("a"),
+          (col("b") + k * vStride).as("b")))
+        .reduce(_ union _).localCheckpoint()
+      def anf(e: DataFrame) = time {
+        val n = Graph.anfKmv(e).count()
+        Checkpoints.releaseAll(spark) // the per-hop pinned registers
+        n
+      }
+      anf(spine); anf(spine10) // codegen warmup
+      val (fb, _) = anf(spine); val (fB, nF) = anf(spine10)
+      println(f"[probe] anf-kmv:     $fb%.1fs -> $fB%.1fs (${fB / fb}%.1fx, $nF rows, edges 10x)")
+
+      // q204 SQ8 serve: corpus ×10 (id-offset copies, vectors reused —
+      // scan cost is what grows), QUERY set held FIXED (base-range ids
+      // only), each size served from its own persisted index. The
+      // compressed integer-dot scan is linear in corpus per query;
+      // the shortlist re-rank is constant.
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val eStride2 =
+        emb.agg(max(col("vec_id")).cast("long")).head.getLong(0) + 1L
+      val emb10 = (0L until 10L).map(k =>
+        emb.select((col("vec_id") + k * eStride2).as("vec_id"),
+          col("embedding")))
+        .reduce(_ union _).localCheckpoint()
+      val qs = emb.filter(col("vec_id") % 20 === 0).localCheckpoint()
+      val sqB = java.nio.file.Files.createTempDirectory("sq_probe_b").toString
+      val sqX = java.nio.file.Files.createTempDirectory("sq_probe_x").toString
+      Similarity.buildSqIndex(emb, "vec_id", "embedding", sqB)
+      Similarity.buildSqIndex(emb10, "vec_id", "embedding", sqX)
+      def sq(dir: String, corpus: DataFrame) = time(
+        Similarity.sqTopKIndexed(dir, corpus, qs, "vec_id", "embedding", 5)
+          .count())
+      sq(sqB, emb); sq(sqX, emb10) // codegen warmup
+      val (sb, _) = sq(sqB, emb); val (sB, nS) = sq(sqX, emb10)
+      println(f"[probe] sq8-serve:   $sb%.1fs -> $sB%.1fs (${sB / sb}%.1fx, $nS results, corpus 10x, queries fixed)")
+    }
+
     if (!new java.io.File(s"$big/documents.parquet").exists()) {
       println(s"[probe] $big absent; nothing to compare"); spark.stop(); return
     }
