@@ -997,4 +997,194 @@ object Similarity {
     Relational.topKPerGroup(rescored, Seq(col("q_id")),
       Seq(col("ip").desc, col("n_id")), topK)
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998 — public): for EVERY query simultaneously, greedily
+    * select `k` of its `nCand` exact-cosine candidates trading
+    * relevance against redundancy — each round picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). Reference
+    * grounding: the recommendation surface
+    * (`data/samples/PaperRecommandations.txt`) ranks by raw
+    * similarity; MMR is the standard diversification on top of it.
+    *
+    * Exact-arithmetic discipline: rel and sim are the q178 scaled
+    * integers round(cos·10⁴), and λ = 1/2, so the argmax key reduces
+    * to the INTEGER rel − maxsim (the common factor 2 cannot change an
+    * argmax) — every round replays exactly cross-engine, no float-sum
+    * tie hazards. Ties break on smaller neighbor id. Redundancy is
+    * clamped at 0 (an anti-similar selected item is not a diversity
+    * BONUS), which also makes each query's pick-score sequence
+    * non-increasing — the spec's monotonicity certificate.
+    *
+    * Scale shape: this is the grouped-greedy form — ALL queries
+    * advance one round per pass with keyed joins + a per-group
+    * row_number window; there is NO per-query driver loop and no
+    * driver traffic at all (unlike the corpus-global greedy q170,
+    * whose argmax is one scalar). Candidate lists are nCand-bounded,
+    * so the pairwise-sim relation is ≤ |Q|·nCand² rows by
+    * construction, and each of the k fixed rounds is one join +
+    * groupBy + window over ≤ |Q|·nCand rows.
+    *
+    * Returns (q_id, round, n_id, rel, maxsim, score) — round 1 has
+    * maxsim = 0 (empty S), score = rel − maxsim throughout. Groups
+    * with fewer than k candidates exhaust naturally (no rows for
+    * their later rounds). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, nCand: Int = 10, k: Int = 5): DataFrame = {
+    require(k >= 1 && nCand >= k, "need at least k candidates per query")
+    // candidate generation: the bruteForceTopK shape, but scores kept
+    // as scaled ints and the candidate VECTOR carried for the
+    // pairwise-sim stage
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+      .repartition(par, col("n_id"))
+    val q = queries.select(col(id).as("q_id"),
+      VectorFns.toDoubleArr(col(vec)).as("qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("cv"),
+        round(ArrayCosine.cosine(col("qv"), col("cv")) * 10000, 0)
+          .cast("long").as("rel"))
+    val cand = graft.Checkpoints.checkpoint(
+      Relational.topKPerGroup(scored, Seq(col("q_id")),
+        Seq(col("rel").desc, col("n_id")), nCand)
+        .select(col("q_id"), col("n_id"), col("cv"), col("rel")))
+    // pairwise sims WITHIN each query's candidate list (≤ nCand² per
+    // group — bounded by construction, never corpus-quadratic)
+    val sims = graft.Checkpoints.checkpoint(
+      cand.select(col("q_id"), col("n_id"), col("cv"))
+        .join(cand.select(col("q_id"), col("n_id").as("m_id"),
+          col("cv").as("cv2")), Seq("q_id"))
+        .filter(col("n_id") =!= col("m_id"))
+        .select(col("q_id"), col("n_id"), col("m_id"),
+          // redundancy is clamped at 0: an ANTI-similar selected item
+          // must not turn the penalty into a bonus (and the clamp is
+          // what makes the per-query score sequence non-increasing —
+          // maxsim only grows as S grows, from a floor of 0)
+          greatest(round(ArrayCosine.cosine(col("cv"), col("cv2")) * 10000, 0)
+            .cast("long"), lit(0L)).as("sim")))
+    val lean = cand.select(col("q_id"), col("n_id"), col("rel"))
+    // round 1: per-group argmax on rel alone (S is empty, maxsim = 0)
+    val first = Relational.topKPerGroup(lean, Seq(col("q_id")),
+      Seq(col("rel").desc, col("n_id")), 1)
+      .select(col("q_id"), lit(1L).as("round"), col("n_id"), col("rel"),
+        lit(0L).as("maxsim"), col("rel").as("score"))
+    var selected = graft.Checkpoints.checkpoint(first)
+    var remaining = graft.Checkpoints.checkpoint(
+      lean.join(first.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti"))
+    var r = 2
+    while (r <= k) {
+      // max sim of each remaining candidate to its query's selected set
+      val ms = remaining
+        .join(sims, Seq("q_id", "n_id"))
+        .join(selected.select(col("q_id"), col("n_id").as("m_id")),
+          Seq("q_id", "m_id"))
+        .groupBy(col("q_id"), col("n_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = Relational.topKPerGroup(
+        ms.withColumn("score", col("rel") - col("maxsim")),
+        Seq(col("q_id")), Seq(col("score").desc, col("n_id")), 1)
+        .select(col("q_id"), lit(r.toLong).as("round"), col("n_id"),
+          col("rel"), col("maxsim"), col("score"))
+      val nsel = graft.Checkpoints.checkpoint(selected.unionByName(pick))
+      val nrem = graft.Checkpoints.checkpoint(
+        remaining.join(pick.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_anti"))
+      graft.Checkpoints.release(selected)
+      graft.Checkpoints.release(remaining)
+      selected = nsel
+      remaining = nrem
+      r += 1
+    }
+    graft.Checkpoints.release(remaining)
+    graft.Checkpoints.release(cand)
+    graft.Checkpoints.release(sims)
+    // the final selected checkpoint is the RESULT — leave it to the
+    // caller's releaseAll (returning a released frame would violate
+    // the release contract)
+    selected
+  }
+
+  /** Greedy k-center (farthest-point traversal — Gonzalez 1985's
+    * 2-approximation; the coreset/diversity pick of Sener & Savarese,
+    * ICLR 2018 active learning — both public): seed at the smallest
+    * id, then k−1 rounds of "pick the point farthest from the current
+    * center set", maintaining each point's min-distance-to-centers
+    * incrementally (one `least` update per round against the single
+    * new center — never recomputed against the whole set).
+    *
+    * Distance is the scaled-int cosine distance 10⁴ − round(cos·10⁴)
+    * ∈ [0, 2·10⁴] (the q178 integer convention), so every pick and
+    * every radius replays exactly cross-engine; ties break on smaller
+    * id. Already-selected centers are excluded from the argmax
+    * explicitly (their min-dist collapses to 0, but exact-duplicate
+    * vectors could otherwise tie back in at radius 0).
+    *
+    * Scale shape: per round ONE map-side pass — the new center is a
+    * 1-row broadcast cross join, the min-dist update is a `least`
+    * projection (no shuffle at all) — plus the q170-convention 1-ROW
+    * driver argmax (`orderBy.limit(1)` = distributed TakeOrdered;
+    * the only driver traffic is one scalar row per round). The
+    * carried (point, mind) relation checkpoints with eager release.
+    *
+    * Returns (round, vec_id, radius): radius = the max-min-distance
+    * that justified the pick (the coverage radius of the PREVIOUS
+    * center set); round 1's radius is the metric's diameter bound
+    * 20000 by convention (documented sentinel — no previous set
+    * exists). The radius sequence is non-increasing: it is the
+    * k-center objective curve. */
+  def kCenterGreedy(emb: DataFrame, id: String, vec: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "pick at least one center")
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val pts = graft.Checkpoints.checkpoint(
+      emb.select(col(id).as("vec_id"),
+          VectorFns.toDoubleArr(col(vec)).as("pv"))
+        .repartition(par, col("vec_id")))
+    val seedRow = pts.orderBy(col("vec_id")).limit(1).collect()
+    if (seedRow.isEmpty) { // empty input: nothing to cover
+      graft.Checkpoints.release(pts)
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("round", "vec_id", "radius")
+    }
+    val seed = seedRow.head.getLong(0)
+    def centerVec(cid: Long) = broadcast(
+      pts.filter(col("vec_id") === cid).select(col("pv").as("ctrv")))
+    // scaled-int cosine distance to the (1-row) broadcast center
+    def distToCtr: Column =
+      lit(10000L) - round(ArrayCosine.cosine(col("pv"), col("ctrv")) * 10000, 0)
+        .cast("long")
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    picks += ((1L, seed, 20000L))
+    var mind = graft.Checkpoints.checkpoint(
+      pts.crossJoin(centerVec(seed))
+        .select(col("vec_id"), col("pv"), distToCtr.as("mind")))
+    var r = 2
+    while (r <= k) {
+      val chosen = picks.map(_._2)
+      val top = mind.filter(!col("vec_id").isin(chosen.toSeq: _*))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mind")).collect()
+      if (top.isEmpty) r = k + 1 // fewer points than k: exhausted
+      else {
+        val cid = top.head.getLong(0)
+        picks += ((r.toLong, cid, top.head.getLong(1)))
+        if (r < k) {
+          val nxt = graft.Checkpoints.checkpoint(
+            mind.crossJoin(centerVec(cid))
+              .select(col("vec_id"), col("pv"),
+                least(col("mind"), distToCtr).as("mind")))
+          graft.Checkpoints.release(mind)
+          mind = nxt
+        }
+        r += 1
+      }
+    }
+    graft.Checkpoints.release(mind)
+    graft.Checkpoints.release(pts)
+    import spark.implicits._
+    picks.toSeq.toDF("round", "vec_id", "radius")
+  }
 }

@@ -286,6 +286,29 @@ object SimQueries {
     "q204_ann_sq8_topk" -> { (s, d) =>
       Similarity.sqTopKIndexed(sqIndexDir(s, d), Tables.embeddings(s, d),
         queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // MMR diverse re-ranking (Similarity.mmrRerank scaladoc): every
+    // query's top-10 exact-cosine candidates greedily re-ranked into
+    // 5 picks trading relevance vs redundancy at λ = 1/2 — the
+    // diversification layer over the recommendation surface. All
+    // arithmetic in round(cos·10⁴) scaled ints; the grouped-greedy
+    // rounds are keyed windows (no driver loop). Oracle unrolls all
+    // 5 rounds per query.
+    "q216_mmr_rerank" -> { (s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d), queriesSubset(s, d),
+        "vec_id", "embedding", nCand = 10, k = 5)
+    },
+
+    // Greedy k-center coreset (Similarity.kCenterGreedy scaladoc):
+    // 8-center farthest-point traversal over the whole embedding
+    // table in scaled-int cosine distance — the diversity-sampling /
+    // active-learning curation pick, with the non-increasing coverage
+    // radius sequence as the output. Oracle unrolls the 8 rounds
+    // (seed = min id, per-round argmax + least-update).
+    "q217_kcenter_coreset" -> { (s, d) =>
+      Similarity.kCenterGreedy(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8)
     }
   )
 
@@ -436,8 +459,101 @@ object SimQueries {
          |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
          |FROM cand JOIN e ea ON cand.id_a = ea.vec_id
          |          JOIN e eb ON cand.id_b = eb.vec_id
-         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin,
+
+    // q216: candidates (top-10 scaled-int cosine per query), pairwise
+    // candidate sims, then the 5 greedy MMR rounds unrolled — each
+    // round's argmax is a per-query row_number over rel − max(sim to
+    // the selected set), ties on n_id, exactly the Spark loop.
+    "q216_mmr_rerank" -> mmrOracleSql,
+
+    // q217: the 8 farthest-point rounds unrolled — seed = min id,
+    // each d$k CTE least-updates the min-distance against the single
+    // new center, each p$k is the (mind DESC, vec_id) argmax outside
+    // the chosen set.
+    "q217_kcenter_coreset" -> kCenterOracleSql
   )
+
+  /** q216 oracle: the MMR greedy unrolled (see the q170 convention —
+    * one CTE pair per round; MATERIALIZED because round k references
+    * round k−1 and inlining would re-expand the candidate subtree
+    * exponentially, the q99 lesson). */
+  private lazy val mmrOracleSql: String = {
+    def round(r: Int) =
+      s"""m$r AS MATERIALIZED (SELECT c.q_id, c.n_id, c.rel,
+         |    max(s.sim) AS maxsim
+         |  FROM cd c JOIN sm s ON s.q_id = c.q_id AND s.n_id = c.n_id
+         |  JOIN s${r - 1} t ON t.q_id = s.q_id AND t.n_id = s.m_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+         |  GROUP BY 1, 2, 3),
+         |p$r AS MATERIALIZED (SELECT q_id, CAST($r AS BIGINT) AS round,
+         |    n_id, rel, maxsim, rel - maxsim AS score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel - maxsim DESC, n_id) AS rn FROM m$r)
+         |  WHERE rn = 1),
+         |s$r AS (SELECT q_id, n_id FROM s${r - 1}
+         |        UNION ALL SELECT q_id, n_id FROM p$r)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |qq AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+       |cd AS MATERIALIZED (SELECT q_id, n_id, rel FROM (
+       |    SELECT qq.vec_id AS q_id, e.vec_id AS n_id,
+       |      CAST(round(list_cosine_similarity(qq.v, e.v) * 10000, 0)
+       |        AS BIGINT) AS rel,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY CAST(round(list_cosine_similarity(qq.v, e.v)
+       |          * 10000, 0) AS BIGINT) DESC, e.vec_id) AS crn
+       |    FROM qq JOIN e ON qq.vec_id <> e.vec_id)
+       |  WHERE crn <= 10),
+       |sm AS MATERIALIZED (SELECT a.q_id, a.n_id, b.n_id AS m_id,
+       |    greatest(CAST(round(list_cosine_similarity(ea.v, eb.v)
+       |      * 10000, 0) AS BIGINT), 0) AS sim
+       |  FROM cd a JOIN cd b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |  JOIN e ea ON a.n_id = ea.vec_id
+       |  JOIN e eb ON b.n_id = eb.vec_id),
+       |p1 AS MATERIALIZED (SELECT q_id, CAST(1 AS BIGINT) AS round,
+       |    n_id, rel, CAST(0 AS BIGINT) AS maxsim, rel AS score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, n_id) AS rn FROM cd) WHERE rn = 1),
+       |s1 AS (SELECT q_id, n_id FROM p1),
+       |${(2 to 5).map(round).mkString(",\n")}
+       |${(1 to 5).map(r => s"SELECT * FROM p$r").mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q217 oracle: greedy k-center unrolled — d$k carries every point's
+    * min distance to the first k centers, p${k+1} picks the farthest
+    * point outside the chosen set, c$k accumulates the chosen ids. */
+  private lazy val kCenterOracleSql: String = {
+    def dist(vcol: String) =
+      s"10000 - CAST(round(list_cosine_similarity($vcol, s.v) * 10000, 0) AS BIGINT)"
+    def round(r: Int) =
+      s"""p$r AS MATERIALIZED (SELECT vec_id, mind FROM d${r - 1}
+         |  WHERE vec_id NOT IN (SELECT id FROM c${r - 1})
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT id FROM c${r - 1}
+         |        UNION ALL SELECT vec_id FROM p$r)""".stripMargin +
+      (if (r < 8)
+        s""",
+           |d$r AS MATERIALIZED (SELECT d${r - 1}.vec_id,
+           |    least(d${r - 1}.mind, ${dist("ev.v")}) AS mind
+           |  FROM d${r - 1} JOIN e ev ON d${r - 1}.vec_id = ev.vec_id
+           |  CROSS JOIN (SELECT e2.v FROM e e2
+           |              JOIN p$r ON e2.vec_id = p$r.vec_id) s)""".stripMargin
+       else "")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c1 AS (SELECT min(vec_id) AS id FROM e),
+       |d1 AS MATERIALIZED (SELECT e.vec_id, ${dist("e.v")} AS mind
+       |  FROM e CROSS JOIN (SELECT e2.v FROM e e2
+       |                     JOIN c1 ON e2.vec_id = c1.id) s),
+       |${(2 to 8).map(round).mkString(",\n")}
+       |SELECT CAST(1 AS BIGINT) AS round, id AS vec_id,
+       |  CAST(20000 AS BIGINT) AS radius FROM c1
+       |${(2 to 8).map(r =>
+          s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, mind FROM p$r")
+          .mkString("\n")}""".stripMargin
+  }
 
   /** Collected Lloyd centroids as a DuckDB VALUES list `(cell, ctr)` —
     * same literal convention as [[planesValues]] (shortest round-trip

@@ -422,4 +422,85 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         "vec_id", "embedding", 5)) ==
       rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5)))
   }
+
+  test("MMR re-rank prefers the diverse candidate over the near-duplicate") {
+    // query 0 at (1,0,0); 1 and 2 are near-duplicates of each other at
+    // cos≈0.9 to the query; 3 is equally relevant but on the mirrored
+    // side (sim(1,3)≈0.62). Pure top-3 relevance would order 1,2,3 (2's
+    // redundancy invisible); MMR must pick 1, then 3 (diverse), then 2.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.436f, 0f)),
+      (2L, Array(0.9f, 0.437f, 0f)),
+      (3L, Array(0.9f, -0.436f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", nCand = 3, k = 3)
+      .orderBy(col("round"))
+      .select(col("round"), col("n_id"), col("maxsim"))
+      .as[(Long, Long, Long)].collect().toList
+    assert(got.map(_._2) == List(1L, 3L, 2L), s"pick order $got")
+    assert(got.head._3 == 0L, "round 1 has an empty selected set")
+    // the near-duplicate's redundancy is visible in its maxsim
+    assert(got.last._3 > 9900, s"near-dup maxsim ${got.last._3}")
+  }
+
+  test("MMR on the real fixture: per-query scores non-increasing, picks distinct, round 1 = argmax rel") {
+    val got = Similarity.mmrRerank(emb, queries, "vec_id", "embedding",
+        nCand = 10, k = 5)
+      .select(col("q_id"), col("round"), col("n_id"), col("rel"),
+        col("score"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byQ = got.groupBy(_._1)
+    // exactly k picks per query, all distinct
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q has ${rows.length} picks")
+      assert(rows.map(_._3).distinct.length == 5, s"query $q repeated a pick")
+      // scores are non-increasing in round order: a candidate's maxsim
+      // only grows as S grows and the pool only shrinks
+      val scores = rows.sortBy(_._2).map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone: ${scores.toList}")
+      // round 1 is the plain relevance argmax (score = rel)
+      val r1 = rows.minBy(_._2)
+      assert(r1._5 == r1._4, s"query $q round-1 score != rel")
+    }
+    assert(byQ.nonEmpty)
+  }
+
+  test("k-center greedy picks farthest points in order on a hand fixture") {
+    // seed = min id 0 at (1,0,0); 1 is its near-duplicate; 3 is the
+    // antipode (distance 20000); 2 is orthogonal (distance 10000 to
+    // both 0 and 3). Farthest-point order must be 0, 3, 2.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.001f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 3)
+      .orderBy(col("round"))
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 0L, 20000L), (2L, 3L, 20000L),
+      (3L, 2L, 10000L)), s"got $got")
+  }
+
+  test("k-center greedy: exhaustion below k, distinct centers, non-increasing radii") {
+    val three = Seq(
+      (10L, Array(1f, 0f, 0f)), (11L, Array(0f, 1f, 0f)),
+      (12L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    // only 3 points: k=8 must stop at 3 rows, not invent centers
+    assert(Similarity.kCenterGreedy(three, "vec_id", "embedding", 8)
+      .count() == 3)
+    val got = Similarity.kCenterGreedy(emb, "vec_id", "embedding", k = 8)
+      .orderBy(col("round")).as[(Long, Long, Long)].collect().toList
+    assert(got.length == 8)
+    assert(got.map(_._2).distinct.length == 8, "centers repeat")
+    // the coverage-radius curve is the k-center objective: adding a
+    // center can only shrink every point's min distance
+    val radii = got.tail.map(_._3) // round 1 is the 20000 sentinel
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii not monotone: $radii")
+    assert(got.head._3 == 20000L)
+  }
 }
