@@ -1761,6 +1761,32 @@ object TextQueries {
       val sig = graft.operators.Multimodal.dHash64(media)
         .filter(col("ok"))
       Dedup.hammingPairs64(sig, "media_id", "dhash", 3)
+    },
+
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 —
+    // public): PageRank over the word ADJACENCY graph — the paper's
+    // keyword form is exactly UNWEIGHTED + UNDIRECTED, which is what
+    // the engine's own integer pageRankInt computes (dedup via
+    // distinct, symmetrize via least/greatest) over the q158 adjacent-
+    // pair relation. A hub word co-occurring with MANY DISTINCT words
+    // outranks a merely frequent word whose repetitions all add the
+    // same edge — the property a tf ranking cannot express. Scale
+    // shape: pair explode is row-local, the graph is VOCABULARY-sized
+    // (edges dedup to distinct word pairs), PR rounds are the q87
+    // vertex-keyed loop, top-30 is a distributed TakeOrdered.
+    "q218_textrank_keywords" -> { (s, d) =>
+      val words = TextFns.words(TextFns.norm(col("text")))
+      val pairs = Tables.documents(s, d)
+        .select(explode(when(size(words) >= 2,
+          zip_with(slice(words, lit(1), size(words) - 1),
+            slice(words, lit(2), size(words) - 1),
+            (a, b) => struct(a.as("x"), b.as("y"))))
+          .otherwise(array())).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      graft.operators.Graph.pageRankInt(pairs, "x", "y", iters = 3)
+        .orderBy(col("rank_scaled").desc, col("v"))
+        .limit(30)
+        .select(col("v").as("word"), col("rank_scaled"))
     }
   )
 
@@ -2183,8 +2209,44 @@ object TextQueries {
          |  FROM piv WHERE r1 + r2 + r3 > 0)
          |WHERE rank <= 20""".stripMargin
 
+  /** q218 oracle: the q87 integer-PageRank unroll (3 rounds, each CTE
+    * MATERIALIZED — round k references round k−1 twice) over the word
+    * adjacency graph instead of the co-ship kNN graph. */
+  private lazy val textRankSql: String = {
+    val S = "1000000000000"
+    def round(k: Int) =
+      s"""c$k AS MATERIALIZED (SELECT adj.d AS v,
+         |    sum(r${k - 1}.r // deg.s_dg) AS m
+         |  FROM adj JOIN r${k - 1} ON adj.s = r${k - 1}.v
+         |           JOIN deg ON adj.s = deg.s
+         |  GROUP BY adj.d),
+         |r$k AS MATERIALIZED (SELECT verts.v,
+         |    (15 * ($S // nn.c)) // 100
+         |      + (85 * coalesce(c$k.m, 0)) // 100 AS r
+         |  FROM verts CROSS JOIN nn
+         |       LEFT JOIN c$k ON verts.v = c$k.v)""".stripMargin
+    s"""WITH tw AS (SELECT string_split(${normSql("text")}, ' ') AS ws
+       |            FROM documents),
+       |wp AS (SELECT ws[i] AS x, ws[i + 1] AS y
+       |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |             FROM tw WHERE len(ws) >= 2) z),
+       |ed AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
+       |    greatest(x, y) AS v
+       |  FROM wp WHERE x <> y AND x IS NOT NULL AND y IS NOT NULL),
+       |adj AS MATERIALIZED (SELECT u AS s, v AS d FROM ed
+       |  UNION ALL SELECT v AS s, u AS d FROM ed),
+       |verts AS (SELECT DISTINCT s AS v FROM adj),
+       |nn AS (SELECT count(*) AS c FROM verts),
+       |deg AS (SELECT s, count(*) AS s_dg FROM adj GROUP BY s),
+       |r0 AS (SELECT v, $S // c AS r FROM verts, nn),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT v AS word, CAST(r AS BIGINT) AS rank_scaled FROM r3
+       |ORDER BY rank_scaled DESC, word LIMIT 30""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q26_minhash_lsh" -> minhashLshSql,
+    "q218_textrank_keywords" -> textRankSql,
     "q192_incremental_neardup" -> incrementalNearDupSql,
     "q182_sketch_calibration" -> sketchCalibrationSql,
 

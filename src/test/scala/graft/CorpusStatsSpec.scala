@@ -356,4 +356,31 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
         s"$tpe: dow counts ${rs.map(_._3).sum} != total $total")
     }
   }
+
+  test("q218 TextRank: a hub word outranks equally-frequent words, and " +
+       "repeating a pair adds no rank (edges dedup)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q218").toString
+    // hub graph: a-b, a-c, a-d (three docs) + an isolated pair x-y
+    // whose adjacency REPEATS 3 times inside one doc — TextRank must
+    // rank the hub 'a' first, and the repetition must not lift x/y
+    // above b/c/d's class (the deduped edge x-y carries no more weight
+    // than a-b). tf would rank x,y (3 occurrences) over a (3).
+    val docs = Seq(
+      (0L, "a b", "en", "src0", 0L),
+      (1L, "a c", "en", "src0", 0L),
+      (2L, "a d", "en", "src0", 0L),
+      (3L, "x y x y x y", "en", "src0", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q218_textrank_keywords")(spark, dir)
+      .as[(String, Long)].collect()
+    val rank = rows.toMap
+    assert(rows.head._1 == "a", s"hub not top: ${rows.toList}")
+    assert(rank("x") == rank("y"), "symmetric pair must tie")
+    // within x-y the repetition added nothing: x scores exactly like a
+    // degree-1 leaf of a 2-vertex component, strictly below the hub
+    assert(rank("a") > rank("x"))
+    // leaves b, c, d are symmetric
+    assert(rank("b") == rank("c") && rank("c") == rank("d"))
+  }
 }
