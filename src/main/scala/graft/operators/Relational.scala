@@ -278,4 +278,41 @@ object Relational {
     val local = pruned.mapPartitions(frontier)(enc)
     local.repartition(1).mapPartitions(frontier)(enc)
   }
+
+  /** Referential-integrity census over a set of declared foreign-key
+    * edges — the data-quality gate a pipeline runs before training
+    * ingestion or a snapshot swap (the q180 diff's schema-level
+    * sibling): per FK edge one row with child cardinality, null keys,
+    * ORPHANS (non-null keys with no parent), distinct referenced
+    * keys, parent cardinality, and UNREFERENCED parents.
+    *
+    * Dataflow per edge: one left join child→parent carrying all four
+    * child-side counts in a single wide aggregate (count / null-sum /
+    * orphan-sum / distinct), one left anti-style join parent→distinct
+    * refs for the unreferenced count, and a 1-row × 1-row combine
+    * (the q135 broadcast-scalar shape). Small dimension parents
+    * broadcast automatically; the big-fact edges shuffle on the key —
+    * exactly the join the orphan check needs at any scale. NULL keys
+    * are counted, never silently dropped (they are excluded from the
+    * orphan and distinct counts by SQL semantics, which both engines
+    * share). */
+  def fkCensus(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, ck, parent, pk) =>
+      val c = child.select(col(ck).as("fk"))
+      val p = parent.select(col(pk).as("pkk"))
+      val childSide = c.join(p, col("fk") === col("pkk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+          sum(when(col("fk").isNotNull && col("pkk").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"),
+          countDistinct(col("fk")).as("n_distinct_fk"))
+      val refs = c.filter(col("fk").isNotNull).distinct()
+      val parentSide = p.join(refs, col("pkk") === col("fk"), "left")
+        .agg(count(lit(1)).as("n_parents"),
+          sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_unreferenced"))
+      childSide.crossJoin(parentSide)
+        .select(lit(name).as("fk_name"), col("n_child"), col("n_null_fk"),
+          col("n_orphans"), col("n_distinct_fk"), col("n_parents"),
+          col("n_unreferenced"))
+    }.reduce(_ unionByName _)
 }

@@ -49,7 +49,44 @@ object CoreQueries {
 
   // dec/ts: see graft.queries package object (oracle-parity rules)
 
+  /** The star schema's declared FK edges — (name, child, childKey,
+    * parent, parentKey) — shared by q219's census and its oracle so
+    * the two lists can never drift. */
+  private val fkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"))
+
   val defs: Map[String, Q] = Map(
+    // Referential-integrity census (Relational.fkCensus scaladoc):
+    // one row per declared FK edge of the star — child rows, null
+    // keys, orphans, distinct referenced keys, parents, unreferenced
+    // parents — the pre-ingestion data-quality gate next to q180's
+    // row-level snapshot diff.
+    "q219_fk_census" -> { (s, d) =>
+      def tb(n: String): DataFrame = n match {
+        case "lineitem" => Tables.lineitem(s, d)
+        case "orders"   => Tables.orders(s, d)
+        case "part"     => Tables.part(s, d)
+        case "supplier" => Tables.supplier(s, d)
+        case "customer" => Tables.customer(s, d)
+        case "nation"   => Tables.nation(s, d)
+        case "region"   => Tables.region(s, d)
+      }
+      Relational.fkCensus(fkEdges.map { case (nm, ct, ck, pt, pk) =>
+        (nm, tb(ct), ck, tb(pt), pk) })
+    },
     // Full-scan multi-aggregate (A1/A3/A4/A6) with pushed filter (P8).
     "q01_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -864,6 +901,24 @@ object CoreQueries {
       s"(a, x) -> (a * $mult + x) % 1000000007)"
 
   val oracles: Map[String, String] = Map(
+    // q219: one SELECT of scalar subqueries per FK edge, generated
+    // from the SAME fkEdges list as the census itself.
+    "q219_fk_census" -> fkEdges.map { case (nm, ct, ck, pt, pk) =>
+      s"""SELECT '$nm' AS fk_name,
+         |  CAST((SELECT count(*) FROM $ct) AS BIGINT) AS n_child,
+         |  CAST((SELECT count(*) FROM $ct WHERE $ck IS NULL) AS BIGINT)
+         |    AS n_null_fk,
+         |  CAST((SELECT count(*) FROM $ct c WHERE c.$ck IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck))
+         |    AS BIGINT) AS n_orphans,
+         |  CAST((SELECT count(DISTINCT $ck) FROM $ct) AS BIGINT)
+         |    AS n_distinct_fk,
+         |  CAST((SELECT count(*) FROM $pt) AS BIGINT) AS n_parents,
+         |  CAST((SELECT count(*) FROM $pt p WHERE NOT EXISTS
+         |    (SELECT 1 FROM $ct c WHERE c.$ck = p.$pk)) AS BIGINT)
+         |    AS n_unreferenced""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
     // q135: every cell of both matrices, both inner products, and the
     // depth-min replayed; HUGEINT sums cast back to BIGINT.
     "q135_cm_join_size" -> {

@@ -179,4 +179,23 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       Relational.skyline(df, Seq("d"))
     }
   }
+
+  test("fkCensus counts nulls, orphans, distinct refs and unreferenced " +
+       "parents exactly on a planted-violation fixture") {
+    // child keys: 1 twice, 2 once, one NULL, one orphan (5);
+    // parents 1..4 → 3 and 4 unreferenced
+    val child = Seq(Some(1L), Some(1L), Some(2L), None, Some(5L))
+      .toDF("k")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("p")
+    val got = graft.operators.Relational
+      .fkCensus(Seq(("child.k->parent", child, "k", parent, "p")))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("child.k->parent", 5L, 1L, 1L, 3L, 4L, 2L)),
+      s"got $got")
+    // a clean edge reports all zeros in the violation columns
+    val clean = graft.operators.Relational
+      .fkCensus(Seq(("c->p", Seq(1L, 2L).toDF("k"), "k", parent, "p")))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((clean._3, clean._4) == ((0L, 0L)))
+  }
 }
