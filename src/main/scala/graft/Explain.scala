@@ -35,6 +35,7 @@ object Explain {
     "q216_mmr_rerank",      // broadcast queries candidate gen (q28 shape)
     "q217_kcenter_coreset", // broadcast 1-row center × points (q42 shape)
     "q219_fk_census",       // 7× 1-row child-agg × 1-row parent-agg combine (q135 shape)
+    "q220_walk_pmi",        // q160 walk-index grid + broadcast pair-total scalar (q158 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)

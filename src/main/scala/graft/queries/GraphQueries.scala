@@ -940,6 +940,44 @@ object GraphQueries {
       Graph.biasedWalks(knnEdges(s, d), numWalks = 2, steps = 4)
     },
 
+    // Walk-PMI pairs — the IMPLICIT matrix DeepWalk/node2vec
+    // factorizes (Levy & Goldberg NeurIPS'14; Qiu et al. WSDM'18
+    // NetMF — both public): skip-gram window-2 co-occurrence counts
+    // over the engine's own q160 biased walks, scored with q158's
+    // exact-integer PMI lift (one rounded IEEE division). The top
+    // pairs are the graph-embedding similarity features without
+    // training an embedding. Self-pairs from walk revisits are
+    // excluded (the diagonal is not a similarity signal). Scale
+    // shape: walks are linear in vertices, the co-occurrence join is
+    // keyed by walk id with a ≤ 5-row window per walk, counts are
+    // vocabulary-keyed, the total is a 1-row broadcast (q158 shape).
+    "q220_walk_pmi" -> { (s, d) =>
+      val wk = graft.Checkpoints.checkpoint(
+        Graph.biasedWalks(knnEdges(s, d), numWalks = 2, steps = 4))
+      val a = wk.select(col("start_v"), col("walk_j"),
+        col("step").as("i"), col("v").as("u"))
+      val b = wk.select(col("start_v"), col("walk_j"),
+        col("step").as("j"), col("v").as("w"))
+      val cnt = graft.Checkpoints.checkpoint(
+        a.join(b, Seq("start_v", "walk_j"))
+          .filter(abs(col("i") - col("j")).between(1, 2) &&
+            col("u") =!= col("w"))
+          .groupBy(col("u"), col("w")).agg(count(lit(1)).as("n_uw")))
+      val cu = cnt.groupBy(col("u")).agg(sum(col("n_uw")).as("n_u"))
+      val cw = cnt.groupBy(col("w")).agg(sum(col("n_uw")).as("n_w"))
+      val tot = cnt.agg(sum(col("n_uw")).as("n_total"))
+      cnt.filter(col("n_uw") >= 2)
+        .join(cu, "u").join(cw, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift", round(
+          (col("n_uw") * col("n_total")).cast("double") /
+            (col("n_u") * col("n_w")), 4))
+        .orderBy(col("lift").desc, col("u"), col("w"))
+        .limit(50)
+        .select(col("u"), col("w"), col("n_uw"), col("n_u"), col("n_w"),
+          col("n_total"), col("lift"))
+    },
+
     // PERSONALIZED PageRank over the citation spine — importance
     // relative to a 3-vertex seed set (the lowest spine ids, the q114
     // landmark convention): teleport and dangling mass restart to the
@@ -1048,6 +1086,62 @@ object GraphQueries {
   // DuckDB twin of Graph.pageRankInt on the k-NN spine: the three
   // integer rounds unrolled (no recursion needed — the iteration count
   // is a fixed parameter of the query, not data-dependent)
+  /** The q160 biased-walk replay chain (uniform first hop, then the
+    * CASE-weighted modular pick per hop), WITHOUT the final select —
+    * shared verbatim by q160 (walk relation) and q220 (walk-PMI over
+    * it), so the two replays can never drift. */
+  private lazy val n2vWalksChainSql: String = {
+    def seed(t: Int) =
+      lcgHashSql(s"w.v * 1000 + w.walk_j * 101 + $t * 11")
+    def pickSeed(t: Int) =
+      lcgHashSql(s"v * 1000 + walk_j * 101 + $t * 11")
+    def hop(t: Int) =
+      s"""c$t AS (SELECT w.start_v, w.walk_j, w.prev, w.v, nadj.d AS nw
+         |        FROM s${t - 1} w JOIN nadj ON w.v = nadj.s),
+         |wt$t AS (SELECT *, CASE WHEN nw = prev THEN 1
+         |           WHEN EXISTS (SELECT 1 FROM nadj e
+         |                        WHERE e.s = prev AND e.d = nw) THEN 2
+         |           ELSE 1 END AS wgt FROM c$t),
+         |cw$t AS (SELECT *,
+         |           sum(wgt) OVER (PARTITION BY start_v, walk_j
+         |             ORDER BY nw ROWS UNBOUNDED PRECEDING) AS cum,
+         |           sum(wgt) OVER (PARTITION BY start_v, walk_j) AS tot
+         |         FROM wt$t),
+         |s$t AS MATERIALIZED (
+         |  SELECT start_v, walk_j, v AS prev, nw AS v FROM cw$t
+         |  WHERE cum - wgt <= (${pickSeed(t)}) % tot
+         |    AND (${pickSeed(t)}) % tot < cum)""".stripMargin
+    s"""WITH $coShipSql,
+       |$knnSql,
+       |nadj AS (SELECT a AS s, b AS d FROM ed
+       |         UNION SELECT b AS s, a AS d FROM ed),
+       |nrk AS (SELECT s, d,
+       |          CAST(row_number() OVER (PARTITION BY s ORDER BY d) - 1
+       |            AS BIGINT) AS idx
+       |        FROM nadj),
+       |ndg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+       |        FROM nadj GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT vv.v AS start_v, CAST(j.j AS BIGINT) AS walk_j, vv.v
+       |  FROM (SELECT DISTINCT s AS v FROM nadj) vv,
+       |       (SELECT unnest(generate_series(0, 1)) AS j) j),
+       |s1 AS MATERIALIZED (
+       |  SELECT w.start_v, w.walk_j, w.v AS prev, nrk.d AS v
+       |  FROM s0 w JOIN ndg ON w.v = ndg.s
+       |  JOIN nrk ON nrk.s = w.v AND nrk.idx = (${seed(1)}) % ndg.deg),
+       |${hop(2)},
+       |${hop(3)},
+       |${hop(4)}""".stripMargin
+  }
+
+  /** The walk relation's final select over [[n2vWalksChainSql]]. */
+  private val n2vWalksSelectSql: String =
+    """SELECT start_v, walk_j, CAST(0 AS BIGINT) AS step, v FROM s0
+      |UNION ALL SELECT start_v, walk_j, CAST(1 AS BIGINT), v FROM s1
+      |UNION ALL SELECT start_v, walk_j, CAST(2 AS BIGINT), v FROM s2
+      |UNION ALL SELECT start_v, walk_j, CAST(3 AS BIGINT), v FROM s3
+      |UNION ALL SELECT start_v, walk_j, CAST(4 AS BIGINT), v FROM s4""".stripMargin
+
   private lazy val pageRankOracleSql: String = {
     val S = "1000000000000"
     def round(k: Int) =
@@ -1904,54 +1998,31 @@ object GraphQueries {
     // hop the candidate fan-out, the CASE weight (EXISTS = common
     // neighbor of prev and v), the running weight sum, and the same
     // modular pick.
-    "q160_node2vec_walks" -> {
-      def seed(t: Int) =
-        lcgHashSql(s"w.v * 1000 + w.walk_j * 101 + $t * 11")
-      def pickSeed(t: Int) =
-        lcgHashSql(s"v * 1000 + walk_j * 101 + $t * 11")
-      def hop(t: Int) =
-        s"""c$t AS (SELECT w.start_v, w.walk_j, w.prev, w.v, nadj.d AS nw
-           |        FROM s${t - 1} w JOIN nadj ON w.v = nadj.s),
-           |wt$t AS (SELECT *, CASE WHEN nw = prev THEN 1
-           |           WHEN EXISTS (SELECT 1 FROM nadj e
-           |                        WHERE e.s = prev AND e.d = nw) THEN 2
-           |           ELSE 1 END AS wgt FROM c$t),
-           |cw$t AS (SELECT *,
-           |           sum(wgt) OVER (PARTITION BY start_v, walk_j
-           |             ORDER BY nw ROWS UNBOUNDED PRECEDING) AS cum,
-           |           sum(wgt) OVER (PARTITION BY start_v, walk_j) AS tot
-           |         FROM wt$t),
-           |s$t AS MATERIALIZED (
-           |  SELECT start_v, walk_j, v AS prev, nw AS v FROM cw$t
-           |  WHERE cum - wgt <= (${pickSeed(t)}) % tot
-           |    AND (${pickSeed(t)}) % tot < cum)""".stripMargin
-      s"""WITH $coShipSql,
-         |$knnSql,
-         |nadj AS (SELECT a AS s, b AS d FROM ed
-         |         UNION SELECT b AS s, a AS d FROM ed),
-         |nrk AS (SELECT s, d,
-         |          CAST(row_number() OVER (PARTITION BY s ORDER BY d) - 1
-         |            AS BIGINT) AS idx
-         |        FROM nadj),
-         |ndg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
-         |        FROM nadj GROUP BY 1),
-         |s0 AS MATERIALIZED (
-         |  SELECT vv.v AS start_v, CAST(j.j AS BIGINT) AS walk_j, vv.v
-         |  FROM (SELECT DISTINCT s AS v FROM nadj) vv,
-         |       (SELECT unnest(generate_series(0, 1)) AS j) j),
-         |s1 AS MATERIALIZED (
-         |  SELECT w.start_v, w.walk_j, w.v AS prev, nrk.d AS v
-         |  FROM s0 w JOIN ndg ON w.v = ndg.s
-         |  JOIN nrk ON nrk.s = w.v AND nrk.idx = (${seed(1)}) % ndg.deg),
-         |${hop(2)},
-         |${hop(3)},
-         |${hop(4)}
-         |SELECT start_v, walk_j, CAST(0 AS BIGINT) AS step, v FROM s0
-         |UNION ALL SELECT start_v, walk_j, CAST(1 AS BIGINT), v FROM s1
-         |UNION ALL SELECT start_v, walk_j, CAST(2 AS BIGINT), v FROM s2
-         |UNION ALL SELECT start_v, walk_j, CAST(3 AS BIGINT), v FROM s3
-         |UNION ALL SELECT start_v, walk_j, CAST(4 AS BIGINT), v FROM s4""".stripMargin
-    },
+    "q160_node2vec_walks" -> s"$n2vWalksChainSql\n$n2vWalksSelectSql",
+
+    // q220: the SAME walk chain as q160, then skip-gram window-2
+    // co-occurrence counts and the q158 integer PMI lift over them —
+    // the implicit matrix DeepWalk/node2vec factorizes.
+    "q220_walk_pmi" ->
+      s"""$n2vWalksChainSql,
+         |wk AS MATERIALIZED ($n2vWalksSelectSql),
+         |co AS (SELECT a.v AS u, b.v AS w FROM wk a JOIN wk b
+         |       ON a.start_v = b.start_v AND a.walk_j = b.walk_j
+         |       AND abs(a.step - b.step) BETWEEN 1 AND 2
+         |       AND a.v <> b.v),
+         |cnt AS (SELECT u, w, CAST(count(*) AS BIGINT) AS n_uw
+         |        FROM co GROUP BY 1, 2),
+         |cu AS (SELECT u, CAST(sum(n_uw) AS BIGINT) AS n_u
+         |       FROM cnt GROUP BY 1),
+         |cx AS (SELECT w, CAST(sum(n_uw) AS BIGINT) AS n_w
+         |       FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_uw) AS BIGINT) AS n_total FROM cnt)
+         |SELECT u, w, n_uw, n_u, n_w, n_total,
+         |  round(CAST(n_uw * n_total AS DOUBLE) / CAST(n_u * n_w AS DOUBLE), 4)
+         |    AS lift
+         |FROM cnt JOIN cu USING (u) JOIN cx USING (w) CROSS JOIN tot
+         |WHERE n_uw >= 2
+         |ORDER BY lift DESC, u, w LIMIT 50""".stripMargin,
 
     // Bellman-Ford unrolled: 4 MATERIALIZED relaxation rounds over the
     // weighted k-NN spine, sparse frontier (union + group-min), source

@@ -842,4 +842,32 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       graft.Checkpoints.releaseAll(spark)
     }
   }
+
+  test("q220 walk-PMI pairs all come from real window-2 walk " +
+       "co-occurrences and carry exact replayable lift arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    // the q160 walk relation IS q220's input — recompute the legal
+    // window-2 pair set locally and require every emitted pair in it
+    val walks = graft.queries.GraphQueries.defs("q160_node2vec_walks")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val legal: Set[(Long, Long)] =
+      walks.toSeq.groupBy(w => (w._1, w._2)).values.flatMap { g =>
+        for {
+          a <- g; b <- g
+          if a._3 != b._3 && math.abs(a._3 - b._3) <= 2 && a._4 != b._4
+        } yield (a._4, b._4)
+      }.toSet
+    val rows = graft.queries.GraphQueries.defs("q220_walk_pmi")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, w, nUw, nU, nW, nTot, lift) =>
+      assert(legal.contains((u, w)), s"pair ($u,$w) never co-occurs")
+      assert(nUw >= 2, "support floor violated")
+      // the lift is one IEEE division over the emitted integers
+      val expect = BigDecimal(nUw.toDouble * nTot / (nU.toDouble * nW))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lift == expect, s"($u,$w): lift $lift != $expect")
+    }
+    graft.Checkpoints.releaseAll(spark)
+  }
 }
