@@ -1712,6 +1712,45 @@ object TextQueries {
             .as("recall_x10k"))
     },
 
+    // BLOCKING-quality eval (the q210 discipline applied to the ER
+    // blocking stage — Christen's pairs-completeness / reduction-ratio
+    // pair, Springer 2012, public): sorted-neighborhood candidates at
+    // window ∈ {2, 5, 10} over the 32-char normalized-prefix sort key,
+    // graded against the EXACT 3-gram Jaccard ≥ 0.3 relation. PC =
+    // how much truth the window catches, RR = how much of the n²/2
+    // pair space it never looks at — the tuning curve that prices a
+    // wider window. Integer `div` arithmetic throughout. Scale shape:
+    // the truth relation is PPJoin-blocked (never all-pairs), each
+    // window's candidates are exactly n·w rows off the q111 rank
+    // join, and the metric combine is 1-row scalars (q135 shape).
+    "q221_blocking_eval" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val truth = graft.Checkpoints.checkpoint(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+          .select(col("id_a"), col("id_b")))
+      val keyed = docs.select(col("doc_id"),
+        substring(TextFns.norm(col("text")), 1, 32).as("bk"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      Seq(2, 5, 10).map { w =>
+        val cand = graft.Checkpoints.checkpoint(
+          Dedup.sortedNeighborhoodPairs(keyed, "doc_id", "bk", w)
+            .select(least(col("id_a"), col("id_b")).as("ka"),
+              greatest(col("id_a"), col("id_b")).as("kb"))
+            .select(col("ka").as("id_a"), col("kb").as("id_b")))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nHit = cand.join(truth, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_hit"))
+        nCand.crossJoin(nHit).crossJoin(broadcast(nTrue))
+          .crossJoin(broadcast(nDocs))
+          .select(lit(w.toLong).as("win"), col("n_cand"), col("n_hit"),
+            col("n_true"),
+            expr("(n_hit * 10000) div n_true").as("pc_x10k"),
+            expr("(((n_docs * (n_docs - 1)) div 2 - n_cand) * 10000)" +
+              " div ((n_docs * (n_docs - 1)) div 2)").as("rr_x10k"))
+      }.reduce(_ unionByName _)
+    },
+
     // URL census — link hygiene before host aggregation (C4/CCNet):
     // host / registrable domain / path extraction plus tracking-param
     // (utm_*) stripping in original order. URLs are PLANTED
@@ -2091,6 +2130,56 @@ object TextQueries {
     * signature/band/agreement chain for the LSH verdicts, the q25
     * exact shingle-join relation for the truth, joined per
     * true-Jaccard decile. */
+  /** q221 oracle: the exact 3-gram Jaccard truth (the q210 ss2/ex2
+    * replay, fresh `be`-prefixed CTE names), the q111-style global
+    * sort rank on the 32-char normalized prefix, the three window
+    * candidate joins, and the integer PC/RR arithmetic. */
+  private def blockingEvalSql: String = {
+    def candw(w: Int) =
+      s"""bec$w AS MATERIALIZED (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |    greatest(a.doc_id, b.doc_id) AS id_b
+         |  FROM ber a JOIN ber b
+         |    ON b.brnk BETWEEN a.brnk + 1 AND a.brnk + $w),
+         |bem$w AS (SELECT CAST($w AS BIGINT) AS win,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bec$w) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bec$w c
+         |       JOIN bex t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         |      AS n_hit)""".stripMargin
+    s"""WITH bw AS (SELECT doc_id,
+       |    string_split(${normSql("text")}, ' ') AS ws FROM documents),
+       |bss AS (SELECT DISTINCT doc_id,
+       |    array_to_string(ws[i : i + 2], ' ') AS s2
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - 2)) AS i
+       |        FROM bw WHERE len(ws) >= 3)),
+       |bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |        FROM bss GROUP BY 1),
+       |bco AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS co
+       |       FROM bss a JOIN bss b ON a.s2 = b.s2 AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |bex AS MATERIALIZED (SELECT id_a, id_b
+       |  FROM bco JOIN bsz za ON bco.id_a = za.doc_id
+       |           JOIN bsz zb ON bco.id_b = zb.doc_id
+       |  WHERE round(CAST(co AS DOUBLE) / (za.n_sh + zb.n_sh - co), 4)
+       |    >= 0.3),
+       |bek AS (SELECT doc_id, substring(${normSql("text")}, 1, 32) AS bk
+       |        FROM documents),
+       |ber AS MATERIALIZED (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bk, doc_id) AS BIGINT)
+       |      AS brnk FROM bek),
+       |bnt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM bex),
+       |bnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |${Seq(2, 5, 10).map(candw).mkString(",\n")}
+       |SELECT win, n_cand, n_hit, n_true,
+       |  (n_hit * 10000) // n_true AS pc_x10k,
+       |  (((n_docs * (n_docs - 1)) // 2 - n_cand) * 10000)
+       |    // ((n_docs * (n_docs - 1)) // 2) AS rr_x10k
+       |FROM (SELECT * FROM bem2 UNION ALL SELECT * FROM bem5
+       |      UNION ALL SELECT * FROM bem10)
+       |CROSS JOIN bnt CROSS JOIN bnd""".stripMargin
+  }
+
   private def lshDedupEvalSql: String = {
     val perms = Dedup.minhashPerms(32)
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -2253,6 +2342,7 @@ object TextQueries {
     "q108_banded_neardup_drop" -> bandedNearDupSql,
     "q202_neardup_keeper" -> nearDupKeeperSql,
     "q210_lsh_dedup_eval" -> lshDedupEvalSql,
+    "q221_blocking_eval" -> blockingEvalSql,
     "q213_cluster_safe_split" -> clusterSafeSplitSql,
 
     // q214: the shared cluster chain for neardup_excess, plus plain

@@ -656,4 +656,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(13L) == ((13L, None, 0L, false)))      // surfaced, not dropped
     assert(got.size == 4)
   }
+
+  test("q221 blocking eval: a sort-distant near-dup is missed at " +
+       "window 2 and caught at window 5 — the PC/RR tradeoff is real") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q221").toString
+    // d0 and d4 share 8 of 10 three-gram shingles (J = 0.8) but their
+    // PREFIXES sort 4 ranks apart (aaa... vs eee..., with bbb/ccc/ddd
+    // filler between) — exactly the pair a too-narrow sorted
+    // neighborhood misses. Filler docs share no shingles with anything.
+    val docs = Seq(
+      (0L, "aaa q w e r t y u i o p", "en", "s0", 0L),
+      (1L, "bbb f1 f2 f3 f4 f5 f6 f7 f8 f9 fa", "en", "s0", 0L),
+      (2L, "ccc g1 g2 g3 g4 g5 g6 g7 g8 g9 ga", "en", "s0", 0L),
+      (3L, "ddd h1 h2 h3 h4 h5 h6 h7 h8 h9 ha", "en", "s0", 0L),
+      (4L, "eee q w e r t y u i o p", "en", "s0", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q221_blocking_eval")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the single true pair (0,4): invisible at w=2, visible at w=5
+    assert(rows(2L) == ((2L, 7L, 0L, 1L, 0L, 3000L)), s"w=2: ${rows(2L)}")
+    assert(rows(5L) == ((5L, 10L, 1L, 1L, 10000L, 0L)), s"w=5: ${rows(5L)}")
+    assert(rows(10L)._3 == 1L && rows(10L)._5 == 10000L)
+    graft.Checkpoints.releaseAll(spark)
+  }
 }
