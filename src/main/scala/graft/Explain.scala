@@ -37,6 +37,7 @@ object Explain {
     "q219_fk_census",       // 7× 1-row child-agg × 1-row parent-agg combine (q135 shape)
     "q220_walk_pmi",        // q160 walk-index grid + broadcast pair-total scalar (q158 shape)
     "q221_blocking_eval",   // 3× 1-row metric scalar combines (q135 shape)
+    "q222_embedding_drift", // broadcast 1-row corpus-total scalar (q42 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)

@@ -300,6 +300,48 @@ object SimQueries {
         "vec_id", "embedding", nCand = 10, k = 5)
     },
 
+    // Class-conditional EMBEDDING-DRIFT census — the vector-space
+    // member of the drift family (q174 monitors value histograms;
+    // this monitors the representation itself, the MLOps check before
+    // an index rebuild or a model refresh): reference half (even
+    // vec_id) vs candidate half (odd), per label the two halves'
+    // CENTROID cosine and the occupancy share delta. Exact
+    // discipline: per-dim component sums in round(x·10⁶) scaled ints
+    // (float sums would be order-dependent), the centroid cosine is
+    // ONE float fold over the two integer sum-vectors cast to double
+    // (list_inner_product-equivalent, bit-reproducible), shares in
+    // integer div. A healthy refresh reads cos ≈ 10⁴ per label and
+    // flat shares; a drifted class shows up as its own row. Scale
+    // shape: one posexplode + (label, half, dim)-keyed sum — state is
+    // labels × dims, cardinality-free in the row count.
+    "q222_embedding_drift" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(graft.functions.VectorFns.toDoubleArr(col("embedding"))))
+        .select(col("label"), col("half"), col("pos").as("dim"),
+          round(col("col") * 1000000, 0).cast("long").as("c"))
+      val sums = e.groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(col("c")).as("sv"))
+      def side(h: Int, vecName: String) = sums.filter(col("half") === h)
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
+          _.getField("sv").cast("double")).as(vecName))
+      val cnt = Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+      val tot = cnt.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_new")).as("t_new"))
+      side(0, "va").join(side(1, "vb"), "label").join(cnt, "label")
+        .crossJoin(broadcast(tot))
+        .select(col("label").cast("long").as("label"),
+          col("n_ref"), col("n_new"),
+          round(graft.functions.ArrayCosine.cosine(col("va"), col("vb"))
+            * 10000, 0).cast("long").as("centroid_cos_x10k"),
+          expr("(n_new * 10000) div t_new - (n_ref * 10000) div t_ref")
+            .as("share_delta_x10k"))
+    },
+
     // Greedy k-center coreset (Similarity.kCenterGreedy scaladoc):
     // 8-center farthest-point traversal over the whole embedding
     // table in scaled-int cosine distance — the diversity-sampling /
@@ -466,6 +508,38 @@ object SimQueries {
     // round's argmax is a per-query row_number over rel − max(sim to
     // the selected set), ties on n_id, exactly the Spark loop.
     "q216_mmr_rerank" -> mmrOracleSql,
+
+    // q222: per-dim scaled-int component sums per (label, half),
+    // dim-ordered sum-vectors, one cosine fold per label, integer
+    // share deltas — the census replayed end to end.
+    "q222_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+        |        CAST(round(v[i] * 1000000, 0) AS BIGINT) AS c
+        |      FROM (SELECT vec_id, label, v,
+        |              unnest(generate_series(1, len(v))) AS i FROM e) z),
+        |s AS (SELECT label, half, dim, CAST(sum(c) AS BIGINT) AS sv
+        |      FROM x GROUP BY 1, 2, 3),
+        |va AS (SELECT label, list(CAST(sv AS DOUBLE) ORDER BY dim) AS cv
+        |       FROM s WHERE half = 0 GROUP BY 1),
+        |vb AS (SELECT label, list(CAST(sv AS DOUBLE) ORDER BY dim) AS cv
+        |       FROM s WHERE half = 1 GROUP BY 1),
+        |cn AS (SELECT label,
+        |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_ref,
+        |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_new
+        |      FROM e GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |              CAST(sum(n_new) AS BIGINT) AS t_new FROM cn)
+        |SELECT CAST(cn.label AS BIGINT) AS label, n_ref, n_new,
+        |  CAST(round(list_cosine_similarity(va.cv, vb.cv) * 10000, 0)
+        |    AS BIGINT) AS centroid_cos_x10k,
+        |  (n_new * 10000) // t_new - (n_ref * 10000) // t_ref
+        |    AS share_delta_x10k
+        |FROM cn JOIN va ON cn.label = va.label
+        |        JOIN vb ON cn.label = vb.label CROSS JOIN tt""".stripMargin,
 
     // q217: the 8 farthest-point rounds unrolled — seed = min id,
     // each d$k CTE least-updates the min-distance against the single

@@ -423,6 +423,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5)))
   }
 
+  test("q222 embedding drift: identical halves read cos 10000, negated " +
+       "halves read -10000, share deltas exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q222").toString
+    // label 0: the candidate half repeats the reference half exactly;
+    // label 1: the candidate half is the reference NEGATED — the two
+    // extreme verdicts of the drift monitor, hand-computable
+    Seq((0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+        (2L, Array(0f, 1f), 1), (3L, Array(0f, -1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q222_embedding_drift")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 1L, 1L, 10000L, 0L)), s"label 0: ${got(0L)}")
+    assert(got(1L) == ((1L, 1L, 1L, -10000L, 0L)), s"label 1: ${got(1L)}")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("MMR re-rank prefers the diverse candidate over the near-duplicate") {
     // query 0 at (1,0,0); 1 and 2 are near-duplicates of each other at
     // cos≈0.9 to the query; 3 is equally relevant but on the mirrored
