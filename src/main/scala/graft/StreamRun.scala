@@ -198,6 +198,62 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** Benchmark DECONTAMINATION at ingestion as a stream — the q195
+    * census run per micro-batch: corpus docs arrive as id-ordered file
+    * drops, each batch is shingled and probed against the FIXED
+    * benchmark key set (the q195 split: doc_id % 50 == 0 is the
+    * benchmark), and the per-doc verdicts append to the sink — the
+    * "filter at the door" production shape of decontamination.
+    * Scoring is per-document against static keys, so the accumulated
+    * sink must equal the one-shot q195 census EXACTLY whatever the
+    * micro-batch boundaries. Returns (mismatches, rows). */
+  def runContamination(spark: SparkSession, sfDir: String,
+                       workDir: String): (Long, Long) = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val srcDir = Paths.get(workDir, "contamination_drops")
+    Files.createDirectories(srcDir)
+    val n = corpus.count()
+    val withIdx = corpus.withColumn("_rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    val numDrops = 4
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      stageDropFile(withIdx.filter(col("_rn").between(lo, hi)).drop("_rn"),
+        srcDir, f"drop_$i%02d")
+    }
+    val outK = s"$workDir/sink_contamination"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val qK = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_contamination")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // contaminationCensus checkpoints its verdicts internally —
+        // release after the append (the runAdmission discipline)
+        val verdicts = Dedup.contaminationCensus(
+          df, bench, "doc_id", "text", n = 5)
+        verdicts.write.mode("append").parquet(outK)
+        Checkpoints.release(verdicts)
+      }.start()
+    try qK.processAllAvailable() finally qK.stop()
+    val streamed = spark.read.parquet(outK)
+    val batch = Dedup.contaminationCensus(corpus, bench, "doc_id", "text",
+      n = 5)
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    Checkpoints.release(batch)
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -285,13 +341,16 @@ object StreamRun {
     val (tBad, cBad, tRows, cRows) = run(spark, sfDir, workDir)
     val (aBad, aRows) = runAdmission(spark, sfDir, workDir)
     val (nBad, nRows) = runNovelty(spark, sfDir, workDir)
+    val (kBad, kRows) = runContamination(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
+      s"contamination=${verdict(kBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
+      s"contamination_docs=$kRows " +
       s"sf=$sfDir")
     spark.stop()
-    if (tBad + cBad + aBad + nBad > 0) sys.exit(1)
+    if (tBad + cBad + aBad + nBad + kBad > 0) sys.exit(1)
   }
 }

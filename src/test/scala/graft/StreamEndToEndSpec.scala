@@ -33,4 +33,13 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(nRows > 0)
     assert(nBad == 0, s"$nBad novelty verdicts diverge from the q205 batch")
   }
+
+  test("streamed benchmark decontamination (micro-batch probe against " +
+       "the fixed key set) matches q195's one-shot census") {
+    val work = java.nio.file.Files.createTempDirectory("stream_cont").toString
+    val (kBad, kRows) =
+      StreamRun.runContamination(spark, "/root/testdata/sf0.001", work)
+    assert(kRows > 0)
+    assert(kBad == 0, s"$kBad contamination verdicts diverge from the q195 batch")
+  }
 }
