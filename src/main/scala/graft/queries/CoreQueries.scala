@@ -87,6 +87,48 @@ object CoreQueries {
       Relational.fkCensus(fkEdges.map { case (nm, ct, ck, pt, pk) =>
         (nm, tb(ct), ck, tb(pt), pk) })
     },
+
+    // National market share (the TPC-H Q8 shape on our star): within
+    // the AMERICA region's ECONOMY-part market, NATION_3 suppliers'
+    // yearly revenue share. The widest join tree in the suite — 8
+    // relation instances (nation twice, in the customer and supplier
+    // roles): lineitem→orders→customer→nation→region plus
+    // lineitem→part and lineitem→supplier→nation. Every dimension is
+    // explicitly broadcast (region/part/supplier/nation; customer
+    // rides the shuffle with orders) — the plan a 100 TB fact scan
+    // wants: one shuffle join chain on the fact keys, zero dimension
+    // shuffles. Money in DECIMAL(18,2) exact sums (the q01/q03
+    // discipline); the share spends ONE IEEE division on the rounded
+    // sums.
+    "q223_market_share" -> { (s, d) =>
+      val ords = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val reg = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      val prt = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val vol = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(vol), 2).cast("double").as("total_rev"),
+          round(sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(dec(lit(0)))), 2).cast("double").as("nation_rev"))
+        .select(col("o_year"), col("total_rev"), col("nation_rev"),
+          round(col("nation_rev") / col("total_rev"), 4).as("mkt_share"))
+    },
     // Full-scan multi-aggregate (A1/A3/A4/A6) with pushed filter (P8).
     "q01_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -918,6 +960,34 @@ object CoreQueries {
          |    (SELECT 1 FROM $ct c WHERE c.$ck = p.$pk)) AS BIGINT)
          |    AS n_unreferenced""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    // q223: the 8-relation join replayed with the same DECIMAL(18,2)
+    // sums and the one rounded IEEE division over the rounded sums.
+    "q223_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(18,2)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |a AS (SELECT CAST(o_year AS BIGINT) AS o_year,
+        |    CAST(round(sum(vol), 2) AS DOUBLE) AS total_rev,
+        |    CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+        |      AS nation_rev
+        |  FROM j GROUP BY 1)
+        |SELECT o_year, total_rev, nation_rev,
+        |  round(nation_rev / total_rev, 4) AS mkt_share FROM a""".stripMargin,
 
     // q135: every cell of both matrices, both inner products, and the
     // depth-min replayed; HUGEINT sums cast back to BIGINT.

@@ -236,4 +236,18 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(kept < 1000L, s"pre-filter kept $kept of 2000")
   }
+
+  test("q223's 8-relation join plans as a pure broadcast chain: no " +
+       "sort-merge join, no dimension shuffle") {
+    // the plan a 100 TB fact scan wants — every dimension broadcast,
+    // the only exchange is the final groupBy; a regression to SMJ on a
+    // dimension key would show here before it shows in the bench
+    val plan = graft.SparkEntry.queries("q223_market_share")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 6, s"expected >= 6 broadcast joins, saw $bhj")
+    graft.Checkpoints.releaseAll(spark)
+  }
 }
