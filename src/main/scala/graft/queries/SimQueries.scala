@@ -300,6 +300,34 @@ object SimQueries {
         "vec_id", "embedding", nCand = 10, k = 5)
     },
 
+    // FILTERED vector search — the metadata-constrained ANN every
+    // production vector store serves (filter first, then rank): each
+    // query's exact top-5 restricted to corpus vectors with the SAME
+    // label. The filter is an EQUI-key, so the candidate join is a
+    // broadcast HASH join on label — the pair space shrinks to
+    // per-label blocks BEFORE any cosine is computed (vs q28's full
+    // broadcast sweep), which is the whole point of pre-filtering at
+    // scale: selectivity prunes compute, not just output.
+    "q224_ann_filtered" -> { (s, d) =>
+      import graft.functions.{ArrayCosine, VectorFns}
+      val par = s.sparkContext.defaultParallelism
+      val emb = Tables.embeddings(s, d)
+      val c = emb.select(col("vec_id").as("n_id"),
+          col("label").as("n_label"),
+          VectorFns.toDoubleArr(col("embedding")).as("cv"))
+        .repartition(par, col("n_id"))
+      val q = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          VectorFns.toDoubleArr(col("embedding")).as("qv"))
+      val scored = c.join(broadcast(q),
+          col("q_label") === col("n_label") && col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_label").cast("long").as("label"),
+          col("n_id"),
+          round(ArrayCosine.cosine(col("qv"), col("cv")), 4).as("cos"))
+      graft.operators.Relational.topKPerGroup(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("n_id")), 5)
+    },
+
     // Class-conditional EMBEDDING-DRIFT census — the vector-space
     // member of the drift family (q174 monitors value histograms;
     // this monitors the representation itself, the MLOps check before
@@ -508,6 +536,21 @@ object SimQueries {
     // round's argmax is a per-query row_number over rel − max(sim to
     // the selected set), ties on n_id, exactly the Spark loop.
     "q216_mmr_rerank" -> mmrOracleSql,
+
+    // q224: the q28 top-k shape with the label equi-filter in the
+    // candidate join.
+    "q224_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+        |p AS (SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS label,
+        |        e.vec_id AS n_id,
+        |        round(list_cosine_similarity(q.v, e.v), 4) AS cos
+        |      FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id)
+        |SELECT q_id, label, n_id, cos, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM p)
+        |WHERE rn <= 5""".stripMargin,
 
     // q222: per-dim scaled-int component sums per (label, half),
     // dim-ordered sum-vectors, one cosine fold per label, integer

@@ -441,6 +441,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("q224 filtered ANN: every hit shares its query's label, equals " +
+       "the label-restricted brute force, and plans a HASH join") {
+    val res = SparkEntry.queries("q224_ann_filtered")(spark, dir)
+    // the filter is an equi-key: the candidate join must be a hash
+    // join on label, never a nested-loop sweep — that IS the filtered-
+    // search scale story
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "filter did not prune the join")
+    val rows = res.select(col("q_id"), col("label"), col("n_id"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect()
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (q, l, n, _) =>
+      assert(labels(q) == l && labels(n) == l,
+        s"query $q (label ${labels(q)}) got neighbor $n (label ${labels(n)})")
+    }
+    // per query: the same pairs the unfiltered exact ranking yields
+    // when ITS corpus is restricted to the query's label
+    val byLabel = labels.keys.groupBy(labels)
+    for (ql <- byLabel.keys) {
+      val restricted = topSet(Similarity.bruteForceTopK(
+        emb.filter(col("label") === ql),
+        queries.filter(col("label") === ql), "vec_id", "embedding", 5))
+      val got = rows.filter(r => r._2 == ql).map(r => (r._1, r._3)).toSet
+      assert(got == restricted, s"label $ql: $got != $restricted")
+    }
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("MMR re-rank prefers the diverse candidate over the near-duplicate") {
     // query 0 at (1,0,0); 1 and 2 are near-duplicates of each other at
     // cos≈0.9 to the query; 3 is equally relevant but on the mirrored
