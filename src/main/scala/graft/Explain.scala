@@ -38,6 +38,7 @@ object Explain {
     "q220_walk_pmi",        // q160 walk-index grid + broadcast pair-total scalar (q158 shape)
     "q221_blocking_eval",   // 3× 1-row metric scalar combines (q135 shape)
     "q222_embedding_drift", // broadcast 1-row corpus-total scalar (q42 shape)
+    "q225_markov_attribution", // variants×states domain grid + 1-row baseline (q117/q42 shapes)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)

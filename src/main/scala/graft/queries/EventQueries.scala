@@ -584,6 +584,94 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // MARKOV ATTRIBUTION with removal effects (Anderl et al. 2014,
+    // "Mapping the customer journey" — public): the q90 chain upgraded
+    // to a journey model — per user, PURCHASE absorbs and the next
+    // event restarts from _start; a journey that ends without
+    // purchasing leaks to _end. For the full chain and for each chain
+    // with one channel REMOVED (its state pinned to 0 — visits there
+    // become losses), the 6-step absorption probability from _start
+    // is computed in scaled ints (S = 10⁹, floor div per step — the
+    // q87 discipline, so every round replays cross-engine); the
+    // removal effect p_full − p_removed is the channel's credit. All
+    // variants advance together: the state vector is keyed
+    // (variant, state) and each round is one join + groupBy over the
+    // TINY (states × variants) relation — the matrix build is the
+    // only corpus-scale stage. Scale shape: one window pass + one
+    // keyed count for the matrix; rounds are state-keyed; the final
+    // baseline join is a 1-row broadcast (q42 shape).
+    "q225_markov_attribution" -> { (s, d) =>
+      val S = 1000000000L
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val byJourney = Window.partitionBy(col("user_id"), col("jid"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        // journey id = purchases STRICTLY BEFORE this event
+        .withColumn("jid", coalesce(sum(
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val steps = ev
+        .withColumn("prev",
+          coalesce(lag(col("event_type"), 1).over(byJourney), lit("_start")))
+        .select(col("prev").as("v"), col("event_type").as("w"))
+      // non-purchase journey tails leak to _end (purchase tails absorb)
+      val tails = ev
+        .withColumn("rdesc", row_number().over(
+          Window.partitionBy(col("user_id"), col("jid"))
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .filter(col("rdesc") === 1 && col("event_type") =!= "purchase")
+        .select(col("event_type").as("v"), lit("_end").as("w"))
+      val tm = graft.Checkpoints.checkpoint(
+        steps.unionByName(tails)
+          .groupBy(col("v"), col("w")).agg(count(lit(1)).as("n")))
+      val dn = tm.groupBy(col("v")).agg(sum(col("n")).as("nv"))
+      val states = graft.Checkpoints.checkpoint(
+        tm.select(col("v").as("st"))
+          .union(tm.select(col("w").as("st"))).distinct())
+      val channels = states
+        .filter(!col("st").isin("_start", "_end", "purchase"))
+        .select(col("st").as("variant"))
+      val variants = graft.Checkpoints.checkpoint(
+        channels.union(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("none")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("variant",
+              org.apache.spark.sql.types.StringType))))))
+      val domain = variants.crossJoin(states)
+      var p = graft.Checkpoints.checkpoint(domain.select(col("variant"),
+        col("st"), when(col("st") === "purchase", S).otherwise(0L).as("p")))
+      var k = 0
+      while (k < 6) {
+        val m = tm.join(p, tm("w") === p("st"))
+          .groupBy(col("variant"), col("v"))
+          .agg(sum(tm("n") * p("p")).as("num"))
+          .join(dn, "v")
+          .select(col("variant"), col("v").as("st"),
+            expr("num div nv").as("m"))
+        val nxt = graft.Checkpoints.checkpoint(
+          domain.join(m, Seq("variant", "st"), "left")
+            .select(col("variant"), col("st"),
+              when(col("st") === "purchase", S)
+                .when(col("st") === col("variant"), 0L)
+                .otherwise(coalesce(col("m"), lit(0L))).as("p")))
+        graft.Checkpoints.release(p)
+        p = nxt
+        k += 1
+      }
+      val fromStart = p.filter(col("st") === "_start")
+        .select(col("variant"), col("p"))
+      val base = fromStart.filter(col("variant") === "none")
+        .select(col("p").as("p_full"))
+      fromStart.filter(col("variant") =!= "none")
+        .crossJoin(broadcast(base))
+        .select(col("variant").as("channel"), col("p_full"),
+          col("p").as("p_removed"),
+          (col("p_full") - col("p")).as("removal_effect"))
+    },
+
     // Retention cohorts: users grouped by first-active day, counted by
     // distinct active-day offset — the classic triangle table. All
     // date arithmetic in integer epoch days.
@@ -777,6 +865,61 @@ object EventQueries {
             .as("within"))
     }
   )
+
+  /** q225 oracle (see the map entry comment). */
+  private lazy val markovAttributionSql: String = {
+    val S = "1000000000"
+    def round(k: Int) =
+      s"""mm$k AS MATERIALIZED (SELECT p.variant, tm.v AS st,
+         |    sum(tm.n * p.p) // dn.nv AS m
+         |  FROM tm JOIN mp${k - 1} p ON tm.w = p.st
+         |          JOIN dn ON tm.v = dn.v
+         |  GROUP BY p.variant, tm.v, dn.nv),
+         |mp$k AS MATERIALIZED (SELECT g.variant, g.st,
+         |    CASE WHEN g.st = 'purchase' THEN $S
+         |         WHEN g.st = g.variant THEN 0
+         |         ELSE coalesce(mm$k.m, 0) END AS p
+         |  FROM dom g LEFT JOIN mm$k
+         |    ON g.variant = mm$k.variant AND g.st = mm$k.st)""".stripMargin
+    s"""WITH mev AS (SELECT user_id, event_id, event_type, us,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+       |        ELSE 0 END) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS jid
+       |  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |        FROM events) ev0),
+       |mst AS (SELECT coalesce(lag(event_type) OVER (
+       |      PARTITION BY user_id, jid ORDER BY us, event_id),
+       |      '_start') AS v,
+       |    event_type AS w
+       |  FROM mev),
+       |mtl AS (SELECT event_type AS v, '_end' AS w FROM (
+       |    SELECT event_type, row_number() OVER (
+       |      PARTITION BY user_id, jid
+       |      ORDER BY us DESC, event_id DESC) AS rdesc
+       |    FROM mev)
+       |  WHERE rdesc = 1 AND event_type <> 'purchase'),
+       |tm AS MATERIALIZED (SELECT v, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT v, w FROM mst UNION ALL SELECT v, w FROM mtl)
+       |  GROUP BY 1, 2),
+       |dn AS (SELECT v, CAST(sum(n) AS BIGINT) AS nv FROM tm GROUP BY 1),
+       |sts AS (SELECT DISTINCT st FROM (
+       |    SELECT v AS st FROM tm UNION SELECT w AS st FROM tm)),
+       |vr AS (SELECT st AS variant FROM sts
+       |       WHERE st NOT IN ('_start', '_end', 'purchase')
+       |       UNION ALL SELECT 'none'),
+       |dom AS MATERIALIZED (SELECT variant, st FROM vr CROSS JOIN sts),
+       |mp0 AS (SELECT variant, st,
+       |    CASE WHEN st = 'purchase' THEN $S ELSE 0 END AS p FROM dom),
+       |${(1 to 6).map(round).mkString(",\n")},
+       |fs AS (SELECT variant, p FROM mp6 WHERE st = '_start'),
+       |bs AS (SELECT p AS p_full FROM fs WHERE variant = 'none')
+       |SELECT fs.variant AS channel, CAST(bs.p_full AS BIGINT) AS p_full,
+       |  CAST(fs.p AS BIGINT) AS p_removed,
+       |  CAST(bs.p_full - fs.p AS BIGINT) AS removal_effect
+       |FROM fs CROSS JOIN bs WHERE fs.variant <> 'none'""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // q123: the q120 ε-window replay, PARTITIONED per day window. The
@@ -1124,6 +1267,12 @@ object EventQueries {
         |      FROM e)
         |SELECT prev, next, CAST(count(*) AS BIGINT) AS n
         |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // q225: journey split, matrix build, and all 6 absorption rounds
+    // unrolled per (variant, state) — every CASE pin and floor div the
+    // same as the Spark loop. Round CTEs MATERIALIZED (each references
+    // its predecessor through a join + the domain grid).
+    "q225_markov_attribution" -> markovAttributionSql,
 
     "q91_retention_cohorts" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

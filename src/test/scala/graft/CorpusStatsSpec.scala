@@ -357,6 +357,36 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q225 Markov attribution: hand-computed removal effects, with " +
+       "purchase absorbing and restarting the journey") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q225").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: view→purchase; u2: view→(end); u3: click→purchase;
+    // u4: purchase, then view→(end) — the purchase ABSORBS and the
+    // view starts a NEW journey from _start (no purchase→view edge).
+    // Matrix: _start→view 3, _start→click 1, _start→purchase 1,
+    //         view→purchase 1, view→_end 2, click→purchase 1.
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"), (2L, t(2), 1L, "purchase", 0.0, "{}"),
+      (3L, t(1), 2L, "view", 0.0, "{}"),
+      (4L, t(1), 3L, "click", 0.0, "{}"), (5L, t(2), 3L, "purchase", 0.0, "{}"),
+      (6L, t(1), 4L, "purchase", 0.0, "{}"), (7L, t(2), 4L, "view", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q225_markov_attribution")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // S=1e9: p(view)=S//3, p(click)=S;
+    // p_full(_start) = (3*(S//3) + S + S)//5 = 599999999
+    // remove view:  (0 + S + S)//5          = 400000000
+    // remove click: (3*(S//3) + 0 + S)//5   = 399999999
+    assert(got.keySet == Set("view", "click"), s"channels ${got.keySet}")
+    assert(got("view") == (("view", 599999999L, 400000000L, 199999999L)),
+      s"view: ${got("view")}")
+    assert(got("click") == (("click", 599999999L, 399999999L, 200000000L)),
+      s"click: ${got("click")}")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("q218 TextRank: a hub word outranks equally-frequent words, and " +
        "repeating a pair adds no rank (edges dedup)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_q218").toString
