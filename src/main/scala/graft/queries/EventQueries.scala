@@ -672,6 +672,46 @@ object EventQueries {
           (col("p_full") - col("p")).as("removal_effect"))
     },
 
+    // SEQUENTIAL-PATTERN counting (the MATCH_RECOGNIZE capability,
+    // scale-right): per user, the EXACT number of view < click <
+    // purchase subsequences in event order — counted by the prefix-sum
+    // DP (at each click, add the views strictly before it; at each
+    // purchase, add the view-click pairs strictly before it), which is
+    // two cumulative windows instead of the O(n³) three-way self-join
+    // a naive pattern matcher runs. The count is the standard
+    // subsequence-DP identity, so it is exact, and every step is
+    // integer window arithmetic — replayed verbatim by the oracle.
+    // Scale shape: two window passes over user-partitioned order, one
+    // keyed aggregate; no joins at all.
+    "q226_subsequence_count" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("v_before", coalesce(sum(
+          when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(before), lit(0L)))
+        .withColumn("vc_contrib",
+          when(col("event_type") === "click", col("v_before"))
+            .otherwise(0L))
+        .withColumn("vc_before",
+          coalesce(sum(col("vc_contrib")).over(before), lit(0L)))
+        .withColumn("vcp_contrib",
+          when(col("event_type") === "purchase", col("vc_before"))
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"),
+          sum(col("vcp_contrib")).as("n_vcp"))
+    },
+
     // Retention cohorts: users grouped by first-active day, counted by
     // distinct active-day offset — the classic triangle table. All
     // date arithmetic in integer epoch days.
@@ -1267,6 +1307,34 @@ object EventQueries {
         |      FROM e)
         |SELECT prev, next, CAST(count(*) AS BIGINT) AS n
         |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // q226: the same two cumulative windows and the same DP identity.
+    "q226_subsequence_count" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |a AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'view'
+        |          THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS v_before
+        |      FROM e),
+        |b AS (SELECT *, CASE WHEN event_type = 'click' THEN v_before
+        |        ELSE 0 END AS vc_contrib FROM a),
+        |c AS (SELECT *, coalesce(sum(vc_contrib) OVER (
+        |        PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS vc_before
+        |      FROM b)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vc_before
+        |    ELSE 0 END) AS BIGINT) AS n_vcp
+        |FROM c GROUP BY 1""".stripMargin,
 
     // q225: journey split, matrix build, and all 6 absorption rounds
     // unrolled per (variant, state) — every CASE pin and floor div the

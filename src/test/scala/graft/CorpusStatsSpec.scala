@@ -387,6 +387,34 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("q226 subsequence DP equals O(n^3) brute-force triple counting " +
+       "on random sequences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q226").toString
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val rnd = new scala.util.Random(7)
+    // 4 users × 30 events of random types, random-but-distinct times
+    val rows = for (u <- 1L to 4L; i <- 0 until 30) yield
+      (u * 100 + i, new java.sql.Timestamp(1700000000000L + u * 1000000 +
+        i * 1000), u, types(rnd.nextInt(types.length)), 0.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q226_subsequence_count")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // brute force: enumerate every index triple i < j < k
+    val byUser = rows.groupBy(_._3)
+    byUser.foreach { case (u, evs) =>
+      val seq = evs.sortBy(_._1).map(_._4).toIndexedSeq
+      val brute = (for {
+        i <- seq.indices; j <- (i + 1) until seq.size
+        k <- (j + 1) until seq.size
+        if seq(i) == "view" && seq(j) == "click" && seq(k) == "purchase"
+      } yield 1).size.toLong
+      assert(got(u) == brute, s"user $u: DP ${got(u)} != brute $brute")
+    }
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("q218 TextRank: a hub word outranks equally-frequent words, and " +
        "repeating a pair adds no rank (edges dedup)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_q218").toString
