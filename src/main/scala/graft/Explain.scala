@@ -39,6 +39,7 @@ object Explain {
     "q221_blocking_eval",   // 3× 1-row metric scalar combines (q135 shape)
     "q222_embedding_drift", // broadcast 1-row corpus-total scalar (q42 shape)
     "q225_markov_attribution", // variants×states domain grid + 1-row baseline (q117/q42 shapes)
+    "q227_anf_diameter",    // broadcast 1-row N(3) total scalar (q42 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)

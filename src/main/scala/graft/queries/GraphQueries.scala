@@ -257,6 +257,25 @@ object GraphQueries {
     }) }
   }
 
+  /** Session-pinned KMV-register relation (v, hop, n_reg, kth_min,
+    * est_reach) over the k-NN spine — the HyperBall sketch state built
+    * once per (session, sfDir) and served by both consumers: q206
+    * reports the registers themselves, q227 aggregates them into the
+    * neighborhood function N(h). Same lifecycle discipline as
+    * [[sccSpine]]: pin is a fresh materialized block, internal hop
+    * batches stay releasable. */
+  private val anfCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def anfSpine(s: SparkSession, d: String): DataFrame = {
+    anfCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    anfCache.synchronized { anfCache.getOrElseUpdate((s, d), {
+      anfCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        anfCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      graft.Checkpoints.checkpointPinned(Graph.anfKmv(knnEdges(s, d)))
+    }) }
+  }
+
   /** Condensation edges shared by q199/q200: every directed k-NN pick
     * edge lifted to its endpoints' SCCs, cross-SCC pairs only (with
     * multiplicity — q199 counts it, q200 distincts it away). */
@@ -496,7 +515,32 @@ object GraphQueries {
     // the sketch scale path (k longs per vertex, one join + one merge
     // groupBy per hop) under a full hash-match gate.
     "q206_anf_reach" -> { (s, d) =>
-      Graph.anfKmv(knnEdges(s, d))
+      anfSpine(s, d)
+    },
+
+    // The neighborhood function N(h) = Σ_v est_reach(v, h) aggregated
+    // from the SAME pinned KMV registers q206 reports (the sketch
+    // build/serve split: the 3-hop merge loop never reruns per
+    // consumer), with the classic effective-diameter readout — the
+    // integer 90%-of-total-mass flag per hop and the hop's mass
+    // fraction in exact basis points. frac is computed with int64
+    // floor division (`div`), matching the oracle's `//` exactly — no
+    // double rounding in the gate. nf_max is a 1-row broadcast scalar
+    // (registered intended crossJoin). HyperANF's headline readout
+    // (Boldi et al., WWW'11) as one aggregate over sketch state that
+    // is O(k · |V|) regardless of edge count.
+    "q227_anf_diameter" -> { (s, d) =>
+      val nf = anfSpine(s, d)
+        .groupBy(col("hop"))
+        .agg(sum(col("est_reach")).as("nf"),
+          count(lit(1)).as("n_vertices"))
+      val mx = nf.filter(col("hop") === 3)
+        .select(col("nf").as("nf_max"))
+      nf.crossJoin(broadcast(mx))
+        .select(col("hop"), col("nf"), col("n_vertices"),
+          expr("nf * 10000 div nf_max").as("frac_x10k"),
+          when(col("nf") * 10 >= col("nf_max") * 9, 1L).otherwise(0L)
+            .as("at_eff_diameter"))
     },
 
     // DIRECTED citation-style PageRank (3 rounds, damping 85/100,
@@ -1680,6 +1724,42 @@ object GraphQueries {
        |  SELECT r.v, adj.d FROM reach r JOIN adj ON r.u = adj.s)
        |SELECT v, CAST(min(u) AS BIGINT) AS comp FROM reach GROUP BY v""".stripMargin
 
+  /** The q206 KMV-register replay chain (exact balls by bounded
+    * recursive BFS → per-(vertex, hop) k-min hash ranking), ending in
+    * the `anfr` relation — shared verbatim by q206 (the registers
+    * themselves) and q227 (the neighborhood function aggregated from
+    * them), so the two replays can never drift. */
+  private lazy val anfOracleChainSql =
+    s"""WITH RECURSIVE $coShipSql,
+       |$knnSql,
+       |sy2 AS (SELECT a AS s, b AS d FROM ed
+       |        UNION SELECT b AS s, a AS d FROM ed),
+       |verts AS (SELECT DISTINCT s AS v FROM sy2),
+       |r(v, u, h) AS (SELECT v, v, 0 FROM verts
+       |  UNION
+       |  SELECT r.v, e.d, r.h + 1 FROM r JOIN sy2 e ON e.s = r.u
+       |  WHERE r.h < 3),
+       |bl AS (SELECT v, u, min(h) AS hm FROM r GROUP BY 1, 2),
+       |hh AS (SELECT v, u, hm,
+       |    (u * 1103515245 + 12345) % 2147483647 AS hu FROM bl),
+       |hs AS (SELECT DISTINCT hp.hop, b.v, b.hu
+       |  FROM hh b JOIN (VALUES (1), (2), (3)) hp(hop)
+       |    ON b.hm <= hp.hop),
+       |rk2 AS (SELECT hop, v, hu,
+       |    row_number() OVER (PARTITION BY hop, v ORDER BY hu) AS rn,
+       |    count(*) OVER (PARTITION BY hop, v) AS nd
+       |  FROM hs),
+       |anfr AS (SELECT v, CAST(hop AS BIGINT) AS hop,
+       |  CAST(least(nd, 8) AS BIGINT) AS n_reg,
+       |  CAST(max(CASE WHEN rn = least(nd, 8) THEN hu END) AS BIGINT)
+       |    AS kth_min,
+       |  CAST(CASE WHEN nd < 8 THEN nd
+       |    ELSE (CAST(7 AS BIGINT) * 2147483647)
+       |      // greatest(max(CASE WHEN rn = least(nd, 8) THEN hu END), 1)
+       |    END AS BIGINT) AS est_reach
+       |FROM rk2 WHERE rn <= 8
+       |GROUP BY v, hop, nd)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q15_cosupply_edges" ->
       """WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
@@ -1746,35 +1826,22 @@ object GraphQueries {
     // q206: exact balls by bounded recursive BFS, then the k-min hash
     // ranking per (vertex, hop) — the KMV register replayed whole
     "q206_anf_reach" ->
-      s"""WITH RECURSIVE $coShipSql,
-         |$knnSql,
-         |sy2 AS (SELECT a AS s, b AS d FROM ed
-         |        UNION SELECT b AS s, a AS d FROM ed),
-         |verts AS (SELECT DISTINCT s AS v FROM sy2),
-         |r(v, u, h) AS (SELECT v, v, 0 FROM verts
-         |  UNION
-         |  SELECT r.v, e.d, r.h + 1 FROM r JOIN sy2 e ON e.s = r.u
-         |  WHERE r.h < 3),
-         |bl AS (SELECT v, u, min(h) AS hm FROM r GROUP BY 1, 2),
-         |hh AS (SELECT v, u, hm,
-         |    (u * 1103515245 + 12345) % 2147483647 AS hu FROM bl),
-         |hs AS (SELECT DISTINCT hp.hop, b.v, b.hu
-         |  FROM hh b JOIN (VALUES (1), (2), (3)) hp(hop)
-         |    ON b.hm <= hp.hop),
-         |rk2 AS (SELECT hop, v, hu,
-         |    row_number() OVER (PARTITION BY hop, v ORDER BY hu) AS rn,
-         |    count(*) OVER (PARTITION BY hop, v) AS nd
-         |  FROM hs)
-         |SELECT v, CAST(hop AS BIGINT) AS hop,
-         |  CAST(least(nd, 8) AS BIGINT) AS n_reg,
-         |  CAST(max(CASE WHEN rn = least(nd, 8) THEN hu END) AS BIGINT)
-         |    AS kth_min,
-         |  CAST(CASE WHEN nd < 8 THEN nd
-         |    ELSE (CAST(7 AS BIGINT) * 2147483647)
-         |      // greatest(max(CASE WHEN rn = least(nd, 8) THEN hu END), 1)
-         |    END AS BIGINT) AS est_reach
-         |FROM rk2 WHERE rn <= 8
-         |GROUP BY v, hop, nd""".stripMargin,
+      s"""$anfOracleChainSql
+         |SELECT * FROM anfr""".stripMargin,
+
+    // q227: the q206 replay aggregated into the neighborhood function
+    // N(h) = Σ_v est_reach(v, h), with the integer 90%-mass flag.
+    "q227_anf_diameter" ->
+      s"""$anfOracleChainSql,
+         |nf AS (SELECT hop, CAST(sum(est_reach) AS BIGINT) AS nf,
+         |    CAST(count(*) AS BIGINT) AS n_vertices
+         |  FROM anfr GROUP BY 1),
+         |mx AS (SELECT nf AS nf_max FROM nf WHERE hop = 3)
+         |SELECT hop, nf.nf, n_vertices,
+         |  (nf.nf * 10000) // mx.nf_max AS frac_x10k,
+         |  CAST(CASE WHEN nf.nf * 10 >= mx.nf_max * 9 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS at_eff_diameter
+         |FROM nf CROSS JOIN mx""".stripMargin,
 
     "q98_citation_pagerank" -> directedPageRankOracleSql,
     "q187_citation_scc" -> citationSccOracleSql,

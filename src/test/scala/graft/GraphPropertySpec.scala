@@ -114,6 +114,29 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q227 neighborhood function is the exact per-hop readout of the " +
+       "q206 registers (sum, monotone, integer basis points, 90% flag)") {
+    val d = "/root/testdata/sf0.001"
+    val regs = SparkEntry.queries("q206_anf_reach")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nf = SparkEntry.queries("q227_anf_diameter")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(nf.keySet == Set(1L, 2L, 3L))
+    val expected = regs.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._5).sum, rs.length.toLong)).toMap
+    val nfMax = expected(3L)._1
+    (1L to 3L).foreach { h =>
+      val (gotNf, gotNv, frac, flag) = nf(h)
+      assert((gotNf, gotNv) == expected(h), s"hop $h")
+      assert(frac == gotNf * 10000L / nfMax, s"hop $h frac")
+      assert(flag == (if (gotNf * 10 >= nfMax * 9) 1L else 0L), s"hop $h flag")
+    }
+    // N(h) monotone non-decreasing: a ball only grows with the radius
+    assert(nf(1L)._1 <= nf(2L)._1 && nf(2L)._1 <= nf(3L)._1)
+    assert(nf(3L)._3 == 10000L && nf(3L)._4 == 1L)
+  }
+
   test("rootClosure resolves the min-parent chain on random forests") {
     val rnd = new scala.util.Random(13)
     (1 to 3).foreach { trial =>
