@@ -40,6 +40,12 @@ object Explain {
     "q222_embedding_drift", // broadcast 1-row corpus-total scalar (q42 shape)
     "q225_markov_attribution", // variants×states domain grid + 1-row baseline (q117/q42 shapes)
     "q227_anf_diameter",    // broadcast 1-row N(3) total scalar (q42 shape)
+    "q228_shapley_attribution", // ≤2^k-row coalition-grid containment probes
+    "q229_rfm_segments",    // broadcast 1-row customer-count scalar (q42 shape)
+    "q230_lorenz_deciles",  // broadcast 1-row (n, total) scalar (q42 shape)
+    "q231_revenue_gini",    // broadcast 1-row (n, total) scalar (q42 shape)
+    "q232_cusum_changepoint", // broadcast 1-row total + |max| scalars (q42 shape)
+    "q233_benford_census",  // broadcast 1-row corpus-count scalar (q42 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)

@@ -68,6 +68,19 @@ object CoreQueries {
     ("nation.n_regionkey->region", "nation", "n_regionkey",
       "region", "r_regionkey"))
 
+  /** Customer revenue in exact cents, ranked ASCENDING by (cents,
+    * custkey) via the distributed two-phase cumsum — the shared spine
+    * of q230 (Lorenz deciles) and q231 (Gini). Cheap enough (one
+    * groupBy + one range shuffle) that each consumer builds its own;
+    * the DuckDB twin is one row_number window. */
+  private def custRevenueRanked(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    Relational.globalCumsum(rev, Seq(col("cents"), col("o_custkey")),
+      lit(1L), "rnk")
+  }
+
   val defs: Map[String, Q] = Map(
     // Referential-integrity census (Relational.fkCensus scaladoc):
     // one row per declared FK edge of the star — child rows, null
@@ -507,6 +520,138 @@ object CoreQueries {
           sum(col("cents")).as("sum_cents"),
           min(col("cents")).as("bucket_min"),
           max(col("cents")).as("bucket_max"))
+    },
+
+    // RFM SEGMENTATION (Hughes 1994) — the classic customer-value
+    // census: per ordering customer, recency / frequency / monetary
+    // quartile codes 4..1 (4 = best). Quartiles by the DISTRIBUTED
+    // rank formula — three `globalCumsum` passes (range shuffle +
+    // per-partition window + broadcast offsets, the q113 discipline),
+    // NEVER a single global window; score = 4 − ((rank−1)·4 div n) is
+    // exact integer arithmetic and rank is unique via the custkey
+    // tie-break, so quartile boundaries are deterministic on both
+    // engines. Money in exact cents (the q162 rule).
+    "q229_rfm_segments" -> { (s, d) =>
+      val cust = Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val r1 = Relational.globalCumsum(cust,
+        Seq(col("last_dt").desc, col("o_custkey")), lit(1L), "r_rnk")
+      val r2 = Relational.globalCumsum(r1,
+        Seq(col("freq").desc, col("o_custkey")), lit(1L), "f_rnk")
+      val r3 = Relational.globalCumsum(r2,
+        Seq(col("cents").desc, col("o_custkey")), lit(1L), "m_rnk")
+      val n = cust.agg(count(lit(1)).as("n"))
+      r3.crossJoin(broadcast(n))
+        .select(col("o_custkey"),
+          expr("4 - (((r_rnk - 1) * 4) div n)").as("r_score"),
+          expr("4 - (((f_rnk - 1) * 4) div n)").as("f_score"),
+          expr("4 - (((m_rnk - 1) * 4) div n)").as("m_score"))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    },
+
+    // LORENZ CURVE of customer revenue concentration: deciles of the
+    // revenue-ascending customer ranking with exact cumulative-share
+    // basis points — the distributional readout q231's Gini scalar
+    // summarizes. Rank via one `globalCumsum` (distributed two-phase);
+    // the 10-row decile relation is the only single-partition window
+    // (bounded domain). Shares in int64: cum_cents·10⁴ ≤ 3.8e16 at
+    // sf0.1 — at larger corpora widen the product to DECIMAL(38,0)
+    // (the q231 pattern).
+    "q230_lorenz_deciles" -> { (s, d) =>
+      val ranked = custRevenueRanked(s, d)
+      val tot = ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total"))
+      val w10 = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rnk - 1) * 10 div n) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("rev_cents"),
+          max(col("total")).as("total"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w10))
+        .select(col("decile"), col("n_cust"), col("rev_cents"),
+          col("cum_rev_cents"),
+          expr("cum_rev_cents * 10000 div total").as("cum_share_x10k"))
+    },
+
+    // GINI COEFFICIENT of customer revenue — the inequality scalar
+    // over the same ranked spine as q230's Lorenz curve, by the exact
+    // rank-sum identity G = Σ(2i−n−1)·x_i / (n·Σx) with x ascending.
+    // The numerator sums in DECIMAL(38,0) (each term ≤ n·x_i; the
+    // int64 bound n·total ≈ 5.6e16 at sf0.1 already forces the final
+    // ×10⁴ product wide — DuckDB's hugeint twin does the same), and
+    // the numerator is ≥ 0 by construction so integral division is
+    // floor on both engines. One globalCumsum + one aggregate — no
+    // all-pairs |x_i − x_j| join, which is the naive O(n²) form.
+    "q231_revenue_gini" -> { (s, d) =>
+      val ranked = custRevenueRanked(s, d)
+      val tot = ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_cust"), max(col("total")).as("total_cents"),
+          sum(expr("CAST(rnk * 2 - n - 1 AS DECIMAL(38,0)) * cents"))
+            .as("gnum"))
+        .select(col("n_cust"), col("total_cents"),
+          col("gnum").cast("long").as("gini_num"),
+          expr("(gnum * 10000) div (CAST(n_cust AS DECIMAL(38,0)) * total_cents)")
+            .as("gini_x10k"))
+    },
+
+    // CUSUM CHANGEPOINT over the daily revenue series (Page 1954) —
+    // the drift detector between q164's autocorrelation and q169's
+    // trend decomposition: S_i = Σ_{j≤i}(x_j − mean), kept exact by
+    // scaling ×n (snx_i = n·cum_i − i·total, all int64: n is
+    // CALENDAR-bounded ≈2.4k days, so n·total ≈ 9e15 at sf0.1), and
+    // the argmax |S_i| day is the classic single-changepoint estimate.
+    // The day-grain window is single-partition by design (bounded
+    // domain, the q230-decile rule); both corpus-scale stages are one
+    // keyed groupBy each.
+    "q232_cusum_changepoint" -> { (s, d) =>
+      val daily = Tables.t(s, d, "orders")
+        .groupBy(col("o_orderdate"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+          .as("rev_cents"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("rev_cents")).as("total"))
+      val wd = Window.orderBy(col("o_orderdate"))
+      val snx = graft.Checkpoints.checkpoint(
+        daily.crossJoin(broadcast(tot))
+          .withColumn("i", row_number().over(wd))
+          .withColumn("cum", sum(col("rev_cents")).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("o_orderdate"), col("rev_cents"),
+            (col("n") * col("cum") - col("i") * col("total")).as("snx")))
+      val mx = snx.agg(max(abs(col("snx"))).as("mx"))
+      snx.crossJoin(broadcast(mx))
+        .select(col("o_orderdate"), col("rev_cents"), col("snx"),
+          when(abs(col("snx")) === col("mx"), 1L).otherwise(0L)
+            .as("at_peak"))
+    },
+
+    // BENFORD'S-LAW census on order totals — the forensic data-quality
+    // screen: observed leading-digit shares vs the Benford expectation
+    // log10(1+1/d), both in integer basis points (the expectation as
+    // floored LITERALS shared with the oracle — no runtime log). One
+    // scan + one 9-group aggregate; the total is a broadcast 1-row
+    // scalar (q42 shape). Leading digit via floor→string on values
+    // ≥ 1 (o_totalprice ≥ 900 by construction at every SF).
+    "q233_benford_census" -> { (s, d) =>
+      val ben = Map(1L -> 3010L, 2L -> 1760L, 3L -> 1249L, 4L -> 969L,
+        5L -> 791L, 6L -> 669L, 7L -> 579L, 8L -> 511L, 9L -> 457L)
+      val o = Tables.t(s, d, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      o.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          expr("n_obs * 10000 div n").as("obs_x10k"),
+          element_at(typedLit(ben), col("digit")).as("benford_x10k"))
+        .withColumn("abs_dev_x10k",
+          abs(col("obs_x10k") - col("benford_x10k")))
     },
 
     // GEOCODING ENRICHMENT end-to-end under the gate — the reference's
@@ -1269,6 +1414,118 @@ object CoreQueries {
         |  CAST(min(cents) AS BIGINT) AS bucket_min,
         |  CAST(max(cents) AS BIGINT) AS bucket_max
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    // q229: row_number over each metric with the same tie-breaks, the
+    // same ((rank−1)·4 // n) quartile formula.
+    "q229_rfm_segments" ->
+      """WITH cust AS (SELECT o_custkey, max(o_orderdate) AS last_dt,
+        |    count(*) AS freq,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM cust),
+        |r AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY last_dt DESC, o_custkey) AS r_rnk,
+        |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rnk,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS m_rnk
+        |  FROM cust)
+        |SELECT o_custkey,
+        |  CAST(4 - (((r_rnk - 1) * 4) // n) AS BIGINT) AS r_score,
+        |  CAST(4 - (((f_rnk - 1) * 4) // n) AS BIGINT) AS f_score,
+        |  CAST(4 - (((m_rnk - 1) * 4) // n) AS BIGINT) AS m_score,
+        |  CAST((4 - (((r_rnk - 1) * 4) // n)) * 100
+        |    + (4 - (((f_rnk - 1) * 4) // n)) * 10
+        |    + (4 - (((m_rnk - 1) * 4) // n)) AS BIGINT) AS rfm_code
+        |FROM r, nn""".stripMargin,
+
+    // q230/q231 share the ascending ranked-revenue CTE; q230 buckets
+    // it into deciles, q231 folds it into the rank-sum Gini identity
+    // (hugeint products — DuckDB's sum(BIGINT) is int128 already).
+    "q230_lorenz_deciles" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |rr AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+        |  FROM rev),
+        |nn AS (SELECT count(*) AS n, sum(cents) AS total FROM rev),
+        |dc AS (SELECT ((rnk - 1) * 10 // n) + 1 AS decile,
+        |    count(*) AS n_cust, sum(cents) AS rev_cents,
+        |    max(total) AS total
+        |  FROM rr, nn GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_rev_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 10000 // total AS BIGINT) AS cum_share_x10k
+        |FROM dc""".stripMargin,
+
+    "q231_revenue_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |rr AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+        |  FROM rev),
+        |nn AS (SELECT count(*) AS n, sum(cents) AS total FROM rev),
+        |g AS (SELECT max(n) AS n_cust, max(total) AS total_cents,
+        |    sum((rnk * 2 - n - 1) * cents) AS gnum
+        |  FROM rr, nn)
+        |SELECT CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(total_cents AS BIGINT) AS total_cents,
+        |  CAST(gnum AS BIGINT) AS gini_num,
+        |  CAST((gnum * 10000) // (n_cust::HUGEINT * total_cents)
+        |    AS BIGINT) AS gini_x10k
+        |FROM g""".stripMargin,
+
+    // q232: the same ×n-scaled deviation (snx = n·cum − i·total) and
+    // the same broadcast |max| peak flag.
+    "q232_cusum_changepoint" ->
+      """WITH daily AS (SELECT o_orderdate,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n, sum(rev_cents) AS total FROM daily),
+        |cc AS (SELECT o_orderdate, rev_cents,
+        |    row_number() OVER (ORDER BY o_orderdate) AS i,
+        |    sum(rev_cents) OVER (ORDER BY o_orderdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily),
+        |sx AS (SELECT o_orderdate, rev_cents,
+        |    CAST(n * cum - i * total AS BIGINT) AS snx
+        |  FROM cc, nn),
+        |mx AS (SELECT max(abs(snx)) AS mx FROM sx)
+        |SELECT o_orderdate, CAST(rev_cents AS BIGINT) AS rev_cents, snx,
+        |  CAST(CASE WHEN abs(snx) = mx THEN 1 ELSE 0 END AS BIGINT)
+        |    AS at_peak
+        |FROM sx, mx""".stripMargin,
+
+    // q233: identical floored-log10 literals; leading digit via the
+    // same floor→string route.
+    "q233_benford_census" ->
+      """WITH o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |    FROM orders),
+        |nn AS (SELECT count(*) AS n FROM o),
+        |g AS (SELECT digit, count(*) AS n_obs FROM o GROUP BY 1)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(n_obs * 10000 // n AS BIGINT) AS obs_x10k,
+        |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760
+        |    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+        |    WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+        |    WHEN 9 THEN 457 END AS BIGINT) AS benford_x10k,
+        |  CAST(abs(n_obs * 10000 // n - (CASE digit WHEN 1 THEN 3010
+        |    WHEN 2 THEN 1760 WHEN 3 THEN 1249 WHEN 4 THEN 969
+        |    WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+        |    WHEN 8 THEN 511 WHEN 9 THEN 457 END)) AS BIGINT)
+        |    AS abs_dev_x10k
+        |FROM g, nn""".stripMargin,
 
     // q183: the same serialize → regexp-parse → dimension-join chain
     "q183_geo_enrichment" ->

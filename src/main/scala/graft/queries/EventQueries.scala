@@ -712,6 +712,64 @@ object EventQueries {
           sum(col("vcp_contrib")).as("n_vcp"))
     },
 
+    // SHAPLEY-VALUE channel attribution (Shapley 1953; the marketing
+    // formulation of Dalessandro et al. 2012, "Causally motivated
+    // attribution") — the axiomatic complement of q225's Markov
+    // removal effects: each channel's credit is its average marginal
+    // contribution to conversion over all coalition orders. Value
+    // function v(S) = converted users whose touched-channel set ⊆ S.
+    // Scale shape: the ONLY corpus-scale stages are one groupBy user
+    // (mask via bit_or) and one groupBy mask (≤2^k rows out); every
+    // later relation — coalitions, (channel, coalition) pairs,
+    // factorial weights — is O(2^k · k) with k bounded by the
+    // event-type domain, so the combinatorics never touch the fact
+    // table. All arithmetic exact: φ_i is reported ×k! (integer
+    // weights |S|!·(k−1−|S|)!), so efficiency Σφ = k!·(v(full)−v(∅))
+    // is an INTEGER identity the spec pins. The mask-containment
+    // probe is a broadcast NLJ over the ≤2^k-row grid (intended).
+    "q228_shapley_attribution" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      // channel universe: non-conversion event types, bit i by sorted
+      // rank — BOUNDED collect (the event-type domain, q170 rule)
+      val channels = ev.select(col("event_type"))
+        .filter(col("event_type") =!= "purchase")
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      val k = channels.length
+      require(k <= 16, s"Shapley coalition grid is 2^k; k=$k channels")
+      val bitOf = channels.zipWithIndex
+        .map { case (c, i) => c -> (1L << i) }.toMap
+      val um = ev
+        .select(col("user_id"), col("event_type"),
+          coalesce(element_at(typedLit(bitOf), col("event_type")),
+            lit(0L)).as("chbit"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+          expr("bit_or(chbit)").as("mask"))
+      val cnt = um.filter(col("conv") === 1)
+        .groupBy(col("mask")).agg(count(lit(1)).as("nconv"))
+      val grid = (0L until (1L << k)).toDF("cltn")
+      // v(S) = Σ_{mask ⊆ S} nconv — grid × post-agg masks containment
+      val v = grid.join(broadcast(cnt), expr("(mask & cltn) = mask"), "left")
+        .groupBy(col("cltn")).agg(coalesce(sum(col("nconv")), lit(0L)).as("v"))
+      def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+      val pairs = (for {
+        (c, i) <- channels.zipWithIndex
+        sb <- 0L until (1L << k) if (sb & (1L << i)) == 0L
+      } yield {
+        val pc = java.lang.Long.bitCount(sb)
+        (c, sb, sb | (1L << i), fact(pc) * fact(k - 1 - pc))
+      }).toDF("channel", "s_without", "s_with", "w")
+      pairs
+        .join(broadcast(v.select(col("cltn").as("s_without"),
+          col("v").as("v0"))), "s_without")
+        .join(broadcast(v.select(col("cltn").as("s_with"),
+          col("v").as("v1"))), "s_with")
+        .groupBy(col("channel"))
+        .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_x_kfact"))
+    },
+
     // Retention cohorts: users grouped by first-active day, counted by
     // distinct active-day offset — the classic triangle table. All
     // date arithmetic in integer epoch days.
@@ -1335,6 +1393,45 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vc_before
         |    ELSE 0 END) AS BIGINT) AS n_vcp
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q228: the same chain — channel bits by sorted rank, per-user
+    // mask via bit_or, v(S) from exact-mask counts, coalitions by the
+    // recursive subset closure, factorial weights as a literal table.
+    "q228_shapley_attribution" ->
+      """WITH RECURSIVE ch AS (
+        |  SELECT event_type AS c,
+        |    row_number() OVER (ORDER BY event_type) - 1 AS i
+        |  FROM (SELECT DISTINCT event_type FROM events
+        |        WHERE event_type <> 'purchase')),
+        |kk AS (SELECT count(*) AS k FROM ch),
+        |um AS (SELECT e.user_id,
+        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    bit_or(CASE WHEN ch.i IS NOT NULL
+        |      THEN (1::BIGINT << ch.i) ELSE 0 END) AS mask
+        |  FROM events e LEFT JOIN ch ON e.event_type = ch.c
+        |  GROUP BY e.user_id),
+        |cnt AS (SELECT mask, count(*) AS nconv FROM um
+        |        WHERE conv = 1 GROUP BY 1),
+        |co AS (SELECT 0::BIGINT AS cltn
+        |       UNION
+        |       SELECT cltn | (1::BIGINT << i) FROM co, ch),
+        |vv AS (SELECT co.cltn, coalesce(sum(cnt.nconv), 0) AS v
+        |  FROM co LEFT JOIN cnt ON (cnt.mask & co.cltn) = cnt.mask
+        |  GROUP BY 1),
+        |fct(j, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24),
+        |              (5, 120), (6, 720), (7, 5040)),
+        |pr AS (SELECT ch.c AS channel, co.cltn AS s0,
+        |    co.cltn | (1::BIGINT << ch.i) AS s1, f0.f * f1.f AS w
+        |  FROM ch JOIN co ON (co.cltn & (1::BIGINT << ch.i)) = 0
+        |  CROSS JOIN kk
+        |  JOIN fct f0 ON f0.j = bit_count(co.cltn)
+        |  JOIN fct f1 ON f1.j = kk.k - 1 - bit_count(co.cltn))
+        |SELECT pr.channel,
+        |  CAST(sum(pr.w * (v1.v - v0.v)) AS BIGINT) AS phi_x_kfact
+        |FROM pr JOIN vv v0 ON v0.cltn = pr.s0
+        |        JOIN vv v1 ON v1.cltn = pr.s1
+        |GROUP BY 1""".stripMargin,
 
     // q225: journey split, matrix build, and all 6 absorption rounds
     // unrolled per (variant, state) — every CASE pin and floor div the

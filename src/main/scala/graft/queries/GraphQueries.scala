@@ -543,6 +543,36 @@ object GraphQueries {
             .as("at_eff_diameter"))
     },
 
+    // DEGREE-ASSORTATIVITY pieces (Newman 2002, "Assortative mixing in
+    // networks") — is the similarity graph hub-hub or hub-leaf wired?
+    // Exact integer Pearson pieces over the directed-both edge list:
+    // r = (M·Σxy − (Σx)²) / (M·Σxx − (Σx)²) with x = deg(u),
+    // y = deg(v) per directed edge (Σx = Σy by symmetry). The output
+    // is the raw int64 pieces plus numerator/denominator — NO division:
+    // the SIGN is the finding, and floor-div of a negative numerator
+    // diverges between engines (Spark div truncates toward zero,
+    // DuckDB // floors). Scale shape: one degree groupBy + two
+    // broadcast-able dimension joins + one global aggregate; at 100 TB
+    // the squared sums want DECIMAL(38,0) widening (documented, not
+    // needed at the gate SFs where Σx² ≈ 3e10).
+    "q234_degree_assortativity" -> { (s, d) =>
+      val e = knnEdges(s, d)
+      val sy = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = sy.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      sy.join(deg.select(col("u"), col("deg").as("x")), "u")
+        .join(deg.select(col("u").as("v2"), col("deg").as("y")),
+          col("v") === col("v2"))
+        .agg(count(lit(1)).as("m2"), sum(col("x")).as("sum_x"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"))
+        .select(col("m2"), col("sum_x"), col("sum_xy"), col("sum_xx"),
+          (col("m2") * col("sum_xy") - col("sum_x") * col("sum_x"))
+            .as("r_num"),
+          (col("m2") * col("sum_xx") - col("sum_x") * col("sum_x"))
+            .as("r_den"))
+    },
+
     // DIRECTED citation-style PageRank (3 rounds, damping 85/100,
     // scale 1e12) with explicit dangling-mass redistribution — the
     // centrality q87 cannot express (pageRankInt symmetrizes; the
@@ -2161,6 +2191,28 @@ object GraphQueries {
          |       UNION ALL SELECT z FROM tri)
          |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM tv GROUP BY v""".stripMargin,
+
+    // q234: the same degree join over the undirected-both edge list;
+    // DuckDB's sum(BIGINT) is int128 so the piece products cast back
+    // to BIGINT exactly at the gate SFs.
+    "q234_degree_assortativity" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |sy3 AS (SELECT a AS u, b AS v FROM ed
+         |        UNION ALL SELECT b AS u, a AS v FROM ed),
+         |dg AS (SELECT u, count(*) AS deg FROM sy3 GROUP BY 1),
+         |xy2 AS (SELECT dx.deg AS x, dy.deg AS y FROM sy3
+         |        JOIN dg dx ON sy3.u = dx.u
+         |        JOIN dg dy ON sy3.v = dy.u)
+         |SELECT CAST(count(*) AS BIGINT) AS m2,
+         |  CAST(sum(x) AS BIGINT) AS sum_x,
+         |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         |  CAST(count(*) * sum(x * y) - sum(x) * sum(x) AS BIGINT)
+         |    AS r_num,
+         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         |    AS r_den
+         |FROM xy2""".stripMargin,
 
     "q97_edge_support" ->
       s"""WITH $coShipSql,

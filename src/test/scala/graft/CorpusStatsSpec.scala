@@ -387,6 +387,164 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  /** Orders of the sf0.001 fixture, as (custkey, epochDay, cents) with
+    * the q162 exact-cents rule (DECIMAL(18,2) HALF_UP before ×100). */
+  private lazy val sfOrders: Seq[(Long, Long, Long)] = {
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey").cast("long"),
+        col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+  }
+
+  test("q229 RFM equals the local quartile replay, and each metric's " +
+       "quartiles are balanced") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q229_rfm_segments")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val byCust = sfOrders.groupBy(_._1)
+    val n = byCust.size
+    def scores(ranked: Seq[Long]): Map[Long, Long] =
+      ranked.zipWithIndex.map { case (c, i) => c -> (4L - i.toLong * 4 / n) }
+        .toMap
+    val r = scores(byCust.toSeq
+      .sortBy { case (c, os) => (-os.map(_._2).max, c) }.map(_._1))
+    val f = scores(byCust.toSeq
+      .sortBy { case (c, os) => (-os.size.toLong, c) }.map(_._1))
+    val m = scores(byCust.toSeq
+      .sortBy { case (c, os) => (-os.map(_._3).sum, c) }.map(_._1))
+    byCust.keys.foreach { c =>
+      assert(got(c) == ((r(c), f(c), m(c), r(c) * 100 + f(c) * 10 + m(c))),
+        s"cust $c: ${got(c)}")
+    }
+    // quartile balance: each score bucket holds n/4 or n/4+1 customers
+    Seq(r, f, m).foreach { sc =>
+      val sizes = sc.values.groupBy(identity).values.map(_.size)
+      assert(sizes.forall(s => s == n / 4 || s == n / 4 + 1))
+    }
+  }
+
+  test("q230/q231 Lorenz deciles and Gini equal the local sorted " +
+       "replay, cumulative shares are monotone and end at 10000") {
+    val d = "/root/testdata/sf0.001"
+    val rev = sfOrders.groupBy(_._1).toSeq
+      .map { case (c, os) => (c, os.map(_._3).sum) }
+      .sortBy { case (c, v) => (v, c) }
+    val n = rev.size
+    val total = rev.map(_._2).sum
+    val lorenz = SparkEntry.queries("q230_lorenz_deciles")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val expDec = rev.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+    assert(lorenz.map(_._1).toSeq == (1L to 10L))
+    var cum = 0L
+    (1L to 10L).foreach { dd =>
+      val rows = expDec(dd)
+      cum += rows.map(_._1._2).sum
+      val got = lorenz(dd.toInt - 1)
+      assert(got == ((dd, rows.size.toLong, rows.map(_._1._2).sum, cum,
+        cum * 10000 / total)), s"decile $dd: $got")
+    }
+    assert(lorenz.map(_._5).toSeq == lorenz.map(_._5).toSeq.sorted)
+    assert(lorenz.last._5 == 10000L)
+    val gini = SparkEntry.queries("q231_revenue_gini")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    val gnum = rev.zipWithIndex
+      .map { case ((_, v), i) => (2L * (i + 1) - n - 1) * BigInt(v) }.sum
+    assert(gini == ((n.toLong, total, gnum.toLong,
+      (gnum * 10000 / (BigInt(n) * total)).toLong)), s"gini $gini")
+    assert(gini._4 >= 0 && gini._4 < 10000)
+  }
+
+  test("q232 CUSUM telescopes to zero on the last day and flags the " +
+       "locally-computed argmax deviation") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q232_cusum_changepoint")(spark, d)
+      .select(col("o_orderdate").cast("date"), col("rev_cents"),
+        col("snx"), col("at_peak"))
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val daily = sfOrders.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, os) => os.map(_._3).sum }
+    val n = daily.size
+    val total = daily.sum
+    val snx = daily.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (cum, i) => n * cum - (i + 1L) * total }
+    assert(got.length == n)
+    assert(got.map(_._3).toSeq == snx)
+    assert(got.last._3 == 0L, "S_n must telescope to exactly zero")
+    val mx = snx.map(math.abs).max
+    got.zip(snx).foreach { case (row, s) =>
+      assert(row._4 == (if (math.abs(s) == mx) 1L else 0L))
+    }
+    assert(got.map(_._4).sum >= 1L)
+  }
+
+  test("q233 Benford census: digit shares sum to the corpus and match " +
+       "the local leading-digit replay") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q233_benford_census")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val prices = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_totalprice")).as[Double].collect()
+    val digits = prices.map(p => p.toLong.toString.head.asDigit.toLong)
+    val n = digits.length.toLong
+    assert(got.values.map(_._2).sum == n)
+    digits.groupBy(identity).foreach { case (dig, ds) =>
+      val row = got(dig)
+      assert(row._2 == ds.length.toLong && row._3 == ds.length * 10000L / n,
+        s"digit $dig: $row")
+      assert(row._5 == math.abs(row._3 - row._4))
+    }
+    assert(got.keySet.forall(k => k >= 1 && k <= 9))
+  }
+
+  test("q228 Shapley attribution equals brute-force enumeration over " +
+       "all k! channel orderings, and the efficiency identity holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q228").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // channels present: click, error, view (k = 3). Converted users:
+    // u1 {view,click}, u3 {click}, u4 {} (purchase only); u2/u5 touch
+    // channels but never convert, so they contribute to NO coalition.
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"), (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 0.0, "{}"),
+      (4L, t(1), 2L, "view", 0.0, "{}"), (5L, t(2), 2L, "error", 0.0, "{}"),
+      (6L, t(1), 3L, "click", 0.0, "{}"), (7L, t(2), 3L, "purchase", 0.0, "{}"),
+      (8L, t(1), 4L, "purchase", 0.0, "{}"),
+      (9L, t(1), 5L, "error", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q228_shapley_attribution")(spark, dir)
+      .as[(String, Long)].collect().toMap
+
+    // brute force straight from the fixture rows
+    val channels = rows.map(_._4).filter(_ != "purchase").distinct.sorted
+    val k = channels.length
+    val byUser = rows.groupBy(_._3)
+    val convMasks = byUser.values.toSeq
+      .filter(_.exists(_._4 == "purchase"))
+      .map(_.map(_._4).filter(_ != "purchase").toSet)
+    def v(coal: Set[String]): Long =
+      convMasks.count(_.subsetOf(coal)).toLong
+    val brute = channels.map { c =>
+      c -> channels.permutations.map { perm =>
+        val before = perm.takeWhile(_ != c).toSet
+        v(before + c) - v(before)
+      }.sum
+    }.toMap
+    assert(got == brute, s"got $got brute $brute")
+    assert(got.values.sum ==
+      (1 to k).product.toLong * (v(channels.toSet) - v(Set.empty)),
+      "efficiency: sum of Shapley values != k!*(v(full)-v(empty))")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("q226 subsequence DP equals O(n^3) brute-force triple counting " +
        "on random sequences") {
     val dir = java.nio.file.Files.createTempDirectory("graft_q226").toString

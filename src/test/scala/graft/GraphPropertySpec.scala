@@ -137,6 +137,26 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(nf(3L)._3 == 10000L && nf(3L)._4 == 1L)
   }
 
+  test("q234 assortativity pieces equal the local degree-Pearson replay " +
+       "on the real spine, with the symmetry identities") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q234_degree_assortativity")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val ed = graft.queries.GraphQueries.knnSpine(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val sy = ed ++ ed.map { case (a, b) => (b, a) }
+    val deg = sy.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = sy.map { case (u, _) => deg(u) }
+    val xys = sy.map { case (u, v) => deg(u) * deg(v) }
+    val m2 = sy.size.toLong
+    val (sx, sxy, sxx) = (xs.sum, xys.sum, xs.map(x => x * x).sum)
+    assert(got == ((m2, sx, sxy, sxx,
+      m2 * sxy - sx * sx, m2 * sxx - sx * sx)), s"got $got")
+    // directed-both symmetry: Σy = Σx and Σy² = Σx² by construction,
+    // so |r_num| ≤ r_den (Cauchy–Schwarz) and r_den ≥ 0
+    assert(got._6 >= 0L && math.abs(got._5) <= got._6)
+  }
+
   test("rootClosure resolves the min-parent chain on random forests") {
     val rnd = new scala.util.Random(13)
     (1 to 3).foreach { trial =>
