@@ -46,6 +46,9 @@ object Explain {
     "q231_revenue_gini",    // broadcast 1-row (n, total) scalar (q42 shape)
     "q232_cusum_changepoint", // broadcast 1-row total + |max| scalars (q42 shape)
     "q233_benford_census",  // broadcast 1-row corpus-count scalar (q42 shape)
+    "q235_knn_label_agreement", // exact all-pairs candidate sweep (q28/q56 shape)
+    "q236_conductance",     // broadcast 1-row edge-count scalar (q165 shape)
+    "q237_knn_reciprocity", // 1-row count × 1-row count combine (q135 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)
     "q42_important_parts",  // broadcast global-total scalar
     "q214_dataset_card",    // broadcast 1-row metric scalars (q42 shape)

@@ -1795,6 +1795,44 @@ object Graph {
           col("deg_sum") * col("deg_sum")).as("contrib"))
   }
 
+  /** CONDUCTANCE per community — the cut-quality twin of
+    * [[modularity]] (Kannan–Vempala–Vetta 2004): φ(c) = cut(c) /
+    * min(vol(c), 2m − vol(c)), where cut(c) counts edges with exactly
+    * one endpoint in c and vol(c) is c's degree mass. Reported in
+    * EXACT integer form — cut, vol, m ride along and φ is integer
+    * basis points with a guarded denominator (`greatest(1, …)`: a
+    * partition that converged to one community has 2m − vol = 0; both
+    * engines guard identically so the gate still hash-matches).
+    * Same scale shape as modularity: one degree aggregate, one
+    * two-sided label join, one cut explode, all keyed exchanges; m is
+    * the only broadcast scalar. */
+  def conductance(edges: DataFrame, labels: DataFrame,
+                  a: String = "a", b: String = "b"): DataFrame = {
+    val ed = Checkpoints.checkpoint(edges.select(col(a), col(b)))
+    val deg = ed.select(col(a).as("v"))
+      .unionByName(ed.select(col(b).as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val m = ed.agg(count(lit(1)).as("m"))
+    val tagged = ed
+      .join(labels.select(col("v").as(a), col("community").as("ca")), a)
+      .join(labels.select(col("v").as(b), col("community").as("cb")), b)
+      .filter(col("ca") =!= col("cb"))
+    // a cut edge charges BOTH its communities
+    val cut = tagged.select(col("ca").as("community"))
+      .unionByName(tagged.select(col("cb").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("cut"))
+    labels.join(deg, "v")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("vol"))
+      .join(cut, Seq("community"), "left")
+      .na.fill(0L, Seq("cut"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("cut"), col("vol"),
+        col("m"),
+        expr("cut * 10000 div greatest(1L, least(vol, 2 * m - vol))")
+          .as("phi_x10k"))
+  }
+
   /** LOUVAIN-STYLE local-move refinement of a community partition —
     * phase 1 of Blondel et al. 2008 (public), made deterministic and
     * replay-exact: per round every vertex computes its best

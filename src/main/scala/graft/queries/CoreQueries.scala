@@ -631,6 +631,60 @@ object CoreQueries {
             .as("at_peak"))
     },
 
+    // HERFINDAHL–HIRSCHMAN market-concentration index per nation —
+    // the antitrust scalar beside q231's Gini: HHI = Σᵢ shareᵢ², with
+    // supplier revenue shares inside each nation's market, reported
+    // ×10⁸ in exact integers (numerator Σrᵢ² summed in DECIMAL(38,0):
+    // per-supplier squares fit int64 but their nation sum ≈ 2e19 at
+    // sf0.1 does not; DuckDB's hugeint twin matches). One fact
+    // groupBy + two broadcast dimension joins + one nation aggregate.
+    "q238_market_hhi" -> { (s, d) =>
+      val rev = Tables.t(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("r"))
+      rev
+        .join(broadcast(Tables.t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("r")).as("tot_cents"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("sq"))
+        .select(col("n_name"), col("n_suppliers"), col("tot_cents"),
+          expr("(sq * 100000000) div " +
+            "(CAST(tot_cents AS DECIMAL(38,0)) * tot_cents)")
+            .as("hhi_x10k8"))
+    },
+
+    // SPEARMAN RANK CORRELATION between customer order frequency and
+    // customer spend — do the most frequent buyers spend the most?
+    // Ranks are injective (custkey tie-break, the q229 convention), so
+    // ρ = 1 − 6Σd²/(n(n²−1)) is exact integer arithmetic end to end:
+    // two globalCumsum rank passes + one aggregate, ρ in basis points
+    // via nonneg floor div (the subtraction carries the sign, never
+    // the division). Σd²·6·10⁴ ≈ 6.7e16 at sf0.1 — int64-safe.
+    "q239_rank_correlation" -> { (s, d) =>
+      val cust = Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("freq"),
+          sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val r1 = Relational.globalCumsum(cust,
+        Seq(col("freq").desc, col("o_custkey")), lit(1L), "f_rnk")
+      val r2 = Relational.globalCumsum(r1,
+        Seq(col("cents").desc, col("o_custkey")), lit(1L), "m_rnk")
+      r2.select((col("f_rnk") - col("m_rnk")).as("dd"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("dd") * col("dd")).as("sum_d2"),
+          sum(abs(col("dd"))).as("sum_abs_d"))
+        .select(col("n_cust"), col("sum_d2"), col("sum_abs_d"),
+          expr("10000 - (sum_d2 * 60000) div " +
+            "greatest(n_cust * (n_cust * n_cust - 1), 1L)")
+            .as("rho_x10k"))
+    },
+
     // BENFORD'S-LAW census on order totals — the forensic data-quality
     // screen: observed leading-digit shares vs the Benford expectation
     // log10(1+1/d), both in integer basis points (the expectation as
@@ -1505,6 +1559,44 @@ object CoreQueries {
         |  CAST(CASE WHEN abs(snx) = mx THEN 1 ELSE 0 END AS BIGINT)
         |    AS at_peak
         |FROM sx, mx""".stripMargin,
+
+    // q238: hugeint squares (DuckDB sum(BIGINT·BIGINT) promotes; the
+    // Spark side sums DECIMAL(38,0)), same ×10⁸ floor division.
+    "q238_market_hhi" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS r
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n_name, r FROM r
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(r) AS BIGINT) AS tot_cents,
+        |  CAST((sum(r::HUGEINT * r) * 100000000)
+        |    // (sum(r)::HUGEINT * sum(r)) AS BIGINT) AS hhi_x10k8
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q239: the same two injective rank windows and the same scaled
+    // Spearman identity.
+    "q239_rank_correlation" ->
+      """WITH cust AS (SELECT o_custkey, count(*) AS freq,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rnk,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS m_rnk
+        |  FROM cust),
+        |g AS (SELECT count(*) AS n_cust,
+        |    sum((f_rnk - m_rnk) * (f_rnk - m_rnk)) AS sum_d2,
+        |    sum(abs(f_rnk - m_rnk)) AS sum_abs_d FROM r)
+        |SELECT CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(sum_d2 AS BIGINT) AS sum_d2,
+        |  CAST(sum_abs_d AS BIGINT) AS sum_abs_d,
+        |  CAST(10000 - (sum_d2 * 60000)
+        |    // greatest(n_cust::HUGEINT * (n_cust * n_cust - 1), 1)
+        |    AS BIGINT) AS rho_x10k
+        |FROM g""".stripMargin,
 
     // q233: identical floored-log10 literals; leading digit via the
     // same floor→string route.

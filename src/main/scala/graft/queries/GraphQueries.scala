@@ -573,6 +573,35 @@ object GraphQueries {
             .as("r_den"))
     },
 
+    // CONDUCTANCE per community (Kannan–Vempala–Vetta 2004) — the
+    // cut-quality complement of q165's modularity, on the SAME
+    // detect-then-score dataflow (4 LPA rounds over the k-NN spine):
+    // how leaky is each detected community? φ in exact integer basis
+    // points with cut/vol/m riding along. Scale shape ≡ q165's (keyed
+    // joins + one broadcast m scalar).
+    "q236_conductance" -> { (s, d) =>
+      val ed = graft.Checkpoints.checkpoint(knnEdges(s, d))
+      Graph.conductance(ed, Graph.labelPropagation(ed, rounds = 4))
+    },
+
+    // RECIPROCITY census of the DIRECTED k-NN pick graph (the q187
+    // substrate): how many picks are mutual? The classic directed-
+    // graph health scalar (Newman 2003 §4) — n_mutual counts directed
+    // edges whose reverse pick also exists (so it is even by
+    // construction, a parity the spec pins), reciprocity in exact
+    // basis points. One self-equi-join on the reversed key + one
+    // global aggregate — shuffle-keyed, no broadcast needed at scale.
+    "q237_knn_reciprocity" -> { (s, d) =>
+      val de = knnDirected(s, d)
+      val mutual = de.join(
+        de.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      de.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+        .select(col("n_edges"), col("n_mutual"),
+          expr("n_mutual * 10000 div n_edges").as("recip_x10k"))
+    },
+
     // DIRECTED citation-style PageRank (3 rounds, damping 85/100,
     // scale 1e12) with explicit dangling-mass redistribution — the
     // centrality q87 cannot express (pageRankInt symmetrizes; the
@@ -1899,6 +1928,47 @@ object GraphQueries {
 
     "q147_communities" -> communitiesOracleSql,
     "q165_modularity" -> modularityOracleSql,
+
+    // q236: the q165 LPA chain with the cut/volume readout — a cut
+    // edge charges both communities, denominator guarded exactly as
+    // the Spark side.
+    "q236_conductance" ->
+      s"""WITH $communitiesCtes,
+         |lab AS (SELECT v, lab AS community FROM lb4),
+         |deg AS (SELECT s AS v, count(*) AS deg FROM adj GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |tg AS (SELECT la.community AS ca, lc.community AS cb
+         |       FROM ed JOIN lab la ON ed.a = la.v
+         |               JOIN lab lc ON ed.b = lc.v
+         |       WHERE la.community <> lc.community),
+         |ct AS (SELECT community, count(*) AS cut FROM
+         |       (SELECT ca AS community FROM tg
+         |        UNION ALL SELECT cb FROM tg)
+         |       GROUP BY 1),
+         |dc AS (SELECT l.community, CAST(count(*) AS BIGINT)
+         |         AS n_vertices, CAST(sum(deg) AS BIGINT) AS vol
+         |       FROM lab l JOIN deg ON l.v = deg.v GROUP BY 1)
+         |SELECT dc.community, n_vertices,
+         |  CAST(coalesce(ct.cut, 0) AS BIGINT) AS cut, vol, mm.m,
+         |  CAST(coalesce(ct.cut, 0) * 10000
+         |    // greatest(1, least(vol, 2 * mm.m - vol)) AS BIGINT)
+         |    AS phi_x10k
+         |FROM dc LEFT JOIN ct ON dc.community = ct.community, mm""".stripMargin,
+
+    // q237: the directed picks are rk's rn ≤ k rows; mutuality via
+    // EXISTS on the reversed key.
+    "q237_knn_reciprocity" ->
+      s"""WITH $coShipSql,
+         |$knnSql,
+         |pk AS (SELECT s AS src, nbr AS dst FROM rk WHERE rn <= $KnnK),
+         |mu AS (SELECT count(*) AS n_mutual FROM pk p
+         |       WHERE EXISTS (SELECT 1 FROM pk r
+         |                     WHERE r.src = p.dst AND r.dst = p.src)),
+         |ne AS (SELECT count(*) AS n_edges FROM pk)
+         |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_mutual AS BIGINT) AS n_mutual,
+         |  CAST(n_mutual * 10000 // n_edges AS BIGINT) AS recip_x10k
+         |FROM ne, mu""".stripMargin,
     "q188_communities_refined" -> refinedCommunitiesOracleSql,
     "q179_label_spread" -> labelSpreadOracleSql,
 

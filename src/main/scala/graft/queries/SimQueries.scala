@@ -308,6 +308,40 @@ object SimQueries {
     // per-label blocks BEFORE any cosine is computed (vs q28's full
     // broadcast sweep), which is the whole point of pre-filtering at
     // scale: selectivity prunes compute, not just output.
+    // LABEL-QUALITY audit via k-NN agreement — the confident-learning
+    // signal (Northcutt et al. 2021): every vector's exact top-5
+    // cosine neighbors vote on its label; per label, member count and
+    // mean agreement in basis points. A mislabeled or incoherent
+    // class surfaces as a low-agreement row BEFORE training does.
+    // Exact brute-force candidate sweep at the gate SFs (the q56
+    // all-pairs precedent — intended broadcast NLJ); the 100 TB path
+    // swaps the candidate join for the persisted IVF index (the q141
+    // serve discipline) with the agreement readout unchanged.
+    "q235_knn_label_agreement" -> { (s, d) =>
+      import graft.functions.{ArrayCosine, VectorFns}
+      val par = s.sparkContext.defaultParallelism
+      val emb = Tables.embeddings(s, d)
+      val c = emb.select(col("vec_id").as("n_id"),
+          col("label").as("n_label"),
+          VectorFns.toDoubleArr(col("embedding")).as("cv"))
+        .repartition(par, col("n_id"))
+      val q = emb.select(col("vec_id").as("q_id"),
+          col("label").as("q_label"),
+          VectorFns.toDoubleArr(col("embedding")).as("qv"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_label"), col("n_label"), col("n_id"),
+          round(ArrayCosine.cosine(col("qv"), col("cv")), 4).as("cos"))
+      graft.operators.Relational.topKPerGroup(scored, Seq(col("q_id")),
+          Seq(col("cos").desc, col("n_id")), 5)
+        .groupBy(col("q_label").cast("long").as("label"))
+        .agg(expr("count(1) div 5").as("n_vecs"),
+          sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_agree"),
+          count(lit(1)).as("n_pairs"))
+        .select(col("label"), col("n_vecs"), col("n_agree"),
+          expr("n_agree * 10000 div n_pairs").as("agree_x10k"))
+    },
+
     "q224_ann_filtered" -> { (s, d) =>
       import graft.functions.{ArrayCosine, VectorFns}
       val par = s.sparkContext.defaultParallelism
@@ -536,6 +570,27 @@ object SimQueries {
     // round's argmax is a per-query row_number over rel − max(sim to
     // the selected set), ties on n_id, exactly the Spark loop.
     "q216_mmr_rerank" -> mmrOracleSql,
+
+    // q235: the q28 all-pairs top-k shape, aggregated into the
+    // per-label agreement census (count is a multiple of 5 by
+    // construction, so // 5 is exact).
+    "q235_knn_label_agreement" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        e.label AS n_label, e.vec_id AS n_id,
+        |        round(list_cosine_similarity(q.v, e.v), 4) AS cos
+        |      FROM e q JOIN e ON q.vec_id <> e.vec_id),
+        |tk AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS rn FROM p) WHERE rn <= 5)
+        |SELECT CAST(q_label AS BIGINT) AS label,
+        |  CAST(count(*) // 5 AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS agree_x10k
+        |FROM tk GROUP BY 1""".stripMargin,
 
     // q224: the q28 top-k shape with the label equi-filter in the
     // candidate join.

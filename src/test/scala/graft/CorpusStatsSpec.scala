@@ -504,6 +504,56 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet.forall(k => k >= 1 && k <= 9))
   }
 
+  test("q238 HHI equals the local share-square replay and respects the " +
+       "1/n..1 concentration bounds") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q238_market_hhi")(spark, d)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_suppkey").cast("long"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+    val sup = spark.read.parquet(s"$d/supplier.parquet")
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nat = spark.read.parquet(s"$d/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val byNation = li.groupBy(_._1).toSeq
+      .map { case (sk, ls) => (nat(sup(sk)), ls.map(_._2).sum) }
+      .groupBy(_._1)
+    assert(got.keySet == byNation.keySet)
+    byNation.foreach { case (name, rs) =>
+      val tot = rs.map(_._2).sum
+      val sq = rs.map(r => BigInt(r._2) * r._2).sum
+      val hhi = (sq * 100000000 / (BigInt(tot) * tot)).toLong
+      assert(got(name) == ((name, rs.size.toLong, tot, hhi)),
+        s"$name: ${got(name)}")
+      assert(hhi <= 100000000L && hhi + 1 >= 100000000L / rs.size,
+        s"$name hhi $hhi outside [1e8/n, 1e8]")
+    }
+  }
+
+  test("q239 Spearman equals the local rank replay and rho stays in " +
+       "[-10000, 10000]") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q239_rank_correlation")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    val byCust = sfOrders.groupBy(_._1)
+    val n = byCust.size
+    def ranks(key: Long => Long): Map[Long, Long] =
+      byCust.keys.toSeq.sortBy(c => (-key(c), c)).zipWithIndex
+        .map { case (c, i) => c -> (i + 1L) }.toMap
+    val f = ranks(c => byCust(c).size.toLong)
+    val m = ranks(c => byCust(c).map(_._3).sum)
+    val ds = byCust.keys.toSeq.map(c => f(c) - m(c))
+    val sumD2 = ds.map(x => x * x).sum
+    val rho = 10000L - sumD2 * 60000L / (n.toLong * (n.toLong * n - 1))
+    assert(got == ((n.toLong, sumD2, ds.map(math.abs).sum, rho)), s"$got")
+    assert(got._4 >= -10000L && got._4 <= 10000L)
+  }
+
   test("q228 Shapley attribution equals brute-force enumeration over " +
        "all k! channel orderings, and the efficiency identity holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_q228").toString

@@ -157,6 +157,43 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(got._6 >= 0L && math.abs(got._5) <= got._6)
   }
 
+  test("conductance on two triangles joined by a bridge: each side " +
+       "leaks exactly the bridge, denominator symmetric") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; m = 7
+    // community A = {1,2,3}: cut 1, vol = 2+2+3 = 7, min(7, 14-7) = 7
+    val ed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("v", "community")
+    val got = Graph.conductance(ed, labels)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 3L, 1L, 7L, 7L, 1428L)), s"${got(10L)}")
+    assert(got(20L) == ((20L, 3L, 1L, 7L, 7L, 1428L)), s"${got(20L)}")
+    // one community covering everything: cut 0, guarded denominator
+    val one = Graph.conductance(ed,
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).map(v => (v, 1L)).toDF("v", "community"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(one == ((1L, 6L, 0L, 14L, 7L, 0L)), s"$one")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("q237 reciprocity: mutual picks are even and the undirected " +
+       "spine size equals n_edges - n_mutual/2") {
+    val d = "/root/testdata/sf0.001"
+    val (nEdges, nMutual, recip) =
+      SparkEntry.queries("q237_knn_reciprocity")(spark, d)
+        .as[(Long, Long, Long)].collect().head
+    assert(nMutual % 2 == 0, "each mutual pair contributes two picks")
+    assert(nMutual >= 0 && nMutual <= nEdges)
+    assert(recip == nMutual * 10000L / nEdges)
+    // every mutual PAIR collapses to one undirected edge, every
+    // one-way pick stays one: |E_und| = n_edges − n_mutual/2
+    val undirected = graft.queries.GraphQueries.knnSpine(spark, d).count()
+    assert(undirected == nEdges - nMutual / 2,
+      s"undirected $undirected vs $nEdges - ${nMutual / 2}")
+  }
+
   test("rootClosure resolves the min-parent chain on random forests") {
     val rnd = new scala.util.Random(13)
     (1 to 3).foreach { trial =>

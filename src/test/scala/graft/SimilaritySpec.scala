@@ -441,6 +441,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("q235 kNN label agreement: a planted mislabeled vector drags " +
+       "exactly its own label's agreement, coherent clusters stay high") {
+    val d = java.nio.file.Files.createTempDirectory("graft_q235").toString
+    // cluster A (label 0): 6 near-identical vectors along (1, ~0);
+    // cluster B (label 1): 5 along (~0, 1); vec 11 sits INSIDE B but
+    // carries label 0 — the planted annotation error.
+    val rows =
+      (0 until 6).map(i => (i.toLong, Array(1f, i * 0.01f), 0)) ++
+      (6 until 11).map(i => (i.toLong, Array((i - 6) * 0.01f, 1f), 1)) :+
+      ((11L, Array(0.05f, 1f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("q235_knn_label_agreement")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // label 0: 6 coherent members agree 5/5 each, the mislabeled one
+    // 0/5 → 30 of 35; label 1: each member's top-5 is its 4 true
+    // peers + the impostor → 20 of 25
+    assert(got(0L) == ((0L, 7L, 30L, 8571L)), s"label 0: ${got(0L)}")
+    assert(got(1L) == ((1L, 5L, 20L, 8000L)), s"label 1: ${got(1L)}")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("q224 filtered ANN: every hit shares its query's label, equals " +
        "the label-restricted brute force, and plans a HASH join") {
     val res = SparkEntry.queries("q224_ann_filtered")(spark, dir)
