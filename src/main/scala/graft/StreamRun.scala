@@ -254,6 +254,65 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** CUSUM DRIFT MONITOR as a stream — the q232 detector run the way
+    * production runs it: orders arrive as file drops, each micro-batch
+    * folds its day-grain revenue into an ADDITIVE state store (append
+    * a partial-sum segment; day sums merge by addition, so the final
+    * state is independent of batch boundaries), and the changepoint
+    * readout over the accumulated state must equal the one-shot q232
+    * census EXACTLY. The readout is `CoreQueries.cusumReadout` — the
+    * same code path as the batch query. Returns (mismatches, rows). */
+  def runCusum(spark: SparkSession, sfDir: String,
+               workDir: String): (Long, Long) = {
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val srcDir = Paths.get(workDir, "order_drops")
+    Files.createDirectories(srcDir)
+    val n = orders.count()
+    val withIdx = orders.withColumn("_rn",
+      row_number().over(Window.orderBy(col("o_orderkey"))))
+    val numDrops = 4
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      stageDropFile(withIdx.filter(col("_rn").between(lo, hi))
+        .drop("_rn", "o_orderkey"), srcDir, f"drop_$i%02d")
+    }
+    val stateDir = s"$workDir/cusum_state"
+    import spark.implicits._
+    Seq.empty[(java.time.LocalDateTime, Long)].toDF("o_orderdate", "rev_cents")
+      .write.mode("overwrite").parquet(stateDir)
+    val orderSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val qD = spark.readStream.schema(orderSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_cusum")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // one partial-sum segment per micro-batch; merge-by-addition
+        // happens at read time, so appends never rewrite state
+        df.groupBy(col("o_orderdate"))
+          .agg(sum((col("o_totalprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+            * 100).cast("long")).as("rev_cents"))
+          .write.mode("append").parquet(stateDir)
+      }.start()
+    try qD.processAllAvailable() finally qD.stop()
+    val compacted = spark.read.parquet(stateDir)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("rev_cents")).as("rev_cents"))
+    val streamed = graft.queries.CoreQueries.cusumReadout(compacted)
+    val batch = graft.queries.CoreQueries.defs("q232_cusum_changepoint")(
+      spark, sfDir)
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -342,15 +401,16 @@ object StreamRun {
     val (aBad, aRows) = runAdmission(spark, sfDir, workDir)
     val (nBad, nRows) = runNovelty(spark, sfDir, workDir)
     val (kBad, kRows) = runContamination(spark, sfDir, workDir)
+    val (dBad, dRows) = runCusum(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
-      s"contamination=${verdict(kBad)} " +
+      s"contamination=${verdict(kBad)} cusum=${verdict(dBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
-      s"contamination_docs=$kRows " +
+      s"contamination_docs=$kRows cusum_days=$dRows " +
       s"sf=$sfDir")
     spark.stop()
-    if (tBad + cBad + aBad + nBad + kBad > 0) sys.exit(1)
+    if (tBad + cBad + aBad + nBad + kBad + dBad > 0) sys.exit(1)
   }
 }

@@ -68,6 +68,28 @@ object CoreQueries {
     ("nation.n_regionkey->region", "nation", "n_regionkey",
       "region", "r_regionkey"))
 
+  /** The q232 CUSUM readout from a (o_orderdate, rev_cents) day-grain
+    * relation — shared by the batch query and StreamRun's incremental
+    * drift monitor (which accumulates the day grain additively across
+    * micro-batches), so the two paths can never drift. */
+  private[graft] def cusumReadout(daily: DataFrame): DataFrame = {
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("rev_cents")).as("total"))
+    val wd = Window.orderBy(col("o_orderdate"))
+    val snx = graft.Checkpoints.checkpoint(
+      daily.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(wd))
+        .withColumn("cum", sum(col("rev_cents")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderdate"), col("rev_cents"),
+          (col("n") * col("cum") - col("i") * col("total")).as("snx")))
+    val mx = snx.agg(max(abs(col("snx"))).as("mx"))
+    snx.crossJoin(broadcast(mx))
+      .select(col("o_orderdate"), col("rev_cents"), col("snx"),
+        when(abs(col("snx")) === col("mx"), 1L).otherwise(0L)
+          .as("at_peak"))
+  }
+
   /** Customer revenue in exact cents, ranked ASCENDING by (cents,
     * custkey) via the distributed two-phase cumsum — the shared spine
     * of q230 (Lorenz deciles) and q231 (Gini). Cheap enough (one
@@ -611,24 +633,71 @@ object CoreQueries {
     // domain, the q230-decile rule); both corpus-scale stages are one
     // keyed groupBy each.
     "q232_cusum_changepoint" -> { (s, d) =>
-      val daily = Tables.t(s, d, "orders")
+      cusumReadout(Tables.t(s, d, "orders")
         .groupBy(col("o_orderdate"))
         .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
-          .as("rev_cents"))
-      val tot = daily.agg(count(lit(1)).as("n"), sum(col("rev_cents")).as("total"))
-      val wd = Window.orderBy(col("o_orderdate"))
-      val snx = graft.Checkpoints.checkpoint(
-        daily.crossJoin(broadcast(tot))
-          .withColumn("i", row_number().over(wd))
-          .withColumn("cum", sum(col("rev_cents")).over(
-            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select(col("o_orderdate"), col("rev_cents"),
-            (col("n") * col("cum") - col("i") * col("total")).as("snx")))
-      val mx = snx.agg(max(abs(col("snx"))).as("mx"))
-      snx.crossJoin(broadcast(mx))
-        .select(col("o_orderdate"), col("rev_cents"), col("snx"),
-          when(abs(col("snx")) === col("mx"), 1L).otherwise(0L)
-            .as("at_peak"))
+          .as("rev_cents")))
+    },
+
+    // CLV COHORT CURVES — the customer-lifetime-value triangle beside
+    // q91's retention triangle: customers cohorted by first-order
+    // year; per (cohort, age) the active count, revenue, cumulative
+    // revenue, and CLV-to-date = cum div cohort_size, all in exact
+    // cents. The per-cohort cumulative window is bounded by the
+    // calendar (≤7 ages); cohort sizes are a broadcast dimension.
+    "q241_clv_cohorts" -> { (s, d) =>
+      val o = Tables.t(s, d, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).cast("long")
+          .as("yr"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val cohort = o.groupBy(col("o_custkey"))
+        .agg(min(col("yr")).as("cohort_yr"))
+      val wc = Window.partitionBy(col("cohort_yr")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.join(cohort, "o_custkey")
+        .groupBy(col("cohort_yr"), (col("yr") - col("cohort_yr")).as("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(col("cents")).as("rev_cents"))
+        .join(broadcast(cohort.groupBy(col("cohort_yr"))
+          .agg(count(lit(1)).as("cohort_n"))), "cohort_yr")
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wc))
+        .select(col("cohort_yr"), col("age"), col("n_active"),
+          col("cohort_n"), col("rev_cents"), col("cum_rev_cents"),
+          expr("cum_rev_cents div cohort_n").as("clv_cents"))
+    },
+
+    // NATION-PAIR TRADE FLOWS (the TPC-H Q7 join shape, widened to the
+    // full cross-nation matrix): supplier-nation → customer-nation
+    // yearly revenue over the 6-relation chain. Every dimension
+    // (customer, supplier, nation×2) explicitly broadcast; the only
+    // real exchange is lineitem ⋈ orders plus the final group — the
+    // q223 wide-star discipline on the OTHER classic shape. Money in
+    // DECIMAL(18,2) exact sums, rounded once at the end.
+    "q242_trade_flows" -> { (s, d) =>
+      val vol = (dec(col("l_extendedprice")) *
+        dec(lit(1) - col("l_discount"))).as("vol")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), vol)
+      val ord = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      val cust = Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+        .agg(round(sum(col("vol")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
     },
 
     // HERFINDAHL–HIRSCHMAN market-concentration index per nation —
@@ -1559,6 +1628,50 @@ object CoreQueries {
         |  CAST(CASE WHEN abs(snx) = mx THEN 1 ELSE 0 END AS BIGINT)
         |    AS at_peak
         |FROM sx, mx""".stripMargin,
+
+    // q241: the same cohort triangle — min-year cohorts, per-cohort
+    // cumulative revenue window, floor-div CLV.
+    "q241_clv_cohorts" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |ch AS (SELECT o_custkey, min(yr) AS cohort_yr FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_yr, count(*) AS cohort_n FROM ch GROUP BY 1),
+        |cl AS (SELECT ch.cohort_yr, o.yr - ch.cohort_yr AS age,
+        |    count(DISTINCT o.o_custkey) AS n_active,
+        |    sum(cents) AS rev_cents
+        |  FROM o JOIN ch ON o.o_custkey = ch.o_custkey GROUP BY 1, 2)
+        |SELECT CAST(cl.cohort_yr AS BIGINT) AS cohort_yr,
+        |  CAST(age AS BIGINT) AS age,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_n AS BIGINT) AS cohort_n,
+        |  CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cl.cohort_yr
+        |    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS BIGINT) AS cum_rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cl.cohort_yr
+        |    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) // cohort_n AS BIGINT) AS clv_cents
+        |FROM cl JOIN sz ON cl.cohort_yr = sz.cohort_yr""".stripMargin,
+
+    // q242: the same 6-relation chain, CASE-free (full matrix), money
+    // summed in DECIMAL then rounded once.
+    "q242_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q238: hugeint squares (DuckDB sum(BIGINT·BIGINT) promotes; the
     // Spark side sums DECIMAL(38,0)), same ×10⁸ floor division.

@@ -770,6 +770,30 @@ object EventQueries {
         .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_x_kfact"))
     },
 
+    // USER BURSTINESS census — the Fano factor (variance/mean) of each
+    // user's active-day event counts, the classic overdispersion
+    // screen: organic users are near-Poisson (Fano ≈ 1), bots and
+    // scripted replays are bursty (Fano ≫ 1) or metronomic (≈ 0) —
+    // a curation signal next to q77's repetition ratios. Exact
+    // integers: Fano ×10⁴ = 10⁴·(n·Σc² − (Σc)²) div (n·Σc) with the
+    // numerator ≥ 0 by Cauchy–Schwarz, so the floor div is safe.
+    // Dispersion is over ACTIVE days by construction (inactive days
+    // are absence, not zeros — the pieces ride along so a reader can
+    // rebase). Two keyed aggregates, no joins.
+    "q240_user_burstiness" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("user_id"), col("n_days"), col("n_events"),
+          col("sum_c2"),
+          expr("(n_days * sum_c2 - n_events * n_events) * 10000 " +
+            "div (n_days * n_events)").as("fano_x10k"))
+    },
+
     // Retention cohorts: users grouped by first-active day, counted by
     // distinct active-day offset — the classic triangle table. All
     // date arithmetic in integer epoch days.
@@ -1393,6 +1417,21 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vc_before
         |    ELSE 0 END) AS BIGINT) AS n_vcp
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q240: the same two keyed aggregates and the same scaled Fano.
+    "q240_user_burstiness" ->
+      """WITH dd AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, count(*) AS n_days, sum(c) AS n_events,
+        |    sum(c * c) AS sum_c2
+        |  FROM dd GROUP BY 1)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sum_c2 AS BIGINT) AS sum_c2,
+        |  CAST((n_days * sum_c2 - n_events * n_events) * 10000
+        |    // (n_days * n_events) AS BIGINT) AS fano_x10k
+        |FROM g""".stripMargin,
 
     // q228: the same chain — channel bits by sorted rank, per-user
     // mask via bit_or, v(S) from exact-mask counts, coalitions by the

@@ -504,6 +504,54 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet.forall(k => k >= 1 && k <= 9))
   }
 
+  test("q240 burstiness equals the local Fano replay and the " +
+       "dispersion numerator is never negative") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q240_user_burstiness")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val days = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(Long, Long)].collect()
+    days.groupBy(_._1).foreach { case (u, rs) =>
+      val cs = rs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val (n, tot, s2) = (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+      val num = n * s2 - tot * tot
+      assert(num >= 0, s"user $u dispersion numerator $num")
+      assert(got(u) == ((u, n, tot, s2, num * 10000 / (n * tot))),
+        s"user $u: ${got(u)}")
+    }
+  }
+
+  test("q241 CLV cohorts: age-0 activity equals the cohort size and " +
+       "the terminal cumulative revenue covers the cohort's total spend") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q241_clv_cohorts")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val byCust = sfOrders.groupBy(_._1)
+    val yearOf = (epochDay: Long) =>
+      java.time.LocalDate.ofEpochDay(epochDay).getYear.toLong
+    val cohortOf = byCust.view.mapValues(os => os.map(o => yearOf(o._2)).min)
+    val cohSize = cohortOf.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    got.groupBy(_._1).foreach { case (cy, rows) =>
+      val age0 = rows.find(_._2 == 0L).get
+      // every cohort member places an order in its cohort year
+      assert(age0._3 == cohSize(cy) && age0._4 == cohSize(cy),
+        s"cohort $cy age-0 $age0")
+      val cum = rows.maxBy(_._2)._6
+      val cohTotal = byCust.collect {
+        case (c, os) if cohortOf(c) == cy => os.map(_._3).sum
+      }.sum
+      assert(cum == cohTotal, s"cohort $cy cum $cum != $cohTotal")
+      assert(rows.maxBy(_._2)._7 == cohTotal / cohSize(cy))
+      // cumulative revenue is monotone in age
+      val byAge = rows.sortBy(_._2).map(_._6).toSeq
+      assert(byAge == byAge.sorted)
+    }
+  }
+
   test("q238 HHI equals the local share-square replay and respects the " +
        "1/n..1 concentration bounds") {
     val d = "/root/testdata/sf0.001"

@@ -250,4 +250,19 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(bhj >= 6, s"expected >= 6 broadcast joins, saw $bhj")
     graft.Checkpoints.releaseAll(spark)
   }
+
+  test("q242's Q7-shape trade-flow join broadcasts every dimension and " +
+       "emits only cross-nation pairs") {
+    val res = graft.SparkEntry.queries("q242_trade_flows")(
+      spark, "/root/testdata/sf0.001")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >= 4 broadcast dimension joins, saw $bhj")
+    import spark.implicits._
+    val sameNation = res.filter($"supp_nation" === $"cust_nation").count()
+    assert(sameNation == 0, "domestic flows must be filtered out")
+    graft.Checkpoints.releaseAll(spark)
+  }
 }

@@ -42,4 +42,13 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(kRows > 0)
     assert(kBad == 0, s"$kBad contamination verdicts diverge from the q195 batch")
   }
+
+  test("streamed CUSUM drift monitor (additive day-grain state across " +
+       "micro-batches) matches q232's one-shot changepoint census") {
+    val work = java.nio.file.Files.createTempDirectory("stream_cusum").toString
+    val (dBad, dRows) =
+      StreamRun.runCusum(spark, "/root/testdata/sf0.001", work)
+    assert(dRows > 0)
+    assert(dBad == 0, s"$dBad CUSUM rows diverge from the q232 batch")
+  }
 }
