@@ -639,6 +639,52 @@ object CoreQueries {
           .as("rev_cents")))
     },
 
+    // JOIN-KEY SKEW AUDIT — the pre-flight check for the q61/q107
+    // salting decision, as a first-class operator: the top-10 heaviest
+    // join keys of lineitem.l_suppkey with exact share and skew ratio
+    // (count · n_keys / n_rows — 10⁴ = a perfectly uniform key). At
+    // 100 TB this census IS how you discover the q107 straggler before
+    // it stalls an executor: one keyed count, one global top-10
+    // (TakeOrdered — never a full sort), totals as a broadcast 1-row
+    // scalar (q42 shape).
+    "q243_skew_audit" -> { (s, d) =>
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
+      cnt.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("l_suppkey"), col("cnt"),
+          expr("cnt * 10000 div n_rows").as("share_x10k"),
+          expr("cnt * n_keys * 10000 div n_rows").as("skew_x10k"),
+          col("n_keys"), col("n_rows"))
+    },
+
+    // LONGEST ACTIVITY STREAK per user — the consecutive-day
+    // gaps-and-islands classic (the calendar twin of q32's time-gap
+    // sessionization): anchor = day − rank(day) is constant exactly
+    // within a consecutive run, so runs fall out of one groupBy; the
+    // longest run per user via the deterministic top-1 (length desc,
+    // earlier start wins). Two user-keyed windows + two keyed
+    // aggregates, integer epoch days throughout.
+    "q244_longest_streak" -> { (s, d) =>
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val runs = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("anchor", col("day") - row_number().over(wu))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("streak_len"), min(col("day")).as("streak_start"))
+      val act = runs.groupBy(col("user_id"))
+        .agg(sum(col("streak_len")).as("n_active_days"))
+      Relational.topKPerGroup(runs, Seq(col("user_id")),
+          Seq(col("streak_len").desc, col("streak_start")), 1)
+        .drop("rn", "anchor")
+        .join(act, "user_id")
+    },
+
     // CLV COHORT CURVES — the customer-lifetime-value triangle beside
     // q91's retention triangle: customers cohorted by first-order
     // year; per (cohort, age) the active count, revenue, cumulative
@@ -1628,6 +1674,44 @@ object CoreQueries {
         |  CAST(CASE WHEN abs(snx) = mx THEN 1 ELSE 0 END AS BIGINT)
         |    AS at_peak
         |FROM sx, mx""".stripMargin,
+
+    // q243: the same keyed count + deterministic top-10 + scalar
+    // combine.
+    "q243_skew_audit" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |           GROUP BY 1),
+        |t AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows FROM c),
+        |r AS (SELECT l_suppkey, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+        |  FROM c)
+        |SELECT CAST(rk AS BIGINT) AS rk, l_suppkey,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 10000 // n_rows AS BIGINT) AS share_x10k,
+        |  CAST(cnt * n_keys * 10000 // n_rows AS BIGINT) AS skew_x10k,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM r, t WHERE rk <= 10""".stripMargin,
+
+    // q244: the same anchor trick (day − rank constant within a
+    // consecutive run) and the same deterministic top-1.
+    "q244_longest_streak" ->
+      """WITH dd AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |rr AS (SELECT user_id, day, day - row_number() OVER (
+        |    PARTITION BY user_id ORDER BY day) AS anchor FROM dd),
+        |runs AS (SELECT user_id, anchor, count(*) AS streak_len,
+        |    min(day) AS streak_start FROM rr GROUP BY 1, 2),
+        |act AS (SELECT user_id, sum(streak_len) AS n_active_days
+        |        FROM runs GROUP BY 1),
+        |top AS (SELECT user_id, streak_len, streak_start,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY streak_len DESC, streak_start) AS rn
+        |  FROM runs)
+        |SELECT t.user_id, CAST(streak_len AS BIGINT) AS streak_len,
+        |  CAST(streak_start AS BIGINT) AS streak_start,
+        |  CAST(n_active_days AS BIGINT) AS n_active_days
+        |FROM top t JOIN act a ON t.user_id = a.user_id
+        |WHERE rn = 1""".stripMargin,
 
     // q241: the same cohort triangle — min-year cohorts, per-cohort
     // cumulative revenue window, floor-div CLV.

@@ -504,6 +504,52 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet.forall(k => k >= 1 && k <= 9))
   }
 
+  test("q243 skew audit equals the local top-10 replay with exact " +
+       "share and skew ratios") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q243_skew_audit")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val keys = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_suppkey").cast("long")).as[Long].collect()
+    val cnts = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nKeys, nRows) = (cnts.size.toLong, keys.length.toLong)
+    val top = cnts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    got.zip(top).foreach { case (g, (k, c)) =>
+      assert(g == ((g._1, k, c, c * 10000 / nRows,
+        c * nKeys * 10000 / nRows, nKeys, nRows)), s"rank ${g._1}: $g")
+    }
+    // ranks are count-ordered
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+  }
+
+  test("q244 longest streak equals the local consecutive-run replay " +
+       "and never exceeds the active-day count") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q244_longest_streak")(spark, d)
+      .select(col("user_id"), col("streak_len"), col("streak_start"),
+        col("n_active_days"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val days = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(Long, Long)].collect().toSeq.distinct
+    days.groupBy(_._1).foreach { case (u, rs) =>
+      val ds = rs.map(_._2).sorted
+      // split into consecutive runs
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) {
+        case ((start, last) :: tail, d0) if d0 == last + 1 =>
+          (start, d0) :: tail
+        case (acc, d0) => (d0, d0) :: acc
+      }.map { case (st, en) => (en - st + 1, st) }
+      val best = runs.sortBy { case (len, st) => (-len, st) }.head
+      assert(got(u) == ((u, best._1, best._2, ds.size.toLong)),
+        s"user $u: ${got(u)} vs $best")
+      assert(got(u)._2 <= got(u)._4)
+    }
+  }
+
   test("q240 burstiness equals the local Fano replay and the " +
        "dispersion numerator is never negative") {
     val d = "/root/testdata/sf0.001"
