@@ -87,6 +87,26 @@ object TextQueries {
     }) }
   }
 
+  /** Session-pinned EXACT 3-gram Jaccard ≥ 0.3 truth relation
+    * (id_a, id_b, jaccard) — the PPJoin pass both eval queries grade
+    * against (q210 keeps the jaccard, q221 keeps the pair ids). Same
+    * lifecycle discipline as [[clusterSpine]]: one PPJoin per
+    * (session, sfDir), every consumer serves from the pin. */
+  private val truthCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def jaccardTruth(s: SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    truthCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    truthCache.synchronized { truthCache.getOrElseUpdate((s, d), {
+      truthCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        truthCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      graft.Checkpoints.checkpointPinned(Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.3))
+    }) }
+  }
+
   private val bm25IndexDirs = new IndexCache("graft_bm25")
   private def bm25IndexDir(s: SparkSession, d: String): String =
     bm25IndexDirs.get(s, d) { dir =>
@@ -1695,7 +1715,7 @@ object TextQueries {
     // 1-(1-j^r)^b theory.
     "q210_lsh_dedup_eval" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val ex = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      val ex = jaccardTruth(s, d)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       val lsh = Dedup.minhashEstimate(
           Dedup.lshCandidates(sigs, "doc_id"), sigs, "doc_id")
@@ -1725,9 +1745,7 @@ object TextQueries {
     // join, and the metric combine is 1-row scalars (q135 shape).
     "q221_blocking_eval" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val truth = graft.Checkpoints.checkpoint(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
-          .select(col("id_a"), col("id_b")))
+      val truth = jaccardTruth(s, d).select(col("id_a"), col("id_b"))
       val keyed = docs.select(col("doc_id"),
         substring(TextFns.norm(col("text")), 1, 32).as("bk"))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
