@@ -48,6 +48,7 @@ object Explain {
     "q233_benford_census",  // broadcast 1-row corpus-count scalar (q42 shape)
     "q235_knn_label_agreement", // exact all-pairs candidate sweep (q28/q56 shape)
     "q243_skew_audit",      // broadcast 1-row totals scalar (q42 shape)
+    "q246_ks_drift",        // broadcast 1-row group-totals scalars (q42 shape)
     "q236_conductance",     // broadcast 1-row edge-count scalar (q165 shape)
     "q237_knn_reciprocity", // 1-row count × 1-row count combine (q135 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)

@@ -770,6 +770,38 @@ object EventQueries {
         .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_x_kfact"))
     },
 
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic, EXACT — the
+    // sup-norm complement of q174's binned histogram deltas: D =
+    // sup_x |F_click(x) − F_view(x)| over the event-value
+    // distributions, as the integer cross-product identity
+    // max|cum1·n2 − cum2·n1| (no division until the final basis
+    // points, so the argmax is never blurred by float rounding). The
+    // distribution grain is distinct values (one groupBy); both
+    // cumulatives ride the distributed two-phase globalCumsum — never
+    // a single global window; totals are 1-row broadcast scalars.
+    "q246_ks_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), col("value"))
+      val byVal = ev.groupBy(col("value"))
+        .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === "view", 1L).otherwise(0L)).as("c2"))
+      val r1 = graft.operators.Relational.globalCumsum(
+        byVal, Seq(col("value")), col("c1"), "cum1")
+      val r2 = graft.operators.Relational.globalCumsum(
+        r1, Seq(col("value")), col("c2"), "cum2")
+      val tot = ev.agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("n2"))
+      r2.crossJoin(broadcast(tot))
+        .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+          .as("dn"))
+        .agg(max(col("dn")).as("d_num"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("d_num * 10000 div (n1 * n2)").as("ks_x10k"))
+    },
+
     // USER BURSTINESS census — the Fano factor (variance/mean) of each
     // user's active-day event counts, the classic overdispersion
     // screen: organic users are near-Poisson (Fano ≈ 1), bots and
@@ -1417,6 +1449,30 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vc_before
         |    ELSE 0 END) AS BIGINT) AS n_vcp
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q246: the same distinct-value grain, single ordered cumulative,
+    // and integer cross-product sup-norm.
+    "q246_ks_drift" ->
+      """WITH e AS (SELECT event_type AS g, value FROM events
+        |           WHERE event_type IN ('click', 'view')),
+        |bv AS (SELECT value,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM e GROUP BY 1),
+        |cm AS (SELECT value,
+        |    sum(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM bv),
+        |t AS (SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
+        |             sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n2
+        |      FROM e),
+        |m AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) AS d_num FROM cm, t)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(d_num AS BIGINT) AS d_num,
+        |  CAST(d_num * 10000 // (n1 * n2) AS BIGINT) AS ks_x10k
+        |FROM m, t""".stripMargin,
 
     // q240: the same two keyed aggregates and the same scaled Fano.
     "q240_user_burstiness" ->

@@ -1629,6 +1629,32 @@ object TextQueries {
     // so the clustering itself is hash-checked, not just the pairs.
     "q202_neardup_keeper" -> { (s, d) => clusterSpine(s, d) },
 
+    // DEDUP TOKEN-SAVINGS ledger — the accounting line every curation
+    // run reports to its owners: per source, documents and tokens
+    // before/after the near-dup keeper policy (the pinned q202
+    // cluster verdicts; unclustered docs are kept by definition),
+    // savings in exact basis points. One token projection + one keyed
+    // left join against the pinned spine + one source aggregate — the
+    // spine's LSH work is never re-run.
+    "q245_dedup_savings" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextFns.words(TextFns.norm(col("text")))).cast("long")
+            .as("n_tokens"))
+      tok.join(clusterSpine(s, d).select(col("doc_id"), col("kept")),
+          Seq("doc_id"), "left")
+        .select(col("source"), col("n_tokens"),
+          coalesce(col("kept"), lit(1L)).as("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(col("n_tokens") * col("kept")).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens_total"), col("tokens_kept"),
+          expr("(tokens_total - tokens_kept) * 10000 div tokens_total")
+            .as("savings_x10k"))
+    },
+
     // N-gram NOVELTY census — per doc, how much of its content was
     // already introduced by an earlier arrival (ids = arrival order):
     // the corpus-level curation metric (re-crawl → 0, first sighting →
@@ -2362,6 +2388,30 @@ object TextQueries {
     "q210_lsh_dedup_eval" -> lshDedupEvalSql,
     "q221_blocking_eval" -> blockingEvalSql,
     "q213_cluster_safe_split" -> clusterSafeSplitSql,
+
+    // q245: the q202 keeper chain + token counts + the per-source
+    // ledger (unclustered docs kept via the LEFT join coalesce).
+    "q245_dedup_savings" ->
+      s"""WITH RECURSIVE ${minhashClusterCtes(16)},
+         |nw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words
+         |       FROM w),
+         |rk AS (SELECT cc.doc_id, cc.cluster_id, row_number() OVER (
+         |    PARTITION BY cc.cluster_id
+         |    ORDER BY nw.n_words DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN nw USING (doc_id)),
+         |kp AS (SELECT doc_id,
+         |    CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kept FROM rk),
+         |base AS (SELECT d.source, nw.n_words AS n_tokens,
+         |    coalesce(kp.kept, 1) AS kept
+         |  FROM documents d JOIN nw USING (doc_id)
+         |  LEFT JOIN kp USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(n_tokens * kept) AS BIGINT) AS tokens_kept,
+         |  CAST((sum(n_tokens) - sum(n_tokens * kept)) * 10000
+         |    // sum(n_tokens) AS BIGINT) AS savings_x10k
+         |FROM base GROUP BY 1""".stripMargin,
 
     // q214: the shared cluster chain for neardup_excess, plus plain
     // corpus aggregates; `w` (from the chain) supplies the word lists

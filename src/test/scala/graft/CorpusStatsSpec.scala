@@ -504,6 +504,49 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet.forall(k => k >= 1 && k <= 9))
   }
 
+  test("q245 dedup savings ledger reconciles exactly with the q202 " +
+       "cluster verdicts and local token counts") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q245_dedup_savings")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val kept = SparkEntry.queries("q202_neardup_keeper")(spark, d)
+      .select(col("doc_id"), col("kept")).as[(Long, Long)].collect().toMap
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.words(
+          graft.functions.TextFns.norm(col("text")))).cast("long"))
+      .as[(Long, String, Long)].collect()
+    toks.groupBy(_._2).foreach { case (src, ds) =>
+      val tot = ds.map(_._3).sum
+      val keptToks = ds.map(t => t._3 * kept.getOrElse(t._1, 1L)).sum
+      val nKept = ds.map(t => kept.getOrElse(t._1, 1L)).sum
+      assert(got(src) == ((src, ds.size.toLong, nKept, tot, keptToks,
+        (tot - keptToks) * 10000 / tot)), s"$src: ${got(src)}")
+      assert(nKept <= ds.size && keptToks <= tot)
+    }
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("q246 exact KS statistic equals the local sup-norm replay and " +
+       "stays in [0, 10000]") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q246_ks_drift")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    val ev = graft.sources.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val clicks = ev.filter(_._1 == "click").map(_._2).sorted
+    val views = ev.filter(_._1 == "view").map(_._2).sorted
+    val (n1, n2) = (clicks.length.toLong, views.length.toLong)
+    val dNum = (clicks ++ views).distinct.map { x =>
+      math.abs(clicks.count(_ <= x) * n2 - views.count(_ <= x) * n1)
+    }.max
+    assert(got == ((n1, n2, dNum, dNum * 10000 / (n1 * n2))), s"$got")
+    assert(got._4 >= 0 && got._4 <= 10000)
+  }
+
   test("q243 skew audit equals the local top-10 replay with exact " +
        "share and skew ratios") {
     val d = "/root/testdata/sf0.001"
