@@ -49,6 +49,8 @@ object Explain {
     "q235_knn_label_agreement", // exact all-pairs candidate sweep (q28/q56 shape)
     "q243_skew_audit",      // broadcast 1-row totals scalar (q42 shape)
     "q246_ks_drift",        // broadcast 1-row group-totals scalars (q42 shape)
+    "q247_exact_auc",       // broadcast 1-row group-totals scalar (q42 shape)
+    "q248_lift_curve",      // broadcast 1-row (n, conv) totals scalar (q42 shape)
     "q236_conductance",     // broadcast 1-row edge-count scalar (q165 shape)
     "q237_knn_reciprocity", // 1-row count × 1-row count combine (q135 shape)
     "q149_ann_projected",   // projected brute-force baseline (q28 shape)

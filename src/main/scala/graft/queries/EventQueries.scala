@@ -802,6 +802,68 @@ object EventQueries {
           expr("d_num * 10000 div (n1 * n2)").as("ks_x10k"))
     },
 
+    // EXACT AUC between two score distributions via the Mann–Whitney
+    // U statistic — the ranking twin of q246's KS and q163's z-test:
+    // AUC = P(click value > view value) + ½P(=), computed with
+    // MIDRANKS kept exact by the ×2 trick (2·ranksum contribution of
+    // a tied-value block = c1·(2·cum_before + c + 1), all int64 —
+    // no fractional midranks ever materialize). The classifier-eval
+    // primitive (ROC area) as one distinct-value groupBy + one
+    // distributed cumsum + one aggregate.
+    "q247_exact_auc" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), col("value"))
+      val byVal = ev.groupBy(col("value"))
+        .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === "view", 1L).otherwise(0L)).as("c2"))
+      val cm = graft.operators.Relational.globalCumsum(
+        byVal, Seq(col("value")), col("c1") + col("c2"), "cum_all")
+      val tot = ev.agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("n2"))
+      cm.select((col("c1") * (lit(2) * (col("cum_all") - col("c1") - col("c2"))
+          + col("c1") + col("c2") + 1)).as("rs2"))
+        .agg(sum(col("rs2")).as("ranksum2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          (col("ranksum2") - col("n1") * (col("n1") + 1)).as("u2"),
+          expr("(ranksum2 - n1 * (n1 + 1)) * 10000 div (2 * n1 * n2)")
+            .as("auc_x10k"))
+    },
+
+    // CUMULATIVE-GAINS / LIFT table — the targeting-eval classic: rank
+    // users by activity score (event count, user_id tie-break), bucket
+    // into deciles with the exact rank formula (the q230 discipline —
+    // globalCumsum, never a global window), and per decile report
+    // conversion capture and lift in exact basis points. The decile
+    // cumulative is the only single-partition window (10 rows).
+    "q248_lift_curve" -> { (s, d) =>
+      val us = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val ranked = graft.operators.Relational.globalCumsum(us,
+        Seq(col("score").desc, col("user_id")), lit(1L), "rnk")
+      val tot = us.agg(count(lit(1)).as("n_total"),
+        sum(col("conv")).as("total_conv"))
+      val w10 = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rnk - 1) * 10 div n_total) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"),
+          max(col("n_total")).as("n_total"),
+          max(col("total_conv")).as("total_conv"))
+        .withColumn("cum_users", sum(col("n_users")).over(w10))
+        .withColumn("cum_conv", sum(col("n_conv")).over(w10))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          col("cum_users"), col("cum_conv"),
+          expr("cum_conv * 10000 div total_conv").as("capture_x10k"),
+          expr("(cum_conv * n_total * 10000) div (cum_users * total_conv)")
+            .as("lift_x10k"))
+    },
+
     // USER BURSTINESS census — the Fano factor (variance/mean) of each
     // user's active-day event counts, the classic overdispersion
     // screen: organic users are near-Poisson (Fano ≈ 1), bots and
@@ -1449,6 +1511,65 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vc_before
         |    ELSE 0 END) AS BIGINT) AS n_vcp
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q247: the same tied-block midrank identity over one ordered
+    // cumulative of the merged counts.
+    "q247_exact_auc" ->
+      """WITH e AS (SELECT event_type AS g, value FROM events
+        |           WHERE event_type IN ('click', 'view')),
+        |bv AS (SELECT value,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM e GROUP BY 1),
+        |cm AS (SELECT c1, c2,
+        |    sum(c1 + c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_all
+        |  FROM bv),
+        |t AS (SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
+        |             sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n2
+        |      FROM e),
+        |rs AS (SELECT sum(c1 * (2 * (cum_all - c1 - c2) + c1 + c2 + 1))
+        |         AS ranksum2 FROM cm)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(ranksum2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+        |  CAST((ranksum2 - n1 * (n1 + 1)) * 10000 // (2 * n1 * n2)
+        |    AS BIGINT) AS auc_x10k
+        |FROM rs, t""".stripMargin,
+
+    // q248: the same exact-rank deciles and integer capture/lift.
+    "q248_lift_curve" ->
+      """WITH us AS (SELECT user_id, count(*) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total, sum(conv) AS total_conv
+        |      FROM us),
+        |r AS (SELECT conv,
+        |    row_number() OVER (ORDER BY score DESC, user_id) AS rnk
+        |  FROM us),
+        |dc AS (SELECT ((rnk - 1) * 10 // n_total) + 1 AS decile,
+        |    count(*) AS n_users, sum(conv) AS n_conv,
+        |    max(n_total) AS n_total, max(total_conv) AS total_conv
+        |  FROM r, t GROUP BY 1),
+        |cu AS (SELECT *,
+        |    sum(n_users) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_users,
+        |    sum(n_conv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_conv
+        |  FROM dc)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_conv AS BIGINT) AS n_conv,
+        |  CAST(cum_users AS BIGINT) AS cum_users,
+        |  CAST(cum_conv AS BIGINT) AS cum_conv,
+        |  CAST(cum_conv * 10000 // total_conv AS BIGINT)
+        |    AS capture_x10k,
+        |  CAST((cum_conv * n_total * 10000) // (cum_users * total_conv)
+        |    AS BIGINT) AS lift_x10k
+        |FROM cu""".stripMargin,
 
     // q246: the same distinct-value grain, single ordered cumulative,
     // and integer cross-product sup-norm.

@@ -504,6 +504,56 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet.forall(k => k >= 1 && k <= 9))
   }
 
+  test("q247 exact AUC equals the brute-force pairwise definition " +
+       "2U = sum of 2*[c>v] + [c=v]") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q247_exact_auc")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    val ev = graft.sources.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val clicks = ev.filter(_._1 == "click").map(_._2)
+    val views = ev.filter(_._1 == "view").map(_._2)
+    val u2 = (for (c <- clicks; v <- views) yield
+      if (c > v) 2L else if (c == v) 1L else 0L).sum
+    assert(got == ((clicks.length.toLong, views.length.toLong, u2,
+      u2 * 10000 / (2L * clicks.length * views.length))), s"$got")
+    assert(got._4 >= 0 && got._4 <= 10000)
+  }
+
+  test("q248 lift curve: capture is monotone to 10000 and the top " +
+       "decile matches the local score ranking") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q248_lift_curve")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val captures = got.map(_._6).toSeq
+    assert(captures == captures.sorted && captures.last == 10000L)
+    assert(got.last._7 == 10000L, "full-population lift must be 1.0")
+    // local replay of the full table
+    val us = graft.sources.Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .as[(Long, Long, Long)].collect()
+    val n = us.length
+    val totalConv = us.map(_._3).sum
+    val ranked = us.sortBy(u => (-u._2, u._1))
+    val byDec = ranked.zipWithIndex.groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+    var (cu, cc) = (0L, 0L)
+    (1L to 10L).foreach { dd =>
+      val rows = byDec(dd)
+      cu += rows.size; cc += rows.map(_._1._3).sum
+      val g = got(dd.toInt - 1)
+      assert(g == ((dd, rows.size.toLong, rows.map(_._1._3).sum, cu, cc,
+        cc * 10000 / totalConv, cc * n * 10000 / (cu * totalConv))),
+        s"decile $dd: $g")
+    }
+  }
+
   test("q245 dedup savings ledger reconciles exactly with the q202 " +
        "cluster verdicts and local token counts") {
     val d = "/root/testdata/sf0.001"
