@@ -807,9 +807,11 @@ object EventQueries {
     // AUC = P(click value > view value) + ½P(=), computed with
     // MIDRANKS kept exact by the ×2 trick (2·ranksum contribution of
     // a tied-value block = c1·(2·cum_before + c + 1), all int64 —
-    // no fractional midranks ever materialize). The classifier-eval
-    // primitive (ROC area) as one distinct-value groupBy + one
-    // distributed cumsum + one aggregate.
+    // no fractional midranks ever materialize; the ranksum bound is
+    // ~2·n1·N, int64-safe through sf0.1 and far beyond — at extreme
+    // corpus sizes widen the term sum to DECIMAL(38,0), the q231
+    // pattern). The classifier-eval primitive (ROC area) as one
+    // distinct-value groupBy + one distributed cumsum + one aggregate.
     "q247_exact_auc" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "view"))
