@@ -40,5 +40,6 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     SimQueries.dynamicOracles(spark, sfDir) ++
       TextQueries.dynamicOracles(spark, sfDir) ++
-      EventQueries.dynamicOracles(spark, sfDir)
+      EventQueries.dynamicOracles(spark, sfDir) ++
+      GraphQueries.dynamicOracles(spark, sfDir)
 }

@@ -49,6 +49,55 @@ object MagSchemas {
   // models.scala:30
   case class FosChild(parent: Long, child: Long)
 
+  // ---- auxiliary catalog relations --------------------------------------
+  // The reference samples these alongside the core eight
+  // (`src/notebooks/scala/MagDwarf.scala:142-147`) but never declares
+  // schemas for them — a user loading a real MAG dump hits that gap on
+  // day one. Field sets are read off the tab-separated sample headers
+  // (`data/samples/Journals.txt:1` 10 cols, `ConferenceSeries.txt:1`
+  // 7 cols, `ConferenceInstances.txt:1` 15 cols, `PaperUrls.txt:1`
+  // 3 cols, `PaperLanguages.txt:1` 2 cols, `PaperCitationContexts.txt:1`
+  // 3 cols, `PaperRecommandations.txt:1` 3 cols,
+  // `FieldOfStudyRelationship.txt:1` 7 cols), field names following the
+  // core tables' conventions above (id/rank/name/dname/papers/citations/
+  // createdAt).
+
+  // Journals.txt: id rank name dname issn publisher webpage papers
+  // citations createdAt
+  case class Journal(id: Long, rank: Int, name: String, dname: String,
+      issn: String, publisher: String, webpage: String, papers: Long,
+      citations: Long, createdAt: Date)
+  // ConferenceSeries.txt: id rank name dname papers citations createdAt
+  case class ConferenceSeries(id: Long, rank: Int, name: String,
+      dname: String, papers: Long, citations: Long, createdAt: Date)
+  // ConferenceInstances.txt: id name dname series location url start end
+  // abstractDue submissionDue notificationDue finalDue papers citations
+  // createdAt (the four *Due dates are frequently empty in the wild —
+  // PERMISSIVE nulls)
+  case class ConferenceInstance(id: Long, name: String, dname: String,
+      series: Long, location: String, url: String, startDate: Date,
+      endDate: Date, abstractDueDate: Date, submissionDueDate: Date,
+      notificationDueDate: Date, finalDueDate: Date, papers: Long,
+      citations: Long, createdAt: Date)
+  // PaperUrls.txt: paper sourceType url
+  case class PaperUrl(paper: Long, sourceType: Int, url: String)
+  // PaperLanguages.txt: paper language
+  case class PaperLanguage(paper: Long, language: String)
+  // PaperCitationContexts.txt: citing cited contextText — the text a
+  // citing paper wraps around each reference, keyed by the SAME
+  // (citing, cited) pair as PaperReference; the reference's intended
+  // text-analysis substrate (SURVEY.md §0.3)
+  case class PaperCitationContext(citing: Long, cited: Long,
+      context: String)
+  // PaperRecommandations.txt (the reference's on-disk spelling):
+  // paper recommended score
+  case class PaperRecommendation(paper: Long, recommended: Long,
+      score: Double)
+  // FieldOfStudyRelationship.txt: denormalized fos pairs with display
+  // names and types carried inline plus a relation weight
+  case class FosRelationship(fos1: Long, name1: String, type1: String,
+      fos2: Long, name2: String, type2: String, weight: Double)
+
   def schemaOf[T <: Product : scala.reflect.runtime.universe.TypeTag]: StructType =
     Encoders.product[T].schema
 }
@@ -77,4 +126,25 @@ object MagTables {
     read[FosChild](s, dir, "FieldOfStudyChildren.txt")
   def affiliations(s: SparkSession, dir: String): DataFrame =
     read[Affiliation](s, dir, "Affiliations.txt")
+
+  // auxiliary catalog relations (MagDwarf.scala:142-147 sample set)
+  def journals(s: SparkSession, dir: String): DataFrame =
+    read[Journal](s, dir, "Journals.txt")
+  def conferenceSeries(s: SparkSession, dir: String): DataFrame =
+    read[ConferenceSeries](s, dir, "ConferenceSeries.txt")
+  def conferenceInstances(s: SparkSession, dir: String): DataFrame =
+    read[ConferenceInstance](s, dir, "ConferenceInstances.txt")
+  def paperUrls(s: SparkSession, dir: String): DataFrame =
+    read[PaperUrl](s, dir, "PaperUrls.txt")
+  def paperLanguages(s: SparkSession, dir: String): DataFrame =
+    read[PaperLanguage](s, dir, "PaperLanguages.txt")
+  def paperCitationContexts(s: SparkSession, dir: String): DataFrame =
+    read[PaperCitationContext](s, dir, "PaperCitationContexts.txt")
+  // "Recommandations" is the snapshot's own spelling
+  // (`data/samples/PaperRecommandations.txt`); keep it so a real dump
+  // loads without a rename step
+  def paperRecommendations(s: SparkSession, dir: String): DataFrame =
+    read[PaperRecommendation](s, dir, "PaperRecommandations.txt")
+  def fieldOfStudyRelationship(s: SparkSession, dir: String): DataFrame =
+    read[FosRelationship](s, dir, "FieldOfStudyRelationship.txt")
 }
