@@ -60,6 +60,7 @@ object Explain {
     "q72_embed_neardup_ivf", // broadcast centroid assignment (same as q51)
     "q56_embed_neardup",    // exact all-pairs baseline (documented)
     "q66_tfidf_topterms",   // broadcast corpus-size scalar
+    "q250_citation_context_terms", // broadcast token-total scalar (q66 shape)
     "q86_weighted_sample",  // broadcast total-weight scalar (q42 shape)
     "q88_bm25_topterms",    // broadcast corpus-stats scalar (q66 shape)
     "q98_citation_pagerank", // broadcast dangling-mass scalar, 1 row/round

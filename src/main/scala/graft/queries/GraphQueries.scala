@@ -381,13 +381,78 @@ object GraphQueries {
     }) }
   }
 
+  /** PaperCitationContexts-shaped TSV fixture per (session, sfDir) —
+    * the q250 substrate and the reference's stated text-analysis
+    * intent (`data/samples/PaperCitationContexts.txt`: one context
+    * sentence per (citing, cited) reference edge; SURVEY.md §0.3): one
+    * row per citation-spine edge, context = a tab-free normalized
+    * slice of a real `documents` row picked by hashing the edge into
+    * the dense 0-based doc_id space, wrapped in a citation-marker
+    * skeleton. Separate cache from [[magAuxDir]] so the q249 fixture
+    * never pays the citation-spine build. Lifecycle identical to the
+    * q190 convention (deterministic per-SF path; content a pure
+    * function of the SF tables; DuckDB reads the same files post-JVM).
+    */
+  private val ctxDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def citationContextsDir(s: SparkSession, d: String): String = {
+    ctxDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ctxDirs.synchronized { ctxDirs.getOrElseUpdate((s, d), {
+      val sfName = d.split('/').filter(_.nonEmpty).last
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_magctx_$sfName").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "\\s+", " ").as("t"))
+      val e = citationEdges(s, d)
+        .select(col("src").as("citing"), col("dst").as("cited"))
+      e.join(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("doc_id",
+          pmod(col("citing") * 31 + col("cited") * 17, col("n_docs")))
+        .join(docs, Seq("doc_id"))
+        .select(concat_ws("\t", col("citing"), col("cited"),
+          concat(lit("As shown in prior work ( ref "),
+            col("cited").cast("string"), lit(" ) "),
+            substring(col("t"), 1, 160))).as("value"))
+        .write.mode("overwrite").text(s"$dir/PaperCitationContexts.txt")
+      dir
+    }) }
+  }
+
   /** DYNAMIC oracles for the MAG-aux fixture queries (paths are
     * session-scoped): DuckDB reads the very TSV files the Spark side
     * ingested, so the declared-schema read itself is under the hash
     * gate, not just the downstream relational algebra. */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val dir = magAuxDir(s, d)
-    Map("q249_aux_dwarf" ->
+    val ctxDir = citationContextsDir(s, d)
+    Map("q250_citation_context_terms" ->
+      s"""WITH cc AS (SELECT * FROM
+         |    read_csv('$ctxDir/PaperCitationContexts.txt/part-*',
+         |      delim = '\t', header = false,
+         |      columns = {'citing': 'BIGINT', 'cited': 'BIGINT',
+         |                 'context': 'VARCHAR'})),
+         |ctok AS (SELECT cited, unnest(string_split(
+         |    lower(trim(regexp_replace(context, '\\s+', ' ', 'g'))), ' '))
+         |    AS word FROM cc),
+         |ct AS (SELECT * FROM ctok WHERE word <> ''),
+         |ccw AS (SELECT cited, word, CAST(count(*) AS BIGINT) AS n_cw
+         |        FROM ct GROUP BY 1, 2),
+         |cnc AS (SELECT cited, CAST(count(*) AS BIGINT) AS n_c
+         |        FROM ct GROUP BY 1),
+         |cnw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_w
+         |        FROM ct GROUP BY 1),
+         |cnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ct),
+         |csc AS (SELECT ccw.cited, ccw.word, n_cw,
+         |    n_cw * n * 10000 // (n_c * n_w) AS lift_x10k
+         |  FROM ccw, cnn
+         |  JOIN cnc ON ccw.cited = cnc.cited
+         |  JOIN cnw ON ccw.word = cnw.word
+         |  WHERE n_cw >= 2),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY cited
+         |    ORDER BY lift_x10k DESC, word ASC) AS rn FROM csc)
+         |SELECT cited, word, n_cw, lift_x10k, CAST(rn AS BIGINT) AS rn
+         |FROM cr WHERE rn <= 3""".stripMargin,
+      "q249_aux_dwarf" ->
       s"""WITH u AS (SELECT * FROM read_csv('$dir/PaperUrls.txt/part-*',
          |    delim = '\t', header = false,
          |    columns = {'paper': 'BIGINT', 'source_type': 'INTEGER',
@@ -937,6 +1002,42 @@ object GraphQueries {
         .agg(countDistinct(col("paper")).as("n_papers"),
           count(lit(1)).as("n_urls"),
           sum(length(col("url")).cast("long")).as("url_chars"))
+    },
+
+    // CITATION-CONTEXT text analysis over the reference's native
+    // PaperCitationContexts shape (`data/samples/
+    // PaperCitationContexts.txt`, SURVEY §0.3 — the text analysis the
+    // reference intended but never wired): ingest the context TSV via
+    // the DECLARED aux schema, tokenize each context with the engine's
+    // norm/words pair, and rank each CITED vertex's distinctive terms
+    // by integer PMI-lift (n_cw·N·10⁴ div (n_c·n_w) — the q176 lift
+    // discipline, no runtime log), top-3 per cited with deterministic
+    // (lift desc, word) tie-break. The whole chain — spine edge →
+    // context row → token → lift — is one scan + keyed aggregates;
+    // the global token total is a broadcast 1-row scalar.
+    "q250_citation_context_terms" -> { (s, d) =>
+      val ctx = graft.schema.MagTables.paperCitationContexts(
+        s, citationContextsDir(s, d))
+      val toks = ctx.select(col("cited"),
+          explode(graft.functions.TextFns.words(
+            graft.functions.TextFns.norm(col("context")))).as("word"))
+        .filter(col("word") =!= "")
+      val cw = toks.groupBy(col("cited"), col("word"))
+        .agg(count(lit(1)).as("n_cw"))
+      val nc = toks.groupBy(col("cited")).agg(count(lit(1)).as("n_c"))
+      val nw = toks.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      val nn = toks.agg(count(lit(1)).as("n"))
+      val scored = cw.filter(col("n_cw") >= 2)
+        .join(nc, Seq("cited"))
+        .join(nw, Seq("word"))
+        .crossJoin(broadcast(nn))
+        .select(col("cited"), col("word"), col("n_cw"),
+          expr("n_cw * n * 10000 div (n_c * n_w)").as("lift_x10k"))
+      graft.operators.Relational.topKPerGroup(scored,
+          Seq(col("cited")),
+          Seq(col("lift_x10k").desc, col("word").asc), k = 3)
+        .select(col("cited"), col("word"), col("n_cw"),
+          col("lift_x10k"), col("rn"))
     },
 
     // J7: disjunctive-predicate join rewritten as a union of two
