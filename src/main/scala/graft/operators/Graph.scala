@@ -2135,4 +2135,63 @@ object Graph {
        |  </graph>
        |</gexf>""".stripMargin
   }
+
+  /** DYNAMIC GEXF export — the temporal twin of [[toGexf]], closing
+    * the reference's dynamic-network loop: its per-year nested edge
+    * map (`DynamicNet.scala:251` DLink) feeds a D3 layer with dynamic
+    * attribute support (`jsNets.scala:607` `dynamicAttribute`), but
+    * its own GEXF writer emits `mode="static"` only
+    * (`jsNets.scala:83-96`). This writer takes the CANONICAL long form
+    * instead — one (src, dst, yr, weight) row per active year, the
+    * q40 temporal-edge shape — and renders GEXF 1.2 dynamics: a year
+    * `y` is the interval `[y, y+1)`, contiguous active years merge
+    * into one `<spell>`, and the per-year weights ride a dynamic edge
+    * attribute as `<attvalue start end>` rows. Bounded nets only
+    * (collects to the driver by design, same cap discipline as
+    * [[toGexf]]). */
+  def toGexfDynamic(vertices: DataFrame, temporalEdges: DataFrame): String = {
+    val vs = vertices.select(col("id").cast("string"), col("label").cast("string"))
+      .collect().map(r => s"""      <node id="${r.getString(0)}" label="${r.getString(1)}" />""")
+    val rows = temporalEdges.select(col("src").cast("long"),
+        col("dst").cast("long"), col("yr").cast("int"),
+        col("weight").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val es = rows.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1)
+      .zipWithIndex.map { case (((src, dst), yrs), i) =>
+        val sorted = yrs.sortBy(_._3)
+        val atts = sorted.map { case (_, _, y, w) =>
+          s"""          <attvalue for="0" value="$w" start="$y" end="${y + 1}" />"""
+        }
+        // merge consecutive years into [start, end) spells
+        val spells = sorted.map(_._3).foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: tail, y) if y == e0 => (s0, y + 1) :: tail
+          case (acc, y) => (y, y + 1) :: acc
+        }.reverse.map { case (s0, e0) =>
+          s"""          <spell start="$s0" end="$e0" />"""
+        }
+        s"""      <edge id="$i" source="$src" target="$dst">
+           |        <attvalues>
+           |${atts.mkString("\n")}
+           |        </attvalues>
+           |        <spells>
+           |${spells.mkString("\n")}
+           |        </spells>
+           |      </edge>""".stripMargin
+      }
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">
+       |  <graph mode="dynamic" timeformat="integer" defaultedgetype="undirected">
+       |    <attributes class="edge" mode="dynamic">
+       |      <attribute id="0" title="weight" type="long" />
+       |    </attributes>
+       |    <nodes>
+       |${vs.mkString("\n")}
+       |    </nodes>
+       |    <edges>
+       |${es.mkString("\n")}
+       |    </edges>
+       |  </graph>
+       |</gexf>""".stripMargin
+  }
 }

@@ -72,6 +72,35 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(back.contains("<gexf") && back.contains("alice"))
   }
 
+  test("toGexfDynamic merges contiguous years into spells and emits per-year attvalues") {
+    val vs = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("id", "label")
+    // edge 1–2 active 1994,1995,1997 (gap at 1996 → two spells);
+    // edge 1–3 active 2000 only (one single-year spell)
+    val te = Seq((1L, 2L, 1994, 3L), (1L, 2L, 1995, 5L), (1L, 2L, 1997, 2L),
+        (1L, 3L, 2000, 1L))
+      .toDF("src", "dst", "yr", "weight")
+    val xml = Graph.toGexfDynamic(vs, te)
+    assert(xml.contains("""<graph mode="dynamic" timeformat="integer""""))
+    val expectedEdge =
+      """      <edge id="0" source="1" target="2">
+        |        <attvalues>
+        |          <attvalue for="0" value="3" start="1994" end="1995" />
+        |          <attvalue for="0" value="5" start="1995" end="1996" />
+        |          <attvalue for="0" value="2" start="1997" end="1998" />
+        |        </attvalues>
+        |        <spells>
+        |          <spell start="1994" end="1996" />
+        |          <spell start="1997" end="1998" />
+        |        </spells>
+        |      </edge>""".stripMargin
+    assert(xml.contains(expectedEdge))
+    assert(xml.contains("""<spell start="2000" end="2001" />"""))
+    // order-independence: a shuffled input renders the same document
+    assert(Graph.toGexfDynamic(vs,
+      te.orderBy(org.apache.spark.sql.functions.rand(7))) == xml)
+  }
+
   test("toForceJson emits valid D3 nodes/links JSON (round-trips through a JSON reader)") {
     val vs = Seq((1L, "alice \"a\""), (2L, "bob")).toDF("id", "label")
     val es = Seq((1L, 2L, 3L)).toDF("src", "dst", "weight")
