@@ -94,6 +94,17 @@ object Checkpoints {
       tracked.remove((r.sparkContext, r.id))
     }
 
+  /** [[release]] except in no-checkpoint audit mode, where it keeps
+    * the block: with [[checkpoint]] an identity there, a consumer's
+    * UNTRUNCATED plan may still reference this [[checkpointAlways]]
+    * block, and an eager downstream materialization (e.g.
+    * louvainTwoLevel checkpointing the refineCommunities output it
+    * builds on) would hit the unrecoverable lost-block error. The
+    * skipped block is non-pinned, so the harness' [[releaseAll]]
+    * reclaims it after the query. Normal-mode behavior is unchanged. */
+  def releaseAfterLoop(df: DataFrame): Unit =
+    if (!disabled) release(df)
+
   /** Unpersist every non-pinned tracked block of this session's context
     * (and forget entries of stopped contexts). Call between queries,
     * after the previous query's action has fully completed. */

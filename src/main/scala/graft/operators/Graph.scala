@@ -1931,15 +1931,160 @@ object Graph {
             when(col("take_all"), col("pl"))
               .when(col("sl").isNotNull, col("sl"))
               .otherwise(col("lab")).as("lab")))
-      Checkpoints.release(lab)
-      Checkpoints.release(prop)
-      Checkpoints.release(pall)
+      Checkpoints.releaseAfterLoop(lab)
+      Checkpoints.releaseAfterLoop(prop)
+      Checkpoints.releaseAfterLoop(pall)
       lab = nxt
     }
-    Checkpoints.release(und)
-    Checkpoints.release(adj)
-    Checkpoints.release(deg)
+    Checkpoints.releaseAfterLoop(und)
+    Checkpoints.releaseAfterLoop(adj)
+    Checkpoints.releaseAfterLoop(deg)
     lab.select(col("v"), col("lab").as("community"))
+  }
+
+  /** MULTI-LEVEL Louvain (Blondel et al. 2008, "Fast unfolding of
+    * communities in large networks" — public): the coarsen-and-repeat
+    * level loop the one-level [[refineCommunities]] pass stops short
+    * of. Level 1 is exactly the q188 pipeline (LPA seed + guarded
+    * integer-ΔQ local moves); the partition is then CONTRACTED to its
+    * community multigraph — one weighted vertex per community,
+    * cross-community edge weights summed, internal edges folded into
+    * self-loop weights — and the SAME guarded local-move rounds run
+    * again with weighted arithmetic (sum(w) where level 1 counts
+    * edges; total weight m is preserved by contraction, so the
+    * integer score 4m·(e_in_cross + w_self_total) − Σ D_c² is the
+    * SAME 4m²·Q scale at both levels and Q is monotone across levels
+    * by the guard: full proposal set only if the recomputed score
+    * improves, else the single best exact-ΔQ move, else no change).
+    *
+    * Scale shape: the contraction is two keyed joins + one aggregate;
+    * the coarse graph has one vertex per community, so the level-2
+    * rounds run on data orders of magnitude smaller than the input —
+    * the property that makes Louvain viable at 100 TB (each level
+    * shrinks the graph geometrically; all joins stay
+    * hash-partitioned on vertex/community keys).
+    *
+    * Returns (v, c1, community): the level-1 label and the final
+    * level-2 label projected back to the finest grain. */
+  def louvainTwoLevel(edges: DataFrame, lpaRounds: Int = 4,
+                      refineRounds: Int = 2, coarseRounds: Int = 2,
+                      a: String = "a", b: String = "b"): DataFrame = {
+    val l1 = Checkpoints.checkpointAlways(
+      refineCommunities(edges,
+        labelPropagation(edges, lpaRounds, a, b), refineRounds, a, b))
+    val und = edges.select(least(col(a), col(b)).as("u"),
+        greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
+    // community multigraph: cu <= cv, cu == cv rows carry internal mass
+    val ce = Checkpoints.checkpointAlways(und
+      .join(l1.select(col("v").as("u"), col("community").as("cu")), Seq("u"))
+      .join(l1.select(col("v"), col("community").as("cv")), Seq("v"))
+      .select(least(col("cu"), col("cv")).as("cu"),
+        greatest(col("cu"), col("cv")).as("cv"))
+      .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("w")))
+    val l2 = localMoveWeighted(ce, coarseRounds)
+    val out = l1.select(col("v"), col("community").as("c1"))
+      .join(l2.select(col("c").as("c1"), col("lab").as("community")),
+        Seq("c1"))
+      .select(col("v"), col("c1"), col("community"))
+    out
+  }
+
+  /** Guarded local-move rounds over a WEIGHTED community multigraph
+    * (`ce`: cu <= cv, weight; cu == cv rows are self-loops) starting
+    * from the identity partition — the coarse-level engine of
+    * [[louvainTwoLevel]]. Mirrors [[refineCommunities]] with
+    * sum-of-weight arithmetic: weighted degree D_c = 2·w_self +
+    * Σ cross w, move gain ΔQ_int = 4m(k_new − k_own) −
+    * 2·D_c·(D_tgt − (D_cur − D_c)), and the partition score
+    * 4m·(cross-internal weight + total self-loop weight) − Σ D² (the
+    * self-loop term is labeling-invariant but keeps the score on the
+    * exact 4m²·Q scale). Returns (c, lab). */
+  private[graft] def localMoveWeighted(ce: DataFrame,
+                                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one move round")
+    val cross = Checkpoints.checkpointAlways(
+      ce.filter(col("cu") =!= col("cv"))
+        .select(col("cu"), col("cv"), col("w")))
+    val selfW = ce.filter(col("cu") === col("cv"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("sw"))
+    val adj = Checkpoints.checkpointAlways(
+      cross.select(col("cu").as("s"), col("cv").as("d"), col("w"))
+        .union(cross.select(col("cv").as("s"), col("cu").as("d"), col("w"))))
+    val deg = Checkpoints.checkpointAlways(
+      adj.select(col("s").as("c"), col("w"))
+        .union(ce.filter(col("cu") === col("cv"))
+          .select(col("cu").as("c"), (col("w") * 2).as("w")))
+        .groupBy(col("c")).agg(sum(col("w")).as("deg"))
+        .select(col("c").as("v"), col("deg")))
+    val mm = ce.agg(sum(col("w")).as("m"))
+    def qint(ls: DataFrame, out: String): DataFrame = {
+      val ein = cross
+        .join(ls.select(col("v").as("cu"), col("lab").as("lu")), Seq("cu"))
+        .join(ls.select(col("v").as("cv"), col("lab").as("lv")), Seq("cv"))
+        .filter(col("lu") === col("lv"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("ein"))
+      val sd = ls.join(deg, "v").groupBy(col("lab"))
+        .agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sd"))
+      ein.crossJoin(sd).crossJoin(broadcast(mm)).crossJoin(broadcast(selfW))
+        .select((lit(4L) * col("m") * (col("ein") + col("sw")) - col("sd"))
+          .as(out))
+    }
+    var lab = Checkpoints.checkpointAlways(
+      ce.select(col("cu").as("v")).union(ce.select(col("cv").as("v")))
+        .distinct().withColumn("lab", col("v")))
+    (0 until rounds).foreach { _ =>
+      val dc = lab.join(deg, "v").groupBy(col("lab"))
+        .agg(sum(col("deg")).as("dsum"))
+      val kv = adj.join(lab.select(col("v").as("d"), col("lab")), "d")
+        .groupBy(col("s"), col("lab")).agg(sum(col("w")).as("k"))
+        .select(col("s").as("v"), col("lab"), col("k"))
+      val own = lab.select(col("v"), col("lab").as("cur"))
+        .join(deg, "v")
+        .join(dc.select(col("lab").as("cur"), col("dsum").as("dcur")),
+          Seq("cur"))
+        .join(kv.select(col("v"), col("lab").as("cur"),
+          col("k").as("kown")), Seq("v", "cur"), "left")
+        .na.fill(0L, Seq("kown"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("dq").desc, col("lab"))
+      val prop = Checkpoints.checkpoint(
+        own.join(kv, Seq("v")).filter(col("lab") =!= col("cur"))
+          .join(dc, Seq("lab"))
+          .crossJoin(broadcast(mm))
+          .withColumn("dq",
+            lit(4L) * col("m") * (col("k") - col("kown")) -
+              lit(2L) * col("deg") *
+                (col("dsum") - (col("dcur") - col("deg"))))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1 && col("dq") > 0)
+          .select(col("v"), col("lab").as("tgt"), col("dq")))
+      val pall = Checkpoints.checkpoint(
+        lab.join(prop.select(col("v"), col("tgt")), Seq("v"), "left")
+          .select(col("v"), coalesce(col("tgt"), col("lab")).as("lab")))
+      val flag = qint(pall, "qnew").crossJoin(qint(lab, "qold"))
+        .select((col("qnew") > col("qold")).as("take_all"))
+      val single = prop.orderBy(col("dq").desc, col("v")).limit(1)
+        .select(col("v"), col("tgt"))
+      val nxt = Checkpoints.checkpoint(
+        lab.join(pall.select(col("v"), col("lab").as("pl")), Seq("v"))
+          .join(single.select(col("v"), col("tgt").as("sl")),
+            Seq("v"), "left")
+          .crossJoin(broadcast(flag))
+          .select(col("v"),
+            when(col("take_all"), col("pl"))
+              .when(col("sl").isNotNull, col("sl"))
+              .otherwise(col("lab")).as("lab")))
+      Checkpoints.releaseAfterLoop(lab)
+      Checkpoints.releaseAfterLoop(prop)
+      Checkpoints.releaseAfterLoop(pall)
+      lab = nxt
+    }
+    Checkpoints.releaseAfterLoop(cross)
+    Checkpoints.releaseAfterLoop(adj)
+    Checkpoints.releaseAfterLoop(deg)
+    lab.select(col("v").as("c"), col("lab"))
   }
 
   /** FULL k-core decomposition — the per-vertex core NUMBER (largest k

@@ -855,6 +855,48 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("localMoveWeighted merges two heavily-linked communities and is " +
+       "a fixpoint once merged") {
+    // coarse graph: two community-nodes, light self-loops, heavy cross
+    // edge — merging is the exact-ΔQ move (m=12, D1=D2=12:
+    // ΔQ = 4·12·10 − 2·12·12 = 192 > 0). The symmetric swap fails the
+    // full-apply guard (score unchanged), so the single best move
+    // (ΔQ desc, v asc → v=1 into 2) lands, and round 2 is a no-op.
+    val ce = Seq((1L, 1L, 1L), (2L, 2L, 1L), (1L, 2L, 10L))
+      .toDF("cu", "cv", "w")
+    val out = Graph.localMoveWeighted(ce, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("louvainTwoLevel keeps well-separated cliques apart and is " +
+       "Q-monotone on the spine") {
+    // two K4s joined by one bridge: level 1 finds the cliques, and the
+    // coarse level must NOT merge them (ΔQ < 0 across a single edge)
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val ed = (k4a ++ k4b :+ (4L, 5L)).toDF("a", "b")
+    val two = Graph.louvainTwoLevel(ed).as[(Long, Long, Long)].collect()
+    assert(two.length == 8)
+    assert(two.forall { case (_, c1, c2) => c1 == c2 })
+    assert(two.map(_._3).distinct.length == 2)
+    graft.Checkpoints.releaseAll(spark)
+
+    // spine: the projected level-2 partition never scores below level 1
+    val edges = graft.queries.GraphQueries.knnSpine(spark,
+      "/root/testdata/sf0.01")
+    val out = Graph.louvainTwoLevel(edges)
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(edges, labels)
+        .agg(org.apache.spark.sql.functions.sum(col("contrib")))
+        .first.getLong(0)
+    val q1 = q(out.select(col("v"), col("c1").as("community")))
+    val q2 = q(out.select(col("v"), col("community")))
+    assert(q2 >= q1, s"coarse level regressed: Q1=$q1 Q2=$q2")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("refineCommunities never decreases modularity on random graphs") {
     val rnd = new scala.util.Random(17)
     (1 to 3).foreach { trial =>
