@@ -17,7 +17,8 @@ object Verify {
       "q141_semantic_dedup", "q178_ivf_quality", "q190_json_source_census",
       "q196_ann_recall_at_k", "q197_ann_ndcg_at_k", "q204_ann_sq8_topk",
       "q211_ann_mrr_at_k", "q215_hard_negatives", "q249_aux_dwarf",
-      "q250_citation_context_terms")
+      "q250_citation_context_terms", "q252_ivf_append_serve",
+      "q253_ivf_append_drift")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

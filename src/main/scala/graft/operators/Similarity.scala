@@ -280,6 +280,31 @@ object Similarity {
     graft.Checkpoints.release(c)
   }
 
+  /** INCREMENTAL append to a persisted IVF index ([[buildIvfIndex]]) —
+    * the embedding twin of the BM25 postings append
+    * (`TextIndex.appendToBm25Index`): new vectors are assigned against
+    * the WRITTEN centroids (the index's source of truth — centroids do
+    * NOT move on append, exactly like FAISS `add` after `train`) and
+    * their (n_id, cell) rows land as an appended parquet file. Cost is
+    * O(batch · cells) assignment work; the existing corpus is never
+    * rescanned and the index never rebuilt — the shape a living 100 TB
+    * corpus requires. Because assignment is a pure per-vector function
+    * of the fixed centroids, the appended index is row-identical to a
+    * one-shot assignment pass over the unioned corpus with the same
+    * centroids (SimilaritySpec pins this; the q252 oracle replays it).
+    * Centroid DRIFT from accumulating appends is the retrain signal —
+    * cell-occupancy growth, reported by q253's census — at which point
+    * the scheduled [[buildIvfIndex]] job runs again. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String,
+                       batch: DataFrame, id: String, vec: String): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val c = batch.select(col(id).as("n_id"),
+      VectorFns.toDoubleArr(col(vec)).as("cv"))
+    assignCells(c, centroids, 1)
+      .write.mode("append").parquet(s"$indexDir/assignments.parquet")
+  }
+
   /** ANN top-k against a PERSISTED IVF index ([[buildIvfIndex]]): the
     * query side probes its `nprobe` nearest cells against the written
     * centroids (broadcast — ≤ cells rows), candidates come from the

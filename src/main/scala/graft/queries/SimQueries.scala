@@ -159,6 +159,39 @@ object SimQueries {
         queriesSubset(s, d), "vec_id", "embedding", 5)
     },
 
+    // Serve from the INCREMENTALLY-assembled IVF index (80% trained +
+    // 20% appended against the written centroids — the r12 VERDICT's
+    // item 4, the q212 BM25-append twin for vectors): q119's exact
+    // serving path, but the index was never rebuilt after the append
+    // and the corpus never rescanned. Because append-assignment is a
+    // pure function of the FIXED centroids, the served index is
+    // row-identical to a one-shot assignment of the unioned corpus
+    // (SimilaritySpec pins it); the oracle replays the 80%-trained
+    // centroids as literals and assigns the full corpus in SQL.
+    "q252_ivf_append_serve" -> { (s, d) =>
+      Similarity.ivfTopKIndexed(ivfIncIndexDir(s, d), Tables.embeddings(s, d),
+        queriesSubset(s, d), "vec_id", "embedding", 5)
+    },
+
+    // Occupancy-DRIFT census over the appended index — the retrain
+    // trigger: per cell, base vs appended member counts and the
+    // growth in basis points; a cell past 3000 bp (30%) raises the
+    // retrain flag (appends have shifted its share enough that the
+    // frozen centroids no longer describe the data — time to re-run
+    // the scheduled build). Reads ONLY the persisted assignments:
+    // the readout costs one index scan, never a corpus pass.
+    "q253_ivf_append_drift" -> { (s, d) =>
+      val idx = s.read.parquet(s"${ivfIncIndexDir(s, d)}/assignments.parquet")
+      idx.groupBy(col("cell"))
+        .agg(sum(when(col("n_id") % 5 =!= 4, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("n_id") % 5 === 4, 1L).otherwise(0L)).as("n_new"))
+        .select(col("cell"), col("n_base"), col("n_new"),
+          when(col("n_base") === 0, lit(999999L))
+            .otherwise(expr("n_new * 10000 div n_base")).as("growth_x10k"))
+        .withColumn("retrain",
+          when(col("growth_x10k") >= 3000, 1L).otherwise(0L))
+    },
+
     // Retrieval-quality EVAL, recall@k: the similarity family GENERATES
     // top-k lists (q28/q29/q51/q119/q125/q127); this GRADES one — per
     // query, how many of the exact brute-force top-5 the q51 IVF run
@@ -426,6 +459,23 @@ object SimQueries {
     ivfIndexDirs.get(s, d) { dir =>
       Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         dir, cells = 16, lloydIters = 2)
+    }
+
+  /** One INCREMENTALLY-assembled IVF index per (session, sfDir) — the
+    * q212 BM25-append convention for the vector index: centroids
+    * trained on the 80% base corpus (vec_id % 5 ≠ 4), the held-out
+    * 20% appended afterward against the written centroids
+    * (Similarity.appendToIvfIndex). Serving from it (q252) and the
+    * occupancy-drift census over it (q253) both read ONLY the
+    * persisted artifacts. */
+  private val ivfIncIndexDirs = new IndexCache("graft_ivfi")
+  private def ivfIncIndexDir(s: SparkSession, d: String): String =
+    ivfIncIndexDirs.get(s, d) { dir =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", dir, cells = 16, lloydIters = 2)
+      Similarity.appendToIvfIndex(s, dir,
+        emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
     }
 
   /** One persisted PQ index per (session, sfDir) — the [[ivfIndexDir]]
@@ -920,7 +970,55 @@ object SimQueries {
       val s = p.map(t => math.max(math.abs(t._2), math.abs(t._3))).max
       if (s > 0) s else 1.0
     }
+    // q252/q253: centroids trained on the 80% base corpus (the
+    // incremental index's frozen quantizer), assignment replayed over
+    // the FULL table — appended rows land exactly where the one-shot
+    // pass puts them, which is the append-equivalence the oracle pins
+    val c80 = Similarity.collectedCentroids(
+      emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+      cells = 16, lloydIters = 2)
+    val q252 =
+      s"""WITH ${ivfSimSql(c80)},
+         |idx AS (SELECT n_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn FROM sim)
+         |  WHERE arn <= 1),
+         |probes AS (SELECT n_id AS q_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn
+         |    FROM sim WHERE n_id % 20 = 0)
+         |  WHERE arn <= 4),
+         |cand AS (SELECT DISTINCT p.q_id, i.n_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell AND p.q_id <> i.n_id),
+         |scored AS (SELECT q_id, n_id,
+         |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+         |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+         |            JOIN e ec ON cand.n_id = ec.vec_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS BIGINT) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin
+    val q253 =
+      s"""WITH ${ivfSimSql(c80)},
+         |idx AS (SELECT n_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn FROM sim)
+         |  WHERE arn <= 1),
+         |census AS (SELECT cell,
+         |    CAST(sum(CASE WHEN n_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_base,
+         |    CAST(sum(CASE WHEN n_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new
+         |  FROM idx GROUP BY 1)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_base, n_new,
+         |  CASE WHEN n_base = 0 THEN 999999
+         |       ELSE n_new * 10000 // n_base END AS growth_x10k,
+         |  CAST(CASE WHEN (CASE WHEN n_base = 0 THEN 999999
+         |       ELSE n_new * 10000 // n_base END) >= 3000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         |FROM census""".stripMargin
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
+      "q252_ivf_append_serve" -> q252, "q253_ivf_append_drift" -> q253,
       "q196_ann_recall_at_k" -> q196, "q197_ann_ndcg_at_k" -> q197,
       "q211_ann_mrr_at_k" -> q211,
       "q215_hard_negatives" -> q215,

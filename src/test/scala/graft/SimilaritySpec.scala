@@ -123,6 +123,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(hard.forall(h => h._3 >= 1L && h._3 <= 5L))
   }
 
+  test("incremental IVF append equals the one-shot assignment of the " +
+       "unioned corpus (q252 substrate)") {
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", idxDir,
+      cells = 16, lloydIters = 2)
+    Similarity.appendToIvfIndex(spark, idxDir, batch, "vec_id", "embedding")
+    val appended = spark.read.parquet(s"$idxDir/assignments.parquet")
+      .as[(Long, Long)].collect().toSet
+    // one-shot: assign the FULL corpus against the same written
+    // centroids — append must be row-identical (frozen quantizer)
+    val cents = spark.read.parquet(s"$idxDir/centroids.parquet")
+    val oneShot = Similarity.assignCells(
+        emb.select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.toDoubleArr(col("embedding")).as("cv")),
+        cents, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(appended == oneShot)
+    assert(appended.map(_._1) == emb.select(col("vec_id")).as[Long]
+      .collect().toSet)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("sign-LSH ANN recall is monotone in the probe count (0/2/4)") {
     def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
     val r = Seq(0, 2, 4).map { p =>
