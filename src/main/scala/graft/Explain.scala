@@ -24,6 +24,18 @@ import org.apache.spark.sql.SparkSession
   * segments a checkpoint would truncate. Iterative plans grow per
   * round without truncation, so audit at sf0.001 (loops converge in a
   * few rounds there); production runs keep checkpointing on.
+  *
+  * `runMain graft.Explain --audit-runtime [sfDir]` — the COMPLEMENT:
+  * checkpoints stay ON (the production configuration) and each query
+  * is EXECUTED through the noop sink while a SparkListener counts what
+  * actually ran — jobs, completed stages, and skipped stages (AQE
+  * exchange reuse). The static audit's exchange counts describe the
+  * untruncated plan (q104 counts thousands of planned exchanges the
+  * runtime never executes once checkpoints cut the lineage); this pass
+  * records the executed truth, so a bench regression can be matched to
+  * an executed-plan change rather than an audit artifact (r12 VERDICT
+  * item 6). Results merge into AUDIT.json as rt_* keys next to the
+  * static counts.
   */
 object Explain {
 
@@ -104,13 +116,43 @@ object Explain {
     "q211_ann_mrr_at_k",    // brute-force exact side (q28) + centroid assignment (q51)
     "q215_hard_negatives")  // brute-force exact side (q28) + centroid assignment (q51)
 
+  /** Per-query runtime counters: jobs started, stages submitted with
+    * them, stages actually completed. Skipped = submitted − completed
+    * (AQE exchange reuse / already-computed checkpoint parents).
+    * `lastEvent` supports the post-action quiescence wait — the
+    * listener bus is asynchronous, so counts settle shortly after the
+    * action returns. */
+  private final class RuntimeCounts
+      extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val submitted = new java.util.concurrent.atomic.AtomicInteger
+    val completed = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var lastEvent: Long = System.nanoTime()
+    private def touch(): Unit = lastEvent = System.nanoTime()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); submitted.addAndGet(js.stageInfos.size); touch()
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      completed.incrementAndGet(); touch()
+    }
+    /** Wait until no listener event has arrived for `quietMs`. */
+    def quiesce(quietMs: Long = 250, capMs: Long = 5000): Unit = {
+      val deadline = System.nanoTime() + capMs * 1000000L
+      while (System.nanoTime() - lastEvent < quietMs * 1000000L &&
+             System.nanoTime() < deadline) Thread.sleep(25)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val audit = args.headOption.contains("--audit")
+    val auditRt = args.headOption.contains("--audit-runtime")
     if (audit) System.setProperty(Checkpoints.NoCheckpointProp, "true")
-    val rest = if (audit) args.drop(1) else args
+    val rest = if (audit || auditRt) args.drop(1) else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.drop(1).toSeq
-      else if (audit) SparkEntry.queries.keys.toSeq.sorted
+      else if (audit || auditRt) SparkEntry.queries.keys.toSeq.sorted
       else Seq("q01_pricing_summary", "q03_topk_revenue", "q05_region_volume",
         "q15_cosupply_edges", "q28_cosine_topk")
     val spark = SparkSession.builder()
@@ -121,7 +163,36 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (audit) {
+    if (auditRt) {
+      val rows = names.map { n =>
+        val c = new RuntimeCounts
+        spark.sparkContext.addSparkListener(c)
+        val ok =
+          try {
+            SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[audit-rt] $n FAILED: ${e.getMessage}")
+            false
+          } finally {
+            Checkpoints.releaseAll(spark)
+            c.quiesce()
+            spark.sparkContext.removeSparkListener(c)
+          }
+        val skipped = math.max(0, c.submitted.get - c.completed.get)
+        println(f"[audit-rt] $n%-28s jobs=${c.jobs.get}%-4d " +
+          f"stages=${c.completed.get}%-5d skipped=$skipped%-5d " +
+          (if (ok) "" else "FAILED"))
+        s""""$n": {"rt_jobs": ${c.jobs.get}, """ +
+          s""""rt_stages": ${c.completed.get}, """ +
+          s""""rt_stages_skipped": $skipped, "rt_ok": $ok}"""
+      }
+      println(s"[audit-rt] ${names.size} queries executed")
+      val out = sys.env.getOrElse("GRAFT_AUDIT_RT_OUT", "AUDIT_runtime.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        rows.mkString(s"""{"sf": "$sfDir", "queries": {""", ",\n", "}}"))
+    } else if (audit) {
       var flagged = 0
       val rows = names.map { n =>
         val plan = SparkEntry.queries(n)(spark, sfDir)

@@ -18,7 +18,9 @@ object Verify {
       "q196_ann_recall_at_k", "q197_ann_ndcg_at_k", "q204_ann_sq8_topk",
       "q211_ann_mrr_at_k", "q215_hard_negatives", "q249_aux_dwarf",
       "q250_citation_context_terms", "q252_ivf_append_serve",
-      "q253_ivf_append_drift")
+      "q253_ivf_append_drift", "q254_fos_relationship_census",
+      "q255_conference_seasons", "q256_reco_reciprocity",
+      "q257_venue_catalog")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -377,6 +377,75 @@ object GraphQueries {
             (col("paper") % 7 + 1).cast("int")))
           .as("value"))
         .write.mode("overwrite").text(s"$dir/PaperLanguages.txt")
+      // FieldOfStudyRelationship.txt (7 cols): parts as "fields", each
+      // linked to its decade-group parent with a price-derived weight
+      val p = Tables.t(s, d, "part").select(col("p_partkey"),
+        col("p_name"), col("p_type"), col("p_brand"), col("p_retailprice"))
+      p.select(concat_ws("\t", col("p_partkey"), col("p_name"),
+          col("p_type"),
+          (col("p_partkey") % 10).cast("string"),
+          concat(lit("group-"), (col("p_partkey") % 10).cast("string")),
+          col("p_brand"),
+          round(col("p_retailprice") / 10000, 4).cast("string"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$dir/FieldOfStudyRelationship.txt")
+      // ConferenceInstances.txt (15 cols): every 50th order is a
+      // conference spanning 1 + key%5 days; the three *Due dates the
+      // real dump leaves empty stay empty here too
+      val conf = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("series"),
+          col("o_orderdate").as("sd"),
+          date_add(col("o_orderdate"), (col("o_orderkey") % 5 + 1)
+            .cast("int")).as("ed"),
+          date_sub(col("o_orderdate"), 30).as("subm"))
+      conf.select(concat_ws("\t", col("id"),
+          concat(lit("conf "), col("id").cast("string")),
+          concat(lit("CONF "), col("id").cast("string")),
+          col("series"),
+          concat(lit("City-"), (col("id") % 7).cast("string")),
+          concat(lit("https://conf.example.org/"), col("id").cast("string")))
+          .as("head"),
+          col("sd"), col("ed"), col("subm"), col("id"))
+        .select(concat_ws("\t", col("head"), col("sd").cast("string"),
+          col("ed").cast("string"), lit(""), col("subm").cast("string"),
+          lit(""), lit(""), (col("id") % 40 + 1).cast("string"),
+          (col("id") % 400).cast("string"), lit("2016-06-24")).as("value"))
+        .write.mode("overwrite").text(s"$dir/ConferenceInstances.txt")
+      // PaperRecommandations.txt (3 cols, the snapshot's spelling):
+      // every 3rd order recommends two fixed-hash partners with a
+      // rank-decaying score
+      val rec = k.filter(col("paper") % 3 === 0)
+      rec.select(col("paper"), (col("paper") * 7 % 1000).as("r"),
+          lit("0.9").as("sc"))
+        .unionByName(rec.select(col("paper"),
+          (col("paper") * 13 % 1000).as("r"), lit("0.75").as("sc")))
+        .filter(col("paper") =!= col("r"))
+        .select(concat_ws("\t", col("paper"), col("r"), col("sc"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$dir/PaperRecommandations.txt")
+      // Journals.txt (10 cols) + ConferenceSeries.txt (7 cols): the
+      // venue catalog pair, from suppliers — issn present only for
+      // every 3rd venue (the real table's sparsity)
+      val ven = Tables.supplier(s, d).select(col("s_suppkey").as("id"),
+        col("s_name").as("nm"), col("s_acctbal"))
+      ven.select(concat_ws("\t", col("id"), (col("id") % 5000).cast("string"),
+          lower(col("nm")), col("nm"),
+          when(col("id") % 3 === 0, concat((col("id") % 9000 + 1000)
+            .cast("string"), lit("-"), (col("id") % 8999 + 1000)
+            .cast("string"))).otherwise(lit("")),
+          lit(""), lit(""),
+          (col("id") % 2000).cast("string"),
+          (col("id") % 90000).cast("string"), lit("2016-06-24"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$dir/Journals.txt")
+      ven.filter(col("id") % 4 === 0)
+        .select(concat_ws("\t", col("id"), (col("id") % 5000).cast("string"),
+          lower(col("nm")), col("nm"),
+          (col("id") % 1500).cast("string"),
+          (col("id") % 70000).cast("string"), lit("2016-06-24"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$dir/ConferenceSeries.txt")
       dir
     }) }
   }
@@ -452,6 +521,80 @@ object GraphQueries {
          |    ORDER BY lift_x10k DESC, word ASC) AS rn FROM csc)
          |SELECT cited, word, n_cw, lift_x10k, CAST(rn AS BIGINT) AS rn
          |FROM cr WHERE rn <= 3""".stripMargin,
+      "q254_fos_relationship_census" ->
+        s"""WITH fr AS (SELECT * FROM
+           |    read_csv('$dir/FieldOfStudyRelationship.txt/part-*',
+           |      delim = '\t', header = false,
+           |      columns = {'fos1': 'BIGINT', 'name1': 'VARCHAR',
+           |                 'type1': 'VARCHAR', 'fos2': 'BIGINT',
+           |                 'name2': 'VARCHAR', 'type2': 'VARCHAR',
+           |                 'weight': 'DOUBLE'}))
+           |SELECT type1, type2, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT fos1) AS BIGINT) AS n_fields,
+           |  CAST(sum(CAST(floor(weight * 10000) AS BIGINT)) AS BIGINT)
+           |    AS weight_x10k
+           |FROM fr GROUP BY 1, 2""".stripMargin,
+      "q255_conference_seasons" ->
+        s"""WITH ci AS (SELECT * FROM
+           |    read_csv('$dir/ConferenceInstances.txt/part-*',
+           |      delim = '\t', header = false,
+           |      columns = {'id': 'BIGINT', 'name': 'VARCHAR',
+           |                 'dname': 'VARCHAR', 'series': 'BIGINT',
+           |                 'location': 'VARCHAR', 'url': 'VARCHAR',
+           |                 'start_date': 'DATE', 'end_date': 'DATE',
+           |                 'abstract_due': 'DATE', 'submission_due': 'DATE',
+           |                 'notification_due': 'DATE', 'final_due': 'DATE',
+           |                 'papers': 'BIGINT', 'citations': 'BIGINT',
+           |                 'created_at': 'DATE'}))
+           |SELECT CAST(year(start_date) AS BIGINT) AS yr,
+           |  CAST(count(*) AS BIGINT) AS n_instances,
+           |  CAST(count(DISTINCT series) AS BIGINT) AS n_series,
+           |  CAST(sum(datediff('day', start_date, end_date)) AS BIGINT)
+           |    AS span_days,
+           |  CAST(sum(datediff('day', submission_due, start_date)) AS BIGINT)
+           |    AS lead_days,
+           |  CAST(sum(CASE WHEN abstract_due IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_missing_abstract,
+           |  CAST(sum(papers) AS BIGINT) AS papers_mass
+           |FROM ci GROUP BY 1""".stripMargin,
+      "q256_reco_reciprocity" ->
+        s"""WITH rc AS (SELECT * FROM
+           |    read_csv('$dir/PaperRecommandations.txt/part-*',
+           |      delim = '\t', header = false,
+           |      columns = {'paper': 'BIGINT', 'recommended': 'BIGINT',
+           |                 'score': 'DOUBLE'}))
+           |SELECT a.score, CAST(count(*) AS BIGINT) AS n_edges,
+           |  CAST(count(DISTINCT a.paper) AS BIGINT) AS n_src,
+           |  CAST(sum(CASE WHEN b.paper IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_mutual
+           |FROM rc a LEFT JOIN (SELECT DISTINCT paper, recommended
+           |                     FROM rc) b
+           |  ON a.paper = b.recommended AND a.recommended = b.paper
+           |GROUP BY 1""".stripMargin,
+      "q257_venue_catalog" ->
+        s"""WITH vj AS (SELECT * FROM read_csv('$dir/Journals.txt/part-*',
+           |    delim = '\t', header = false,
+           |    columns = {'id': 'BIGINT', 'rank': 'INTEGER',
+           |               'name': 'VARCHAR', 'dname': 'VARCHAR',
+           |               'issn': 'VARCHAR', 'publisher': 'VARCHAR',
+           |               'webpage': 'VARCHAR', 'papers': 'BIGINT',
+           |               'citations': 'BIGINT', 'created_at': 'DATE'})),
+           |vcs AS (SELECT * FROM read_csv('$dir/ConferenceSeries.txt/part-*',
+           |    delim = '\t', header = false,
+           |    columns = {'id': 'BIGINT', 'rank': 'INTEGER',
+           |               'name': 'VARCHAR', 'dname': 'VARCHAR',
+           |               'papers': 'BIGINT', 'citations': 'BIGINT',
+           |               'created_at': 'DATE'})),
+           |uv AS (SELECT 'journal' AS kind,
+           |    CASE WHEN issn IS NOT NULL THEN 1 ELSE 0 END AS has_issn,
+           |    papers, citations FROM vj
+           |  UNION ALL
+           |  SELECT 'conference', 0, papers, citations FROM vcs)
+           |SELECT kind, CAST(has_issn AS BIGINT) AS has_issn,
+           |  CAST(count(*) AS BIGINT) AS n_venues,
+           |  CAST(sum(papers) AS BIGINT) AS papers_mass,
+           |  CAST(sum(citations) AS BIGINT) AS citations_mass
+           |FROM uv GROUP BY 1, 2""".stripMargin,
       "q249_aux_dwarf" ->
       s"""WITH u AS (SELECT * FROM read_csv('$dir/PaperUrls.txt/part-*',
          |    delim = '\t', header = false,
@@ -1050,6 +1193,84 @@ object GraphQueries {
           Seq(col("lift_x10k").desc, col("word").asc), k = 3)
         .select(col("cited"), col("word"), col("n_cw"),
           col("lift_x10k"), col("rn"))
+    },
+
+    // FieldOfStudyRelationship census via the declared 7-col aux
+    // schema (`data/samples/FieldOfStudyRelationship.txt` shape): the
+    // denormalized fos-pair relation aggregated by (type1, type2) with
+    // the float weight summed in cross-engine-stable integer form —
+    // both engines parse the SAME decimal strings to identical IEEE
+    // doubles and apply the identical ×10⁴/floor, so the sum
+    // hash-matches without a tolerance.
+    "q254_fos_relationship_census" -> { (s, d) =>
+      graft.schema.MagTables.fieldOfStudyRelationship(s, magAuxDir(s, d))
+        .groupBy(col("type1"), col("type2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("fos1")).as("n_fields"),
+          sum(floor(col("weight") * 10000).cast("long")).as("weight_x10k"))
+    },
+
+    // ConferenceInstances seasonality census via the declared 15-col
+    // aux schema — the DATE-heavy aux relation end-to-end: per
+    // start-year, instance count, distinct series, total span days and
+    // submission lead days (datediff on the parsed DATE columns), and
+    // the missing-abstract-deadline count (the real dump's empty date
+    // fields must land as NULLs, not epoch garbage).
+    "q255_conference_seasons" -> { (s, d) =>
+      graft.schema.MagTables.conferenceInstances(s, magAuxDir(s, d))
+        .groupBy(year(col("startDate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_instances"),
+          countDistinct(col("series")).as("n_series"),
+          sum(datediff(col("endDate"), col("startDate")).cast("long"))
+            .as("span_days"),
+          sum(datediff(col("startDate"), col("submissionDueDate"))
+            .cast("long")).as("lead_days"),
+          sum(when(col("abstractDueDate").isNull, 1L).otherwise(0L))
+            .as("n_missing_abstract"),
+          sum(col("papers")).as("papers_mass"))
+    },
+
+    // PaperRecommendations reciprocity census via the declared aux
+    // schema (the snapshot's own "Recommandations" spelling): per
+    // score level, edge count, distinct sources, and how many edges
+    // are MUTUAL (A recommends B and B recommends A, any score) — the
+    // recommendation-graph symmetry a ranking consumer audits first.
+    "q256_reco_reciprocity" -> { (s, d) =>
+      val rec = graft.schema.MagTables.paperRecommendations(
+        s, magAuxDir(s, d))
+      val mutual = rec.select(col("paper").as("mp"),
+        col("recommended").as("mr"))
+      rec.join(mutual, col("paper") === col("mr") &&
+          col("recommended") === col("mp"), "left")
+        .select(col("paper"), col("recommended"), col("score"),
+          when(col("mp").isNotNull, 1L).otherwise(0L).as("is_mutual"))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("paper")).as("n_src"),
+          sum(col("is_mutual")).as("n_mutual"))
+    },
+
+    // Unified venue catalog over Journals + ConferenceSeries via their
+    // declared schemas — the reference's venue dimension pair under
+    // one census: per (kind, has_issn), venue count and paper/citation
+    // mass. Journals carry issn for ~1/3 of rows (the real table's
+    // sparsity — PERMISSIVE turns the empty field into NULL);
+    // conference series have no issn column at all and book under
+    // has_issn = 0.
+    "q257_venue_catalog" -> { (s, d) =>
+      val dir = magAuxDir(s, d)
+      val j = graft.schema.MagTables.journals(s, dir)
+        .select(lit("journal").as("kind"),
+          when(col("issn").isNotNull, 1L).otherwise(0L).as("has_issn"),
+          col("papers"), col("citations"))
+      val cs = graft.schema.MagTables.conferenceSeries(s, dir)
+        .select(lit("conference").as("kind"), lit(0L).as("has_issn"),
+          col("papers"), col("citations"))
+      j.unionByName(cs)
+        .groupBy(col("kind"), col("has_issn"))
+        .agg(count(lit(1)).as("n_venues"),
+          sum(col("papers")).as("papers_mass"),
+          sum(col("citations")).as("citations_mass"))
     },
 
     // J7: disjunctive-predicate join rewritten as a union of two
