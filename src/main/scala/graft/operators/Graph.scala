@@ -1968,10 +1968,14 @@ object Graph {
     * level-2 label projected back to the finest grain. */
   def louvainTwoLevel(edges: DataFrame, lpaRounds: Int = 4,
                       refineRounds: Int = 2, coarseRounds: Int = 2,
-                      a: String = "a", b: String = "b"): DataFrame = {
-    val l1 = Checkpoints.checkpointAlways(
+                      a: String = "a", b: String = "b",
+                      level1: Option[DataFrame] = None): DataFrame = {
+    // `level1` lets a caller hand in an already-materialized level-1
+    // partition (v, community) — the build/serve split when the q188
+    // labels are session-pinned and shared
+    val l1 = Checkpoints.checkpointAlways(level1.getOrElse(
       refineCommunities(edges,
-        labelPropagation(edges, lpaRounds, a, b), refineRounds, a, b))
+        labelPropagation(edges, lpaRounds, a, b), refineRounds, a, b)))
     val und = edges.select(least(col(a), col(b)).as("u"),
         greatest(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()

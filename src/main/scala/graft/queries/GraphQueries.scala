@@ -257,6 +257,28 @@ object GraphQueries {
     }) }
   }
 
+  /** Session-pinned REFINED community labels over [[knnEdges]] — the
+    * q188 partition (LPA 4 rounds + 2 guarded refine rounds), built
+    * once per (session, sfDir) and served by both consumers: q188
+    * reports it, q251 contracts it into the coarse community graph
+    * for the next Louvain level. Same lifecycle as [[sccSpine]]. In
+    * no-checkpoint audit mode the pin is an identity, so both
+    * queries' audited plans still cover the full fixpoint dataflow. */
+  private val refinedCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def refinedLabelsSpine(s: SparkSession, d: String): DataFrame = {
+    refinedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    refinedCache.synchronized { refinedCache.getOrElseUpdate((s, d), {
+      refinedCache.keys.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        refinedCache.remove(k).foreach(graft.Checkpoints.release)
+      }
+      val edges = knnEdges(s, d)
+      graft.Checkpoints.checkpointPinned(
+        Graph.refineCommunities(edges,
+          Graph.labelPropagation(edges, rounds = 4), rounds = 2))
+    }) }
+  }
+
   /** Session-pinned KMV-register relation (v, hop, n_reg, kth_min,
     * est_reach) over the k-NN spine — the HyperBall sketch state built
     * once per (session, sfDir) and served by both consumers: q206
@@ -967,9 +989,7 @@ object GraphQueries {
     // ΔQ arithmetic; Q(refined) ≥ Q(LPA) by construction (GraphSpec
     // asserts it on this spine).
     "q188_communities_refined" -> { (s, d) =>
-      val edges = knnEdges(s, d)
-      Graph.refineCommunities(edges,
-        Graph.labelPropagation(edges, rounds = 4), rounds = 2)
+      refinedLabelsSpine(s, d)
     },
 
     // MULTI-LEVEL Louvain over the k-NN spine — the coarsen-and-repeat
@@ -981,7 +1001,8 @@ object GraphQueries {
     // improve-or-single-best guard (GraphSpec asserts it on this
     // spine); every level's rounds unroll in the oracle.
     "q251_louvain_multilevel" -> { (s, d) =>
-      Graph.louvainTwoLevel(knnEdges(s, d))
+      Graph.louvainTwoLevel(knnEdges(s, d),
+        level1 = Some(refinedLabelsSpine(s, d)))
     },
 
     "q105_citation_pagerank_weighted" -> { (s, d) =>
