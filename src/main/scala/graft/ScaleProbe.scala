@@ -949,6 +949,37 @@ object ScaleProbe {
       sq(sqB, emb); sq(sqX, emb10) // codegen warmup
       val (sb, _) = sq(sqB, emb); val (sB, nS) = sq(sqX, emb10)
       println(f"[probe] sq8-serve:   $sb%.1fs -> $sB%.1fs (${sB / sb}%.1fx, $nS results, corpus 10x, queries fixed)")
+
+      // r13 two-level Louvain (q251): disjoint copies preserve each
+      // copy's community structure, so LPA/refine round counts are
+      // copy-invariant and the coarse graph simply has 10x community
+      // vertices — every stage is keyed dataflow, honest ratio ~linear
+      def louv(e: DataFrame) = {
+        val n = Graph.louvainTwoLevel(e).count()
+        Checkpoints.releaseAll(spark)
+        n
+      }
+      louv(spine) // codegen warmup
+      val (vb, _) = time(louv(spine)); val (vB, nV) = time(louv(spine10))
+      println(f"[probe] louvain2:    $vb%.1fs -> $vB%.1fs (${vB / vb}%.1fx, $nV verts, edges 10x)")
+
+      // r13 IVF append (q252): the batch is assigned against FROZEN
+      // written centroids — O(batch · cells) work, corpus never
+      // rescanned; 10x batch → ~linear append wall
+      def ivfApp(corpus: DataFrame): Long = {
+        val dir = java.nio.file.Files.createTempDirectory("ivfapp_probe")
+          .toString
+        Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 5 =!= 4),
+          "vec_id", "embedding", dir, cells = 16, lloydIters = 2)
+        Similarity.appendToIvfIndex(spark, dir,
+          corpus.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
+        val n = spark.read.parquet(s"$dir/assignments.parquet").count()
+        Checkpoints.releaseAll(spark)
+        n
+      }
+      ivfApp(emb) // codegen warmup
+      val (ib, _) = time(ivfApp(emb)); val (iB, nI) = time(ivfApp(emb10))
+      println(f"[probe] ivf-append:  $ib%.1fs -> $iB%.1fs (${iB / ib}%.1fx, $nI index rows, corpus 10x)")
     }
 
     if (!new java.io.File(s"$big/documents.parquet").exists()) {

@@ -866,6 +866,40 @@ object EventQueries {
             .as("lift_x10k"))
     },
 
+    // CALIBRATION-BIN table + Brier mass — the reliability-diagram
+    // half of the classifier-eval trio (q247 AUC = ranking, q248 lift
+    // = targeting, this = probability calibration): each user's
+    // predicted conversion propensity is the exact integer click-share
+    // (clicks·10⁴ div events) binned into 10 fixed-width probability
+    // bins; per bin the observed conversion rate, the signed
+    // calibration gap (predicted mass − observed mass, numerators
+    // only — no nested floor divs to drift), and the exact Brier
+    // numerator Σ(score_x10k − conv·10⁴)² (÷10⁸·n = the Brier score,
+    // division left to the reader, the q66 discipline). Two keyed
+    // aggregates, no joins, no windows.
+    "q258_calibration_bins" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(expr("n_click * 10000 div n_ev").as("score"), col("conv"))
+        .withColumn("bin", expr("least(score div 1000, 9) + 1"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("score")).as("pred_mass_x10k"),
+          sum(col("conv")).as("n_pos"),
+          sum((col("score") - col("conv") * 10000) *
+            (col("score") - col("conv") * 10000)).as("brier_num"))
+        .select(col("bin"), col("n_users"), col("pred_mass_x10k"),
+          col("n_pos"),
+          expr("n_pos * 10000 div n_users").as("obs_x10k"),
+          (col("pred_mass_x10k") - col("n_pos") * 10000).as("gap_mass_x10k"),
+          col("brier_num"))
+    },
+
     // USER BURSTINESS census — the Fano factor (variance/mean) of each
     // user's active-day event counts, the classic overdispersion
     // screen: organic users are near-Poisson (Fano ≈ 1), bots and
@@ -1572,6 +1606,29 @@ object EventQueries {
         |  CAST((cum_conv * n_total * 10000) // (cum_users * total_conv)
         |    AS BIGINT) AS lift_x10k
         |FROM cu""".stripMargin,
+
+    // q258: the same integer click-share score, fixed-width bins, and
+    // exact Brier numerator.
+    "q258_calibration_bins" ->
+      """WITH us AS (SELECT user_id, count(*) AS n_ev,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS n_click,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT n_click * 10000 // n_ev AS score, conv FROM us),
+        |b AS (SELECT least(score // 1000, 9) + 1 AS bin, score, conv
+        |      FROM sc)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(score) AS BIGINT) AS pred_mass_x10k,
+        |  CAST(sum(conv) AS BIGINT) AS n_pos,
+        |  CAST(sum(conv) * 10000 // count(*) AS BIGINT) AS obs_x10k,
+        |  CAST(sum(score) - sum(conv) * 10000 AS BIGINT)
+        |    AS gap_mass_x10k,
+        |  CAST(sum((score - conv * 10000) * (score - conv * 10000))
+        |    AS BIGINT) AS brier_num
+        |FROM b GROUP BY 1""".stripMargin,
 
     // q246: the same distinct-value grain, single ordered cumulative,
     // and integer cross-product sup-norm.
