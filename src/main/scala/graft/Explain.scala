@@ -58,6 +58,7 @@ object Explain {
     "q231_revenue_gini",    // broadcast 1-row (n, total) scalar (q42 shape)
     "q232_cusum_changepoint", // broadcast 1-row total + |max| scalars (q42 shape)
     "q233_benford_census",  // broadcast 1-row corpus-count scalar (q42 shape)
+    "q259_sample_allocation", // broadcast mass-total + seats-left scalars (q42 shape)
     "q235_knn_label_agreement", // exact all-pairs candidate sweep (q28/q56 shape)
     "q243_skew_audit",      // broadcast 1-row totals scalar (q42 shape)
     "q246_ks_drift",        // broadcast 1-row group-totals scalars (q42 shape)

@@ -800,6 +800,41 @@ object CoreQueries {
             .as("rho_x10k"))
     },
 
+    // PROPORTIONAL sample-budget ALLOCATION by largest-remainder
+    // apportionment (Hare quota — public): a 1000-row sample budget
+    // split across the order-priority strata proportionally to their
+    // revenue mass, in EXACT integer arithmetic — base seats =
+    // mass·B div M, leftover seats to the largest remainders
+    // ((rem DESC, stratum) — deterministic), Σ n_alloc = B by
+    // construction. The eval-set/stratified-sampling planning step a
+    // 100 TB curation pipeline runs before drawing: per-stratum counts
+    // and masses are one keyed aggregate, the apportionment itself
+    // touches only the ≤5-row strata table (the single-partition
+    // window is over strata, never rows). mass·1000 ≤ ~10¹⁶ at sf0.1
+    // — int64-safe; at extreme scale widen to DECIMAL(38,0), the q231
+    // pattern.
+    "q259_sample_allocation" -> { (s, d) =>
+      val st = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("stratum"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("mass_cents"))
+      val tot = st.agg(sum(col("mass_cents")).as("m_total"))
+      val base = st.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n_rows"), col("mass_cents"),
+          expr("mass_cents * 1000 div m_total").as("n_base"),
+          expr("mass_cents * 1000 % m_total").as("rem"))
+      val left = base.agg((lit(1000L) - sum(col("n_base"))).as("n_left"))
+      val w = Window.orderBy(col("rem").desc, col("stratum"))
+      base.crossJoin(broadcast(left))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("stratum"), col("n_rows"), col("mass_cents"),
+          col("n_base"), col("rem"),
+          (col("n_base") +
+            when(col("rk") <= col("n_left"), 1L).otherwise(0L))
+            .as("n_alloc"))
+    },
+
     // BENFORD'S-LAW census on order totals — the forensic data-quality
     // screen: observed leading-digit shares vs the Benford expectation
     // log10(1+1/d), both in integer basis points (the expectation as
@@ -1815,6 +1850,27 @@ object CoreQueries {
         |    WHEN 8 THEN 511 WHEN 9 THEN 457 END)) AS BIGINT)
         |    AS abs_dev_x10k
         |FROM g, nn""".stripMargin,
+
+    // q259: the same quota/base/remainder apportionment arithmetic.
+    "q259_sample_allocation" ->
+      """WITH st AS (SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS mass_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(mass_cents) AS BIGINT) AS m_total FROM st),
+        |b AS (SELECT stratum, n_rows, mass_cents,
+        |    mass_cents * 1000 // m_total AS n_base,
+        |    mass_cents * 1000 % m_total AS rem
+        |  FROM st, t),
+        |l AS (SELECT 1000 - sum(n_base) AS n_left FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+        |    AS rk FROM b)
+        |SELECT stratum, n_rows, mass_cents,
+        |  CAST(n_base AS BIGINT) AS n_base, CAST(rem AS BIGINT) AS rem,
+        |  CAST(n_base + CASE WHEN rk <= n_left THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_alloc
+        |FROM r, l""".stripMargin,
 
     // q183: the same serialize → regexp-parse → dimension-join chain
     "q183_geo_enrichment" ->

@@ -543,6 +543,24 @@ object GraphQueries {
          |    ORDER BY lift_x10k DESC, word ASC) AS rn FROM csc)
          |SELECT cited, word, n_cw, lift_x10k, CAST(rn AS BIGINT) AS rn
          |FROM cr WHERE rn <= 3""".stripMargin,
+      "q260_conference_orders" ->
+        s"""WITH cfx AS (SELECT * FROM
+           |    read_csv('$dir/ConferenceInstances.txt/part-*',
+           |      delim = '\t', header = false,
+           |      columns = {'id': 'BIGINT', 'name': 'VARCHAR',
+           |                 'dname': 'VARCHAR', 'series': 'BIGINT',
+           |                 'location': 'VARCHAR', 'url': 'VARCHAR',
+           |                 'start_date': 'DATE', 'end_date': 'DATE',
+           |                 'abstract_due': 'DATE', 'submission_due': 'DATE',
+           |                 'notification_due': 'DATE', 'final_due': 'DATE',
+           |                 'papers': 'BIGINT', 'citations': 'BIGINT',
+           |                 'created_at': 'DATE'}))
+           |SELECT cfx.id AS conf_id, CAST(count(*) AS BIGINT) AS n_orders,
+           |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |    AS revenue_cents
+           |FROM cfx JOIN orders
+           |  ON o_orderdate >= cfx.start_date AND o_orderdate <= cfx.end_date
+           |GROUP BY 1""".stripMargin,
       "q254_fos_relationship_census" ->
         s"""WITH fr AS (SELECT * FROM
            |    read_csv('$dir/FieldOfStudyRelationship.txt/part-*',
@@ -1292,6 +1310,34 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_venues"),
           sum(col("papers")).as("papers_mass"),
           sum(col("citations")).as("citations_mass"))
+    },
+
+    // CONFERENCE-WINDOW order attribution — the aux catalog joined
+    // through the q81 bucketized interval machinery: each order lands
+    // in every ConferenceInstance whose [startDate, endDate] span
+    // (read via the declared 15-col schema, dates → epoch days)
+    // contains its order date. The bare date-range predicate would
+    // plan as a nested-loop cross product; Joins.intervalJoin's
+    // bucket explosion makes it a hash join (8-day buckets ≈ the
+    // 1–5-day span scale). Per conference: attributed order count and
+    // cent-exact revenue mass.
+    "q260_conference_orders" -> { (s, d) =>
+      val epoch = lit("1970-01-01")
+      val conf = graft.schema.MagTables.conferenceInstances(
+          s, magAuxDir(s, d))
+        .select(col("id").as("conf_id"),
+          datediff(col("startDate"), epoch).cast("long").as("d_start"),
+          // endDate inclusive → half-open end+1
+          (datediff(col("endDate"), epoch) + 1).cast("long").as("d_end"))
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("d_ord"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.Joins.intervalJoin(ords, conf,
+          "d_ord", "d_start", "d_end", bucketWidth = 8L)
+        .groupBy(col("conf_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("revenue_cents"))
     },
 
     // J7: disjunctive-predicate join rewritten as a union of two
