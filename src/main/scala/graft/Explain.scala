@@ -84,6 +84,7 @@ object Explain {
     "q118_bpe_budget",      // broadcast corpus-total scalar (q42 shape)
     "q119_ann_ivf_indexed", // broadcast centroid probe assignment (q51 shape)
     "q252_ivf_append_serve", // broadcast centroid probe assignment (q119 shape)
+    "q261_semantic_contamination", // broadcast centroid probe assignment (q119 shape)
     "q120_quantile_sketch", // broadcast 1-row sketch scalar (q42 shape)
     "q121_bloom_join",      // broadcast 1-row Bloom-filter scalar (q42 shape)
     "q124_mixture_sample",  // broadcast budget + weight-total scalars

@@ -20,7 +20,8 @@ object Verify {
       "q250_citation_context_terms", "q252_ivf_append_serve",
       "q253_ivf_append_drift", "q254_fos_relationship_census",
       "q255_conference_seasons", "q256_reco_reciprocity",
-      "q257_venue_catalog", "q260_conference_orders")
+      "q257_venue_catalog", "q260_conference_orders",
+      "q261_semantic_contamination")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

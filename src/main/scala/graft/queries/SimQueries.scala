@@ -173,6 +173,49 @@ object SimQueries {
         queriesSubset(s, d), "vec_id", "embedding", 5)
     },
 
+    // SEMANTIC decontamination screen — the embedding twin of q195's
+    // n-gram contamination census: each EVAL vector (the % 20 holdout
+    // convention) is screened against the TRAINING corpus (everything
+    // else) through the persisted q119 IVF index; verdict = best
+    // candidate cosine ≥ 0.8 → the eval item leaks into training in
+    // paraphrase space where shingle overlap sees nothing. Serves
+    // from the index (probe assignment + candidate cells), corpus
+    // touched only in the exact re-rank; zero-candidate eval vectors
+    // surface with a −10⁴ sentinel, never silently dropped.
+    "q261_semantic_contamination" -> { (s, d) =>
+      val spark = s
+      val centroids = spark.read.parquet(
+        s"${ivfIndexDir(s, d)}/centroids.parquet")
+      val index = spark.read.parquet(
+        s"${ivfIndexDir(s, d)}/assignments.parquet")
+      val q = queriesSubset(s, d).select(col("vec_id").as("q_id"),
+        graft.functions.VectorFns.toDoubleArr(col("embedding")).as("qv"))
+      val probes = Similarity.assignCells(
+          q.select(col("q_id").as("n_id"), col("qv").as("cv")),
+          centroids, 4)
+        .select(col("n_id").as("q_id"), col("cell"))
+      val cand = probes.join(index, "cell")
+        .filter(col("n_id") % 20 =!= 0) // training side only
+        .select(col("q_id"), col("n_id")).distinct()
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.toDoubleArr(col("embedding")).as("cv"))
+      val scored = cand.join(c, "n_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("n_id"),
+          round(graft.functions.ArrayCosine.cosine(col("qv"), col("cv"))
+            * 10000, 0).cast("long").as("cos_x10k"))
+      val best = graft.operators.Relational.topKPerGroup(scored,
+          Seq(col("q_id")), Seq(col("cos_x10k").desc, col("n_id")), 1)
+        .select(col("q_id"), col("n_id").as("best_match"),
+          col("cos_x10k"))
+      q.select(col("q_id")).join(best, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("best_match"), lit(-1L)).as("best_match"),
+          coalesce(col("cos_x10k"), lit(-10000L)).as("cos_x10k"),
+          when(coalesce(col("cos_x10k"), lit(-10000L)) >= 8000, 1L)
+            .otherwise(0L).as("contaminated"))
+    },
+
     // Occupancy-DRIFT census over the appended index — the retrain
     // trigger: per cell, base vs appended member counts and the
     // growth in basis points; a cell past 3000 bp (30%) raises the
@@ -1017,7 +1060,41 @@ object SimQueries {
          |       ELSE n_new * 10000 // n_base END) >= 3000
          |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
          |FROM census""".stripMargin
+    // q261: the q51 literal-centroid replay restricted to training-side
+    // candidates, top-1, ×10⁴ verdict with the no-candidate sentinel
+    val q261 =
+      s"""WITH ${ivfSimSql(c51)},
+         |idx AS (SELECT n_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn FROM sim)
+         |  WHERE arn <= 1),
+         |probes AS (SELECT n_id AS q_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_id
+         |      ORDER BY sim DESC, cell) AS arn
+         |    FROM sim WHERE n_id % 20 = 0)
+         |  WHERE arn <= 4),
+         |cand AS (SELECT DISTINCT p.q_id, i.n_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  WHERE i.n_id % 20 <> 0),
+         |scored AS (SELECT q_id, n_id,
+         |    CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000, 0)
+         |      AS BIGINT) AS cos_x10k
+         |  FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+         |            JOIN e ec ON cand.n_id = ec.vec_id),
+         |best AS (SELECT q_id, n_id AS best_match, cos_x10k FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_x10k DESC, n_id) AS rn FROM scored)
+         |  WHERE rn <= 1)
+         |SELECT q.q_id,
+         |  CAST(coalesce(b.best_match, -1) AS BIGINT) AS best_match,
+         |  CAST(coalesce(b.cos_x10k, -10000) AS BIGINT) AS cos_x10k,
+         |  CAST(CASE WHEN coalesce(b.cos_x10k, -10000) >= 8000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM (SELECT vec_id AS q_id FROM embeddings
+         |      WHERE vec_id % 20 = 0) q
+         |LEFT JOIN best b ON q.q_id = b.q_id""".stripMargin
     Map("q51_ann_ivf_topk" -> q51, "q119_ann_ivf_indexed" -> q51,
+      "q261_semantic_contamination" -> q261,
       "q252_ivf_append_serve" -> q252, "q253_ivf_append_drift" -> q253,
       "q196_ann_recall_at_k" -> q196, "q197_ann_ndcg_at_k" -> q197,
       "q211_ann_mrr_at_k" -> q211,

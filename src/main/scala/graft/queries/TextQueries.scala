@@ -160,6 +160,29 @@ object TextQueries {
         length(n).cast("long").as("n_chars_norm"))
     },
 
+    // TOKENIZER FERTILITY census per language — the multilingual
+    // tokenizer-efficiency readout (fertility = subword tokens per
+    // word; a tokenizer that fragments one language inflates its
+    // training cost and starves its effective context): per declared
+    // doc language, corpus mass in words / BPE-ish regex tokens /
+    // normalized chars, fertility and chars-per-token in exact basis
+    // points. One scan + one O(languages) aggregate.
+    "q262_token_fertility" -> { (s, d) =>
+      val n = TextFns.norm(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(TextFns.words(n)).cast("long").as("nw"),
+          size(TextFns.regexTokens(n)).cast("long").as("nt"),
+          length(n).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_chars"),
+          expr("n_tokens * 10000 div n_words").as("fertility_x10k"),
+          expr("n_chars * 10000 div n_tokens").as("chars_per_tok_x10k"))
+    },
+
     // Quality scoring: length/stopword-ratio/word-length features.
     "q21_doc_quality" -> { (s, d) =>
       val n = TextFns.norm(col("text"))
@@ -2602,6 +2625,25 @@ object TextQueries {
          |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
          |  CAST(length(${normSql("text")}) AS BIGINT) AS n_chars_norm
          |FROM documents""".stripMargin,
+
+    // q262: the q20 per-doc pieces rolled to language grain with the
+    // integer fertility ratios.
+    "q262_token_fertility" ->
+      s"""WITH tf AS (SELECT lang,
+         |    CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT)
+         |      AS nw,
+         |    CAST(len(regexp_extract_all(${normSql("text")},
+         |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nt,
+         |    CAST(length(${normSql("text")}) AS BIGINT) AS nc
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nt) * 10000 // sum(nw) AS BIGINT) AS fertility_x10k,
+         |  CAST(sum(nc) * 10000 // sum(nt) AS BIGINT)
+         |    AS chars_per_tok_x10k
+         |FROM tf GROUP BY 1""".stripMargin,
 
     "q21_doc_quality" ->
       s"""WITH t AS (SELECT doc_id, ${normSql("text")} AS n,
