@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CoreQueries, GraphQueries, SimQueries, TextQueries}
+
+/** Structural invariants of the r13 late additions (q258–q262) that the
+  * row-level oracle can't express — conservation laws and definitional
+  * consistency on the real fixtures. */
+class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q259 apportionment conserves the budget exactly and respects quotas") {
+    val rows = CoreQueries.defs("q259_sample_allocation")(spark, dir)
+      .select(col("n_base"), col("n_alloc")).as[(Long, Long)].collect()
+    // largest-remainder: Σ n_alloc = B exactly, and every stratum gets
+    // its base quota with at most one remainder seat on top
+    assert(rows.map(_._2).sum == 1000L)
+    assert(rows.forall { case (b, a) => a == b || a == b + 1 })
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q260 attributes only orders truly inside a conference span") {
+    // re-verify the bucketized interval join against the raw predicate
+    val out = GraphQueries.defs("q260_conference_orders")(spark, dir)
+      .agg(sum(col("n_orders"))).first.getLong(0)
+    val epoch = lit("1970-01-01")
+    val conf = graft.schema.MagTables.conferenceInstances(spark,
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_magaux_sf0.001").toString)
+      .select(col("id"), datediff(col("startDate"), epoch).as("s"),
+        datediff(col("endDate"), epoch).as("e"))
+    val brute = graft.sources.Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate"), epoch).as("d"))
+      .join(conf, col("d") >= col("s") && col("d") <= col("e"))
+      .count()
+    assert(out == brute)
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q261 screens every eval vector and verdicts match the threshold") {
+    val rows = SimQueries.defs("q261_semantic_contamination")(spark, dir)
+      .select(col("q_id"), col("cos_x10k"), col("contaminated"))
+      .as[(Long, Long, Long)].collect()
+    val nEval = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(rows.length.toLong == nEval) // nothing silently dropped
+    assert(rows.forall { case (_, c, f) => (c >= 8000) == (f == 1L) })
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q262 fertility is >= 1 token per word in every language") {
+    // the regex tokenizer never merges across whitespace, so each word
+    // yields at least one token: fertility_x10k >= 10000 structurally
+    val rows = TextQueries.defs("q262_token_fertility")(spark, dir)
+      .select(col("fertility_x10k")).as[Long].collect()
+    assert(rows.nonEmpty && rows.forall(_ >= 10000L))
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q258 calibration bins partition the user base") {
+    val rows = CoreQueries.defs.get("q258_calibration_bins")
+      .orElse(graft.queries.EventQueries.defs.get("q258_calibration_bins"))
+      .get(spark, dir)
+      .select(col("bin"), col("n_users"), col("n_pos"))
+      .as[(Long, Long, Long)].collect()
+    val nUsers = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == nUsers) // every user in exactly one bin
+    assert(rows.forall { case (b, n, p) => b >= 1 && b <= 10 && p <= n })
+    Checkpoints.releaseAll(spark)
+  }
+}
