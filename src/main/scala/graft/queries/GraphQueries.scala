@@ -438,6 +438,16 @@ object GraphQueries {
       // every 3rd order recommends two fixed-hash partners with a
       // rank-decaying score
       val rec = k.filter(col("paper") % 3 === 0)
+      // Adversarial tail (constant, so still a pure function of the
+      // SF): a DUPLICATED (paper, recommended) pair that really is
+      // mutual. A reciprocity probe joining a non-deduplicated mutual
+      // side fans out on these rows — the real-dump re-scored-
+      // recommendation shape q256 must survive. Ids sit far above any
+      // o_orderkey range so they collide with nothing organic.
+      val recAdversarial = s.range(1).select(explode(typedLit(Seq(
+        "99999901\t99999902\t0.9",
+        "99999901\t99999902\t0.75",
+        "99999902\t99999901\t0.9"))).as("value"))
       rec.select(col("paper"), (col("paper") * 7 % 1000).as("r"),
           lit("0.9").as("sc"))
         .unionByName(rec.select(col("paper"),
@@ -445,6 +455,7 @@ object GraphQueries {
         .filter(col("paper") =!= col("r"))
         .select(concat_ws("\t", col("paper"), col("r"), col("sc"))
           .as("value"))
+        .unionByName(recAdversarial)
         .write.mode("overwrite").text(s"$dir/PaperRecommandations.txt")
       // Journals.txt (10 cols) + ConferenceSeries.txt (7 cols): the
       // venue catalog pair, from suppliers — issn present only for
@@ -1277,8 +1288,12 @@ object GraphQueries {
     "q256_reco_reciprocity" -> { (s, d) =>
       val rec = graft.schema.MagTables.paperRecommendations(
         s, magAuxDir(s, d))
+      // DISTINCT before the probe join: a real dump carries duplicate
+      // (paper, recommended) rows (re-scored recommendations), and a
+      // non-deduplicated mutual side would fan out every matching
+      // probe row, inflating n_edges and n_mutual.
       val mutual = rec.select(col("paper").as("mp"),
-        col("recommended").as("mr"))
+        col("recommended").as("mr")).distinct()
       rec.join(mutual, col("paper") === col("mr") &&
           col("recommended") === col("mp"), "left")
         .select(col("paper"), col("recommended"), col("score"),
