@@ -301,8 +301,18 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val c = batch.select(col(id).as("n_id"),
       VectorFns.toDoubleArr(col(vec)).as("cv"))
-    assignCells(c, centroids, 1)
-      .write.mode("append").parquet(s"$indexDir/assignments.parquet")
+    // Mirror buildIvfIndex's assignment-mode branch EXACTLY, keyed off
+    // the persisted artifact (centroid count ≤ cells — a tiny file,
+    // not a corpus scan): at cells > 64 the build assigns through the
+    // hierarchical router, and because that router is a pure
+    // bit-deterministic function of the written centroids (integer-
+    // mean Lloyd over ≤ cells rows), recomputing it here yields the
+    // identical vector→cell function — append ≡ one-shot build at
+    // EVERY cell count, not just the flat regime.
+    val assigned =
+      if (centroids.count() > 64) assignCellsHierarchical(c, centroids, 1)
+      else assignCells(c, centroids, 1)
+    assigned.write.mode("append").parquet(s"$indexDir/assignments.parquet")
   }
 
   /** ANN top-k against a PERSISTED IVF index ([[buildIvfIndex]]): the
