@@ -149,6 +149,51 @@ object TextQueries {
   private def qualitySql(nWords: String, stopRatio: String) =
     s"round(least(1.0, CAST($nWords AS DOUBLE) / 100.0) * (1.0 - $stopRatio), 4)"
 
+  /** Serialize each document into the reference's EXACT abstract
+    * storage format — `{"IndexLength":N,"InvertedIndex":{word:
+    * [positions]}}` (`data/samples/PaperAbstractsInvertedIndex.txt:1`)
+    * — via real JSON codecs. Shared by q59 (in-memory round-trip) and
+    * the q263 catalog-ingest fixture; map keys sorted so the JSON is
+    * byte-deterministic. Returns (doc_id, js). */
+  private def invertedIndexJson(docs: DataFrame): DataFrame = {
+    val w = TextFns.words(TextFns.norm(col("text")))
+    docs.select(col("doc_id"), posexplode(w).as(Seq("pos", "word")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(array_sort(
+          collect_list(struct(col("word"), col("positions")))))
+          .as("InvertedIndex"),
+        sum(size(col("positions"))).cast("int").as("IndexLength"))
+      .select(col("doc_id"),
+        to_json(struct(col("IndexLength"), col("InvertedIndex"))).as("js"))
+  }
+
+  /** PaperAbstractsInvertedIndex-shaped TSV fixture per (session,
+    * sfDir) — the LAST of the reference's 18 sample relations to get a
+    * declared catalog read (`data/samples/PaperAbstractsInvertedIndex
+    * .txt`: one (paper_id, json) row per paper). Content is a pure
+    * function of the SF tables (every `documents` row serialized by
+    * [[invertedIndexJson]]); lifecycle identical to the q190/magAuxDir
+    * convention: deterministic per-SF path, DuckDB reads the SAME
+    * files post-JVM, so the declared-schema quote-free TSV read itself
+    * sits under the hash gate. */
+  private val absDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def abstractsDir(s: SparkSession, d: String): String = {
+    absDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    absDirs.synchronized { absDirs.getOrElseUpdate((s, d), {
+      val sfName = d.split('/').filter(_.nonEmpty).last
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_magabs_$sfName").toString
+      invertedIndexJson(Tables.documents(s, d))
+        .select(concat_ws("\t", col("doc_id"), col("js")).as("value"))
+        .write.mode("overwrite")
+        .text(s"$dir/PaperAbstractsInvertedIndex.txt")
+      dir
+    }) }
+  }
+
   val defs: Map[String, Q] = Map(
     // Tokenization stats: whitespace tokens vs BPE-ish regex tokens.
     "q20_token_stats" -> { (s, d) =>
@@ -866,18 +911,7 @@ object TextQueries {
     // decode summary stats — which the oracle computes directly from
     // the text, so any unfaithfulness in the round-trip mismatches.
     "q59_invindex_roundtrip" -> { (s, d) =>
-      val w = TextFns.words(TextFns.norm(col("text")))
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(w).as(Seq("pos", "word")))
-      val inv = toks.groupBy(col("doc_id"), col("word"))
-        .agg(sort_array(collect_list(col("pos"))).as("positions"))
-        .groupBy(col("doc_id"))
-        .agg(map_from_entries(array_sort(
-            collect_list(struct(col("word"), col("positions")))))
-            .as("InvertedIndex"),
-          sum(size(col("positions"))).cast("int").as("IndexLength"))
-      val js = inv.select(col("doc_id"),
-        to_json(struct(col("IndexLength"), col("InvertedIndex"))).as("js"))
+      val js = invertedIndexJson(Tables.documents(s, d))
       val parsed = js.select(col("doc_id"), from_json(col("js"),
         org.apache.spark.sql.types.DataType.fromDDL(
           "struct<IndexLength:int, InvertedIndex:map<string,array<int>>>"))
@@ -889,6 +923,67 @@ object TextQueries {
         .agg(first(col("index_length")).cast("long").as("index_length"),
           count(lit(1)).as("n_terms"),
           sum(size(col("entry.value"))).cast("long").as("n_positions"))
+    },
+
+    // The reference's 18th (and last) sample relation through the
+    // DECLARED catalog: PaperAbstractsInvertedIndex.txt ingested as a
+    // quote-free (paper_id, json) TSV via MagTables (day-one shape for
+    // a real MAG dump), decoded with from_json, the abstract TEXT
+    // reconstructed order-faithfully from the position lists (pinned
+    // by the cross-engine polynomial fingerprint — any position or
+    // ordering slip mismatches), and the decoded postings fed straight
+    // into TF-IDF (top term per paper, exact-integer lift, q250
+    // discipline). The oracle re-reads the SAME TSV and replays the
+    // whole chain with DuckDB's native JSON codecs.
+    "q263_abstract_invindex" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pai = graft.schema.MagTables
+        .paperAbstractsInvertedIndex(s, abstractsDir(s, d))
+      val ent = pai
+        .select(col("paper"), from_json(col("indexedAbstract"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "struct<IndexLength:int, InvertedIndex:map<string,array<int>>>"))
+          .as("doc"))
+        .select(col("paper"), col("doc.IndexLength").cast("long")
+          .as("index_length"),
+          explode(map_entries(col("doc.InvertedIndex"))).as("e"))
+        .select(col("paper"), col("index_length"),
+          col("e.key").as("word"), col("e.value").as("positions"))
+      // abstract reconstruction: positions partition [0, IndexLength),
+      // so sorting (pos, word) and joining on spaces is exact inverse
+      val rec = ent
+        .select(col("paper"), col("word"),
+          explode(col("positions")).as("pos"))
+        .groupBy(col("paper"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          t => t.getField("word"))).as("abs_text"))
+        .select(col("paper"),
+          TextFns.polyHash(col("abs_text")).as("abstract_fp"))
+      // TF-IDF from the decoded postings: tf = |positions|, df over
+      // papers, length-normalized integer lift (all-positive div)
+      val nDocs = ent.select(countDistinct(col("paper")).as("n_docs"))
+      val dfw = ent.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val scored = ent
+        .select(col("paper"), col("index_length"), col("word"),
+          size(col("positions")).cast("long").as("tf"))
+        .join(dfw, Seq("word"))
+        .join(broadcast(nDocs))
+        .select(col("paper"), col("index_length"), col("word"), col("tf"),
+          expr("(tf * n_docs * 10000) div (index_length * df)")
+            .as("score_x10k"))
+      val top = scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("paper"))
+          .orderBy(col("score_x10k").desc, col("word").asc)))
+        .filter(col("rn") === 1)
+        .select(col("paper"), col("word").as("top_word"),
+          col("score_x10k").as("tfidf_x10k"))
+      scored.groupBy(col("paper"))
+        .agg(min(col("index_length")).as("index_length"),
+          count(lit(1)).as("n_terms"),
+          sum(col("tf")).as("n_positions"))
+        .join(rec, Seq("paper"))
+        .join(top, Seq("paper"))
     },
 
     // MinHash + LSH banding candidate pairs. Oracle-checked: shingle
@@ -3740,11 +3835,61 @@ object TextQueries {
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
     val learned = graft.functions.Bpe.learnMerges(docs, col("text"), 12)
+    val absDir = abstractsDir(s, d)
     Map("q132_bpe_learned" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(${graft.functions.Bpe.tokenCountSqlWith("text", learned)})
          |    AS BIGINT) AS tokens
          |FROM documents WHERE doc_id >= 0
-         |GROUP BY source""".stripMargin)
+         |GROUP BY source""".stripMargin,
+      // reads the very TSV the Spark side ingested (quote-free — the
+      // JSON field is full of unquoted `"`), decodes with DuckDB's
+      // native JSON codecs, replays reconstruction + fingerprint + the
+      // integer TF-IDF lift
+      "q263_abstract_invindex" ->
+        s"""WITH abr AS (SELECT * FROM
+           |    read_csv('$absDir/PaperAbstractsInvertedIndex.txt/part-*',
+           |      delim = '\t', header = false, quote = '',
+           |      columns = {'paper': 'BIGINT',
+           |                 'indexed_abstract': 'VARCHAR'})),
+           |abj AS (SELECT paper, indexed_abstract::JSON AS j FROM abr),
+           |abk AS (SELECT paper, j,
+           |    CAST(json_extract(j, '$$.IndexLength') AS BIGINT)
+           |      AS index_length,
+           |    unnest(json_keys(j, '$$.InvertedIndex')) AS word FROM abj),
+           |abe AS (SELECT paper, index_length, word,
+           |    CAST(j -> 'InvertedIndex' -> word AS BIGINT[]) AS positions
+           |  FROM abk),
+           |abt AS (SELECT paper, word, unnest(positions) AS pos FROM abe),
+           |abrec AS (SELECT paper,
+           |    string_agg(word, ' ' ORDER BY pos) AS abs_text
+           |  FROM abt GROUP BY 1),
+           |abfp AS (SELECT paper, list_reduce(list_prepend(
+           |      CAST(0 AS BIGINT),
+           |      list_transform(string_split(abs_text, ''),
+           |        c -> CAST(ascii(c) AS BIGINT))),
+           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS abstract_fp
+           |  FROM abrec),
+           |abn AS (SELECT CAST(count(DISTINCT paper) AS BIGINT) AS n_docs
+           |        FROM abe),
+           |abdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+           |         FROM abe GROUP BY 1),
+           |absc AS (SELECT abe.paper, abe.index_length, abe.word,
+           |    CAST(len(positions) AS BIGINT) AS tf,
+           |    (CAST(len(positions) AS BIGINT) * n_docs * 10000)
+           |      // (abe.index_length * df) AS score_x10k
+           |  FROM abe, abn JOIN abdf ON abe.word = abdf.word),
+           |abtop AS (SELECT *, row_number() OVER (PARTITION BY paper
+           |    ORDER BY score_x10k DESC, word ASC) AS rn FROM absc),
+           |absum AS (SELECT paper, min(index_length) AS index_length,
+           |    CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(sum(tf) AS BIGINT) AS n_positions
+           |  FROM absc GROUP BY 1)
+           |SELECT absum.paper, absum.index_length, absum.n_terms,
+           |  absum.n_positions, abfp.abstract_fp,
+           |  abtop.word AS top_word,
+           |  CAST(abtop.score_x10k AS BIGINT) AS tfidf_x10k
+           |FROM absum JOIN abfp ON absum.paper = abfp.paper
+           |JOIN abtop ON absum.paper = abtop.paper AND abtop.rn = 1""".stripMargin)
   }
 }

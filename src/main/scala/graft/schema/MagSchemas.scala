@@ -97,6 +97,13 @@ object MagSchemas {
   // names and types carried inline plus a relation weight
   case class FosRelationship(fos1: Long, name1: String, type1: String,
       fos2: Long, name2: String, type2: String, weight: Double)
+  // PaperAbstractsInvertedIndex.txt: paper id + the abstract stored as
+  // a JSON inverted index ({"IndexLength":N,"InvertedIndex":
+  // {word:[positions]}} — `data/samples/PaperAbstractsInvertedIndex
+  // .txt:1`). The JSON stays a STRING at ingest (its vocabulary is
+  // per-row, so no static schema exists for the map keys); decoding is
+  // a `from_json(map<string,array<int>>)` select — the q59/q263 path.
+  case class PaperAbstractInvIndex(paper: Long, indexedAbstract: String)
 
   def schemaOf[T <: Product : scala.reflect.runtime.universe.TypeTag]: StructType =
     Encoders.product[T].schema
@@ -147,4 +154,10 @@ object MagTables {
     read[PaperRecommendation](s, dir, "PaperRecommandations.txt")
   def fieldOfStudyRelationship(s: SparkSession, dir: String): DataFrame =
     read[FosRelationship](s, dir, "FieldOfStudyRelationship.txt")
+  // The abstracts file embeds unquoted JSON (full of `"`) in its second
+  // column; MAG TSVs never CSV-quote, so quoting is DISABLED for this
+  // read — a `"` is just a character, never a field delimiter.
+  def paperAbstractsInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Ingest.delimited(s, s"$dir/PaperAbstractsInvertedIndex.txt",
+      schemaOf[PaperAbstractInvIndex], quote = "")
 }

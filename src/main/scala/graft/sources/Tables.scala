@@ -77,12 +77,16 @@ object Ingest {
     * malformed rows as nulls, matching the reference's safe-coercion
     * convention (`StaticNet.scala:83-102`). */
   def delimited(spark: SparkSession, path: String, schema: StructType,
-                sep: String = "\t", header: Boolean = false): DataFrame =
+                sep: String = "\t", header: Boolean = false,
+                quote: String = "\""): DataFrame =
     spark.read
       // text sources always yield nullables
       .schema(StructType(schema.fields.map(_.copy(nullable = true))))
       .option("sep", sep)
       .option("header", header.toString)
+      // empty string disables quote handling entirely (raw TSVs — the
+      // MAG abstracts file embeds unquoted JSON `"` characters)
+      .option("quote", quote)
       .option("mode", "PERMISSIVE")
       .csv(path)
 

@@ -104,6 +104,33 @@ class MagIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(fr.schema.fieldIndex("weight")) == 0.0102311)
   }
 
+  test("abstracts reader: unquoted JSON with embedded quotes survives") {
+    val dir = Files.createTempDirectory("mag").toFile
+    // shape of data/samples/PaperAbstractsInvertedIndex.txt:1 — the
+    // second column is raw JSON, full of unquoted `"` (quote handling
+    // must be OFF for this read or the field is mangled)
+    Files.writeString(
+      new java.io.File(dir, "PaperAbstractsInvertedIndex.txt").toPath,
+      "15\t{\"IndexLength\":4,\"InvertedIndex\":{\"im\":[2]," +
+        "\"erfolgreiche\":[0],\"arbeitsteilung\":[1,3]}}\n" +
+        "37\t{\"IndexLength\":1,\"InvertedIndex\":{\"summary\":[0]}}\n")
+    val df = MagTables.paperAbstractsInvertedIndex(spark, dir.getPath)
+    assert(df.count() == 2)
+    val r = df.filter(df("paper") === 15L).collect()(0)
+    val js = r.getString(df.schema.fieldIndex("indexedAbstract"))
+    assert(js.startsWith("{\"IndexLength\":4"))
+    // decodes with real JSON codecs to the declared map shape
+    import org.apache.spark.sql.functions.{col, from_json, map_keys, size}
+    val dec = df.select(col("paper"), from_json(col("indexedAbstract"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "struct<IndexLength:int, InvertedIndex:map<string,array<int>>>"))
+      .as("doc"))
+    val d15 = dec.filter(col("paper") === 15L)
+      .select(col("doc.IndexLength"), size(map_keys(col("doc.InvertedIndex"))))
+      .collect()(0)
+    assert(d15.getInt(0) == 4 && d15.getInt(1) == 3)
+  }
+
   test("paper-urls + languages readers cover the per-paper aux pair") {
     val dir = Files.createTempDirectory("mag").toFile
     Files.writeString(new java.io.File(dir, "PaperUrls.txt").toPath,
