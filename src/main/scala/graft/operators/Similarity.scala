@@ -261,6 +261,51 @@ object Similarity {
     * doubles bit-exact, so an index built in one session replays
     * identically in another — which is also what lets the q119 oracle
     * reuse the q51 literal-centroid replay. */
+  /** Requested cell count above which assignment routes through the
+    * hierarchical two-level router ([[assignCellsHierarchical]]). */
+  private[graft] val HierCellThreshold = 64
+
+  private def ivfMetaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_ivf_meta")
+
+  /** Persist the index's assignment mode as a tiny sidecar next to the
+    * centroids. The mode is a function of the REQUESTED `cells`, not of
+    * how many centroids Lloyd actually wrote (seeding `limit(cells)`
+    * over a small corpus, or empty-cell collapse during refinement, can
+    * leave fewer) — so it must be recorded at build time or an append
+    * cannot reconstruct it. Plain Hadoop-FS bytes: reading it back is a
+    * driver-side open, not a Spark job. */
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, cells: Int): Unit = {
+    val p = ivfMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"cells=$cells\nhierarchical=${cells > HierCellThreshold}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The persisted assignment mode, if the index carries one (indexes
+    * written before the sidecar existed do not). */
+  private[graft] def readIvfMetaHierarchical(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Boolean] = {
+    val p = ivfMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.collectFirst {
+        case l if l.startsWith("hierarchical=") =>
+          l.stripPrefix("hierarchical=").trim.toBoolean
+      }
+    }
+  }
+
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
                     outDir: String, cells: Int = 16,
                     lloydIters: Int = 2): Unit = {
@@ -269,11 +314,12 @@ object Similarity {
     val centroids = lloydCentroids(c, cells, lloydIters)
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids.parquet")
+    writeIvfMeta(corpus.sparkSession, outDir, cells)
     // assign against the WRITTEN centroids: the persisted artifact is
     // the source of truth the assignments must be consistent with
     val written = corpus.sparkSession.read.parquet(s"$outDir/centroids.parquet")
     val assigned =
-      if (cells > 64) assignCellsHierarchical(c, written, 1)
+      if (cells > HierCellThreshold) assignCellsHierarchical(c, written, 1)
       else assignCells(c, written, 1)
     assigned.write.mode("overwrite").parquet(s"$outDir/assignments.parquet")
     graft.Checkpoints.release(centroids)
@@ -301,16 +347,23 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val c = batch.select(col(id).as("n_id"),
       VectorFns.toDoubleArr(col(vec)).as("cv"))
-    // Mirror buildIvfIndex's assignment-mode branch EXACTLY, keyed off
-    // the persisted artifact (centroid count ≤ cells — a tiny file,
-    // not a corpus scan): at cells > 64 the build assigns through the
-    // hierarchical router, and because that router is a pure
-    // bit-deterministic function of the written centroids (integer-
-    // mean Lloyd over ≤ cells rows), recomputing it here yields the
-    // identical vector→cell function — append ≡ one-shot build at
-    // EVERY cell count, not just the flat regime.
+    // The build's assignment mode comes from the PERSISTED meta sidecar
+    // — the written centroid count is NOT a proxy for it (Lloyd can
+    // write fewer than the requested `cells`: seed limit over a small
+    // corpus, or empty-cell collapse in refinement — and in that corner
+    // a count-based branch would route flat while the build routed
+    // hierarchically, which at superProbe=4 is genuinely approximate,
+    // so the two would disagree). Reading the sidecar is a driver-side
+    // FS open — no per-append Spark action. The hierarchical router is
+    // a pure bit-deterministic function of the written centroids, so
+    // recomputing it here yields the identical vector→cell function —
+    // append ≡ one-shot build at EVERY cell count. Legacy indexes
+    // without a sidecar fall back to the count heuristic (best effort;
+    // every in-repo index carries the sidecar).
+    val hier = readIvfMetaHierarchical(spark, indexDir)
+      .getOrElse(centroids.count() > HierCellThreshold)
     val assigned =
-      if (centroids.count() > 64) assignCellsHierarchical(c, centroids, 1)
+      if (hier) assignCellsHierarchical(c, centroids, 1)
       else assignCells(c, centroids, 1)
     assigned.write.mode("append").parquet(s"$indexDir/assignments.parquet")
   }

@@ -147,6 +147,68 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("incremental IVF append equals one-shot assignment at cells>64 " +
+       "(the hierarchical-router regime)") {
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfapph").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", idxDir,
+      cells = 80, lloydIters = 2)
+    // the sidecar records the build's mode (requested cells > threshold)
+    assert(Similarity.readIvfMetaHierarchical(spark, idxDir).contains(true))
+    Similarity.appendToIvfIndex(spark, idxDir, batch, "vec_id", "embedding")
+    val appended = spark.read.parquet(s"$idxDir/assignments.parquet")
+      .as[(Long, Long)].collect().toSet
+    val cents = spark.read.parquet(s"$idxDir/centroids.parquet")
+    val oneShot = Similarity.assignCellsHierarchical(
+        emb.select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.toDoubleArr(col("embedding")).as("cv")),
+        cents, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(appended == oneShot)
+    assert(appended.map(_._1) == emb.select(col("vec_id")).as[Long]
+      .collect().toSet)
+    graft.Checkpoints.releaseAll(spark)
+  }
+
+  test("append keeps the build's hierarchical mode when Lloyd writes " +
+       "fewer centroids than the requested cells") {
+    // 40-vector corpus, cells=80: the seed limit(cells) writes ≤ 40
+    // centroids, so a count(>64)-based branch would route the append
+    // FLAT while the build routed HIERARCHICALLY — the divergence the
+    // persisted sidecar exists to close.
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfappf").toString
+    val base = emb.filter(col("vec_id") < 40)
+    val batch = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", idxDir,
+      cells = 80, lloydIters = 2)
+    val cents = spark.read.parquet(s"$idxDir/centroids.parquet")
+    assert(cents.count() <= Similarity.HierCellThreshold,
+      "fixture must land in the written<=threshold<requested corner")
+    assert(Similarity.readIvfMetaHierarchical(spark, idxDir).contains(true))
+    Similarity.appendToIvfIndex(spark, idxDir, batch, "vec_id", "embedding")
+    val appended = spark.read.parquet(s"$idxDir/assignments.parquet")
+      .as[(Long, Long)].collect().toSet
+    def assignAll(df: org.apache.spark.sql.DataFrame,
+                  hier: Boolean): Set[(Long, Long)] = {
+      val c = df.select(col("vec_id").as("n_id"),
+        graft.functions.VectorFns.toDoubleArr(col("embedding")).as("cv"))
+      val a = if (hier) Similarity.assignCellsHierarchical(c, cents, 1)
+              else Similarity.assignCells(c, cents, 1)
+      a.as[(Long, Long)].collect().toSet
+    }
+    val union = emb.filter(col("vec_id") < 60)
+    assert(appended == assignAll(union, hier = true))
+    // on this fixture the flat and hierarchical routes genuinely
+    // disagree for some vector (superProbe=4 of ~6 supers prunes real
+    // candidates); if they ever coincide the mode assertion above
+    // still pins the branch
+    val flatUnion = assignAll(union, hier = false)
+    info(s"flat-vs-hier divergence on union: ${
+      (flatUnion diff appended).size} rows")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("sign-LSH ANN recall is monotone in the probe count (0/2/4)") {
     def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
     val r = Seq(0, 2, 4).map { p =>
