@@ -41,5 +41,6 @@ object SparkEntry {
     SimQueries.dynamicOracles(spark, sfDir) ++
       TextQueries.dynamicOracles(spark, sfDir) ++
       EventQueries.dynamicOracles(spark, sfDir) ++
-      GraphQueries.dynamicOracles(spark, sfDir)
+      GraphQueries.dynamicOracles(spark, sfDir) ++
+      CoreQueries.dynamicOracles(spark, sfDir)
 }

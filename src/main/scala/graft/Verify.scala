@@ -14,7 +14,8 @@ object Verify {
   val dynamicKeys: Seq[String] =
     Seq("q51_ann_ivf_topk", "q72_embed_neardup_ivf", "q119_ann_ivf_indexed",
       "q125_ann_pq_topk", "q127_ann_ivfpq_topk", "q132_bpe_learned",
-      "q141_semantic_dedup", "q178_ivf_quality", "q190_json_source_census",
+      "q141_semantic_dedup", "q178_ivf_quality", "q183_geo_enrichment",
+      "q190_json_source_census",
       "q196_ann_recall_at_k", "q197_ann_ndcg_at_k", "q204_ann_sq8_topk",
       "q211_ann_mrr_at_k", "q215_hard_negatives", "q249_aux_dwarf",
       "q250_citation_context_terms", "q252_ivf_append_serve",

@@ -103,6 +103,77 @@ object CoreQueries {
       lit(1L), "rnk")
   }
 
+  /** Affiliations_FC-shaped TSV fixture per (session, sfDir) — the
+    * reference's geocoded-affiliations export (`data/samples/
+    * Affiliations_FC.txt:1`: the 10 sampled Affiliation columns + the
+    * trailing country tuple-string). Content is a pure function of the
+    * SF tables (one row per supplier; tuple = its nation + a derived
+    * city; grid empty for every 3rd row, the real file's sparsity).
+    * q190/magAuxDir lifecycle: deterministic per-SF path, DuckDB reads
+    * the SAME files post-JVM. */
+  private val fcDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def affiliationsFcDir(s: SparkSession, d: String): String = {
+    fcDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    fcDirs.synchronized { fcDirs.getOrElseUpdate((s, d), {
+      val sfName = d.split('/').filter(_.nonEmpty).last
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_magfc_$sfName").toString
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat_ws("\t",
+          col("s_suppkey"),
+          (col("s_suppkey") % 5000).cast("string"),
+          lower(col("s_name")),
+          col("s_name"),
+          when(col("s_suppkey") % 3 === 0, lit("")).otherwise(
+            concat(lit("grid."), col("s_suppkey").cast("string"),
+              lit(".x"))),
+          concat(lit("https://aff.example.org/"),
+            col("s_suppkey").cast("string")),
+          concat(lit("https://wiki.example.org/aff_"),
+            col("s_suppkey").cast("string")),
+          (col("s_suppkey") % 2000).cast("string"),
+          (col("s_suppkey") % 90000).cast("string"),
+          lit("2016-06-24"),
+          concat(lit("('"), col("n_name"), lit("', 'City-"),
+            pmod(col("s_suppkey"), lit(7L)).cast("string"), lit("')")))
+          .as("value"))
+        .write.mode("overwrite").text(s"$dir/Affiliations_FC.txt")
+      dir
+    }) }
+  }
+
+  /** DYNAMIC oracle for the FC-fixture query (path is session-scoped):
+    * DuckDB reads the very TSV the Spark side ingested and replays the
+    * tuple regexp, so the declared-schema read and the F10 parse both
+    * sit under the hash gate. */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val dir = affiliationsFcDir(s, d)
+    Map("q183_geo_enrichment" ->
+      s"""WITH afc AS (SELECT * FROM
+         |    read_csv('$dir/Affiliations_FC.txt/part-*',
+         |      delim = '\t', header = false,
+         |      columns = {'id': 'BIGINT', 'rank': 'INTEGER',
+         |                 'name': 'VARCHAR', 'dname': 'VARCHAR',
+         |                 'grid': 'VARCHAR', 'page': 'VARCHAR',
+         |                 'wiki': 'VARCHAR', 'papers': 'BIGINT',
+         |                 'citations': 'BIGINT', 'created_at': 'DATE',
+         |                 'fc': 'VARCHAR'})),
+         |afp AS (SELECT id,
+         |    regexp_extract(fc,
+         |      '\\(''([^'']*)'',\\s*''([^'']*)''\\)', 1) AS cc,
+         |    regexp_extract(fc,
+         |      '\\(''([^'']*)'',\\s*''([^'']*)''\\)', 2) AS city
+         |  FROM afc)
+         |SELECT r_name, city, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |  CAST(count(DISTINCT cc) AS BIGINT) AS n_countries
+         |FROM afp JOIN nation ON afp.cc = n_name
+         |     JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
     // Referential-integrity census (Relational.fkCensus scaladoc):
     // one row per declared FK edge of the star — child rows, null
@@ -860,25 +931,20 @@ object CoreQueries {
 
     // GEOCODING ENRICHMENT end-to-end under the gate — the reference's
     // Affiliations_FC flow (tuple-strings "('CAN', 'Grande Prairie')"
-    // parsed ad hoc in its Geocoding notebook): serialize a
-    // deterministic tuple-string per supplier, PARSE it back with the
-    // F10 struct parser (TextFns.parseCountryTuple — regexp_extract
-    // into a typed struct), then ENRICH by joining the parsed country
-    // against the nation→region dimensions and rolling up. The F10
-    // parser itself is thereby oracle-gated, not just spec'd.
+    // parsed ad hoc in its Geocoding notebook, cells 10-14): ingest an
+    // Affiliations_FC-SHAPED TSV through the DECLARED catalog reader
+    // (MagTables.affiliationsFC — the F10 parser applied at ingest, so
+    // downstream sees a typed fc struct, never tuple syntax), then
+    // ENRICH by joining the parsed country against the nation→region
+    // dimensions and rolling up. Same-file gate: the DuckDB oracle
+    // reads the very TSV the Spark side ingested and replays the
+    // regexp parse, so reader AND parser sit under the hash check.
     "q183_geo_enrichment" -> { (s, d) =>
       val nat = broadcast(Tables.nation(s, d))
-      val ts = Tables.supplier(s, d)
-        .join(nat, col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"),
-          concat(lit("('"), col("n_name"), lit("', 'City-"),
-            pmod(col("s_suppkey"), lit(7L)).cast("string"), lit("')"))
-            .as("tuple_str"))
-      val parsed = ts.select(col("s_suppkey"),
-        graft.functions.TextFns.parseCountryTuple(col("tuple_str")).as("t"))
-        .select(col("s_suppkey"), col("t.country_code").as("cc"),
-          col("t.city").as("city"))
-      parsed
+      val afc = graft.schema.MagTables
+        .affiliationsFC(s, affiliationsFcDir(s, d))
+      afc.select(col("id"), col("fc.country_code").as("cc"),
+          col("fc.city").as("city"))
         .join(nat, col("cc") === col("n_name"))
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
@@ -1872,23 +1938,8 @@ object CoreQueries {
         |    AS BIGINT) AS n_alloc
         |FROM r, l""".stripMargin,
 
-    // q183: the same serialize → regexp-parse → dimension-join chain
-    "q183_geo_enrichment" ->
-      """WITH t AS (SELECT s_suppkey,
-        |    concat('(''', n_name, ''', ''City-',
-        |      CAST(s_suppkey % 7 AS VARCHAR), ''')') AS ts
-        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
-        |p AS (SELECT s_suppkey,
-        |    regexp_extract(ts,
-        |      '\(''([^'']*)'',\s*''([^'']*)''\)', 1) AS cc,
-        |    regexp_extract(ts,
-        |      '\(''([^'']*)'',\s*''([^'']*)''\)', 2) AS city
-        |  FROM t)
-        |SELECT r_name, city, CAST(count(*) AS BIGINT) AS n_suppliers,
-        |  CAST(count(DISTINCT cc) AS BIGINT) AS n_countries
-        |FROM p JOIN nation ON p.cc = n_name
-        |       JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2""".stripMargin,
+    // q183's oracle is DYNAMIC (same-file FC fixture — see
+    // [[dynamicOracles]])
 
     // q176: basket pairs, the same cross-multiplied support gate, and
     // one-division rounded confidence/lift

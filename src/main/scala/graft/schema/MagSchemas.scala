@@ -97,6 +97,16 @@ object MagSchemas {
   // names and types carried inline plus a relation weight
   case class FosRelationship(fos1: Long, name1: String, type1: String,
       fos2: Long, name2: String, type2: String, weight: Double)
+  // Affiliations_FC.txt: the geocoded affiliations export — the 10
+  // leading Affiliation columns as sampled (no lat/long; the file
+  // predates them) plus the trailing country tuple-string
+  // "('CAN', 'Grande Prairie')" the reference parses ad hoc
+  // (`Geocoding.ipynb` cells 10-14; `data/samples/Affiliations_FC
+  // .txt:1`). Ingest keeps `fc` a STRING here; [[MagTables
+  // .affiliationsFC]] parses it into a typed struct at read time.
+  case class AffiliationFC(id: Long, rank: Int, name: String, dname: String,
+      grid: String, page: String, wiki: String, papers: Long,
+      citations: Long, createdAt: Date, fc: String)
   // PaperAbstractsInvertedIndex.txt: paper id + the abstract stored as
   // a JSON inverted index ({"IndexLength":N,"InvertedIndex":
   // {word:[positions]}} — `data/samples/PaperAbstractsInvertedIndex
@@ -154,6 +164,14 @@ object MagTables {
     read[PaperRecommendation](s, dir, "PaperRecommandations.txt")
   def fieldOfStudyRelationship(s: SparkSession, dir: String): DataFrame =
     read[FosRelationship](s, dir, "FieldOfStudyRelationship.txt")
+  // The country tuple-string is parsed into a proper struct AT INGEST
+  // (F10: the engine stores structured data structurally) — downstream
+  // code sees fc.country_code / fc.city, never the raw tuple syntax.
+  def affiliationsFC(s: SparkSession, dir: String): DataFrame =
+    read[AffiliationFC](s, dir, "Affiliations_FC.txt")
+      .withColumn("fc",
+        graft.functions.TextFns.parseCountryTuple(
+          org.apache.spark.sql.functions.col("fc")))
   // The abstracts file embeds unquoted JSON (full of `"`) in its second
   // column; MAG TSVs never CSV-quote, so quoting is DISABLED for this
   // read — a `"` is just a character, never a field delimiter.

@@ -104,6 +104,35 @@ class MagIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(fr.schema.fieldIndex("weight")) == 0.0102311)
   }
 
+  test("affiliations-FC reader: country tuple parses to a struct at ingest") {
+    val dir = Files.createTempDirectory("mag").toFile
+    // shape of data/samples/Affiliations_FC.txt:1-4 — 11 cols, grid
+    // sometimes empty, the trailing column a python-ish tuple string
+    // (incl. a non-ASCII city, row 2)
+    Files.writeString(new java.io.File(dir, "Affiliations_FC.txt").toPath,
+      "20455151\t9759\tair liquide\tAir Liquide\tgrid.476009.c" +
+        "\thttps://a.example.org/x\thttp://w.example.org/Air_Liquide" +
+        "\t6314\t44828\t2016-06-24\t('CAN', 'Grande Prairie')\n" +
+      "35926432\t12053\tmackay medical college\tMackay Medical College" +
+        "\t\thttp://www.example.tw/\thttp://w.example.org/Mackay" +
+        "\t815\t6080\t2016-06-24\t('TWN', '三芝區')\n")
+    val df = MagTables.affiliationsFC(spark, dir.getPath)
+    assert(df.count() == 2)
+    assert(df.schema("fc").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    import org.apache.spark.sql.functions.col
+    val r = df.filter(col("id") === 20455151L)
+      .select(col("fc.country_code"), col("fc.city"), col("papers"))
+      .collect()(0)
+    assert(r.getString(0) == "CAN" && r.getString(1) == "Grande Prairie")
+    assert(r.getLong(2) == 6314L)
+    val tw = df.filter(col("id") === 35926432L)
+      .select(col("fc.country_code"), col("fc.city"), col("grid"))
+      .collect()(0)
+    assert(tw.getString(0) == "TWN" && tw.getString(1) == "三芝區")
+    assert(tw.isNullAt(2))
+  }
+
   test("abstracts reader: unquoted JSON with embedded quotes survives") {
     val dir = Files.createTempDirectory("mag").toFile
     // shape of data/samples/PaperAbstractsInvertedIndex.txt:1 — the
