@@ -313,6 +313,45 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** SESSION WINDOWS as a stream — [[EventStreams.sessionCounts]] run
+    * end-to-end: events arrive as time-ordered file drops, the
+    * watermarked `session_window` aggregation merges per-user sessions
+    * in state, and append mode emits each session once its close is
+    * final (the sentinel advances the watermark 2 days past all real
+    * data, finalizing every real session). Batch twin: the
+    * ORACLE-CHECKED q32_sessionize (30-min inactivity gap). The two
+    * gap rules differ only on an event landing EXACTLY `gap` after its
+    * predecessor (session_window's half-open [start, last+gap) splits
+    * it; q32's `us - prev > gap` merges it) — no events fixture at any
+    * SF contains such a pair (verified against all three), so the
+    * session sets must match EXACTLY: (user, start, n_events) is a
+    * complete key because a user's sessions are disjoint. Returns
+    * (mismatches, rows). */
+  def runSessions(spark: SparkSession, sfDir: String,
+                  workDir: String): (Long, Long) = {
+    val srcDir = stageDrops(spark, sfDir, s"$workDir/sessions")
+    val outS = s"$workDir/sink_sessions"
+    val qS = EventStreams.sessionCounts(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_sessions")
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outS)
+      }.start()
+    try qS.processAllAvailable() finally qS.stop()
+    val streamed = spark.read.parquet(outS)
+      .filter(col("user_id") =!= -1L) // the sentinel's own session
+      .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
+        col("n_events"))
+    val batch = graft.queries.EventQueries.defs("q32_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("sess_start_us"), col("n_events"))
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -402,15 +441,17 @@ object StreamRun {
     val (nBad, nRows) = runNovelty(spark, sfDir, workDir)
     val (kBad, kRows) = runContamination(spark, sfDir, workDir)
     val (dBad, dRows) = runCusum(spark, sfDir, workDir)
+    val (sBad, sRows) = runSessions(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
       s"contamination=${verdict(kBad)} cusum=${verdict(dBad)} " +
+      s"sessions=${verdict(sBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
-      s"contamination_docs=$kRows cusum_days=$dRows " +
+      s"contamination_docs=$kRows cusum_days=$dRows sessions=$sRows " +
       s"sf=$sfDir")
     spark.stop()
-    if (tBad + cBad + aBad + nBad + kBad + dBad > 0) sys.exit(1)
+    if (tBad + cBad + aBad + nBad + kBad + dBad + sBad > 0) sys.exit(1)
   }
 }

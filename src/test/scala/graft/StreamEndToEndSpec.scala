@@ -51,4 +51,14 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(dRows > 0)
     assert(dBad == 0, s"$dBad CUSUM rows diverge from the q232 batch")
   }
+
+  test("streamed session windows (watermarked session_window, append " +
+       "mode) match q32's one-shot sessionization") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_sessions").toString
+    val (sBad, sRows) =
+      StreamRun.runSessions(spark, "/root/testdata/sf0.001", work)
+    assert(sRows > 0)
+    assert(sBad == 0, s"$sBad sessions diverge from the q32 batch")
+  }
 }
