@@ -520,6 +520,65 @@ object GraphQueries {
     }) }
   }
 
+  /** MAG-snapshot TSV fixture per (session, sfDir) for the two
+    * REFERENCE-JOURNEY queries (q264/q265) — the exact day-one flow a
+    * reference user runs, end-to-end under the hash gate: Papers.txt
+    * (21 declared columns, `models.scala:6-10`), PaperAuthorAffiliations
+    * .txt and PaperReferences.txt, all pure functions of the SF tables.
+    * Papers = every 97th order (the q249 dwarf stride) with its order
+    * year; every 7th paper's year is EMPTY (the reference's null-year
+    * sentinel-3000 path, `ProfileConversion.scala:44`). Authors =
+    * lineitem suppliers (duplicate (paper, author) rows kept — the
+    * readers' distinct() is part of the journey). References: each
+    * paper cites the min-key paper of two other key buckets — bounded
+    * fan-in, deterministic, and the oracle reads the written file so no
+    * replay is needed. q190/magAuxDir lifecycle. */
+  private val journeyDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def magJourneyDir(s: SparkSession, d: String): String = {
+    journeyDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    journeyDirs.synchronized { journeyDirs.getOrElseUpdate((s, d), {
+      val sfName = d.split('/').filter(_.nonEmpty).last
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_magjourney_$sfName").toString
+      val sel = Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("id"), col("o_orderdate").as("dt"))
+      sel.select(concat_ws("\t",
+          col("id"), lit("1"),
+          concat(lit("10.1000/j."), col("id").cast("string")),
+          lit("journal"),
+          concat(lit("paper "), col("id").cast("string")),
+          concat(lit("Paper "), col("id").cast("string")),
+          lit(""),
+          when(expr("(id div 97) % 7") === 0, lit(""))
+            .otherwise(year(col("dt")).cast("string")),
+          col("dt").cast("string"), lit("pub"), lit("1"), lit("0"),
+          lit("0"), lit(""), lit(""), lit(""), lit(""), lit("0"),
+          lit("0"), lit("0"), col("dt").cast("string")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$dir/Papers.txt")
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 97 === 0)
+        .select(concat_ws("\t", col("l_orderkey"), col("l_suppkey"),
+          (col("l_suppkey") % 100), col("l_linenumber"), lit(""))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite")
+        .text(s"$dir/PaperAuthorAffiliations.txt")
+      val bk = sel.select(col("id"), expr("(id div 97) % 8").as("h"))
+      val bmin = bk.groupBy(col("h")).agg(min(col("id")).as("bmin"))
+      val refs = bk
+        .join(broadcast(bmin.select(((col("h") + 7) % 8).as("h"),
+          col("bmin").as("cited"))), Seq("h"))
+        .select(col("id").as("citing"), col("cited"))
+        .unionByName(bk
+          .join(broadcast(bmin.select(((col("h") + 5) % 8).as("h"),
+            col("bmin").as("cited"))), Seq("h"))
+          .select(col("id").as("citing"), col("cited")))
+        .filter(col("citing") =!= col("cited"))
+      refs.select(concat_ws("\t", col("citing"), col("cited")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$dir/PaperReferences.txt")
+      dir
+    }) }
+  }
+
   /** DYNAMIC oracles for the MAG-aux fixture queries (paths are
     * session-scoped): DuckDB reads the very TSV files the Spark side
     * ingested, so the declared-schema read itself is under the hash
@@ -527,7 +586,108 @@ object GraphQueries {
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val dir = magAuxDir(s, d)
     val ctxDir = citationContextsDir(s, d)
-    Map("q250_citation_context_terms" ->
+    val jDir = magJourneyDir(s, d)
+    val journeyReads =
+      s"""jpp AS (SELECT * FROM read_csv('$jDir/Papers.txt/part-*',
+         |    delim = '\t', header = false,
+         |    columns = {'id': 'BIGINT', 'rank': 'INTEGER',
+         |               'doi': 'VARCHAR', 'doc_type': 'VARCHAR',
+         |               'title': 'VARCHAR', 'original_title': 'VARCHAR',
+         |               'book_title': 'VARCHAR', 'year': 'INTEGER',
+         |               'pub_date': 'DATE', 'publisher': 'VARCHAR',
+         |               'journal': 'BIGINT', 'conference_series': 'BIGINT',
+         |               'conference_instance': 'BIGINT',
+         |               'volume': 'VARCHAR', 'issue': 'VARCHAR',
+         |               'first_page': 'VARCHAR', 'last_page': 'VARCHAR',
+         |               'n_refs': 'BIGINT', 'n_citations': 'BIGINT',
+         |               'estimated_citations': 'BIGINT',
+         |               'created_at': 'DATE'})),
+         |jpa AS (SELECT * FROM
+         |    read_csv('$jDir/PaperAuthorAffiliations.txt/part-*',
+         |      delim = '\t', header = false,
+         |      columns = {'paper': 'BIGINT', 'author': 'BIGINT',
+         |                 'affiliation': 'BIGINT', 'seq': 'INTEGER',
+         |                 'orig_aff': 'VARCHAR'})),
+         |jpy AS (SELECT id AS paper, COALESCE(year, 3000) AS year FROM jpp),
+         |jm AS (SELECT DISTINCT paper, author FROM jpa)""".stripMargin
+    Map(
+      "q264_personalnet_journey" ->
+        s"""WITH $journeyReads,
+           |je AS (SELECT x.author AS a, y.author AS b,
+           |         min(jpy.year) AS fy
+           |       FROM jm x JOIN jm y
+           |         ON x.paper = y.paper AND x.author < y.author
+           |       JOIN jpy ON jpy.paper = x.paper
+           |       GROUP BY 1, 2),
+           |jadj AS (SELECT a AS ego, b AS alter, fy AS y FROM je
+           |         UNION ALL SELECT b, a, fy FROM je),
+           |jap AS (SELECT c1.ego, c1.alter AS a1, c2.alter AS a2,
+           |          greatest(c1.y, c2.y) AS py
+           |        FROM jadj c1 JOIN jadj c2
+           |          ON c1.ego = c2.ego AND c1.alter < c2.alter)
+           |SELECT jap.ego, jap.a1, jap.a2,
+           |  CAST(greatest(py, je.fy) AS BIGINT) AS year
+           |FROM jap JOIN je ON jap.a1 = je.a AND jap.a2 = je.b""".stripMargin,
+      "q265_profile_journey" ->
+        s"""WITH $journeyReads,
+           |jpr AS (SELECT * FROM
+           |    read_csv('$jDir/PaperReferences.txt/part-*',
+           |      delim = '\t', header = false,
+           |      columns = {'citing': 'BIGINT', 'cited': 'BIGINT'})),
+           |jre AS (SELECT DISTINCT citing, cited FROM jpr),
+           |jyr AS (SELECT unnest(generate_series(1992, 1998)) AS year),
+           |jpcy AS (SELECT jre.cited, jpy.year,
+           |           CAST(count(*) AS BIGINT) AS cnt
+           |         FROM jre JOIN jpy ON jre.citing = jpy.paper
+           |         WHERE jpy.year <= 1998 GROUP BY 1, 2),
+           |jfc AS (SELECT cited, min(year) AS fy FROM jpcy GROUP BY 1),
+           |jcg AS (SELECT cited, jyr.year, CAST(0 AS BIGINT) AS cnt
+           |        FROM jfc, jyr WHERE jyr.year >= jfc.fy),
+           |jcp AS (SELECT cited, year, sum(cnt) AS cnt FROM
+           |        (SELECT * FROM jpcy UNION ALL SELECT * FROM jcg)
+           |        GROUP BY 1, 2),
+           |jcum AS (SELECT cited, year, cnt,
+           |           sum(cnt) OVER (PARTITION BY cited ORDER BY year)
+           |             AS cum
+           |         FROM jcp),
+           |jcr AS (SELECT * FROM jcum WHERE year >= 1992),
+           |jac AS (SELECT jm.author, jcr.year,
+           |          CAST(sum(cnt) AS BIGINT) AS citations,
+           |          CAST(sum(cum) AS BIGINT) AS cum_citations
+           |        FROM jcr JOIN jm ON jcr.cited = jm.paper GROUP BY 1, 2),
+           |jhx AS (SELECT jm.author, jcr.year, jcr.cum,
+           |          row_number() OVER (PARTITION BY jm.author, jcr.year
+           |            ORDER BY jcr.cum DESC) AS rn
+           |        FROM jcr JOIN jm ON jcr.cited = jm.paper),
+           |jhv AS (SELECT author, year,
+           |          CAST(count(*) FILTER (WHERE cum >= rn) AS BIGINT)
+           |            AS h_index
+           |        FROM jhx GROUP BY 1, 2),
+           |jpby AS (SELECT jm.author, jpy.year,
+           |           CAST(count(*) AS BIGINT) AS papers
+           |         FROM jm JOIN jpy USING (paper) WHERE jpy.year <= 1998
+           |         GROUP BY 1, 2),
+           |jag AS (SELECT ja0.author, jyr.year, CAST(0 AS BIGINT) AS papers
+           |        FROM (SELECT DISTINCT author FROM jm) ja0, jyr),
+           |jp0 AS (SELECT author, year, sum(papers) AS papers FROM
+           |        (SELECT * FROM jpby UNION ALL SELECT * FROM jag)
+           |        GROUP BY 1, 2),
+           |jp1 AS (SELECT author, year, papers,
+           |          sum(papers) OVER (PARTITION BY author ORDER BY year)
+           |            AS cum_papers
+           |        FROM jp0),
+           |jp2 AS (SELECT * FROM jp1 WHERE year >= 1992)
+           |SELECT jp2.author, CAST(jp2.year AS BIGINT) AS year,
+           |  CAST(jp2.papers AS BIGINT) AS papers,
+           |  CAST(jp2.cum_papers AS BIGINT) AS cum_papers,
+           |  COALESCE(jac.citations, 0) AS citations,
+           |  COALESCE(jac.cum_citations, 0) AS cum_citations,
+           |  COALESCE(jhv.h_index, 0) AS h_index
+           |FROM jp2
+           |LEFT JOIN jac ON jp2.author = jac.author AND jp2.year = jac.year
+           |LEFT JOIN jhv ON jp2.author = jhv.author
+           |             AND jp2.year = jhv.year""".stripMargin,
+      "q250_citation_context_terms" ->
       s"""WITH cc AS (SELECT * FROM
          |    read_csv('$ctxDir/PaperCitationContexts.txt/part-*',
          |      delim = '\t', header = false,
@@ -716,6 +876,49 @@ object GraphQueries {
         .select((col("n_nationkey") + 1000L).as("child"),
           col("n_regionkey").cast("long").as("parent"))
       Graph.rootClosure(supEdges.unionByName(natEdges))
+    },
+
+    // REFERENCE JOURNEY 1 under the hash gate: TSV snapshot →
+    // declared-schema readers → first-collaboration-year coauthor
+    // edges → personal-network closure — PersonalNet_2's end-to-end
+    // flow (`PersonalNet_2.scala:88-136`), previously only spec'd
+    // (ReferenceJourneySpec). Null publication years ride the
+    // sentinel-3000 fill; the oracle reads the SAME TSV files and
+    // replays pair extraction, min-year, and the greatest()-year
+    // triangle closure.
+    "q264_personalnet_journey" -> { (s, d) =>
+      val dir = magJourneyDir(s, d)
+      val paa = graft.schema.MagTables.paperAuthorAffiliations(s, dir)
+      val papers = graft.schema.MagTables.papers(s, dir)
+        .select(col("id").as("paper"), col("year"))
+        .na.fill(graft.operators.AuthorProfiles.SentinelYear, Seq("year"))
+      val edges = CoOccur.firstPeriodEdges(
+          paa.select(col("paper"), col("author")), papers,
+          "paper", "author", "year")
+        .select(col("a"), col("b"), col("first_year").as("year"))
+      CoOccur.personalNet(edges)
+        .select(col("ego"), col("a1"), col("a2"),
+          col("year").cast("long").as("year"))
+    },
+
+    // REFERENCE JOURNEY 2 under the hash gate: the same TSV snapshot
+    // through ProfileConversion's densified cumulative author profile
+    // with the per-year h-index (`ProfileConversion.scala:44-162` —
+    // AuthorProfiles.profile), previously only spec'd. The oracle
+    // replays BOTH legs (per-paper cumulative citation densification,
+    // author-year paper counts) plus the h-index as the sorted-prefix
+    // count, from the same files.
+    "q265_profile_journey" -> { (s, d) =>
+      val dir = magJourneyDir(s, d)
+      val paa = graft.schema.MagTables.paperAuthorAffiliations(s, dir)
+        .select(col("paper"), col("author"))
+      val papers = graft.schema.MagTables.papers(s, dir)
+        .select(col("id"), col("year"))
+      val refs = graft.schema.MagTables.paperReferences(s, dir)
+      graft.operators.AuthorProfiles.profile(paa, papers, refs, 1992, 1998)
+        .select(col("author"), col("year").cast("long").as("year"),
+          col("papers"), col("cum_papers"), col("citations"),
+          col("cum_citations"), col("h_index").cast("long").as("h_index"))
     },
 
     // U2: h-index as a custom partial-aggregating Aggregator.
