@@ -119,10 +119,11 @@ object Bench {
     * `"first":1,"n":186,"qv":[v1,…,vN]` where `qv[i]` is query number
     * `first+i` ("key_prefix":"q") in integer CENTISECONDS
     * ("queries_unit":"cs" — 10 ms granularity, below bench noise); a
-    * failed query is -1 and also listed by NAME under "errors". At ~3.5
-    * bytes/query this is ~0.9 KB at 250 queries (ContractSpec simulates
-    * that tail) with headroom past 450. If the numbering ever stops
-    * being contiguous the line falls back to the explicit
+    * failed query is -1 and also listed by NUMBER under "errors" (the
+    * key_prefix convention — names would eat the 350-query headroom
+    * ContractSpec pins). At ~3.5 bytes/query this is ~0.9 KB at 250
+    * queries with worst-case headroom to 350. If the numbering ever
+    * stops being contiguous the line falls back to the explicit
     * `"queries":{"104":v,…}` map (~9 bytes/query) rather than
     * mis-assigning values. The full-name 3-decimal-seconds record stays
     * in bench.json.
@@ -131,9 +132,9 @@ object Bench {
   def compactLine(totalMin: Double, centis: Seq[(String, Option[Long])],
                   sfShort: String): String = {
     def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val errs = centis.collect { case (k, None) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
     def num(name: String) = name.drop(1).takeWhile(_.isDigit).toInt
+    val errs = centis.collect { case (k, None) => num(k).toString }
+      .mkString("[", ",", "]")
     val byNum = centis.map { case (k, v) => (num(k), v.getOrElse(-1L)) }
       .sortBy(_._1)
     val nums = byNum.map(_._1)

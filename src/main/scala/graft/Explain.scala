@@ -129,18 +129,43 @@ object Explain {
   private final class RuntimeCounts
       extends org.apache.spark.scheduler.SparkListener {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val submitted = new java.util.concurrent.atomic.AtomicInteger
-    val completed = new java.util.concurrent.atomic.AtomicInteger
+    // distinct stage ids planned by job DAGs vs actually submitted:
+    // a stage in a DAG that never submits was SKIPPED (its output was
+    // already available) — the UI's definition, computed directly
+    // instead of the old max(0, planned - completions) clamp, which
+    // both under-counted (retry attempts inflated completions) and
+    // could hide real skips behind failures.
+    private val plannedIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val submittedIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val completedOk = new java.util.concurrent.atomic.AtomicInteger
+    val failed = new java.util.concurrent.atomic.AtomicInteger
     @volatile var lastEvent: Long = System.nanoTime()
     private def touch(): Unit = lastEvent = System.nanoTime()
     override def onJobStart(
         js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-      jobs.incrementAndGet(); submitted.addAndGet(js.stageInfos.size); touch()
+      jobs.incrementAndGet()
+      js.stageInfos.foreach(si => plannedIds.add(si.stageId))
+      touch()
+    }
+    override def onStageSubmitted(
+        ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      attempts.incrementAndGet()
+      submittedIds.add(ss.stageInfo.stageId)
+      touch()
     }
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      completed.incrementAndGet(); touch()
+      if (sc.stageInfo.failureReason.isEmpty) completedOk.incrementAndGet()
+      else failed.incrementAndGet()
+      touch()
     }
+    /** Planned-but-never-submitted stages (reused outputs). */
+    def skipped: Int = plannedIds.size - submittedIds.size
+    /** Re-attempts beyond each stage's first submission. */
+    def retries: Int = attempts.get - submittedIds.size
     /** Wait until no listener event has arrived for `quietMs`. */
     def quiesce(quietMs: Long = 250, capMs: Long = 5000): Unit = {
       val deadline = System.nanoTime() + capMs * 1000000L
@@ -184,13 +209,15 @@ object Explain {
             c.quiesce()
             spark.sparkContext.removeSparkListener(c)
           }
-        val skipped = math.max(0, c.submitted.get - c.completed.get)
         println(f"[audit-rt] $n%-28s jobs=${c.jobs.get}%-4d " +
-          f"stages=${c.completed.get}%-5d skipped=$skipped%-5d " +
+          f"stages=${c.completedOk.get}%-5d skipped=${c.skipped}%-5d " +
+          f"failed=${c.failed.get}%-3d retries=${c.retries}%-3d " +
           (if (ok) "" else "FAILED"))
         s""""$n": {"rt_jobs": ${c.jobs.get}, """ +
-          s""""rt_stages": ${c.completed.get}, """ +
-          s""""rt_stages_skipped": $skipped, "rt_ok": $ok}"""
+          s""""rt_stages": ${c.completedOk.get}, """ +
+          s""""rt_stages_skipped": ${c.skipped}, """ +
+          s""""rt_stages_failed": ${c.failed.get}, """ +
+          s""""rt_stage_retries": ${c.retries}, "rt_ok": $ok}"""
       }
       println(s"[audit-rt] ${names.size} queries executed")
       val out = sys.env.getOrElse("GRAFT_AUDIT_RT_OUT", "AUDIT_runtime.json")

@@ -600,6 +600,60 @@ object ScaleProbe {
       val (sdb, _) = sd(emb); val (sdB, nSd) = sd(emb10)
       println(f"[probe] semdedup:    $sdb%.1fs -> $sdB%.1fs (${sdB / sdb}%.1fx, $nSd dropped, rows 10x)")
 
+      // q261 decontamination SCREEN against a persisted IVF index:
+      // FIXED eval set (the base corpus's %20 slice), corpus 10x.
+      // Cells held at 16, so per-cell occupancy — and with it the
+      // candidate fan-out of the probed cells — grows ~10x; the wall
+      // is dominated by the candidate re-rank, honest ratio ~linear.
+      // Candidate fan-out is recorded alongside the wall so a probe
+      // regression can be attributed (fan-out jump vs per-candidate
+      // cost jump).
+      var deconCand = 0L
+      def decon(corpus: DataFrame): Long = {
+        val dirPath =
+          java.nio.file.Files.createTempDirectory("decon_probe")
+        try {
+          val dir = dirPath.toString
+          Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+            cells = 16, lloydIters = 2)
+          val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+          val index = spark.read.parquet(s"$dir/assignments.parquet")
+          val q = emb.filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("q_id"),
+              graft.functions.VectorFns.toDoubleArr(col("embedding"))
+                .as("qv"))
+          val probes = Similarity.assignCells(
+              q.select(col("q_id").as("n_id"), col("qv").as("cv")),
+              centroids, 4)
+            .select(col("n_id").as("q_id"), col("cell"))
+          val cand = probes.join(index, "cell")
+            .select(col("q_id"), col("n_id")).distinct()
+          deconCand = cand.count()
+          val c = corpus.select(col("vec_id").as("n_id"),
+            graft.functions.VectorFns.toDoubleArr(col("embedding"))
+              .as("cv"))
+          val scored = cand.join(c, "n_id").join(broadcast(q), "q_id")
+            .select(col("q_id"),
+              graft.functions.ArrayCosine.cosine(col("qv"), col("cv"))
+                .as("cos"))
+          val screened = graft.operators.Relational.topKPerGroup(scored,
+            Seq(col("q_id")), Seq(col("cos").desc), 1).count()
+          Checkpoints.releaseAll(spark)
+          screened
+        } finally {
+          val w = java.nio.file.Files.walk(dirPath)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally w.close()
+        }
+      }
+      decon(emb) // codegen warmup
+      val (dcb, _) = time(decon(emb)); val candBase = deconCand
+      val (dcB, nDc) = time(decon(emb10))
+      println(f"[probe] decon-screen:$dcb%.1fs -> $dcB%.1fs " +
+        f"(${dcB / dcb}%.1fx, $nDc evals screened, fan-out " +
+        f"$candBase%d -> $deconCand%d cand, corpus 10x)")
+
       // q143 personalized PageRank + q145 core decomposition on the
       // weight>=6 substrate (disjoint copies: fixed rounds / copy-
       // invariant propagation depth → honest ratio ~linear)
@@ -967,15 +1021,24 @@ object ScaleProbe {
       // written centroids — O(batch · cells) work, corpus never
       // rescanned; 10x batch → ~linear append wall
       def ivfApp(corpus: DataFrame): Long = {
-        val dir = java.nio.file.Files.createTempDirectory("ivfapp_probe")
-          .toString
-        Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 5 =!= 4),
-          "vec_id", "embedding", dir, cells = 16, lloydIters = 2)
-        Similarity.appendToIvfIndex(spark, dir,
-          corpus.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
-        val n = spark.read.parquet(s"$dir/assignments.parquet").count()
-        Checkpoints.releaseAll(spark)
-        n
+        val dirPath = java.nio.file.Files.createTempDirectory("ivfapp_probe")
+        val dir = dirPath.toString
+        try {
+          Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 5 =!= 4),
+            "vec_id", "embedding", dir, cells = 16, lloydIters = 2)
+          Similarity.appendToIvfIndex(spark, dir,
+            corpus.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
+          val n = spark.read.parquet(s"$dir/assignments.parquet").count()
+          Checkpoints.releaseAll(spark)
+          n
+        } finally {
+          // each invocation builds a throwaway index — remove it or
+          // repeated probes leak one temp dir per run
+          val w = java.nio.file.Files.walk(dirPath)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally w.close()
+        }
       }
       ivfApp(emb) // codegen warmup
       val (ib, _) = time(ivfApp(emb)); val (iB, nI) = time(ivfApp(emb10))

@@ -2261,16 +2261,25 @@ object Graph {
        |</script></body></html>""".stripMargin
   }
 
+  /** XML attribute-value escaping (the five predefined entities) for
+    * the GEXF writers: ids/labels come from real data — author display
+    * names contain `&`, quotes, and angle brackets in any real dump,
+    * and an unescaped one emits malformed GEXF. */
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
   /** GEXF XML export (U6, reference `StaticNet.scala:451-465`) for
     * bounded (ego-net-sized) graphs: collects to the driver by design —
     * callers cap the net size, as the reference does. */
   def toGexf(vertices: DataFrame, edges: DataFrame): String = {
     val vs = vertices.select(col("id").cast("string"), col("label").cast("string"))
-      .collect().map(r => s"""      <node id="${r.getString(0)}" label="${r.getString(1)}" />""")
+      .collect().map(r =>
+        s"""      <node id="${xmlEscape(r.getString(0))}" label="${xmlEscape(r.getString(1))}" />""")
     val es = edges.select(col("src").cast("string"), col("dst").cast("string"),
         col("weight").cast("string"))
       .collect().zipWithIndex.map { case (r, i) =>
-        s"""      <edge id="$i" source="${r.getString(0)}" target="${r.getString(1)}" weight="${r.getString(2)}" />"""
+        s"""      <edge id="$i" source="${xmlEscape(r.getString(0))}" target="${xmlEscape(r.getString(1))}" weight="${r.getString(2)}" />"""
       }
     s"""<?xml version="1.0" encoding="UTF-8"?>
        |<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">
@@ -2300,7 +2309,8 @@ object Graph {
     * [[toGexf]]). */
   def toGexfDynamic(vertices: DataFrame, temporalEdges: DataFrame): String = {
     val vs = vertices.select(col("id").cast("string"), col("label").cast("string"))
-      .collect().map(r => s"""      <node id="${r.getString(0)}" label="${r.getString(1)}" />""")
+      .collect().map(r =>
+        s"""      <node id="${xmlEscape(r.getString(0))}" label="${xmlEscape(r.getString(1))}" />""")
     val rows = temporalEdges.select(col("src").cast("long"),
         col("dst").cast("long"), col("yr").cast("int"),
         col("weight").cast("long"))

@@ -69,14 +69,14 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
         s"stale in AUDIT.json: ${audited -- declared}")
   }
 
-  test("compact bench line fits the driver tail at 300 queries") {
+  test("compact bench line fits the driver tail at 350 queries") {
     // The driver keeps the last 2000 bytes of sbt stdout and the
-    // [success] epilogue eats ~75; simulate a 300-query sweep (head
-    // room past the current 246-query surface) with worst-ish-case
+    // [success] epilogue eats ~75; simulate a 350-query sweep (head
+    // room past the current 265-query surface) with worst-ish-case
     // values (4-digit centiseconds) plus errors and assert the line
     // still fits AND round-trips through a JSON parse back to the
     // right (query -> centis) assignment.
-    val centis: Seq[(String, Option[Long])] = (1 to 300).map { i =>
+    val centis: Seq[(String, Option[Long])] = (1 to 350).map { i =>
       val v = if (i % 50 == 0) None else Some(1000L + i) // 10s-ish each
       (f"q$i%02d_synthetic_name_$i", v)
     }
@@ -84,12 +84,13 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(line.length <= 1925, s"compact line ${line.length} bytes > 1925")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
-    assert(node.get("first").asInt == 1 && node.get("n").asInt == 300)
+    assert(node.get("first").asInt == 1 && node.get("n").asInt == 350)
     val qv = node.get("qv")
-    assert(qv.size == 300)
+    assert(qv.size == 350)
     assert(qv.get(102).asLong == 1103L) // q103 = qv[103-first]
     assert(qv.get(49).asLong == -1L)    // q50 errored
-    assert(node.get("errors").size == 6)
+    assert(node.get("errors").size == 7)
+    assert(node.get("errors").get(0).asInt == 50) // errors carry numbers
     // a non-contiguous subset (SPARK_GRAFT_ONLY) must fall back to
     // explicit keys rather than mis-assign values
     val subset = Bench.compactLine(1.0,

@@ -72,6 +72,28 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(back.contains("<gexf") && back.contains("alice"))
   }
 
+  test("GEXF writers XML-escape hostile labels (the five entities)") {
+    val vs = Seq((1L, """R&D <"lab"> 'x'"""), (2L, "bob")).toDF("id", "label")
+    val es = Seq((1L, 2L, 3L)).toDF("src", "dst", "weight")
+    val xml = Graph.toGexf(vs, es)
+    assert(xml.contains(
+      """label="R&amp;D &lt;&quot;lab&quot;&gt; &apos;x&apos;""""))
+    // no raw specials may survive inside any attribute value
+    assert(!xml.contains("""label="R&D"""))
+    // well-formed end-to-end: the JDK XML parser must accept it
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val dyn = Graph.toGexfDynamic(vs,
+      Seq((1L, 2L, 1994, 3L)).toDF("src", "dst", "yr", "weight"))
+    assert(dyn.contains("&amp;D"))
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        dyn.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   test("toGexfDynamic merges contiguous years into spells and emits per-year attvalues") {
     val vs = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
       .toDF("id", "label")
