@@ -892,10 +892,13 @@ object GraphQueries {
       val papers = graft.schema.MagTables.papers(s, dir)
         .select(col("id").as("paper"), col("year"))
         .na.fill(graft.operators.AuthorProfiles.SentinelYear, Seq("year"))
-      val edges = CoOccur.firstPeriodEdges(
+      // checkpointed: personalNet reads the edge spine THREE ways
+      // (both adjacency directions + the closing join) — without the
+      // pin each re-runs the pair self-join over the snapshot
+      val edges = graft.Checkpoints.checkpoint(CoOccur.firstPeriodEdges(
           paa.select(col("paper"), col("author")), papers,
           "paper", "author", "year")
-        .select(col("a"), col("b"), col("first_year").as("year"))
+        .select(col("a"), col("b"), col("first_year").as("year")))
       CoOccur.personalNet(edges)
         .select(col("ego"), col("a1"), col("a2"),
           col("year").cast("long").as("year"))

@@ -939,7 +939,10 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val pai = graft.schema.MagTables
         .paperAbstractsInvertedIndex(s, abstractsDir(s, d))
-      val ent = pai
+      // checkpointed: four consumers (reconstruction, n_docs, df, tf)
+      // read the decoded postings — without the pin each would re-run
+      // the JSON parse + explode over the whole corpus
+      val ent = graft.Checkpoints.checkpoint(pai
         .select(col("paper"), from_json(col("indexedAbstract"),
           org.apache.spark.sql.types.DataType.fromDDL(
             "struct<IndexLength:int, InvertedIndex:map<string,array<int>>>"))
@@ -948,7 +951,7 @@ object TextQueries {
           .as("index_length"),
           explode(map_entries(col("doc.InvertedIndex"))).as("e"))
         .select(col("paper"), col("index_length"),
-          col("e.key").as("word"), col("e.value").as("positions"))
+          col("e.key").as("word"), col("e.value").as("positions")))
       // abstract reconstruction: positions partition [0, IndexLength),
       // so sorting (pos, word) and joining on spaces is exact inverse
       val rec = ent
