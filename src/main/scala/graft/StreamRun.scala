@@ -352,6 +352,82 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** TRANSITION MATRIX as a stream — [[EventStreams.transitionStream]]
+    * run end-to-end: per-user keyed state emits one (prev, next)
+    * transition per event once the watermark passes it (the foldRipe
+    * buffer folds in event-time order, so arrival order within the
+    * watermark delay cannot flip a transition). Transitions are
+    * append-only facts; the accumulated sink re-aggregated must equal
+    * the ORACLE-CHECKED q90 batch matrix exactly — the sentinel both
+    * advances the watermark past all real events and flushes every
+    * user's pending buffer. Returns (mismatches, rows). */
+  def runTransitions(spark: SparkSession, sfDir: String,
+                     workDir: String): (Long, Long) = {
+    import spark.implicits._
+    val srcDir = stageDrops(spark, sfDir, s"$workDir/transitions")
+    val outX = s"$workDir/sink_transitions"
+    val qX = EventStreams.transitionStream(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .as[EventStreams.Event])
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_transitions")
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outX)
+      }.start()
+    try qX.processAllAvailable() finally qX.stop()
+    val streamed = spark.read.parquet(outX)
+      .filter(col("user_id") =!= -1L) // the sentinel's own transition
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    val batch = graft.queries.EventQueries.defs("q90_transition_matrix")(
+      spark, sfDir)
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
+  /** STAGED FUNNEL as a stream — [[EventStreams.funnelStages]] run
+    * end-to-end in Update mode: per-user keyed state advances
+    * first-view → first-qualifying-click → first-qualifying-purchase
+    * in event-time order (foldRipe), emitting the updated row on each
+    * eviction. Each micro-batch's emissions land with their batch id;
+    * the LAST emission per user is that user's final state and must
+    * equal the ORACLE-CHECKED q85 batch funnel row-for-row (restricted
+    * to users with a view — q85's output grain). Returns
+    * (mismatches, rows). */
+  def runFunnel(spark: SparkSession, sfDir: String,
+                workDir: String): (Long, Long) = {
+    import spark.implicits._
+    val srcDir = stageDrops(spark, sfDir, s"$workDir/funnel")
+    val outF = s"$workDir/sink_funnel"
+    val qF = EventStreams.funnelStages(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .as[EventStreams.Event])
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_funnel")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        df.withColumn("_b", lit(bid)).write.mode("append").parquet(outF)
+      }.start()
+    try qF.processAllAvailable() finally qF.stop()
+    val sink = spark.read.parquet(outF).filter(col("user_id") =!= -1L)
+    // one emission per (user, batch): the max-batch row is final state
+    val lastB = sink.groupBy(col("user_id")).agg(max(col("_b")).as("_b"))
+    val streamed = sink.join(lastB, Seq("user_id", "_b"))
+      .filter(col("view_us").isNotNull) // q85's grain: users with a view
+      .select(col("user_id"), col("view_us"), col("click_us"),
+        col("purchase_us"))
+    val batch = graft.queries.EventQueries.defs("q85_funnel_stages")(
+      spark, sfDir)
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -442,16 +518,21 @@ object StreamRun {
     val (kBad, kRows) = runContamination(spark, sfDir, workDir)
     val (dBad, dRows) = runCusum(spark, sfDir, workDir)
     val (sBad, sRows) = runSessions(spark, sfDir, workDir)
+    val (xBad, xRows) = runTransitions(spark, sfDir, workDir)
+    val (fBad, fRows) = runFunnel(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
       s"contamination=${verdict(kBad)} cusum=${verdict(dBad)} " +
-      s"sessions=${verdict(sBad)} " +
+      s"sessions=${verdict(sBad)} transitions=${verdict(xBad)} " +
+      s"funnel=${verdict(fBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
       s"contamination_docs=$kRows cusum_days=$dRows sessions=$sRows " +
+      s"transitions=$xRows funnel_users=$fRows " +
       s"sf=$sfDir")
     spark.stop()
-    if (tBad + cBad + aBad + nBad + kBad + dBad + sBad > 0) sys.exit(1)
+    if (tBad + cBad + aBad + nBad + kBad + dBad + sBad + xBad + fBad > 0)
+      sys.exit(1)
   }
 }

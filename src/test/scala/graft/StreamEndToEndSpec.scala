@@ -52,6 +52,26 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(dBad == 0, s"$dBad CUSUM rows diverge from the q232 batch")
   }
 
+  test("streamed per-user transitions (event-time-ordered keyed state) " +
+       "re-aggregate to q90's one-shot matrix") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_transitions").toString
+    val (xBad, xRows) =
+      StreamRun.runTransitions(spark, "/root/testdata/sf0.001", work)
+    assert(xRows > 0)
+    assert(xBad == 0, s"$xBad transition cells diverge from the q90 batch")
+  }
+
+  test("streamed staged funnel (Update-mode keyed state, last emission " +
+       "per user) matches q85's one-shot funnel") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_funnel").toString
+    val (fBad, fRows) =
+      StreamRun.runFunnel(spark, "/root/testdata/sf0.001", work)
+    assert(fRows > 0)
+    assert(fBad == 0, s"$fBad funnel rows diverge from the q85 batch")
+  }
+
   test("streamed session windows (watermarked session_window, append " +
        "mode) match q32's one-shot sessionization") {
     val work =
