@@ -428,6 +428,68 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** SLIDING WINDOWS as a stream — [[EventStreams.slidingCounts]]
+    * (10-min windows, 5-min slide: every event lands in two windows)
+    * run end-to-end in append mode; the emitted window set must equal
+    * the same operator applied to the batch table exactly (counts are
+    * integers — no float tolerance needed). Returns
+    * (mismatches, rows). */
+  def runSliding(spark: SparkSession, sfDir: String,
+                 workDir: String): (Long, Long) = {
+    val srcDir = stageDrops(spark, sfDir, s"$workDir/sliding")
+    val outL = s"$workDir/sink_sliding"
+    val qL = EventStreams.slidingCounts(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_sliding")
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outL)
+      }.start()
+    try qL.processAllAvailable() finally qL.stop()
+    val streamed = spark.read.parquet(outL)
+      .filter(col("event_type") =!= Sentinel)
+    val batch = EventStreams.slidingCounts(Tables.events(spark, sfDir))
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
+  /** Per-user integer EWMA as a stream — [[EventStreams.ewmaStream]]
+    * (α = 1/4, exact int64 cents) run end-to-end in Update mode; the
+    * LAST emission per user is the final folded state and must equal
+    * the ORACLE-CHECKED q115 batch recursion row-for-row (the foldRipe
+    * buffer folds in (event-time, event_id) order — q115's order — so
+    * micro-batch boundaries cannot flip the recursion). Returns
+    * (mismatches, rows). */
+  def runEwma(spark: SparkSession, sfDir: String,
+              workDir: String): (Long, Long) = {
+    import spark.implicits._
+    val srcDir = stageDrops(spark, sfDir, s"$workDir/ewma")
+    val outE = s"$workDir/sink_ewma"
+    val qE = EventStreams.ewmaStream(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .as[EventStreams.Event])
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_ewma")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        df.withColumn("_b", lit(bid)).write.mode("append").parquet(outE)
+      }.start()
+    try qE.processAllAvailable() finally qE.stop()
+    val sink = spark.read.parquet(outE).filter(col("user_id") =!= -1L)
+    val lastB = sink.groupBy(col("user_id")).agg(max(col("_b")).as("_b"))
+    val streamed = sink.join(lastB, Seq("user_id", "_b"))
+      .select(col("user_id"), col("n_events"), col("ewma").as("ewma_cents"))
+    val batch = graft.queries.EventQueries.defs("q115_user_ewma")(spark, sfDir)
+    val rows = batch.count()
+    val bad = streamed.except(batch).count() + batch.except(streamed).count()
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -520,19 +582,24 @@ object StreamRun {
     val (sBad, sRows) = runSessions(spark, sfDir, workDir)
     val (xBad, xRows) = runTransitions(spark, sfDir, workDir)
     val (fBad, fRows) = runFunnel(spark, sfDir, workDir)
+    val (lBad, lRows) = runSliding(spark, sfDir, workDir)
+    val (eBad, eRows) = runEwma(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
       s"contamination=${verdict(kBad)} cusum=${verdict(dBad)} " +
       s"sessions=${verdict(sBad)} transitions=${verdict(xBad)} " +
-      s"funnel=${verdict(fBad)} " +
+      s"funnel=${verdict(fBad)} sliding=${verdict(lBad)} " +
+      s"ewma=${verdict(eBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
       s"contamination_docs=$kRows cusum_days=$dRows sessions=$sRows " +
-      s"transitions=$xRows funnel_users=$fRows " +
+      s"transitions=$xRows funnel_users=$fRows sliding_windows=$lRows " +
+      s"ewma_users=$eRows " +
       s"sf=$sfDir")
     spark.stop()
-    if (tBad + cBad + aBad + nBad + kBad + dBad + sBad + xBad + fBad > 0)
+    if (tBad + cBad + aBad + nBad + kBad + dBad + sBad + xBad + fBad +
+        lBad + eBad > 0)
       sys.exit(1)
   }
 }

@@ -52,6 +52,26 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(dBad == 0, s"$dBad CUSUM rows diverge from the q232 batch")
   }
 
+  test("streamed sliding windows (append mode, 2 windows per event) " +
+       "match the batch operator exactly") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_sliding").toString
+    val (lBad, lRows) =
+      StreamRun.runSliding(spark, "/root/testdata/sf0.001", work)
+    assert(lRows > 0)
+    assert(lBad == 0, s"$lBad sliding windows diverge from the batch twin")
+  }
+
+  test("streamed per-user integer EWMA (Update-mode keyed state) " +
+       "matches q115's one-shot recursion") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_ewma").toString
+    val (eBad, eRows) =
+      StreamRun.runEwma(spark, "/root/testdata/sf0.001", work)
+    assert(eRows > 0)
+    assert(eBad == 0, s"$eBad EWMA rows diverge from the q115 batch")
+  }
+
   test("streamed per-user transitions (event-time-ordered keyed state) " +
        "re-aggregate to q90's one-shot matrix") {
     val work =
