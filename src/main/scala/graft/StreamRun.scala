@@ -490,6 +490,59 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** WATERMARKED DEDUP as a stream — [[EventStreams.dedupEvents]]
+    * (`dropDuplicatesWithinWatermark` on event_id) fed drops that
+    * actually CARRY duplicates: every 5th event of each drop is
+    * re-appended to the same file as an exact copy, so ~20% of arrivals
+    * are dups the state store must absorb. The deduplicated stream must
+    * equal the original events table row-for-row (exact copies, so
+    * distinct-by-id restores the base relation precisely). Returns
+    * (mismatches, rows). */
+  def runDedup(spark: SparkSession, sfDir: String,
+               workDir: String): (Long, Long) = {
+    import spark.implicits._
+    val srcDir = Paths.get(workDir, "dedup_drops")
+    Files.createDirectories(srcDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val n = ev.count()
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val withIdx = ev.withColumn("_rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    val numDrops = 4
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      val slice = withIdx.filter(col("_rn").between(lo, hi)).drop("_rn")
+      stageDropFile(
+        slice.unionByName(slice.filter(col("event_id") % 5 === 0)),
+        srcDir, f"drop_$i%02d")
+    }
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 24 * 3600 * 1000)
+    stageDropFile(
+      Seq((-1L, sentinelTs, -1L, Sentinel, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      srcDir, f"drop_$numDrops%02d_sentinel")
+    val outD = s"$workDir/sink_dedup"
+    val qD = EventStreams.dedupEvents(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_dedup")
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outD)
+      }.start()
+    try qD.processAllAvailable() finally qD.stop()
+    val streamed = spark.read.parquet(outD)
+      .filter(col("event_type") =!= Sentinel)
+    val rows = ev.count()
+    val bad = streamed.except(ev).count() + ev.except(streamed).count() +
+      math.abs(streamed.count() - rows) // except is set-wise; pin counts too
+    (bad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -584,22 +637,23 @@ object StreamRun {
     val (fBad, fRows) = runFunnel(spark, sfDir, workDir)
     val (lBad, lRows) = runSliding(spark, sfDir, workDir)
     val (eBad, eRows) = runEwma(spark, sfDir, workDir)
+    val (uBad, uRows) = runDedup(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
       s"contamination=${verdict(kBad)} cusum=${verdict(dBad)} " +
       s"sessions=${verdict(sBad)} transitions=${verdict(xBad)} " +
       s"funnel=${verdict(fBad)} sliding=${verdict(lBad)} " +
-      s"ewma=${verdict(eBad)} " +
+      s"ewma=${verdict(eBad)} dedup=${verdict(uBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
       s"contamination_docs=$kRows cusum_days=$dRows sessions=$sRows " +
       s"transitions=$xRows funnel_users=$fRows sliding_windows=$lRows " +
-      s"ewma_users=$eRows " +
+      s"ewma_users=$eRows dedup_events=$uRows " +
       s"sf=$sfDir")
     spark.stop()
     if (tBad + cBad + aBad + nBad + kBad + dBad + sBad + xBad + fBad +
-        lBad + eBad > 0)
+        lBad + eBad + uBad > 0)
       sys.exit(1)
   }
 }

@@ -52,6 +52,16 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(dBad == 0, s"$dBad CUSUM rows diverge from the q232 batch")
   }
 
+  test("watermarked dedup absorbs ~20% duplicated arrivals and restores " +
+       "the base relation exactly") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    val (uBad, uRows) =
+      StreamRun.runDedup(spark, "/root/testdata/sf0.001", work)
+    assert(uRows > 0)
+    assert(uBad == 0, s"$uBad deduped rows diverge from the base relation")
+  }
+
   test("streamed sliding windows (append mode, 2 windows per event) " +
        "match the batch operator exactly") {
     val work =
