@@ -594,6 +594,34 @@ object CoreQueries {
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
     },
 
+    // W-surface closure: ntile / percent_rank / cume_dist — the three
+    // distribution window functions q113/q117's GLOBAL machinery
+    // deliberately avoids at corpus grain, used here where they belong:
+    // PER-GROUP (nation) customer-revenue quartiles. The window is
+    // keyed by nation, so partitions are group-sized, not corpus-sized
+    // — the scale hazard of these functions (a single global ORDER BY)
+    // never arises. Total order (revenue, custkey) is unique, so ntile
+    // bucket boundaries and both distribution stats are deterministic;
+    // each stat spends one IEEE division over exact integers (the q66
+    // discipline), identical in both engines.
+    "q266_revenue_quartiles" -> { (s, d) =>
+      val rev = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d)
+            .select(col("o_custkey"),
+              (dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("revenue_cents"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue_cents"), col("c_custkey"))
+      rev.select(col("n_name"), col("c_custkey"), col("revenue_cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+    },
+
     // Equi-WIDTH histogram — the distribution view between q130's
     // min/max and q113's equi-DEPTH quantiles: 16 fixed-width buckets
     // of the order total in exact cents. Bounds are corpus min/max
@@ -2072,6 +2100,23 @@ object CoreQueries {
         |                           (0.99)::DOUBLE]) AS p) ps
         |      CROSS JOIN n)
         |SELECT t.p, o.v FROM t JOIN o ON o.rnk = t.tr""".stripMargin,
+
+    // q266: same per-nation revenue grid, same unique total order, the
+    // standard-SQL distribution window trio
+    "q266_revenue_quartiles" ->
+      """WITH qr AS (SELECT n_name, c_custkey,
+        |    CAST(coalesce(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, c_custkey, revenue_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM qr
+        |WINDOW w AS (PARTITION BY n_name
+        |             ORDER BY revenue_cents, c_custkey)""".stripMargin,
 
     // q120: replay the exact ε-window around each target rank; the
     // sketch's bound promise is the TRUE literal the hash compares.
