@@ -194,6 +194,15 @@ object Explain {
 
     if (auditRt) {
       val rows = names.map { n =>
+        // WARM pass, unmeasured: builds the session-pinned spines,
+        // persisted indexes, and same-file fixtures this query serves
+        // from, so the measured pass records the query's OWN dataflow
+        // — not the first-toucher build cost the r15 verdict flagged
+        // as attribution noise. Spines are NOT released between the
+        // two passes (release happens after the measured pass).
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // measured pass reports it
         val c = new RuntimeCounts
         spark.sparkContext.addSparkListener(c)
         val ok =
