@@ -622,6 +622,53 @@ object CoreQueries {
         round(cume_dist().over(w), 4).as("cume"))
     },
 
+    // EXACT DISTRIBUTED DECISION STUMP — the quality-classifier
+    // training primitive (CART split finding, Breiman et al., public)
+    // in division-free integer arithmetic: predict "urgent order" from
+    // binned price. One bounds scan + one binned-aggregate scan over
+    // the corpus (the q162 shape); everything after the 32-row bin
+    // census — cumulative left counts, the weighted-Gini argmin — is
+    // driver-scale (a window over ≤ 32 rows, NOT the corpus). The
+    // split cost comparison is the weighted impurity n_L·G_L + n_R·G_R
+    // cleared of its denominators: cost·n_L·n_R = n_L²·n_R −
+    // n_R·(pos_L² + neg_L²) + n_R²·n_L − n_L·(pos_R² + neg_R²) — exact
+    // int64 while n³ < 2^63 (n ≤ ~2M; the test SFs are ≤ 150k), so
+    // argmin ties break identically in both engines (then by bin).
+    "q267_decision_stump" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val per = o.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("(cents - lo) * 32 div (hi - lo + 1)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+      val wBin = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per
+        .withColumn("n_left", sum(col("n")).over(wBin))
+        .withColumn("pos_left", sum(col("pos")).over(wBin))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_left") < col("nn")) // right side must be nonempty
+        .select(col("bin"), col("n_left"), col("pos_left"),
+          (col("nn") - col("n_left")).as("n_right"),
+          (col("pp") - col("pos_left")).as("pos_right"))
+      val scored = cum.select(col("bin"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"),
+        expr("""n_left * n_left * n_right
+               | - n_right * (pos_left * pos_left
+               |   + (n_left - pos_left) * (n_left - pos_left))
+               | + n_right * n_right * n_left
+               | - n_left * (pos_right * pos_right
+               |   + (n_right - pos_right) * (n_right - pos_right))"""
+            .stripMargin.replace("\n", " ")).as("cost_num"))
+      scored.withColumn("is_best",
+        when(row_number().over(Window.orderBy(col("cost_num"), col("bin")))
+          === 1, 1L).otherwise(0L))
+    },
+
     // Equi-WIDTH histogram — the distribution view between q130's
     // min/max and q113's equi-DEPTH quantiles: 16 fixed-width buckets
     // of the order total in exact cents. Bounds are corpus min/max
@@ -2117,6 +2164,41 @@ object CoreQueries {
         |FROM qr
         |WINDOW w AS (PARTITION BY n_name
         |             ORDER BY revenue_cents, c_custkey)""".stripMargin,
+
+    // q267: same bins, same cumulative left census, the same
+    // denominator-cleared weighted-Gini integer
+    "q267_decision_stump" ->
+      """WITH st AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |sb AS (SELECT min(cents) AS lo, max(cents) AS hi FROM st),
+        |sp AS (SELECT (cents - lo) * 32 // (hi - lo + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM st, sb GROUP BY 1),
+        |stot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(pos) AS BIGINT) AS pp FROM sp),
+        |scum AS (SELECT bin,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS n_left,
+        |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS pos_left
+        |  FROM sp),
+        |ssc AS (SELECT bin, n_left, pos_left,
+        |    nn - n_left AS n_right, pp - pos_left AS pos_right
+        |  FROM scum, stot WHERE n_left < nn),
+        |sfin AS (SELECT bin, n_left, pos_left, n_right, pos_right,
+        |    n_left * n_left * n_right
+        |      - n_right * (pos_left * pos_left
+        |        + (n_left - pos_left) * (n_left - pos_left))
+        |      + n_right * n_right * n_left
+        |      - n_left * (pos_right * pos_right
+        |        + (n_right - pos_right) * (n_right - pos_right))
+        |      AS cost_num
+        |  FROM ssc)
+        |SELECT bin, n_left, pos_left, n_right, pos_right,
+        |  CAST(cost_num AS BIGINT) AS cost_num,
+        |  CAST(CASE WHEN row_number() OVER (ORDER BY cost_num, bin) = 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        |FROM sfin""".stripMargin,
 
     // q120: replay the exact ε-window around each target rank; the
     // sketch's bound promise is the TRUE literal the hash compares.
