@@ -669,6 +669,81 @@ object CoreQueries {
           === 1, 1L).otherwise(0L))
     },
 
+    // TRAIN → HOLDOUT EVAL closure over q267's stump: fit the split on
+    // EVEN order keys only (bounds, bins, argmin — all from the
+    // training half), pick the polarity by integer cross-multiplied
+    // positive rates (pos_L·n_R vs pos_R·n_L — no division), then
+    // classify the ODD-key holdout and emit the confusion census with
+    // exact ×10⁴ metrics (precision/recall from single integer
+    // floordivs; F1 = 2·tp·10⁴ div (2·tp + fp + fn), exact without
+    // composing the rounded p and r). The model is TWO broadcast
+    // integers (threshold bin + polarity) — the serve side is one
+    // corpus scan with an arithmetic predicate, the 100 TB shape of
+    // "apply a quality classifier at ingestion".
+    "q268_stump_eval" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val tr = o.filter(col("o_orderkey") % 2 === 0)
+      val te = o.filter(col("o_orderkey") % 2 === 1)
+      val mm = tr.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val per = tr.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("(cents - lo) * 32 div (hi - lo + 1)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+      val wBin = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val best = per
+        .withColumn("n_left", sum(col("n")).over(wBin))
+        .withColumn("pos_left", sum(col("pos")).over(wBin))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_left") < col("nn"))
+        .select(col("bin"), col("n_left"), col("pos_left"),
+          (col("nn") - col("n_left")).as("n_right"),
+          (col("pp") - col("pos_left")).as("pos_right"))
+        .withColumn("cost_num",
+          expr("""n_left * n_left * n_right
+                 | - n_right * (pos_left * pos_left
+                 |   + (n_left - pos_left) * (n_left - pos_left))
+                 | + n_right * n_right * n_left
+                 | - n_left * (pos_right * pos_right
+                 |   + (n_right - pos_right) * (n_right - pos_right))"""
+              .stripMargin.replace("\n", " ")))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cost_num"), col("bin"))))
+        .filter(col("rn") === 1)
+        .select(col("bin").as("best_bin"),
+          // polarity: predict positive on the side with the higher
+          // positive RATE, compared division-free
+          when(col("pos_left") * col("n_right") >
+               col("pos_right") * col("n_left"), 1L).otherwise(0L)
+            .as("left_pos"))
+      // holdout values OUTSIDE the training range clamp to the edge
+      // bins — also keeps the bin numerator nonnegative (negative
+      // floordiv is the one place Spark `div` and DuckDB `//` disagree)
+      te.crossJoin(broadcast(mm)).crossJoin(broadcast(best))
+        .withColumn("bin",
+          expr("(greatest(lo, least(hi, cents)) - lo) * 32" +
+            " div (hi - lo + 1)"))
+        .withColumn("pred",
+          when((col("bin") <= col("best_bin")) === (col("left_pos") === 1L),
+            1L).otherwise(0L))
+        .agg(sum(when(col("pred") === 1L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 10000 div (tp + fp)").as("precision_x10k"),
+          expr("tp * 10000 div (tp + fn)").as("recall_x10k"),
+          expr("2 * tp * 10000 div (2 * tp + fp + fn)").as("f1_x10k"))
+    },
+
     // Equi-WIDTH histogram — the distribution view between q130's
     // min/max and q113's equi-DEPTH quantiles: 16 fixed-width buckets
     // of the order total in exact cents. Bounds are corpus min/max
@@ -2199,6 +2274,62 @@ object CoreQueries {
         |  CAST(CASE WHEN row_number() OVER (ORDER BY cost_num, bin) = 1
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_best
         |FROM sfin""".stripMargin,
+
+    // q268: fit on even keys, same argmin + cross-multiplied polarity,
+    // classify odd keys, exact integer metrics
+    "q268_stump_eval" ->
+      """WITH so AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |str AS (SELECT * FROM so WHERE o_orderkey % 2 = 0),
+        |ste AS (SELECT * FROM so WHERE o_orderkey % 2 = 1),
+        |sb AS (SELECT min(cents) AS lo, max(cents) AS hi FROM str),
+        |sp AS (SELECT (cents - lo) * 32 // (hi - lo + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM str, sb GROUP BY 1),
+        |stot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(pos) AS BIGINT) AS pp FROM sp),
+        |scum AS (SELECT bin,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS n_left,
+        |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS pos_left
+        |  FROM sp),
+        |ssc AS (SELECT bin, n_left, pos_left,
+        |    nn - n_left AS n_right, pp - pos_left AS pos_right,
+        |    n_left * n_left * (nn - n_left)
+        |      - (nn - n_left) * (pos_left * pos_left
+        |        + (n_left - pos_left) * (n_left - pos_left))
+        |      + (nn - n_left) * (nn - n_left) * n_left
+        |      - n_left * ((pp - pos_left) * (pp - pos_left)
+        |        + ((nn - n_left) - (pp - pos_left))
+        |          * ((nn - n_left) - (pp - pos_left))) AS cost_num
+        |  FROM scum, stot WHERE n_left < nn),
+        |sbest AS (SELECT bin AS best_bin,
+        |    CASE WHEN pos_left * n_right > pos_right * n_left
+        |         THEN 1 ELSE 0 END AS left_pos
+        |  FROM ssc ORDER BY cost_num, bin LIMIT 1),
+        |spred AS (SELECT y,
+        |    CASE WHEN (((greatest(lo, least(hi, cents)) - lo) * 32
+        |                // (hi - lo + 1)) <= best_bin)
+        |              = (left_pos = 1)
+        |         THEN 1 ELSE 0 END AS pred
+        |  FROM ste, sb, sbest),
+        |scm AS (SELECT
+        |    CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM spred)
+        |SELECT tp, fp, fn, tn,
+        |  tp * 10000 // (tp + fp) AS precision_x10k,
+        |  tp * 10000 // (tp + fn) AS recall_x10k,
+        |  2 * tp * 10000 // (2 * tp + fp + fn) AS f1_x10k
+        |FROM scm""".stripMargin,
 
     // q120: replay the exact ε-window around each target rank; the
     // sketch's bound promise is the TRUE literal the hash compares.
