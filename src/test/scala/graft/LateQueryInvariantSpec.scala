@@ -61,6 +61,54 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     Checkpoints.releaseAll(spark)
   }
 
+  test("q266 quartiles partition each nation near-evenly and the " +
+       "distribution stats are monotone") {
+    val rows = CoreQueries.defs("q266_revenue_quartiles")(spark, dir)
+      .select(col("n_name"), col("quartile"), col("pct_rank"), col("cume"))
+      .as[(String, Long, Double, Double)].collect()
+    rows.groupBy(_._1).foreach { case (nation, rs) =>
+      // ntile: bucket sizes differ by at most 1
+      val sizes = rs.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$nation ntile sizes $sizes")
+      // distribution stats live in [0, 1]; cume reaches exactly 1
+      assert(rs.forall(r => r._3 >= 0 && r._3 <= 1 && r._4 > 0 && r._4 <= 1))
+      assert(rs.map(_._4).max == 1.0, nation)
+    }
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q267 split census: exactly one best split, nonnegative cost, " +
+       "monotone left counts") {
+    val rows = CoreQueries.defs("q267_decision_stump")(spark, dir)
+      .select(col("bin"), col("n_left"), col("cost_num"), col("is_best"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._4).sum == 1L) // one argmin
+    // weighted-Gini numerator is ≥ 0 (impurities are), and the argmin
+    // row actually attains the minimum
+    assert(rows.forall(_._3 >= 0L))
+    val best = rows.filter(_._4 == 1L).head
+    assert(rows.forall(r => r._3 > best._3 ||
+      (r._3 == best._3 && r._1 >= best._1)))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 < b._2 })
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q268 holdout eval: confusion census covers the whole holdout " +
+       "and F1 sits between precision and recall") {
+    val r = CoreQueries.defs("q268_stump_eval")(spark, dir)
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision_x10k"), col("recall_x10k"), col("f1_x10k"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val holdout = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 2 === 1).count()
+    assert(r._1 + r._2 + r._3 + r._4 == holdout)
+    // harmonic mean lies between its arguments (±1 for the floordiv)
+    val (p, rec, f1) = (r._5, r._6, r._7)
+    assert(f1 >= math.min(p, rec) - 1 && f1 <= math.max(p, rec) + 1,
+      s"p=$p r=$rec f1=$f1")
+    Checkpoints.releaseAll(spark)
+  }
+
   test("q258 calibration bins partition the user base") {
     val rows = CoreQueries.defs.get("q258_calibration_bins")
       .orElse(graft.queries.EventQueries.defs.get("q258_calibration_bins"))
