@@ -65,6 +65,7 @@ object Explain {
     "q265_profile_journey",   // 2× broadcast 7-row year-grid densify (q10 shape)
     "q267_decision_stump",    // broadcast 1-row bounds + totals scalars (q162/q42 shape)
     "q268_stump_eval",        // broadcast 1-row bounds + 1-row model scalars (q162/q42 shape)
+    "q269_feature_importance", // broadcast 1-row bounds scalar (q162/q42 shape)
     "q246_ks_drift",        // broadcast 1-row group-totals scalars (q42 shape)
     "q247_exact_auc",       // broadcast 1-row group-totals scalar (q42 shape)
     "q248_lift_curve",      // broadcast 1-row (n, conv) totals scalar (q42 shape)

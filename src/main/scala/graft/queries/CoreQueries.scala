@@ -174,6 +174,23 @@ object CoreQueries {
          |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** The stump purity-mass score S = (pos_L²+neg_L²)/n_L +
+    * (pos_R²+neg_R²)/n_R as exact 10⁻⁶ fixed point in pure int64
+    * (see q267): with q the common numerator over D = n_L·n_R,
+    * score_x6 = (q div D)·10⁶ + ((q mod D)·10⁶) div D. All terms
+    * nonnegative, so Spark `div` and DuckDB `//` agree — the ONE
+    * formula is rendered for both engines. */
+  private val StumpScoreCore =
+    "(pos_left * pos_left + (n_left - pos_left) * (n_left - pos_left))" +
+      " * n_right + (pos_right * pos_right" +
+      " + (n_right - pos_right) * (n_right - pos_right)) * n_left"
+  private def stumpScoreSql(divOp: String): String =
+    s"((($StumpScoreCore) $divOp (n_left * n_right)) * 1000000" +
+      s" + ((($StumpScoreCore) % (n_left * n_right)) * 1000000)" +
+      s" $divOp (n_left * n_right))"
+  private val StumpScoreSql = stumpScoreSql("div")
+  private val StumpScoreDuck = stumpScoreSql("//")
+
   val defs: Map[String, Q] = Map(
     // Referential-integrity census (Relational.fkCensus scaladoc):
     // one row per declared FK edge of the star — child rows, null
@@ -623,17 +640,21 @@ object CoreQueries {
     },
 
     // EXACT DISTRIBUTED DECISION STUMP — the quality-classifier
-    // training primitive (CART split finding, Breiman et al., public)
-    // in division-free integer arithmetic: predict "urgent order" from
-    // binned price. One bounds scan + one binned-aggregate scan over
-    // the corpus (the q162 shape); everything after the 32-row bin
-    // census — cumulative left counts, the weighted-Gini argmin — is
-    // driver-scale (a window over ≤ 32 rows, NOT the corpus). The
-    // split cost comparison is the weighted impurity n_L·G_L + n_R·G_R
-    // cleared of its denominators: cost·n_L·n_R = n_L²·n_R −
-    // n_R·(pos_L² + neg_L²) + n_R²·n_L − n_L·(pos_R² + neg_R²) — exact
-    // int64 while n³ < 2^63 (n ≤ ~2M; the test SFs are ≤ 150k), so
-    // argmin ties break identically in both engines (then by bin).
+    // training primitive (CART split finding, Breiman et al., public):
+    // predict "urgent order" from binned price. One bounds scan + one
+    // binned-aggregate scan over the corpus (the q162 shape);
+    // everything after the 32-row bin census — cumulative left counts,
+    // the split argmax — is driver-scale (a window over ≤ 32 rows, NOT
+    // the corpus). Minimizing the weighted Gini n_L·G_L + n_R·G_R is
+    // maximizing the PURITY MASS S = (pos_L² + neg_L²)/n_L +
+    // (pos_R² + neg_R²)/n_R (W = N − S, same N for every split — so S
+    // is comparable ACROSS splits, which the denominator-cleared
+    // W·n_L·n_R form is NOT). S is computed as exact 10⁻⁶ fixed point
+    // without ever touching a float: with q = a·n_R + b·n_L and
+    // D = n_L·n_R (S = q/D), score_x6 = (q div D)·10⁶ +
+    // ((q mod D)·10⁶) div D — every intermediate ≤ n²·N·… < 2^63 for
+    // n ≤ ~2M (test SFs ≤ 150k), so the argmax and its ties (then by
+    // bin) are bit-identical in both engines.
     "q267_decision_stump" -> { (s, d) =>
       val o = Tables.orders(s, d).select(
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
@@ -657,16 +678,64 @@ object CoreQueries {
           (col("pp") - col("pos_left")).as("pos_right"))
       val scored = cum.select(col("bin"), col("n_left"), col("pos_left"),
         col("n_right"), col("pos_right"),
-        expr("""n_left * n_left * n_right
-               | - n_right * (pos_left * pos_left
-               |   + (n_left - pos_left) * (n_left - pos_left))
-               | + n_right * n_right * n_left
-               | - n_left * (pos_right * pos_right
-               |   + (n_right - pos_right) * (n_right - pos_right))"""
-            .stripMargin.replace("\n", " ")).as("cost_num"))
+        expr(StumpScoreSql).as("score_x6"))
       scored.withColumn("is_best",
-        when(row_number().over(Window.orderBy(col("cost_num"), col("bin")))
-          === 1, 1L).otherwise(0L))
+        when(row_number().over(
+          Window.orderBy(col("score_x6").desc, col("bin"))) === 1, 1L)
+          .otherwise(0L))
+    },
+
+    // FEATURE IMPORTANCE by best-split purity — the tree-training
+    // inner loop across features (root-node feature selection): three
+    // candidate features (price bin, order month, customer segment)
+    // share ONE corpus scan via a stacked explode, each gets its own
+    // per-bin census + cumulative split sweep, and features rank by
+    // their best split's purity-mass score. The score is q267's exact
+    // fixed point, and because W = N − S with the SAME N for every
+    // feature, scores compare ACROSS features — the property the
+    // denominator-cleared weighted-Gini form lacks. Post-census work
+    // is ≤ 60 (feature, bin) rows.
+    "q269_feature_importance" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val stacked = o.crossJoin(broadcast(mm)).select(col("y"),
+        explode(array(
+          struct(lit("price").as("feature"),
+            expr("(cents - lo) * 32 div (hi - lo + 1)").as("bin")),
+          struct(lit("month").as("feature"), col("mth").as("bin")),
+          struct(lit("cseg").as("feature"),
+            (col("o_custkey") % 16).as("bin")))).as("fb"))
+        .select(col("y"), col("fb.feature").as("feature"),
+          col("fb.bin").as("bin"))
+      val per = stacked.groupBy(col("feature"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val tot = per.groupBy(col("feature"))
+        .agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+      val wF = Window.partitionBy(col("feature")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = per
+        .withColumn("n_left", sum(col("n")).over(wF))
+        .withColumn("pos_left", sum(col("pos")).over(wF))
+        .join(broadcast(tot), Seq("feature"))
+        .filter(col("n_left") < col("nn"))
+        .select(col("feature"), col("bin"), col("n_left"), col("pos_left"),
+          (col("nn") - col("n_left")).as("n_right"),
+          (col("pp") - col("pos_left")).as("pos_right"))
+        .withColumn("score_x6", expr(StumpScoreSql))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("feature"))
+            .orderBy(col("score_x6").desc, col("bin"))))
+        .filter(col("rn") === 1)
+        .select(col("feature"), col("bin").as("best_bin"), col("n_left"),
+          col("score_x6"))
+        .withColumn("feat_rank", row_number().over(
+          Window.orderBy(col("score_x6").desc, col("feature")))
+          .cast("long"))
     },
 
     // TRAIN → HOLDOUT EVAL closure over q267's stump: fit the split on
@@ -703,16 +772,10 @@ object CoreQueries {
         .select(col("bin"), col("n_left"), col("pos_left"),
           (col("nn") - col("n_left")).as("n_right"),
           (col("pp") - col("pos_left")).as("pos_right"))
-        .withColumn("cost_num",
-          expr("""n_left * n_left * n_right
-                 | - n_right * (pos_left * pos_left
-                 |   + (n_left - pos_left) * (n_left - pos_left))
-                 | + n_right * n_right * n_left
-                 | - n_left * (pos_right * pos_right
-                 |   + (n_right - pos_right) * (n_right - pos_right))"""
-              .stripMargin.replace("\n", " ")))
+        .withColumn("score_x6", expr(StumpScoreSql))
         .withColumn("rn",
-          row_number().over(Window.orderBy(col("cost_num"), col("bin"))))
+          row_number().over(
+            Window.orderBy(col("score_x6").desc, col("bin"))))
         .filter(col("rn") === 1)
         .select(col("bin").as("best_bin"),
           // polarity: predict positive on the side with the higher
@@ -2241,9 +2304,9 @@ object CoreQueries {
         |             ORDER BY revenue_cents, c_custkey)""".stripMargin,
 
     // q267: same bins, same cumulative left census, the same
-    // denominator-cleared weighted-Gini integer
+    // fixed-point purity-mass score (the ONE formula, rendered with //)
     "q267_decision_stump" ->
-      """WITH st AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      s"""WITH st AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
         |      AS BIGINT) AS cents,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
         |  FROM orders),
@@ -2261,24 +2324,58 @@ object CoreQueries {
         |    nn - n_left AS n_right, pp - pos_left AS pos_right
         |  FROM scum, stot WHERE n_left < nn),
         |sfin AS (SELECT bin, n_left, pos_left, n_right, pos_right,
-        |    n_left * n_left * n_right
-        |      - n_right * (pos_left * pos_left
-        |        + (n_left - pos_left) * (n_left - pos_left))
-        |      + n_right * n_right * n_left
-        |      - n_left * (pos_right * pos_right
-        |        + (n_right - pos_right) * (n_right - pos_right))
-        |      AS cost_num
+        |    $StumpScoreDuck AS score_x6
         |  FROM ssc)
         |SELECT bin, n_left, pos_left, n_right, pos_right,
-        |  CAST(cost_num AS BIGINT) AS cost_num,
-        |  CAST(CASE WHEN row_number() OVER (ORDER BY cost_num, bin) = 1
+        |  CAST(score_x6 AS BIGINT) AS score_x6,
+        |  CAST(CASE WHEN row_number()
+        |         OVER (ORDER BY score_x6 DESC, bin) = 1
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_best
         |FROM sfin""".stripMargin,
+
+    // q269: same stacked three-feature census, same fixed-point score,
+    // per-feature argmax then the cross-feature ranking
+    "q269_feature_importance" ->
+      s"""WITH fo AS (SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |fbn AS (SELECT min(cents) AS lo, max(cents) AS hi FROM fo),
+        |fst AS (SELECT 'price' AS feature,
+        |      (cents - lo) * 32 // (hi - lo + 1) AS bin, y FROM fo, fbn
+        |  UNION ALL SELECT 'month', mth, y FROM fo
+        |  UNION ALL SELECT 'cseg', o_custkey % 16, y FROM fo),
+        |fp AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM fst GROUP BY 1, 2),
+        |ftot AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(pos) AS BIGINT) AS pp FROM fp GROUP BY 1),
+        |fcum AS (SELECT feature, bin,
+        |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin)
+        |      AS BIGINT) AS n_left,
+        |    CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin)
+        |      AS BIGINT) AS pos_left
+        |  FROM fp),
+        |fsc0 AS (SELECT fcum.feature, bin, n_left, pos_left,
+        |    nn - n_left AS n_right, pp - pos_left AS pos_right
+        |  FROM fcum JOIN ftot ON fcum.feature = ftot.feature
+        |  WHERE n_left < nn),
+        |fsc AS (SELECT *, $StumpScoreDuck AS score_x6 FROM fsc0),
+        |fbest AS (SELECT feature, bin AS best_bin, n_left, score_x6,
+        |    row_number() OVER (PARTITION BY feature
+        |      ORDER BY score_x6 DESC, bin) AS rn
+        |  FROM fsc)
+        |SELECT feature, best_bin, n_left,
+        |  CAST(score_x6 AS BIGINT) AS score_x6,
+        |  CAST(row_number() OVER (ORDER BY score_x6 DESC, feature)
+        |    AS BIGINT) AS feat_rank
+        |FROM fbest WHERE rn = 1""".stripMargin,
 
     // q268: fit on even keys, same argmin + cross-multiplied polarity,
     // classify odd keys, exact integer metrics
     "q268_stump_eval" ->
-      """WITH so AS (SELECT o_orderkey,
+      s"""WITH so AS (SELECT o_orderkey,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      AS cents,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
@@ -2295,20 +2392,14 @@ object CoreQueries {
         |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS n_left,
         |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS pos_left
         |  FROM sp),
-        |ssc AS (SELECT bin, n_left, pos_left,
-        |    nn - n_left AS n_right, pp - pos_left AS pos_right,
-        |    n_left * n_left * (nn - n_left)
-        |      - (nn - n_left) * (pos_left * pos_left
-        |        + (n_left - pos_left) * (n_left - pos_left))
-        |      + (nn - n_left) * (nn - n_left) * n_left
-        |      - n_left * ((pp - pos_left) * (pp - pos_left)
-        |        + ((nn - n_left) - (pp - pos_left))
-        |          * ((nn - n_left) - (pp - pos_left))) AS cost_num
+        |ssc0 AS (SELECT bin, n_left, pos_left,
+        |    nn - n_left AS n_right, pp - pos_left AS pos_right
         |  FROM scum, stot WHERE n_left < nn),
+        |ssc AS (SELECT *, $StumpScoreDuck AS score_x6 FROM ssc0),
         |sbest AS (SELECT bin AS best_bin,
         |    CASE WHEN pos_left * n_right > pos_right * n_left
         |         THEN 1 ELSE 0 END AS left_pos
-        |  FROM ssc ORDER BY cost_num, bin LIMIT 1),
+        |  FROM ssc ORDER BY score_x6 DESC, bin LIMIT 1),
         |spred AS (SELECT y,
         |    CASE WHEN (((greatest(lo, least(hi, cents)) - lo) * 32
         |                // (hi - lo + 1)) <= best_bin)

@@ -77,18 +77,22 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     Checkpoints.releaseAll(spark)
   }
 
-  test("q267 split census: exactly one best split, nonnegative cost, " +
-       "monotone left counts") {
+  test("q267 split census: exactly one best split, purity score in " +
+       "range, monotone left counts") {
     val rows = CoreQueries.defs("q267_decision_stump")(spark, dir)
-      .select(col("bin"), col("n_left"), col("cost_num"), col("is_best"))
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
-    assert(rows.map(_._4).sum == 1L) // one argmin
-    // weighted-Gini numerator is ≥ 0 (impurities are), and the argmin
-    // row actually attains the minimum
-    assert(rows.forall(_._3 >= 0L))
-    val best = rows.filter(_._4 == 1L).head
-    assert(rows.forall(r => r._3 > best._3 ||
-      (r._3 == best._3 && r._1 >= best._1)))
+      .select(col("bin"), col("n_left"), col("n_right"), col("score_x6"),
+        col("is_best"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._5).sum == 1L) // one argmax
+    // purity mass S ∈ (half the split mass, N]: each side contributes
+    // at least n/2 (binary labels) and at most n — so N/2·10⁶ ≤
+    // score_x6 ≤ N·10⁶ structurally
+    val n = rows.head._2 + rows.head._3 // n_left + n_right = N, any row
+    assert(rows.forall(r => r._4 >= n * 500000L && r._4 <= n * 1000000L),
+      s"score out of [N/2, N]·1e6 for N=$n")
+    val best = rows.filter(_._5 == 1L).head
+    assert(rows.forall(r => r._4 < best._4 ||
+      (r._4 == best._4 && r._1 >= best._1)))
     assert(rows.sliding(2).forall { case Array(a, b) => a._2 < b._2 })
     Checkpoints.releaseAll(spark)
   }
