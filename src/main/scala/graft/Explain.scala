@@ -66,6 +66,9 @@ object Explain {
     "q267_decision_stump",    // broadcast 1-row bounds + totals scalars (q162/q42 shape)
     "q268_stump_eval",        // broadcast 1-row bounds + 1-row model scalars (q162/q42 shape)
     "q269_feature_importance", // broadcast 1-row bounds scalar (q162/q42 shape)
+    "q270_pr_curve",          // broadcast 1-row bounds + positives-total scalars (q162/q42 shape)
+    "q271_rater_kappa",       // broadcast 1-row bounds scalar (q162/q42 shape)
+    "q272_mcnemar_compare",   // broadcast 1-row bounds scalar (q162/q42 shape)
     "q246_ks_drift",        // broadcast 1-row group-totals scalars (q42 shape)
     "q247_exact_auc",       // broadcast 1-row group-totals scalar (q42 shape)
     "q248_lift_curve",      // broadcast 1-row (n, conv) totals scalar (q42 shape)

@@ -191,6 +191,26 @@ object CoreQueries {
   private val StumpScoreSql = stumpScoreSql("div")
   private val StumpScoreDuck = stumpScoreSql("//")
 
+  /** Exact ×10⁶ fixed point of num/den for NONNEGATIVE num and
+    * positive den, staged in two 10³ hops so it holds whenever
+    * den·10³ < 2^63 (vs den·10⁶ for the single-hop q267 form):
+    * floor(num·10⁶/den) = (num div den)·10⁶ + t₁·10³ + t₂ with
+    * t₁ = (r₁·10³) div den, r₂ = (r₁·10³) mod den, t₂ = (r₂·10³) div
+    * den — exact by expanding r₁·10⁶ = t₁·den·10³ + r₂·10³. One
+    * formula rendered for both engines (q267 discipline). */
+  private def fxSql(num: String, den: String, divOp: String): String =
+    s"(((($num)) $divOp ($den)) * 1000000" +
+      s" + (((($num) % ($den)) * 1000) $divOp ($den)) * 1000" +
+      s" + ((((($num) % ($den)) * 1000) % ($den)) * 1000) $divOp ($den))"
+
+  /** Signed form of [[fxSql]]: magnitude computed on abs(num) and the
+    * sign re-applied, because truncation at negative operands is the
+    * one place Spark `div` and DuckDB `//` disagree (q268 note). The
+    * result truncates toward zero in both engines. */
+  private def fxSignedSql(num: String, den: String, divOp: String): String =
+    s"(CASE WHEN ($num) < 0 THEN -${fxSql(s"abs($num)", den, divOp)}" +
+      s" ELSE ${fxSql(num, den, divOp)} END)"
+
   val defs: Map[String, Q] = Map(
     // Referential-integrity census (Relational.fkCensus scaladoc):
     // one row per declared FK edge of the star — child rows, null
@@ -805,6 +825,163 @@ object CoreQueries {
           expr("tp * 10000 div (tp + fp)").as("precision_x10k"),
           expr("tp * 10000 div (tp + fn)").as("recall_x10k"),
           expr("2 * tp * 10000 div (2 * tp + fp + fn)").as("f1_x10k"))
+    },
+
+    // PRECISION–RECALL CURVE of the binned price score — q268's point
+    // metrics swept across ALL thresholds at once (where q248's lift
+    // table deciles a RANKING, this sweeps the CLASSIFICATION
+    // threshold): the same one bounds scan + one binned census
+    // (q162/q267 shape), then each threshold's confusion from a
+    // cumulative-from-the-RIGHT window over the ≤32-row bin relation
+    // (post-census, driver-scale — the q267 window discipline), so the
+    // full curve costs exactly the two corpus passes a single
+    // threshold does. Predict positive on bin ≥ t; metrics are exact
+    // ×10⁴ single floordivs (F1 never composed from the rounded p
+    // and r).
+    "q270_pr_curve" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val per = o.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("(cents - lo) * 32 div (hi - lo + 1)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val tot = per.agg(sum(col("pos")).as("pp"))
+      val wR = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("tp", sum(col("pos")).over(wR))
+        .withColumn("pred_pos", sum(col("n")).over(wR))
+        .crossJoin(broadcast(tot))
+        .select(col("bin").as("threshold_bin"), col("tp"),
+          (col("pred_pos") - col("tp")).as("fp"),
+          (col("pp") - col("tp")).as("fn"))
+        .select(col("threshold_bin"), col("tp"), col("fp"), col("fn"),
+          expr("tp * 10000 div (tp + fp)").as("precision_x10k"),
+          expr("tp * 10000 div (tp + fn)").as("recall_x10k"),
+          expr("2 * tp * 10000 div (2 * tp + fp + fn)").as("f1_x10k"))
+    },
+
+    // COHEN'S KAPPA (1960) — chance-corrected agreement between a
+    // fixed price-rule "annotator" (upper half of the q267 bin range)
+    // and the urgent label: the annotation-QC primitive behind label
+    // audits (raw accuracy flatters an annotator who just predicts the
+    // majority class; kappa subtracts the marginal-chance agreement).
+    // One bounds scan + one confusion census; kappa = (N·po − pe) /
+    // (N² − pe) with po = tp+tn and pe = (tp+fp)(tp+fn)+(fn+tn)(fp+tn)
+    // kept as raw integer masses, the SIGNED staged fixed point
+    // (kappa < 0 when agreement runs below chance).
+    "q271_rater_kappa" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("pred",
+          when(expr("(cents - lo) * 32 div (hi - lo + 1)") >= 16, 1L)
+            .otherwise(0L))
+        .agg(sum(when(col("pred") === 1L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(tp + tn) * 10000 div (tp + fp + fn + tn)")
+            .as("accuracy_x10k"),
+          expr(fxSignedSql(
+            "(tp + fp + fn + tn) * (tp + tn)" +
+              " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+            "(tp + fp + fn + tn) * (tp + fp + fn + tn)" +
+              " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+            "div")).as("kappa_x6"))
+    },
+
+    // McNEMAR'S PAIRED COMPARISON (1947) — "is classifier A actually
+    // better than classifier B on the SAME examples?", the question
+    // accuracy deltas can't answer (shared easy examples cancel; only
+    // the DISCORDANT pairs b = A-right/B-wrong and c = A-wrong/B-right
+    // carry signal). Two fixed rules on the urgent label — A = the
+    // q271 price rule, B = a first-half-year month rule — scored in
+    // ONE confusion census (one bounds scan + one corpus pass, q162
+    // shape); the statistic (b−c)²/(b+c) is a nonnegative integer
+    // ratio → the staged ×10⁶ fixed point, no sign split (den
+    // floored at 1 for the degenerate no-discordance corpus, where
+    // the numerator is 0 anyway).
+    "q272_mcnemar_compare" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("ok_a",
+          when((expr("(cents - lo) * 32 div (hi - lo + 1)") >= 16)
+            .cast("long") === col("y"), 1L).otherwise(0L))
+        .withColumn("ok_b",
+          when((col("mth") <= 6).cast("long") === col("y"), 1L)
+            .otherwise(0L))
+        .agg(sum(when(col("ok_a") === 1L && col("ok_b") === 1L, 1L)
+            .otherwise(0L)).as("both_right"),
+          sum(when(col("ok_a") === 1L && col("ok_b") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("ok_a") === 0L && col("ok_b") === 1L, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("ok_a") === 0L && col("ok_b") === 0L, 1L)
+            .otherwise(0L)).as("both_wrong"))
+        .select(col("both_right"), col("b"), col("c"), col("both_wrong"),
+          expr("(both_right + b) * 10000" +
+            " div (both_right + b + c + both_wrong)").as("acc_a_x10k"),
+          expr("(both_right + c) * 10000" +
+            " div (both_right + b + c + both_wrong)").as("acc_b_x10k"),
+          expr(fxSql("(b - c) * (b - c)", "greatest(b + c, 1)", "div"))
+            .as("mcnemar_x6"))
+    },
+
+    // THEIL–SEN ROBUST TREND (1950/1968) — q173's MAD twin for
+    // regression: the median of pairwise slopes, immune to the
+    // outlier years that drag q168's OLS fit. Per nation the yearly
+    // census is CALENDAR-BOUNDED (≤ 7 points → ≤ 21 pairs), so the
+    // pair "self-join" and the median window are group-keyed and tiny
+    // by construction (the q230-decile bounded-domain rule) while the
+    // corpus pass stays one join + one census shuffle. Each pair's
+    // slope is the SIGNED staged ×10⁶ fixed point (Δcents/Δyear;
+    // Δyear > 0 by the x1 < x2 generation); the lower median (rank
+    // (n+1) div 2 over slope-ordered pairs) is an order-statistic of
+    // exact integers — bit-identical in both engines.
+    "q273_theilsen_trend" -> { (s, d) =>
+      val yr = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) - 1992).cast("long").as("x"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("x"))
+        .agg(sum(col("cents")).as("yv"))
+      val pairs = yr.as("l")
+        .join(yr.as("r"), col("l.n_name") === col("r.n_name") &&
+          col("l.x") < col("r.x"))
+        .select(col("l.n_name").as("n_name"),
+          expr(fxSignedSql("r.yv - l.yv", "r.x - l.x", "div"))
+            .as("slope_x6"))
+      val wMed = Window.partitionBy(col("n_name"))
+        .orderBy(col("slope_x6"))
+      pairs
+        .withColumn("rn", row_number().over(wMed).cast("long"))
+        .withColumn("n_pairs",
+          count(lit(1)).over(Window.partitionBy(col("n_name"))))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_name"), col("n_pairs"),
+          col("slope_x6").as("ts_slope_x6"))
     },
 
     // Equi-WIDTH histogram — the distribution view between q130's
@@ -2421,6 +2598,124 @@ object CoreQueries {
         |  tp * 10000 // (tp + fn) AS recall_x10k,
         |  2 * tp * 10000 // (2 * tp + fp + fn) AS f1_x10k
         |FROM scm""".stripMargin,
+
+    // q270: same bin census, cumulative-from-the-right confusions, the
+    // same single-floordiv metrics
+    "q270_pr_curve" ->
+      """WITH pu AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |pb AS (SELECT min(cents) AS lo, max(cents) AS hi FROM pu),
+        |pp AS (SELECT (cents - lo) * 32 // (hi - lo + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM pu, pb GROUP BY 1),
+        |pt AS (SELECT CAST(sum(pos) AS BIGINT) AS ppos FROM pp),
+        |pc AS (SELECT bin,
+        |    CAST(sum(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS pred_pos
+        |  FROM pp),
+        |pm AS (SELECT bin AS threshold_bin, tp,
+        |    pred_pos - tp AS fp, ppos - tp AS fn
+        |  FROM pc, pt)
+        |SELECT threshold_bin, tp, fp, fn,
+        |  tp * 10000 // (tp + fp) AS precision_x10k,
+        |  tp * 10000 // (tp + fn) AS recall_x10k,
+        |  2 * tp * 10000 // (2 * tp + fp + fn) AS f1_x10k
+        |FROM pm""".stripMargin,
+
+    // q271: same confusion census, same integer po/pe masses, the
+    // signed staged fixed point
+    "q271_rater_kappa" ->
+      s"""WITH ku AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |kb AS (SELECT min(cents) AS lo, max(cents) AS hi FROM ku),
+        |kp AS (SELECT y,
+        |    CASE WHEN (cents - lo) * 32 // (hi - lo + 1) >= 16
+        |         THEN 1 ELSE 0 END AS pred
+        |  FROM ku, kb),
+        |kc AS (SELECT
+        |    CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM kp)
+        |SELECT tp, fp, fn, tn,
+        |  (tp + tn) * 10000 // (tp + fp + fn + tn) AS accuracy_x10k,
+        |  CAST(${fxSignedSql(
+             "(tp + fp + fn + tn) * (tp + tn)" +
+               " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+             "(tp + fp + fn + tn) * (tp + fp + fn + tn)" +
+               " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+             "//")} AS BIGINT) AS kappa_x6
+        |FROM kc""".stripMargin,
+
+    // q272: same one-pass paired confusion, same nonnegative staged
+    // fixed point with the den floored at 1
+    "q272_mcnemar_compare" ->
+      s"""WITH mu AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |mb AS (SELECT min(cents) AS lo, max(cents) AS hi FROM mu),
+        |mk AS (SELECT
+        |    CASE WHEN (CASE WHEN (cents - lo) * 32 // (hi - lo + 1) >= 16
+        |                    THEN 1 ELSE 0 END) = y
+        |         THEN 1 ELSE 0 END AS ok_a,
+        |    CASE WHEN (CASE WHEN mth <= 6 THEN 1 ELSE 0 END) = y
+        |         THEN 1 ELSE 0 END AS ok_b
+        |  FROM mu, mb),
+        |mc AS (SELECT
+        |    CAST(sum(CASE WHEN ok_a = 1 AND ok_b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_right,
+        |    CAST(sum(CASE WHEN ok_a = 1 AND ok_b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN ok_a = 0 AND ok_b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ok_a = 0 AND ok_b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong
+        |  FROM mk)
+        |SELECT both_right, b, c, both_wrong,
+        |  (both_right + b) * 10000
+        |    // (both_right + b + c + both_wrong) AS acc_a_x10k,
+        |  (both_right + c) * 10000
+        |    // (both_right + b + c + both_wrong) AS acc_b_x10k,
+        |  CAST(${fxSql("(b - c) * (b - c)", "greatest(b + c, 1)", "//")}
+        |    AS BIGINT) AS mcnemar_x6
+        |FROM mc""".stripMargin,
+
+    // q273: same calendar-bounded pair grid, same signed fixed-point
+    // pair slopes, same lower-median order statistic
+    "q273_theilsen_trend" ->
+      s"""WITH ty AS (SELECT n_name,
+        |    CAST(year(o_orderdate) - 1992 AS BIGINT) AS x,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS yv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tp AS (SELECT l.n_name AS n_name,
+        |    CAST(${fxSignedSql("r.yv - l.yv", "r.x - l.x", "//")}
+        |      AS BIGINT) AS slope_x6
+        |  FROM ty l JOIN ty r ON l.n_name = r.n_name AND l.x < r.x),
+        |tr AS (SELECT n_name, slope_x6,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY slope_x6) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT)
+        |      AS n_pairs
+        |  FROM tp)
+        |SELECT n_name, n_pairs, slope_x6 AS ts_slope_x6
+        |FROM tr WHERE rn = (n_pairs + 1) // 2""".stripMargin,
 
     // q120: replay the exact ε-window around each target rank; the
     // sketch's bound promise is the TRUE literal the hash compares.

@@ -438,16 +438,22 @@ object GraphQueries {
       // every 3rd order recommends two fixed-hash partners with a
       // rank-decaying score
       val rec = k.filter(col("paper") % 3 === 0)
-      // Adversarial tail (constant, so still a pure function of the
-      // SF): a DUPLICATED (paper, recommended) pair that really is
+      // Adversarial tail (a pure function of the SF — max(o_orderkey)
+      // is): a DUPLICATED (paper, recommended) pair that really is
       // mutual. A reciprocity probe joining a non-deduplicated mutual
       // side fans out on these rows — the real-dump re-scored-
-      // recommendation shape q256 must survive. Ids sit far above any
-      // o_orderkey range so they collide with nothing organic.
-      val recAdversarial = s.range(1).select(explode(typedLit(Seq(
-        "99999901\t99999902\t0.9",
-        "99999901\t99999902\t0.75",
-        "99999902\t99999901\t0.9"))).as("value"))
+      // recommendation shape q256 must survive. Ids are derived from
+      // the corpus max key (+1/+2), so they collide with nothing
+      // organic at ANY scale factor (sparse TPC-H orderkeys reach
+      // ~6M·SF, which would overtake any fixed constant around SF 17).
+      val recAdversarial = k.agg(max(col("paper")).as("mx"))
+        .select(explode(array(
+          concat_ws("\t", (col("mx") + 1).cast("string"),
+            (col("mx") + 2).cast("string"), lit("0.9")),
+          concat_ws("\t", (col("mx") + 1).cast("string"),
+            (col("mx") + 2).cast("string"), lit("0.75")),
+          concat_ws("\t", (col("mx") + 2).cast("string"),
+            (col("mx") + 1).cast("string"), lit("0.9")))).as("value"))
       rec.select(col("paper"), (col("paper") * 7 % 1000).as("r"),
           lit("0.9").as("sc"))
         .unionByName(rec.select(col("paper"),

@@ -113,6 +113,92 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     Checkpoints.releaseAll(spark)
   }
 
+  test("q270 PR curve: positives conserve per threshold, recall is " +
+       "monotone, and the loosest threshold recalls everything") {
+    val rows = CoreQueries.defs("q270_pr_curve")(spark, dir)
+      .select(col("threshold_bin"), col("tp"), col("fp"), col("fn"),
+        col("recall_x10k"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val p = rows.head._2 + rows.head._4 // tp + fn, any row
+    assert(rows.forall(r => r._2 + r._4 == p))
+    // raising the threshold can only shed predicted positives
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._2 <= a._2 && b._2 + b._3 <= a._2 + a._3 })
+    assert(rows.head._5 == 10000L) // bin 0 predicts everything positive
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q271 kappa: census covers the corpus, kappa never exceeds " +
+       "accuracy, and the fixed point matches BigInt") {
+    val r = CoreQueries.defs("q271_rater_kappa")(spark, dir)
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        col("accuracy_x10k"), col("kappa_x6"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val nOrders = graft.sources.Tables.orders(spark, dir).count()
+    assert(r._1 + r._2 + r._3 + r._4 == nOrders)
+    val (tp, fp, fn, tn) = (BigInt(r._1), BigInt(r._2), BigInt(r._3),
+      BigInt(r._4))
+    val nn = tp + fp + fn + tn
+    val pe = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    val num = nn * (tp + tn) - pe
+    val den = nn * nn - pe
+    assert(BigInt(r._6) == num.abs * 1000000 / den * num.signum)
+    // kappa = (po−pe')/(1−pe') ≤ po: chance correction only shrinks
+    assert(r._6 <= r._5 * 100 + 1)
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q272 McNemar: paired census covers the corpus, accuracy deltas " +
+       "live in the discordant cells, fixed point matches BigInt") {
+    val r = CoreQueries.defs("q272_mcnemar_compare")(spark, dir)
+      .select(col("both_right"), col("b"), col("c"), col("both_wrong"),
+        col("acc_a_x10k"), col("acc_b_x10k"), col("mcnemar_x6"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val nOrders = graft.sources.Tables.orders(spark, dir).count()
+    assert(r._1 + r._2 + r._3 + r._4 == nOrders)
+    // acc_a − acc_b = (b − c)/N exactly, up to the two independent
+    // floordivs (±1 each)
+    val exactDelta = (r._2 - r._3) * 10000.0 / nOrders
+    assert(math.abs((r._5 - r._6) - exactDelta) <= 2.0)
+    val (b, c) = (BigInt(r._2), BigInt(r._3))
+    assert(BigInt(r._7) ==
+      (b - c) * (b - c) * 1000000 / ((b + c).max(BigInt(1))))
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q273 Theil–Sen: the median pair slope equals an exact BigInt " +
+       "recomputation, and pair counts are the full x-grid") {
+    val got = CoreQueries.defs("q273_theilsen_trend")(spark, dir)
+      .select(col("n_name"), col("n_pairs"), col("ts_slope_x6"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val census = graft.sources.Tables.orders(spark, dir)
+      .join(graft.sources.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) - 1992).cast("long").as("x"))
+      .agg(sum((queries.dec(col("o_totalprice")) * 100).cast("long"))
+        .as("yv"))
+      .as[(String, Long, Long)].collect()
+    def fx(num: BigInt, den: BigInt): Long = // truncate toward zero
+      (num.abs * 1000000 / den * num.signum).toLong
+    val exp = census.groupBy(_._1).view.mapValues { rs =>
+      val pts = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        (x1, y1) <- pts; (x2, y2) <- pts if x1 < x2
+      } yield fx(BigInt(y2) - y1, BigInt(x2) - x1)).sorted
+      (slopes.length.toLong, slopes((slopes.length + 1) / 2 - 1))
+    }.toMap
+    assert(got.length == exp.size)
+    got.foreach { case (nm, np, sl) =>
+      assert((np, sl) == exp(nm), nm)
+      val k = census.count(_._1 == nm).toLong
+      assert(np == k * (k - 1) / 2) // every x-pair present, none twice
+    }
+    Checkpoints.releaseAll(spark)
+  }
+
   test("q258 calibration bins partition the user base") {
     val rows = CoreQueries.defs.get("q258_calibration_bins")
       .orElse(graft.queries.EventQueries.defs.get("q258_calibration_bins"))
