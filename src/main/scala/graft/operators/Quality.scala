@@ -207,6 +207,31 @@ object Quality {
         when(eff >= k, 1L).otherwise(0L).as("ok")): _*)
   }
 
+  /** L-DIVERSITY census — the homogeneity-attack gate k-anonymity
+    * misses (Machanavajjhala et al., "l-Diversity: privacy beyond
+    * k-anonymity", 2007): a QI group can be large (k-anonymous) yet
+    * reveal everyone's sensitive value if that value is CONSTANT in
+    * the group. Emits one row per QI group: size, the number of
+    * DISTINCT sensitive values, the share of the most frequent
+    * sensitive value in exact ×10⁴ basis points (the direct
+    * homogeneity readout — distinct-count alone flatters a group
+    * that is 99% one value), and the `ok` verdict at the given l.
+    * Two keyed aggregates + one ≤32-value-per-group max: census cost
+    * is O(groups·values), never O(rows²). */
+  def lDiversityCensus(df: DataFrame, qi: Seq[String],
+                       sensitive: String, l: Int): DataFrame = {
+    val bySens = df.groupBy((qi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    bySens.groupBy(qi.map(col): _*)
+      .agg(sum(col("n_rows")).as("group_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("n_rows")).as("top_count"))
+      .select(qi.map(col) ++ Seq(
+        col("group_size"), col("n_sensitive"),
+        expr("top_count * 10000 div group_size").as("top_share_x10k"),
+        when(col("n_sensitive") >= l, 1L).otherwise(0L).as("ok")): _*)
+  }
+
   def bigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
     import graft.functions.TextFns
     val w = org.apache.spark.sql.expressions.Window

@@ -191,6 +191,11 @@ object CoreQueries {
   private val StumpScoreSql = stumpScoreSql("div")
   private val StumpScoreDuck = stumpScoreSql("//")
 
+  /** q275's persisted pre-1997 base census — built once per (session,
+    * sfDir), so bench repeat passes measure MAINTENANCE (delta agg +
+    * census-grain fold), not the base build. */
+  private val aggBaseIndex = new IndexCache("graft_aggbase")
+
   /** Exact ×10⁶ fixed point of num/den for NONNEGATIVE num and
     * positive den, staged in two 10³ hops so it holds whenever
     * den·10³ < 2^63 (vs den·10⁶ for the single-hop q267 form):
@@ -956,7 +961,10 @@ object CoreQueries {
     // (n+1) div 2 over slope-ordered pairs) is an order-statistic of
     // exact integers — bit-identical in both engines.
     "q273_theilsen_trend" -> { (s, d) =>
-      val yr = Tables.orders(s, d)
+      // the census feeds BOTH sides of the pair join — checkpoint so
+      // the corpus join runs once; broadcast the probe side (the
+      // census is nations×years rows at any corpus size)
+      val yr = graft.Checkpoints.checkpoint(Tables.orders(s, d)
         .select(col("o_custkey"),
           (year(col("o_orderdate")) - 1992).cast("long").as("x"),
           (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
@@ -966,9 +974,9 @@ object CoreQueries {
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("x"))
-        .agg(sum(col("cents")).as("yv"))
+        .agg(sum(col("cents")).as("yv")))
       val pairs = yr.as("l")
-        .join(yr.as("r"), col("l.n_name") === col("r.n_name") &&
+        .join(broadcast(yr.as("r")), col("l.n_name") === col("r.n_name") &&
           col("l.x") < col("r.x"))
         .select(col("l.n_name").as("n_name"),
           expr(fxSignedSql("r.yv - l.yv", "r.x - l.x", "div"))
@@ -982,6 +990,55 @@ object CoreQueries {
         .filter(col("rn") === expr("(n_pairs + 1) div 2"))
         .select(col("n_name"), col("n_pairs"),
           col("slope_x6").as("ts_slope_x6"))
+    },
+
+    // L-DIVERSITY census (Machanavajjhala et al. 2007) — the
+    // homogeneity-attack gate q208's k-anonymity misses: a QI group
+    // can be comfortably large yet expose everyone's sensitive value
+    // if that value is (near-)constant inside it. Same customer QI
+    // frame as q208 with the market segment moved from QI to the
+    // SENSITIVE role; per group the distinct-sensitive count, the
+    // exact ×10⁴ share of the dominant value (the direct homogeneity
+    // readout), and the verdict at l = 3. Two keyed aggregates —
+    // O(groups·values), never O(rows²).
+    "q274_l_diversity" -> { (s, d) =>
+      import graft.operators.Quality
+      val qi = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("nationkey"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("bal_kilo"),
+        col("c_mktsegment").as("mktsegment"))
+      Quality.lDiversityCensus(qi, Seq("nationkey", "bal_kilo"),
+        "mktsegment", l = 3)
+    },
+
+    // MATERIALIZED-AGGREGATE MAINTENANCE — the incremental-view-upkeep
+    // shape at the relational layer (the BM25/minhash/IVF build-and-
+    // append convention applied to a plain GROUP BY): the pre-1997
+    // base census is aggregated ONCE per (session, sfDir) and persisted
+    // as parquet; the serve path aggregates only the 1997+ DELTA and
+    // folds it into the base by re-aggregating the union of the two
+    // CENSUSES (rows ∝ groups, not corpus). count/sum are commutative
+    // monoids, so maintained ≡ one-shot exactly — which is precisely
+    // what the oracle (a full recompute) checks. At 100 TB this is the
+    // difference between scanning yesterday's corpus again and
+    // touching only the new partition.
+    "q275_agg_maintenance" -> { (s, d) =>
+      val cut = "1997-01-01"
+      def census(df: DataFrame): DataFrame = df
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((dec(col("o_totalprice")) * 100).cast("long"))
+            .as("revenue_cents"))
+      val dir = aggBaseIndex.get(s, d) { dir =>
+        census(Tables.orders(s, d).filter(col("o_orderdate") < lit(cut)))
+          .write.parquet(s"$dir/base")
+      }
+      census(Tables.orders(s, d).filter(col("o_orderdate") >= lit(cut)))
+        .unionByName(s.read.parquet(s"$dir/base"))
+        .groupBy(col("o_year"), col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("revenue_cents")).as("revenue_cents"))
     },
 
     // Equi-WIDTH histogram — the distribution view between q130's
@@ -2716,6 +2773,36 @@ object CoreQueries {
         |  FROM tp)
         |SELECT n_name, n_pairs, slope_x6 AS ts_slope_x6
         |FROM tr WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // q274: same two keyed aggregates, same dominant-share floordiv
+    "q274_l_diversity" ->
+      """WITH lq AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kilo,
+        |    c_mktsegment AS mktsegment
+        |  FROM customer),
+        |ls AS (SELECT nationkey, bal_kilo, mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lq GROUP BY 1, 2, 3),
+        |lg AS (SELECT nationkey, bal_kilo,
+        |    CAST(sum(n_rows) AS BIGINT) AS group_size,
+        |    CAST(count(*) AS BIGINT) AS n_sensitive,
+        |    CAST(max(n_rows) AS BIGINT) AS top_count
+        |  FROM ls GROUP BY 1, 2)
+        |SELECT nationkey, bal_kilo, group_size, n_sensitive,
+        |  top_count * 10000 // group_size AS top_share_x10k,
+        |  CAST(CASE WHEN n_sensitive >= 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS ok
+        |FROM lg""".stripMargin,
+
+    // q275: the one-shot full recompute — maintained base+delta must
+    // equal it exactly (count/sum are monoids)
+    "q275_agg_maintenance" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     // q120: replay the exact ε-window around each target rank; the
     // sketch's bound promise is the TRUE literal the hash compares.

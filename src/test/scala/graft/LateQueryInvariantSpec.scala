@@ -199,6 +199,44 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     Checkpoints.releaseAll(spark)
   }
 
+  test("q274 l-diversity: groups cover the customer base, the dominant " +
+       "share is at least the uniform share, verdict matches l=3") {
+    val rows = CoreQueries.defs("q274_l_diversity")(spark, dir)
+      .select(col("group_size"), col("n_sensitive"),
+        col("top_share_x10k"), col("ok"))
+      .as[(Long, Long, Long, Long)].collect()
+    val nCust = graft.sources.Tables.customer(spark, dir).count()
+    assert(rows.map(_._1).sum == nCust) // every customer in one group
+    rows.foreach { case (gs, ns, ts, ok) =>
+      assert(ns >= 1 && ns <= math.min(gs, 5)) // 5 market segments exist
+      assert(ts >= 10000 / ns - 1 && ts <= 10000) // max ≥ mean
+      assert((ok == 1L) == (ns >= 3))
+    }
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("q275 maintained aggregate equals the one-shot recompute " +
+       "row-for-row, and the base census is persisted") {
+    val got = CoreQueries.defs("q275_agg_maintenance")(spark, dir)
+      .select(col("o_year"), col("o_orderpriority"), col("n_orders"),
+        col("revenue_cents"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val oneShot = graft.sources.Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((queries.dec(col("o_totalprice")) * 100).cast("long"))
+          .as("revenue_cents"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == oneShot)
+    // the delta side really is partial: some groups span the cut, so
+    // the maintained fold had to merge base and delta rows
+    val deltaOnly = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01")).count()
+    assert(deltaOnly > 0 && deltaOnly < got.toSeq.map(_._3).sum)
+    Checkpoints.releaseAll(spark)
+  }
+
   test("q258 calibration bins partition the user base") {
     val rows = CoreQueries.defs.get("q258_calibration_bins")
       .orElse(graft.queries.EventQueries.defs.get("q258_calibration_bins"))
