@@ -654,6 +654,63 @@ object ScaleProbe {
         f"(${dcB / dcb}%.1fx, $nDc evals screened, fan-out " +
         f"$candBase%d -> $deconCand%d cand, corpus 10x)")
 
+      // q275 materialized-aggregate maintenance: base corpus 10x
+      // (count-multiplying disjoint copies — the census group count is
+      // CALENDAR-bounded, so it stays fixed), delta FIXED. The serve
+      // path aggregates only the delta and folds it into the persisted
+      // base at census grain (≤35 rows), so the maintenance wall
+      // should hold ~flat while the base build — the full recompute a
+      // naive pipeline would re-run — scales with the corpus.
+      {
+        val o = spark.read.parquet(s"$base/orders.parquet")
+          .select(col("o_orderdate"), col("o_orderpriority"),
+            col("o_totalprice"))
+        val cut = "1997-01-01"
+        val baseSide = o.filter(col("o_orderdate") < lit(cut))
+          .localCheckpoint()
+        val delta = o.filter(col("o_orderdate") >= lit(cut))
+          .localCheckpoint()
+        val baseSide10 = baseSide
+          .withColumn("rep", explode(sequence(lit(0), lit(9))))
+          .drop("rep").localCheckpoint()
+        def census(df: DataFrame): DataFrame = df.groupBy(
+            year(col("o_orderdate")).cast("long").as("o_year"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum((graft.queries.dec(col("o_totalprice")) * 100)
+              .cast("long")).as("revenue_cents"))
+        def run(baseDf: DataFrame): (Double, Double, Long) = {
+          val dirPath =
+            java.nio.file.Files.createTempDirectory("aggmaint_probe")
+          try {
+            val dir = dirPath.toString
+            val (bt, _) = time {
+              census(baseDf).write.parquet(s"$dir/base"); 1L
+            }
+            val (st, n) = time {
+              census(delta)
+                .unionByName(spark.read.parquet(s"$dir/base"))
+                .groupBy(col("o_year"), col("o_orderpriority"))
+                .agg(sum(col("n_orders")).as("n_orders"),
+                  sum(col("revenue_cents")).as("revenue_cents"))
+                .count()
+            }
+            (bt, st, n)
+          } finally {
+            val w = java.nio.file.Files.walk(dirPath)
+            try w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally w.close()
+          }
+        }
+        run(baseSide) // codegen warmup
+        val (bb, sb, _) = run(baseSide)
+        val (bB, sB, nG) = run(baseSide10)
+        println(f"[probe] agg-maint:  serve $sb%.1fs -> $sB%.1fs " +
+          f"(${sB / sb}%.1fx, base build $bb%.1fs -> $bB%.1fs " +
+          f"(${bB / bb}%.1fx), $nG groups, base 10x delta fixed)")
+      }
+
       // q143 personalized PageRank + q145 core decomposition on the
       // weight>=6 substrate (disjoint copies: fixed rounds / copy-
       // invariant propagation depth → honest ratio ~linear)
