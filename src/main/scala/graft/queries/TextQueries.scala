@@ -195,6 +195,42 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // WILSON LOWER-BOUND RANKING (Wilson 1927; the sort-by-LCB rule) —
+    // the small-n-safe way to rank sources by a pass rate: a 3-doc
+    // source at 3/3 must NOT outrank a 500-doc source at 95%, which a
+    // raw-rate sort gets wrong (the rate_rank column rides along so
+    // the census SHOWS those inversions). Pass = the q136-style length
+    // gate. With z = 2 the interval is rational up to ONE integer
+    // square root: LCB = ((s+2) − 2·√((s(n−s)+n)/n)) / (n+4), computed
+    // as ((s+2)·10⁴ − 2·isqrt((s(n−s)+n)·10⁸ div n)) div (n+4) —
+    // isqrt is the IEEE-sqrt + ±1 correction (Relational.isqrt, the
+    // q155 machinery), exact-floor deterministic in both engines; the
+    // numerator is NONNEGATIVE (isqrt ≤ the true root and the true
+    // LCB ≥ 0), so no sign split. Intermediates hold while
+    // n²/4·10⁸ < 2^63 (n ≤ ~600k docs/source; far above gate SFs).
+    // One keyed aggregate + a groups-sized readout.
+    "q276_rate_lcb_ranking" -> { (s, d) =>
+      val per = Tables.documents(s, d).filter(col("doc_id") >= 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars").between(200, 2000), 1L).otherwise(0L))
+            .as("n_pass"))
+      per
+        .withColumn("wroot", Relational.isqrt(
+          expr("(n_pass * (n_docs - n_pass) + n_docs)" +
+            " * 100000000 div n_docs")))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          expr("n_pass * 10000 div n_docs").as("rate_x10k"),
+          expr("((n_pass + 2) * 10000 - 2 * wroot) div (n_docs + 4)")
+            .as("lcb_x10k"))
+        .withColumn("lcb_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("lcb_x10k").desc, col("source"))).cast("long"))
+        .withColumn("rate_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rate_x10k").desc, col("source"))).cast("long"))
+    },
+
     // Tokenization stats: whitespace tokens vs BPE-ish regex tokens.
     "q20_token_stats" -> { (s, d) =>
       val n = TextFns.norm(col("text"))
@@ -2499,6 +2535,36 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q276: same pass census, the same floor(sqrt) + ±1 integer
+    // correction as Relational.isqrt (the q155 CTE), same floordivs
+    "q276_rate_lcb_ranking" ->
+      """WITH wd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 2000
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM documents WHERE doc_id >= 0 GROUP BY 1),
+        |w1 AS (SELECT *, (n_pass * (n_docs - n_pass) + n_docs)
+        |    * 100000000 // n_docs AS x FROM wd),
+        |w2 AS (SELECT *,
+        |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM w1),
+        |w3 AS (SELECT *,
+        |    CASE WHEN s0 * s0 > x THEN s0 - 1
+        |         WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+        |         ELSE s0 END AS wroot
+        |  FROM w2),
+        |w4 AS (SELECT source, n_docs, n_pass,
+        |    n_pass * 10000 // n_docs AS rate_x10k,
+        |    ((n_pass + 2) * 10000 - 2 * wroot) // (n_docs + 4)
+        |      AS lcb_x10k
+        |  FROM w3)
+        |SELECT source, n_docs, n_pass, rate_x10k,
+        |  CAST(lcb_x10k AS BIGINT) AS lcb_x10k,
+        |  CAST(row_number() OVER (ORDER BY lcb_x10k DESC, source)
+        |    AS BIGINT) AS lcb_rank,
+        |  CAST(row_number() OVER (ORDER BY rate_x10k DESC, source)
+        |    AS BIGINT) AS rate_rank
+        |FROM w4""".stripMargin,
+
     "q26_minhash_lsh" -> minhashLshSql,
     "q218_textrank_keywords" -> textRankSql,
     "q192_incremental_neardup" -> incrementalNearDupSql,

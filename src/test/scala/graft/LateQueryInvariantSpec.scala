@@ -237,6 +237,35 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     Checkpoints.releaseAll(spark)
   }
 
+  test("q276 Wilson LCB: bounds hold, ranks are permutations, and the " +
+       "fixed point matches an exact BigInt + isqrt replay") {
+    val rows = TextQueries.defs("q276_rate_lcb_ranking")(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        col("rate_x10k"), col("lcb_x10k"), col("lcb_rank"),
+        col("rate_rank"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 0).count()
+    assert(rows.map(_._2).sum == nDocs)
+    assert(rows.map(_._6).sorted.toSeq == (1L to rows.length).toSeq)
+    assert(rows.map(_._7).sorted.toSeq == (1L to rows.length).toSeq)
+    def isqrt(x: BigInt): BigInt = { // floor √x, Newton
+      var g = BigInt(math.sqrt(x.toDouble).toLong.max(1))
+      var prev = BigInt(-1)
+      while (g != prev) { prev = g; g = (g + x / g) / 2 }
+      while (g * g > x) g -= 1
+      while ((g + 1) * (g + 1) <= x) g += 1
+      g
+    }
+    rows.foreach { case (src, n, s, rate, lcb, _, _) =>
+      val x = (BigInt(s) * (n - s) + n) * 100000000 / n
+      val exp = ((BigInt(s) + 2) * 10000 - 2 * isqrt(x)) / (BigInt(n) + 4)
+      assert(BigInt(lcb) == exp, src)
+      assert(lcb >= 0 && lcb <= rate && rate <= 10000, src)
+    }
+    Checkpoints.releaseAll(spark)
+  }
+
   test("q258 calibration bins partition the user base") {
     val rows = CoreQueries.defs.get("q258_calibration_bins")
       .orElse(graft.queries.EventQueries.defs.get("q258_calibration_bins"))
