@@ -34,3 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Contain TEST scratch (fixture dirs, index dirs, Spark local dirs —
+// specs create ~60 temp dirs per run) under target/tmp instead of the
+// system temp dir: `sbt clean` reclaims it and repeated runs never
+// litter /tmp. The `run` JVMs keep the system tmpdir on purpose — the
+// Verify oracle fixtures (graft_mag*/graft_jsonl*) must outlive the
+// JVM for the driver's DuckDB pass.
+Test / javaOptions += {
+  val t = target.value / "tmp"
+  java.nio.file.Files.createDirectories(t.toPath)
+  s"-Djava.io.tmpdir=${t.getAbsolutePath}"
+}

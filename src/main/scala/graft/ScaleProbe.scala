@@ -908,6 +908,14 @@ object ScaleProbe {
       println(f"[probe] bm25-serve:  $svb%.2fs -> $svB%.2fs " +
         f"(${svB / svb}%.1fx wall, input/index $fracB%.2f -> $frac10%.2f, " +
         f"corpus 10x)")
+      // both probe indexes are per-invocation scratch — delete them
+      // (the ivf-append leak's sibling, fixed the same way)
+      Seq(idxB, idx10).foreach { p =>
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally w.close()
+      }
       assert(fracB < 0.7 && frac10 < 0.7,
         f"bm25 serve read $fracB%.2f/$frac10%.2f of the index — term " +
           "pushdown is not pruning")

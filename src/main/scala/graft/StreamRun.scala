@@ -55,6 +55,12 @@ object StreamRun {
         .getOrElse(sys.error(s"no part file in $tmp"))
       finally listing.close() // Files.list holds an open DirectoryStream
     Files.move(part, destDir.resolve(s"$name.parquet"))
+    // the staging dir still holds _SUCCESS + .crc siblings after the
+    // move — delete the tree, or every drop leaks a dir in java.io.tmpdir
+    val w = Files.walk(Paths.get(tmp))
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally w.close()
   }
 
   /** Stage the fixture as `numDrops` time-ordered file drops plus the

@@ -78,23 +78,21 @@ object GraphQueries {
     * aggregation's ClusteredDistribution since {l_orderkey} ⊆
     * {l_orderkey, l_suppkey}). Written once per (session, dir) via
     * [[graft.sources.Ingest.writeBucketed]]. */
-  private val bucketedTables =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private val bucketedDirs = new IndexCache("graft_bucketed")
   private def bucketedMembership(s: SparkSession, d: String): DataFrame = {
-    bucketedTables.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val table = bucketedTables.getOrElseUpdate((s, d), {
-      // full sanitized dir, not a 32-bit hash: colliding hashCodes of
-      // two dirs would silently serve one dir's data for the other
-      val tbl = s"graft_li_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_bucketed").toString
+    // full sanitized dir, not a 32-bit hash: colliding hashCodes of
+    // two dirs would silently serve one dir's data for the other
+    val tbl = s"graft_li_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // IndexCache (vs the r6 bare TrieMap) so the on-disk copy is swept
+    // on session eviction and at JVM exit — the bucketed dir used to
+    // outlive every run that made one
+    bucketedDirs.get(s, d) { path =>
       graft.sources.Ingest.writeBucketed(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         tbl, s"$path/$tbl", "l_orderkey", buckets = 16,
         sortKey = Some("l_orderkey"))
-      tbl
-    })
-    s.table(table)
+    }
+    s.table(tbl)
   }
 
   /** Evict and unpersist this session's materialized views (pair spine

@@ -134,7 +134,15 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
 
   private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)])
       : String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_ev")
+    // sweep the fixture at JVM exit — specs used to leak one dir per run
+    sys.addShutdownHook {
+      val w = java.nio.file.Files.walk(dirPath)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+    val dir = dirPath.toString
     rows.toDF("event_id", "sec", "user_id", "event_type", "value")
       .select(col("event_id"), to_timestamp(col("sec")).as("ts"),
         col("user_id"), col("event_type"), col("value"),
