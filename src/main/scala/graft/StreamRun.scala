@@ -621,6 +621,85 @@ object StreamRun {
     (tumblingBad, coedgeBad, tumblingRows, coedgeRows)
   }
 
+  /** CHECKPOINT-RECOVERY parity — the operational property no other
+    * channel exercises: the watermarked tumbling aggregation is
+    * STOPPED mid-corpus and a NEW query object resumes from the SAME
+    * `checkpointLocation` over the same append sink. The file-source
+    * offsets, the watermark, and the window state all come back from
+    * the checkpoint WAL: the resumed run processes only the unseen
+    * drops, re-emits nothing (append mode emits each window exactly
+    * once its watermark passes — a state-less restart would either
+    * re-emit closed windows or drop the open ones), and the final
+    * sink still equals the batch twin exactly. This is the property a
+    * 100 TB deployment actually relies on: executors die, queries
+    * restart, the sink must not care. Returns
+    * (mismatches + duplicate-window emissions, batch window rows). */
+  def runRestart(spark: SparkSession, sfDir: String,
+                 workDir: String): (Long, Long) = {
+    val staged = stageDrops(spark, sfDir, s"$workDir/restart_stage")
+    val live = Paths.get(workDir, "restart_live")
+    Files.createDirectories(live)
+    val listing = Files.list(Paths.get(staged))
+    val files =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
+    val out = s"$workDir/sink_restart"
+    val ckpt = s"$workDir/ckpt_restart"
+    def startQuery() = EventStreams.tumblingCounts(
+        spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(live.toString))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    // Copies land with EXPLICIT strictly-increasing mtimes: the file
+    // source orders by modification time, and a tight copy loop gives
+    // identical stamps — under maxFilesPerTrigger=1 a later drop can
+    // then process FIRST, turning the earlier drop into late data
+    // behind the watermark (silently dropped — the exact failure this
+    // channel's first run exposed). stageDrops guarantees the same
+    // invariant by staging sequentially.
+    var stamp = System.currentTimeMillis()
+    def arrive(f: Path): Unit = {
+      val dst = live.resolve(f.getFileName.toString)
+      Files.copy(f, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(stamp))
+      stamp += 1000
+    }
+    // phase 1: the first half of the drops, then a stop
+    files.take(files.length / 2).foreach(arrive)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: the rest (incl. the watermark sentinel) under a NEW
+    // query instance recovering from the same checkpoint
+    files.drop(files.length / 2).foreach(arrive)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.read.parquet(out)
+      .filter(col("event_type") =!= Sentinel)
+    // exactly-once across the restart: nothing emitted twice
+    val dups = streamed.groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, sfDir))
+      .select(col("win_start"), col("event_type"),
+        col("n_events").as("b_n"), col("sum_value").as("b_sum"))
+    val rows = batch.count()
+    val bad = batch.join(
+        streamed.select(col("win_start"), col("event_type"),
+          col("n_events").as("s_n"), col("sum_value").as("s_sum")),
+        Seq("win_start", "event_type"), "full_outer")
+      .filter(col("b_n").isNull || col("s_n").isNull ||
+        col("b_n") =!= col("s_n") ||
+        (col("b_sum").isNull =!= col("s_sum").isNull) ||
+        abs(col("b_sum") - col("s_sum")) > 1e-6)
+      .count()
+    (bad + dups, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val workDir = args.lift(1).getOrElse(
@@ -644,6 +723,7 @@ object StreamRun {
     val (lBad, lRows) = runSliding(spark, sfDir, workDir)
     val (eBad, eRows) = runEwma(spark, sfDir, workDir)
     val (uBad, uRows) = runDedup(spark, sfDir, workDir)
+    val (rBad, rRows) = runRestart(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
@@ -651,15 +731,16 @@ object StreamRun {
       s"sessions=${verdict(sBad)} transitions=${verdict(xBad)} " +
       s"funnel=${verdict(fBad)} sliding=${verdict(lBad)} " +
       s"ewma=${verdict(eBad)} dedup=${verdict(uBad)} " +
+      s"restart=${verdict(rBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
       s"contamination_docs=$kRows cusum_days=$dRows sessions=$sRows " +
       s"transitions=$xRows funnel_users=$fRows sliding_windows=$lRows " +
-      s"ewma_users=$eRows dedup_events=$uRows " +
+      s"ewma_users=$eRows dedup_events=$uRows restart_windows=$rRows " +
       s"sf=$sfDir")
     spark.stop()
     if (tBad + cBad + aBad + nBad + kBad + dBad + sBad + xBad + fBad +
-        lBad + eBad + uBad > 0)
+        lBad + eBad + uBad + rBad > 0)
       sys.exit(1)
   }
 }

@@ -111,4 +111,15 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(sRows > 0)
     assert(sBad == 0, s"$sBad sessions diverge from the q32 batch")
   }
+
+  test("a stateful query stopped mid-corpus and resumed from its " +
+       "checkpoint still equals the batch twin with no re-emissions") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_restart").toString
+    val (rBad, rRows) =
+      StreamRun.runRestart(spark, "/root/testdata/sf0.001", work)
+    assert(rRows > 0)
+    assert(rBad == 0,
+      s"$rBad window rows diverge (or were re-emitted) across the restart")
+  }
 }
