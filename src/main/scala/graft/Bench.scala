@@ -21,7 +21,18 @@ import graft.sources.Tables
   * can't erode later queries' execution memory.
   */
 object Bench {
+  /** 1-minute load average, or -1 where /proc/loadavg doesn't exist.
+    * Recorded at sweep start and end so a hot-box record is
+    * self-describing: the r16 889 s artifact (quiet re-run: 240 s on
+    * bit-identical plans) could only be adjudicated by a judge re-run
+    * because the record carried no load evidence. */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -85,7 +96,13 @@ object Bench {
     val totalMin = total { case (a, b) => math.min(a, b) }
     val t1 = total(_._1)
     val t2 = total(_._2)
-    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"sf":"$sfDir"}"""
+    // pass1/pass2: steady-state sweeps sit near 1 (pass 1 pays plan
+    // compilation only); a contended box inflates pass 1 — the r16
+    // artifact read 1.45. Anything ≥ 1.5 means "re-pin before trusting".
+    val loadEnd = loadAvg()
+    def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val passRatio = if (t2 > 0) f2(t1 / t2) else BigDecimal(-1)
+    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST 2000 bytes of sbt output
     // (BENCH_r01–r05 all have len(tail)==2000) and parses a JSON line
@@ -101,7 +118,8 @@ object Bench {
     val centis = results.map { case (k, v) =>
       k -> v.map { case (a, b) => math.rint(math.min(a, b) * 100).toLong }
     }
-    val compact = compactLine(totalMin, centis, sfDir.split('/').last)
+    val compact = compactLine(totalMin, centis, sfDir.split('/').last,
+      passRatio.toDouble, loadStart, loadEnd)
     spark.stop()
     // The driver json-parses LINES out of its 2000-byte tail window — a
     // prefixed line never json-parses, so the bare compact object must
@@ -128,9 +146,13 @@ object Bench {
     * mis-assigning values. The full-name 3-decimal-seconds record stays
     * in bench.json.
     *
-    * @param centis (queryName, min-pass centiseconds; None = error) */
+    * @param centis (queryName, min-pass centiseconds; None = error)
+    * @param passRatio total_pass1/total_pass2 (≥1.5 flags a hot box)
+    * @param loadStart 1-min loadavg at sweep start (-1 = unknown)
+    * @param loadEnd 1-min loadavg at sweep end (-1 = unknown) */
   def compactLine(totalMin: Double, centis: Seq[(String, Option[Long])],
-                  sfShort: String): String = {
+                  sfShort: String, passRatio: Double = -1,
+                  loadStart: Double = -1, loadEnd: Double = -1): String = {
     def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def num(name: String) = name.drop(1).takeWhile(_.isDigit).toInt
     val errs = centis.collect { case (k, None) => num(k).toString }
@@ -144,6 +166,13 @@ object Bench {
       else
         "\"queries\":" + byNum.map { case (n, v) => "\"" + n + "\":" + v }
           .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"cs","key_prefix":"q",$body,"errors":$errs,"sf":"$sfShort"}"""
+    // p12 + load make a hot record self-describing in the tail window
+    // too. Byte budget is tight at the 350-query worst case ContractSpec
+    // pins, so the compact forms are clamped-width: one decimal, capped
+    // at 99.9 (a load or ratio past that is "hot" regardless of digits);
+    // bench.json keeps the unclamped 2-decimal values.
+    def f1c(d: Double) = BigDecimal(math.min(d, 99.9))
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    s"""{"metric":"total","value":${f3(totalMin)},"unit":"sec","queries_unit":"cs","key_prefix":"q",$body,"errors":$errs,"p12":${f1c(passRatio)},"ld":[${f1c(loadStart)},${f1c(loadEnd)}],"sf":"$sfShort"}"""
   }
 }

@@ -549,6 +549,86 @@ object StreamRun {
     (bad, rows)
   }
 
+  /** STREAMING IVF APPEND — the embedding twin of [[runAdmission]] and
+    * the live form of q252's incremental index: centroids are trained
+    * ONCE on the 80% base corpus (vec_id % 5 ≠ 4, the q252 split) and
+    * persisted; the held-out 20% then arrives as id-ordered file
+    * drops, each micro-batch appended to the persisted index via
+    * `Similarity.appendToIvfIndex` (assignment against the WRITTEN
+    * centroids — a pure per-vector function of the frozen index, so
+    * micro-batch boundaries cannot move any vector's cell; the
+    * `_ivf_meta` sidecar reconstructs the build's assignment mode with
+    * a driver-side FS open, no per-batch Spark action). After the
+    * stream drains the channel checks parity at BOTH index grains:
+    * the appended assignments must be row-identical to a one-shot
+    * batch append over a twin index (same deterministic base build),
+    * and serving q252's query subset from the streamed index must
+    * equal serving from the batch twin exactly. The count term guards
+    * what set-wise except cannot: a retried micro-batch double-
+    * appending its rows. Returns (mismatches, serve rows). */
+  def runIvfAppend(spark: SparkSession, sfDir: String,
+                   workDir: String): (Long, Long) = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val inc = emb.filter(col("vec_id") % 5 === 4)
+    val streamIdx = s"$workDir/ivf_stream_index"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", streamIdx,
+      cells = 16, lloydIters = 2)
+    // batch twin: the exact-integer Lloyd pipeline is bit-deterministic,
+    // so a second build over the same base writes identical centroids —
+    // the one-shot append against it is the channel's oracle
+    val batchIdx = s"$workDir/ivf_batch_index"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", batchIdx,
+      cells = 16, lloydIters = 2)
+    Similarity.appendToIvfIndex(spark, batchIdx, inc, "vec_id", "embedding")
+    // stage the increment as 4 id-ordered drops
+    val srcDir = Paths.get(workDir, "ivf_drops")
+    Files.createDirectories(srcDir)
+    val n = inc.count()
+    val withIdx = inc.withColumn("_rn",
+      row_number().over(Window.orderBy(col("vec_id"))))
+    val numDrops = 4
+    (0 until numDrops).foreach { i =>
+      val lo = i * n / numDrops + 1
+      val hi = (i + 1) * n / numDrops
+      stageDropFile(withIdx.filter(col("_rn").between(lo, hi)).drop("_rn"),
+        srcDir, f"drop_$i%02d")
+    }
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val qV = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_ivf_append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(spark, streamIdx, df,
+          "vec_id", "embedding")
+      }.start()
+    try qV.processAllAvailable() finally qV.stop()
+    // parity 1: appended assignments ≡ the one-shot append, row-exact
+    val sIdx = spark.read.parquet(s"$streamIdx/assignments.parquet")
+    val bIdx = spark.read.parquet(s"$batchIdx/assignments.parquet")
+    val idxBad = sIdx.except(bIdx).count() + bIdx.except(sIdx).count() +
+      math.abs(sIdx.count() - bIdx.count())
+    // parity 2: q252's serving path reads identically from both indexes
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+    val sServe = Similarity.ivfTopKIndexed(streamIdx, emb, qs,
+      "vec_id", "embedding", 5)
+    val bServe = Similarity.ivfTopKIndexed(batchIdx, emb, qs,
+      "vec_id", "embedding", 5)
+    val rows = bServe.count()
+    val serveBad = sServe.except(bServe).count() +
+      bServe.except(sServe).count()
+    (idxBad + serveBad, rows)
+  }
+
   /** Run both streams over the staged drops; returns
     * (tumblingMismatches, coedgeMismatches, tumblingRows, coedgeRows). */
   def run(spark: SparkSession, sfDir: String, workDir: String): (Long, Long, Long, Long) = {
@@ -724,6 +804,7 @@ object StreamRun {
     val (eBad, eRows) = runEwma(spark, sfDir, workDir)
     val (uBad, uRows) = runDedup(spark, sfDir, workDir)
     val (rBad, rRows) = runRestart(spark, sfDir, workDir)
+    val (vBad, vRows) = runIvfAppend(spark, sfDir, workDir)
     def verdict(bad: Long) = if (bad == 0) "OK" else s"FAIL($bad)"
     println(s"STREAM_PARITY tumbling=${verdict(tBad)} coedges=${verdict(cBad)} " +
       s"admission=${verdict(aBad)} novelty=${verdict(nBad)} " +
@@ -731,16 +812,17 @@ object StreamRun {
       s"sessions=${verdict(sBad)} transitions=${verdict(xBad)} " +
       s"funnel=${verdict(fBad)} sliding=${verdict(lBad)} " +
       s"ewma=${verdict(eBad)} dedup=${verdict(uBad)} " +
-      s"restart=${verdict(rBad)} " +
+      s"restart=${verdict(rBad)} ivf_append=${verdict(vBad)} " +
       s"tumbling_windows=$tRows " +
       s"coedge_groups=$cRows admission_docs=$aRows novelty_docs=$nRows " +
       s"contamination_docs=$kRows cusum_days=$dRows sessions=$sRows " +
       s"transitions=$xRows funnel_users=$fRows sliding_windows=$lRows " +
       s"ewma_users=$eRows dedup_events=$uRows restart_windows=$rRows " +
+      s"ivf_serve_rows=$vRows " +
       s"sf=$sfDir")
     spark.stop()
     if (tBad + cBad + aBad + nBad + kBad + dBad + sBad + xBad + fBad +
-        lBad + eBad + uBad + rBad > 0)
+        lBad + eBad + uBad + rBad + vBad > 0)
       sys.exit(1)
   }
 }

@@ -877,7 +877,16 @@ object CoreQueries {
     // One bounds scan + one confusion census; kappa = (N·po − pe) /
     // (N² − pe) with po = tp+tn and pe = (tp+fp)(tp+fn)+(fn+tn)(fp+tn)
     // kept as raw integer masses, the SIGNED staged fixed point
-    // (kappa < 0 when agreement runs below chance).
+    // (kappa < 0 when agreement runs below chance). The denominator
+    // is floored at 1 (q272 discipline): N² = pe exactly when both
+    // marginals are constant, where the numerator is 0 too, so the
+    // floored quotient is still the right 0 — without the floor Spark
+    // `div` NULLs while DuckDB `//` raises, and the engines diverge.
+    // Validity envelope (tighter than the generic fxSql note, stated
+    // here the way q276 states its n-bound): fxSql needs den·10³ <
+    // 2^63 and den = N² − pe ≤ N², so kappa_x6 is exact up to
+    // N ≈ 9.6e7 orders (~SF 60); q272's (b−c)² term carries the same
+    // N-bound. Past that, compute the census per stratum and fold.
     "q271_rater_kappa" -> { (s, d) =>
       val o = Tables.orders(s, d).select(
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
@@ -902,8 +911,8 @@ object CoreQueries {
           expr(fxSignedSql(
             "(tp + fp + fn + tn) * (tp + tn)" +
               " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
-            "(tp + fp + fn + tn) * (tp + fp + fn + tn)" +
-              " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+            "greatest((tp + fp + fn + tn) * (tp + fp + fn + tn)" +
+              " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 1)",
             "div")).as("kappa_x6"))
     },
 
@@ -2710,8 +2719,8 @@ object CoreQueries {
         |  CAST(${fxSignedSql(
              "(tp + fp + fn + tn) * (tp + tn)" +
                " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
-             "(tp + fp + fn + tn) * (tp + fp + fn + tn)" +
-               " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+             "greatest((tp + fp + fn + tn) * (tp + fp + fn + tn)" +
+               " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 1)",
              "//")} AS BIGINT) AS kappa_x6
         |FROM kc""".stripMargin,
 

@@ -444,7 +444,12 @@ object GraphQueries {
       // the corpus max key (+1/+2), so they collide with nothing
       // organic at ANY scale factor (sparse TPC-H orderkeys reach
       // ~6M·SF, which would overtake any fixed constant around SF 17).
-      val recAdversarial = k.agg(max(col("paper")).as("mx"))
+      // coalesce the max: on an empty corpus max(paper) is NULL and
+      // concat_ws would silently drop the id, emitting malformed
+      // two-field TSV lines — coalescing to 0 keeps the planted rows
+      // well-formed unconditionally
+      val recAdversarial = k
+        .agg(coalesce(max(col("paper")), lit(0L)).as("mx"))
         .select(explode(array(
           concat_ws("\t", (col("mx") + 1).cast("string"),
             (col("mx") + 2).cast("string"), lit("0.9")),

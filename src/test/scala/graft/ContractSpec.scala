@@ -80,7 +80,8 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       val v = if (i % 50 == 0) None else Some(1000L + i) // 10s-ish each
       (f"q$i%02d_synthetic_name_$i", v)
     }
-    val line = Bench.compactLine(9999.999, centis, "sf0.1")
+    val line = Bench.compactLine(9999.999, centis, "sf0.1",
+      passRatio = 1.45, loadStart = 31.72, loadEnd = 0.14)
     assert(line.length <= 1925, s"compact line ${line.length} bytes > 1925")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
@@ -91,6 +92,12 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(qv.get(49).asLong == -1L)    // q50 errored
     assert(node.get("errors").size == 7)
     assert(node.get("errors").get(0).asInt == 50) // errors carry numbers
+    // hot-box self-description (r17): pass ratio + loadavg pair, both
+    // clamped-width one-decimal in the compact form (full precision
+    // stays in bench.json)
+    assert(node.get("p12").asDouble == 1.5) // 1.45 rounded half-up
+    assert(node.get("ld").get(0).asDouble == 31.7 &&
+      node.get("ld").get(1).asDouble == 0.1)
     // a non-contiguous subset (SPARK_GRAFT_ONLY) must fall back to
     // explicit keys rather than mis-assign values
     val subset = Bench.compactLine(1.0,

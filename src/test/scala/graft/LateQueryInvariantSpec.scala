@@ -93,7 +93,9 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     val best = rows.filter(_._5 == 1L).head
     assert(rows.forall(r => r._4 < best._4 ||
       (r._4 == best._4 && r._1 >= best._1)))
-    assert(rows.sliding(2).forall { case Array(a, b) => a._2 < b._2 })
+    // zip-with-tail, not sliding(2): a single-row census would hand
+    // sliding a length-1 window and MatchError instead of passing
+    assert(rows.zip(rows.drop(1)).forall { case (a, b) => a._2 < b._2 })
     Checkpoints.releaseAll(spark)
   }
 
@@ -122,7 +124,8 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     val p = rows.head._2 + rows.head._4 // tp + fn, any row
     assert(rows.forall(r => r._2 + r._4 == p))
     // raising the threshold can only shed predicted positives
-    assert(rows.sliding(2).forall { case Array(a, b) =>
+    // (zip-with-tail — sliding(2) would MatchError on a 1-bin census)
+    assert(rows.zip(rows.drop(1)).forall { case (a, b) =>
       b._2 <= a._2 && b._2 + b._3 <= a._2 + a._3 })
     assert(rows.head._5 == 10000L) // bin 0 predicts everything positive
     Checkpoints.releaseAll(spark)
@@ -141,7 +144,7 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     val nn = tp + fp + fn + tn
     val pe = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
     val num = nn * (tp + tn) - pe
-    val den = nn * nn - pe
+    val den = (nn * nn - pe).max(BigInt(1)) // floored at 1, as the query
     assert(BigInt(r._6) == num.abs * 1000000 / den * num.signum)
     // kappa = (po−pe')/(1−pe') ≤ po: chance correction only shrinks
     assert(r._6 <= r._5 * 100 + 1)

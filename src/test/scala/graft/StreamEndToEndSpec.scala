@@ -112,6 +112,17 @@ class StreamEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(sBad == 0, s"$sBad sessions diverge from the q32 batch")
   }
 
+  test("streamed IVF appends (micro-batch assignment against frozen " +
+       "centroids) yield the one-shot batch index and identical serving") {
+    val work =
+      java.nio.file.Files.createTempDirectory("stream_ivf").toString
+    val (vBad, vRows) =
+      StreamRun.runIvfAppend(spark, "/root/testdata/sf0.001", work)
+    assert(vRows > 0)
+    assert(vBad == 0,
+      s"$vBad assignment/serve rows diverge from the one-shot append")
+  }
+
   test("a stateful query stopped mid-corpus and resumed from its " +
        "checkpoint still equals the batch twin with no re-emissions") {
     val work =
