@@ -18,8 +18,10 @@ import graft.operators.{Dedup, Similarity}
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val big = if (args.length > 1) args(1) else "/tmp/scale10"
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = if (pos.length > 1) pos(1) else "/tmp/scale10"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,6 +29,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    distWindowsProbe(spark, base)
+    if (flags.contains("--dist-windows")) { spark.stop(); return }
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
@@ -711,6 +716,7 @@ object ScaleProbe {
           f"(${bB / bb}%.1fx), $nG groups, base 10x delta fixed)")
       }
 
+
       // q143 personalized PageRank + q145 core decomposition on the
       // weight>=6 substrate (disjoint copies: fixed rounds / copy-
       // invariant propagation depth → honest ratio ~linear)
@@ -1135,5 +1141,143 @@ object ScaleProbe {
       println(f"[probe] neardup-lsh: $lb%.1fs -> $lB%.1fs (${lB / lb}%.1fx, $nL pairs)")
     }
     spark.stop()
+  }
+
+  /** q266 grouped-distribution-window straggler probe — runnable
+    * alone via `runMain graft.ScaleProbe --dist-windows [baseDir]`. */
+  // q266's grouped distribution windows: partitionBy(nation) sorts
+  // each nation's customers in ONE task — fine at 25 nations ×
+  // 60k customers, but the per-nation sort is the straggler
+  // candidate at 100×. Probe: the same (nation, customer, revenue)
+  // relation with customers 10× (disjoint id-offset copies — group
+  // COUNT fixed at 25, group SIZE 10×, the exact hazard), the
+  // windowed form vs a two-phase rewrite (globalCumsum rank over
+  // (nation, rev, cust) — range-partitioned, balanced regardless
+  // of group sizes — + a 25-row broadcast of per-nation offsets,
+  // ntile/pct_rank/cume recomputed from the rank in exact
+  // arithmetic). Both walls and the window stage's max/median
+  // task-DURATION ratio (the straggler itself) are recorded, and
+  // the rewrite is asserted row-identical before it can ever be
+  // considered a swap-in.
+  private def distWindowsProbe(spark: SparkSession,
+                               base: String): Unit = {
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val nat = spark.read.parquet(s"$base/nation.parquet")
+    val ords = spark.read.parquet(s"$base/orders.parquet")
+      .select(col("o_custkey"),
+        (graft.queries.dec(col("o_totalprice")) * 100).cast("long")
+          .as("cents"))
+    val rev = cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("revenue_cents"))
+      .localCheckpoint()
+    val stride = rev.agg(max(col("c_custkey")).cast("long"))
+      .head.getLong(0) + 1L
+    val rev10 = (0L until 10L).map { k =>
+      rev.select(col("n_name"),
+        (col("c_custkey") + k * stride).as("c_custkey"),
+        col("revenue_cents"))
+    }.reduce(_ unionByName _).localCheckpoint()
+
+    def windowed(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue_cents"), col("c_custkey"))
+      df.select(col("n_name"), col("c_custkey"), col("revenue_cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+    }
+    def twoPhase(df: DataFrame): DataFrame = {
+      // global rank over (nation, rev, cust): ranks within a
+      // nation are contiguous, so per-nation rank = global −
+      // offset + 1; all three stats are pure functions of (r, n)
+      // under the unique total order (ntile's uneven-bucket rule
+      // reproduced exactly: first n%4 buckets get one extra row)
+      val ranked = Relational.globalCumsum(df,
+        Seq(col("n_name"), col("revenue_cents"), col("c_custkey")),
+        lit(1L), "grk")
+      val offs = ranked.groupBy(col("n_name"))
+        .agg(min(col("grk")).as("off"), count(lit(1)).as("ng"))
+      // int division via floor on doubles: every operand ≤ n ≈
+      // 15M ≪ 2^53, so the double quotient is exact
+      def idiv(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+        floor(a / b).cast("long")
+      val r = col("grk") - col("off") + 1L
+      val q = idiv(col("ng"), lit(4L))
+      val rem = col("ng") % 4L
+      val out = ranked.join(broadcast(offs), "n_name")
+        .select(col("n_name"), col("c_custkey"), col("revenue_cents"),
+          when(r <= (q + 1L) * rem, idiv(r - 1L, q + 1L) + 1L)
+            .otherwise(rem + idiv(r - (q + 1L) * rem - 1L,
+              greatest(q, lit(1L))) + 1L).as("quartile"),
+          round(when(col("ng") === 1L, lit(0.0))
+            .otherwise((r - 1L).cast("double") /
+              (col("ng") - 1L).cast("double")), 4).as("pct_rank"),
+          round(r.cast("double") / col("ng").cast("double"), 4)
+            .as("cume"))
+      out
+    }
+    // per-task durations of the heaviest stage (by total duration):
+    // the straggler is the one task sorting the biggest nation
+    val tasks =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null)
+          tasks.add((t.stageId, t.taskInfo.duration))
+    }
+    def straggler(f: => Long): (Double, Double) = {
+      tasks.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val (wall, _) = time(f)
+      Thread.sleep(1000) // listener bus drains async
+      spark.sparkContext.removeSparkListener(listener)
+      val byStage = tasks.toArray(Array.empty[(Int, Long)])
+        .groupBy(_._1).values
+      val heavy =
+        if (byStage.isEmpty) Array.empty[Long]
+        else byStage.maxBy(_.map(_._2).sum).map(_._2).sorted
+      val ratio =
+        if (heavy.isEmpty) 0.0
+        else heavy.last.toDouble /
+          math.max(1L, heavy(heavy.length / 2))
+      (wall, ratio)
+    }
+    // the rewrite must be row-identical before its wall means
+    // anything (ntile bucket-rule + pct/cume reproduction)
+    val diff = windowed(rev).except(twoPhase(rev)).count() +
+      twoPhase(rev).except(windowed(rev)).count()
+    Checkpoints.releaseAll(spark)
+    // a bare count() lets ColumnPruning delete the window operators
+    // from the plan (measured: 0.1 s for the 1.5M-row sort — the
+    // windows never ran); the checksum aggregate REQUIRES all three
+    // window columns, so the measured wall is the real sort + compute
+    def force(df: DataFrame): Long = {
+      val n = df.agg(sum(col("quartile") +
+        (col("pct_rank") * 10000).cast("long") +
+        (col("cume") * 10000).cast("long"))).head.getLong(0)
+      Checkpoints.releaseAll(spark)
+      n
+    }
+    straggler(force(windowed(rev))) // codegen warmup
+    val (wwb, _) = straggler(force(windowed(rev)))
+    val (wwB, wsB) = straggler(force(windowed(rev10)))
+    straggler(force(twoPhase(rev))) // codegen warmup
+    val (tpb, _) = straggler(force(twoPhase(rev)))
+    val (tpB, tsB) = straggler(force(twoPhase(rev10)))
+    println(f"[probe] dist-windows: windowed $wwb%.1fs -> $wwB%.1fs " +
+      f"(straggler max/med $wsB%.1fx at 10x) vs two-phase " +
+      f"$tpb%.1fs -> $tpB%.1fs ($tsB%.1fx), rewrite-diff $diff%d " +
+      f"(groups fixed 25, group size 10x)")
   }
 }
