@@ -23,7 +23,8 @@ object Verify {
       "q255_conference_seasons", "q256_reco_reciprocity",
       "q257_venue_catalog", "q260_conference_orders",
       "q261_semantic_contamination", "q263_abstract_invindex",
-      "q264_personalnet_journey", "q265_profile_journey")
+      "q264_personalnet_journey", "q265_profile_journey",
+      "q277_personalnet_dense")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -543,14 +543,16 @@ object GraphQueries {
     * fan-in, deterministic, and the oracle reads the written file so no
     * replay is needed. q190/magAuxDir lifecycle. */
   private val journeyDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-  private def magJourneyDir(s: SparkSession, d: String): String = {
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Int), String]()
+  private def magJourneyDir(s: SparkSession, d: String,
+                            stride: Int = 97): String = {
     journeyDirs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    journeyDirs.synchronized { journeyDirs.getOrElseUpdate((s, d), {
+    journeyDirs.synchronized { journeyDirs.getOrElseUpdate((s, d, stride), {
       val sfName = d.split('/').filter(_.nonEmpty).last
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_magjourney_$sfName").toString
-      val sel = Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      val suffix = if (stride == 97) "" else s"_s$stride"
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_magjourney_$sfName$suffix").toString
+      val sel = Tables.orders(s, d).filter(col("o_orderkey") % stride === 0)
         .select(col("o_orderkey").as("id"), col("o_orderdate").as("dt"))
       sel.select(concat_ws("\t",
           col("id"), lit("1"),
@@ -559,19 +561,19 @@ object GraphQueries {
           concat(lit("paper "), col("id").cast("string")),
           concat(lit("Paper "), col("id").cast("string")),
           lit(""),
-          when(expr("(id div 97) % 7") === 0, lit(""))
+          when(expr(s"(id div $stride) % 7") === 0, lit(""))
             .otherwise(year(col("dt")).cast("string")),
           col("dt").cast("string"), lit("pub"), lit("1"), lit("0"),
           lit("0"), lit(""), lit(""), lit(""), lit(""), lit("0"),
           lit("0"), lit("0"), col("dt").cast("string")).as("value"))
         .coalesce(1).write.mode("overwrite").text(s"$dir/Papers.txt")
-      Tables.lineitem(s, d).filter(col("l_orderkey") % 97 === 0)
+      Tables.lineitem(s, d).filter(col("l_orderkey") % stride === 0)
         .select(concat_ws("\t", col("l_orderkey"), col("l_suppkey"),
           (col("l_suppkey") % 100), col("l_linenumber"), lit(""))
           .as("value"))
         .coalesce(1).write.mode("overwrite")
         .text(s"$dir/PaperAuthorAffiliations.txt")
-      val bk = sel.select(col("id"), expr("(id div 97) % 8").as("h"))
+      val bk = sel.select(col("id"), expr(s"(id div $stride) % 8").as("h"))
       val bmin = bk.groupBy(col("h")).agg(min(col("id")).as("bmin"))
       val refs = bk
         .join(broadcast(bmin.select(((col("h") + 7) % 8).as("h"),
@@ -596,7 +598,8 @@ object GraphQueries {
     val dir = magAuxDir(s, d)
     val ctxDir = citationContextsDir(s, d)
     val jDir = magJourneyDir(s, d)
-    val journeyReads =
+    val jdDir = magJourneyDir(s, d, 17) // q277's dense-stride snapshot
+    def journeyReads(jDir: String) =
       s"""jpp AS (SELECT * FROM read_csv('$jDir/Papers.txt/part-*',
          |    delim = '\t', header = false,
          |    columns = {'id': 'BIGINT', 'rank': 'INTEGER',
@@ -621,7 +624,7 @@ object GraphQueries {
          |jm AS (SELECT DISTINCT paper, author FROM jpa)""".stripMargin
     Map(
       "q264_personalnet_journey" ->
-        s"""WITH $journeyReads,
+        s"""WITH ${journeyReads(jDir)},
            |je AS (SELECT x.author AS a, y.author AS b,
            |         min(jpy.year) AS fy
            |       FROM jm x JOIN jm y
@@ -637,8 +640,33 @@ object GraphQueries {
            |SELECT jap.ego, jap.a1, jap.a2,
            |  CAST(greatest(py, je.fy) AS BIGINT) AS year
            |FROM jap JOIN je ON jap.a1 = je.a AND jap.a2 = je.b""".stripMargin,
+      // q277: the SAME closure replayed on the DENSE %17 snapshot (the
+      // pair join is ~30x the q264 load at any SF), read out per ego
+      // so the gate artifact stays group-sized while BOTH engines chew
+      // the full alter-pair join
+      "q277_personalnet_dense" ->
+        s"""WITH ${journeyReads(jdDir)},
+           |je AS (SELECT x.author AS a, y.author AS b,
+           |         min(jpy.year) AS fy
+           |       FROM jm x JOIN jm y
+           |         ON x.paper = y.paper AND x.author < y.author
+           |       JOIN jpy ON jpy.paper = x.paper
+           |       GROUP BY 1, 2),
+           |jadj AS (SELECT a AS ego, b AS alter, fy AS y FROM je
+           |         UNION ALL SELECT b, a, fy FROM je),
+           |jap AS (SELECT c1.ego, c1.alter AS a1, c2.alter AS a2,
+           |          greatest(c1.y, c2.y) AS py
+           |        FROM jadj c1 JOIN jadj c2
+           |          ON c1.ego = c2.ego AND c1.alter < c2.alter),
+           |jcl AS (SELECT jap.ego,
+           |          CAST(greatest(py, je.fy) AS BIGINT) AS year
+           |        FROM jap JOIN je ON jap.a1 = je.a AND jap.a2 = je.b)
+           |SELECT ego, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(min(year) AS BIGINT) AS first_year,
+           |  CAST(max(year) AS BIGINT) AS last_year
+           |FROM jcl GROUP BY ego""".stripMargin,
       "q265_profile_journey" ->
-        s"""WITH $journeyReads,
+        s"""WITH ${journeyReads(jDir)},
            |jpr AS (SELECT * FROM
            |    read_csv('$jDir/PaperReferences.txt/part-*',
            |      delim = '\t', header = false,
@@ -911,6 +939,36 @@ object GraphQueries {
       CoOccur.personalNet(edges)
         .select(col("ego"), col("a1"), col("a2"),
           col("year").cast("long").as("year"))
+    },
+
+    // q264's journey at the DENSE stride (every 17th order — the r16
+    // VERDICT's item 6): the coauthor pool saturates (each author on
+    // ~35 papers instead of ~6), so the alter-pair self-join inside
+    // personalNet carries ~30x the q264 row volume at the same SF —
+    // the journey shape actually stressing the pair join at bench
+    // scale. Read out per ego (n_pairs / first / last collaboration
+    // year) so the correctness artifact stays group-sized while both
+    // engines materialize the full pair join; the oracle replays the
+    // identical closure + aggregate on the same dense TSV snapshot.
+    "q277_personalnet_dense" -> { (s, d) =>
+      val dir = magJourneyDir(s, d, 17)
+      val paa = graft.schema.MagTables.paperAuthorAffiliations(s, dir)
+      val papers = graft.schema.MagTables.papers(s, dir)
+        .select(col("id").as("paper"), col("year"))
+        .na.fill(graft.operators.AuthorProfiles.SentinelYear, Seq("year"))
+      val edges = graft.Checkpoints.checkpoint(CoOccur.firstPeriodEdges(
+          paa.select(col("paper"), col("author")), papers,
+          "paper", "author", "year")
+        .select(col("a"), col("b"), col("first_year").as("year")))
+      // broadcast the edge spine: checkpointed relations carry no
+      // stats, so without the hint the closing (a1, a2) probe plans a
+      // sort-merge join that SHUFFLES the ~30M-row alter-pair side —
+      // the spine is ~120k rows at sf0.1, the textbook broadcast dim
+      CoOccur.personalNet(broadcast(edges))
+        .groupBy(col("ego"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("year")).cast("long").as("first_year"),
+          max(col("year")).cast("long").as("last_year"))
     },
 
     // REFERENCE JOURNEY 2 under the hash gate: the same TSV snapshot
