@@ -31,8 +31,40 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  @volatile private var calSink = 0L // defeats dead-code elimination
+
+  /** Fixed-work CPU calibration: `threads` threads each fold an LCG
+    * over 4e8 steps — pure JVM arithmetic, no allocation, identical
+    * work every run. Recorded alongside the sweep so two rounds'
+    * records carry their own box-speed yardstick: the r17 sweeps read
+    * a UNIFORM ~1.57× vs the r15 record (median over 262 plan-
+    * identical queries) that loadavg alone could not attribute —
+    * 7.5% hypervisor steal was measurable under full load, the rest
+    * (co-tenant frequency/bandwidth pressure) is invisible from the
+    * guest. A future drift dispute divides the two records' calib
+    * walls first, then applies the 2× bar to the residual. */
+  private def calibrate(threads: Int): Double = {
+    val work = 400000000L
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k; var i = 0L
+        while (i < work) {
+          x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+        }
+        calSink ^= x
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    BigDecimal((System.nanoTime() - t0) / 1e9)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    val calib1 = calibrate(1)
+    val calib32 = calibrate(32)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -102,7 +134,7 @@ object Bench {
     val loadEnd = loadAvg()
     def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val passRatio = if (t2 > 0) f2(t1 / t2) else BigDecimal(-1)
-    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"calib_1t":$calib1,"calib_32t":$calib32,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST 2000 bytes of sbt output
     // (BENCH_r01–r05 all have len(tail)==2000) and parses a JSON line
