@@ -32,6 +32,8 @@ object ScaleProbe {
 
     distWindowsProbe(spark, base)
     if (flags.contains("--dist-windows")) { spark.stop(); return }
+    personalNetProbe(spark, base)
+    if (flags.contains("--personal-net")) { spark.stop(); return }
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
@@ -1279,5 +1281,47 @@ object ScaleProbe {
       f"(straggler max/med $wsB%.1fx at 10x) vs two-phase " +
       f"$tpb%.1fs -> $tpB%.1fs ($tsB%.1fx), rewrite-diff $diff%d " +
       f"(groups fixed 25, group size 10x)")
+  }
+
+  /** q277's personal-net closure at 10× edges — runnable alone via
+    * `runMain graft.ScaleProbe --personal-net [baseDir]`. The alter-
+    * pair self-join is Σ_ego C(deg, 2): quadratic in DEGREE but linear
+    * in disjoint shards, so the probe's 10 id-offset copies (per-copy
+    * degrees preserved exactly) must read ~linear wall and ~10× pair
+    * volume — a superlinear ratio here means cross-copy edges crept in
+    * or the closure's broadcast probe regressed to a shuffle. Dense
+    * substrate = q277's: papers are every 17th order, authors its
+    * lineitem suppliers, years deterministic from the key (the closure
+    * only compares them with greatest). */
+  private def personalNetProbe(spark: SparkSession,
+                               base: String): Unit = {
+    import graft.operators.CoOccur
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .filter(col("l_orderkey") % 17 === 0)
+      .select(col("l_orderkey").as("paper"), col("l_suppkey").as("author"))
+      .distinct()
+    val papers = li.select(col("paper")).distinct()
+      .select(col("paper"), (col("paper") % 7 + 1992).as("year"))
+    val edges = CoOccur.firstPeriodEdges(li, papers,
+        "paper", "author", "year")
+      .select(col("a"), col("b"), col("first_year").as("year"))
+      .localCheckpoint()
+    val stride = edges.agg(greatest(max(col("a")), max(col("b")))
+      .cast("long")).head.getLong(0) + 1L
+    val edges10 = (0L until 10L).map { k =>
+      edges.select((col("a") + k * stride).as("a"),
+        (col("b") + k * stride).as("b"), col("year"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    def run(e: DataFrame) = time(CoOccur.personalNet(broadcast(e)).count())
+    run(edges) // codegen warmup
+    val (pb, nb) = run(edges)
+    val (pB, nB) = run(edges10)
+    println(f"[probe] personal-net: $pb%.1fs -> $pB%.1fs " +
+      f"(${pB / pb}%.1fx wall, $nb%d -> $nB%d closed pairs, " +
+      f"edges 10x disjoint)")
   }
 }

@@ -281,4 +281,36 @@ class LateQueryInvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall { case (b, n, p) => b >= 1 && b <= 10 && p <= n })
     Checkpoints.releaseAll(spark)
   }
+
+  test("q277 dense journey: per-ego counts reconcile with the closure " +
+       "and degrees bound them") {
+    val rows = GraphQueries.defs("q277_personalnet_dense")(spark, dir)
+      .select(col("ego"), col("n_pairs"), col("first_year"),
+        col("last_year"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, fy, ly) => n >= 1 && fy <= ly })
+    // rebuild the dense edge spine the query builds internally and
+    // bound each ego's closed pairs by C(deg, 2) — the closure can
+    // only LOSE alter pairs (those not themselves coauthor edges)
+    val jdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_magjourney_sf0.001_s17").toString
+    val paa = graft.schema.MagTables.paperAuthorAffiliations(spark, jdir)
+    val papers = graft.schema.MagTables.papers(spark, jdir)
+      .select(col("id").as("paper"), col("year"))
+      .na.fill(graft.operators.AuthorProfiles.SentinelYear, Seq("year"))
+    val edges = graft.operators.CoOccur.firstPeriodEdges(
+        paa.select(col("paper"), col("author")), papers,
+        "paper", "author", "year")
+      .select(col("a"), col("b"))
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (ego, n, _, _) =>
+      val d = deg.getOrElse(ego, 0L); n <= d * (d - 1) / 2 })
+    // every ego with a closed pair is a vertex of the spine
+    assert(rows.forall { case (ego, _, _, _) => deg.contains(ego) })
+    Checkpoints.releaseAll(spark)
+  }
 }
