@@ -43,6 +43,30 @@ object Bench {
     * (co-tenant frequency/bandwidth pressure) is invisible from the
     * guest. A future drift dispute divides the two records' calib
     * walls first, then applies the 2× bar to the residual. */
+  /** Scheduler-wakeup calibration: p99 overshoot (µs) of 300 timed
+    * 1 ms sleeps. A hypervisor that parks idle vCPUs serves wakeups
+    * late — measured on the r17 box: p99 3,370 µs IDLE vs 116 µs under
+    * sustained load. Spark's execution is exactly the pattern that
+    * pays this tax (bursts of short tasks behind stage barriers; the
+    * straggler wakeup defines each wave), while the 12 s [[calibrate]]
+    * bursts never sleep and read unaffected — which is how a sweep can
+    * be uniformly ~1.5× slow on identical plans with STABLE CPU
+    * calibration. This field makes that case decidable from the
+    * record. */
+  private def calibrateWakeP99Us(): Long = {
+    val n = 300
+    val xs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t0 = System.nanoTime()
+      Thread.sleep(1)
+      xs(i) = (System.nanoTime() - t0) / 1000L - 1000L
+      i += 1
+    }
+    java.util.Arrays.sort(xs)
+    xs((n * 99) / 100)
+  }
+
   private def calibrate(threads: Int): Double = {
     val work = 400000000L
     val t0 = System.nanoTime()
@@ -65,6 +89,7 @@ object Bench {
     val loadStart = loadAvg()
     val calib1 = calibrate(1)
     val calib32 = calibrate(32)
+    val wakeP99 = calibrateWakeP99Us()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -134,7 +159,7 @@ object Bench {
     val loadEnd = loadAvg()
     def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val passRatio = if (t2 > 0) f2(t1 / t2) else BigDecimal(-1)
-    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"calib_1t":$calib1,"calib_32t":$calib32,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"calib_1t":$calib1,"calib_32t":$calib32,"wake_p99_us":$wakeP99,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST 2000 bytes of sbt output
     // (BENCH_r01–r05 all have len(tail)==2000) and parses a JSON line
