@@ -63,6 +63,7 @@ object Explain {
     "q243_skew_audit",      // broadcast 1-row totals scalar (q42 shape)
     "q263_abstract_invindex", // broadcast 1-row n_docs scalar (q42 shape)
     "q265_profile_journey",   // 2× broadcast 7-row year-grid densify (q10 shape)
+    "q278_profile_dense",     // same 2× 7-row year-grid, dense %17 snapshot (q265 shape)
     "q267_decision_stump",    // broadcast 1-row bounds + totals scalars (q162/q42 shape)
     "q268_stump_eval",        // broadcast 1-row bounds + 1-row model scalars (q162/q42 shape)
     "q269_feature_importance", // broadcast 1-row bounds scalar (q162/q42 shape)

@@ -30,10 +30,16 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    distWindowsProbe(spark, base)
-    if (flags.contains("--dist-windows")) { spark.stop(); return }
-    personalNetProbe(spark, base)
-    if (flags.contains("--personal-net")) { spark.stop(); return }
+    // Probe selection (r17 ADVICE): each named probe runs only when its
+    // flag is present OR no probe flag was given at all — so
+    // `--personal-net` really does run alone (its scaladoc contract),
+    // and a flagless run keeps the historical run-everything behavior.
+    val probeFlags = Set("--dist-windows", "--personal-net")
+    val selected = flags.intersect(probeFlags)
+    def wants(f: String) = selected.isEmpty || selected.contains(f)
+    if (wants("--dist-windows")) distWindowsProbe(spark, base)
+    if (wants("--personal-net")) personalNetProbe(spark, base)
+    if (selected.nonEmpty) { spark.stop(); return }
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
@@ -1242,7 +1248,11 @@ object ScaleProbe {
       tasks.clear()
       spark.sparkContext.addSparkListener(listener)
       val (wall, _) = time(f)
-      Thread.sleep(1000) // listener bus drains async
+      // deterministic drain (r17 ADVICE): a fixed sleep drops late
+      // task-end events on a loaded box, undercounting the heaviest
+      // stage and skewing the straggler ratio
+      org.apache.spark.graftshim.SchedulerBridge
+        .drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
       val byStage = tasks.toArray(Array.empty[(Int, Long)])
         .groupBy(_._1).values

@@ -607,9 +607,25 @@ object StreamRun {
       .parquet(srcDir.toString)
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt_ivf_append")
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        Similarity.appendToIvfIndex(spark, streamIdx, df,
-          "vec_id", "embedding")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a micro-batch whose append
+        // succeeded but whose stream checkpoint commit didn't (crash /
+        // transient failure in between) is REDELIVERED on restart, and
+        // a second mode("append") would double its rows — tripping the
+        // parity count term even though appendToIvfIndex is correct
+        // (r17 ADVICE). A per-batchId marker committed AFTER the append
+        // makes the retry a no-op: the dangerous partial-append case is
+        // already covered by the parquet job committer (a failed job
+        // leaves only unread _temporary files), so append-then-marker
+        // closes the remaining appended-but-uncommitted window.
+        val marker = Paths.get(workDir, "ivf_applied", s"batch_$batchId")
+        if (!Files.exists(marker)) {
+          Similarity.appendToIvfIndex(spark, streamIdx, df,
+            "vec_id", "embedding")
+          Files.createDirectories(marker.getParent)
+          Files.createFile(marker)
+          ()
+        }
       }.start()
     try qV.processAllAvailable() finally qV.stop()
     // parity 1: appended assignments ≡ the one-shot append, row-exact

@@ -24,7 +24,7 @@ object Verify {
       "q257_venue_catalog", "q260_conference_orders",
       "q261_semantic_contamination", "q263_abstract_invindex",
       "q264_personalnet_journey", "q265_profile_journey",
-      "q277_personalnet_dense")
+      "q277_personalnet_dense", "q278_profile_dense")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

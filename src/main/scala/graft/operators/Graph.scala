@@ -334,61 +334,86 @@ object Graph {
     // accumulated visited set is their (cheap, <= depth-ary) lazy
     // union — checkpointing the union itself trips Spark's Union
     // constraint rewrite on the literal level column.
+    //
+    // STAGE-FUSED SHAPE (r17 VERDICT item 1): the forward pass
+    // additionally materializes each round's BFS-DAG edge list
+    // (src, p, v) — the anti-join survivors BEFORE the sigma groupBy,
+    // one materialization carrying both consumers — so the backward
+    // pass never has to re-join the adjacency to rediscover
+    // successors. Combined with the SPARSE h convention below, the
+    // backward rounds drop from 4 shuffles each (adj join + h join +
+    // agg + densifying left join) to 2 (h join + agg): this was the
+    // most barrier-dense query in the surface (57 executed stages),
+    // and every removed barrier is a removed straggler wait at 1000
+    // executors (and a removed multi-ms parked-vCPU wakeup on the
+    // degraded bench host).
     val frontiers = scala.collection.mutable.ArrayBuffer(
       Checkpoints.checkpoint(sources.toDF("src")
         .select(col("src"), col("src").as("v"), lit(0L).as("level"),
           lit(1L).as("sigma"))))
+    // dagEdges(l): level-l -> level-l+1 DAG edges (src, p, v, sigma);
+    // unique per (src, p, v) because adj is distinct and a frontier
+    // carries one row per (src, p)
+    val dagEdges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var l = 0
     while (l < depth) {
       val visitedKeys = frontiers.map(_.select(col("src"), col("v")))
         .reduce(_ union _)
       val expanded = frontiers.last.alias("ff").join(adj.alias("aa"),
           col("ff.v") === col("aa.s"))
-        .select(col("ff.src").as("src"), col("aa.d").as("v"),
-          col("ff.sigma").as("sigma"))
-      val nextF = Checkpoints.checkpoint(expanded
-        .join(visitedKeys, Seq("src", "v"), "left_anti")
+        .select(col("ff.src").as("src"), col("ff.v").as("p"),
+          col("aa.d").as("v"), col("ff.sigma").as("sigma"))
+      val anti = Checkpoints.checkpoint(expanded
+        .join(visitedKeys, Seq("src", "v"), "left_anti"))
+      val nextF = Checkpoints.checkpoint(anti
         .groupBy(col("src"), col("v"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("src"), col("v"), lit((l + 1).toLong).as("level"),
           col("sigma")))
+      dagEdges += anti
       frontiers += nextF
       l += 1
     }
     val visited = frontiers.reduce(_ unionByName _)
-    // ---- backward: h per level, deepest first (level `depth` has no
-    // counted successors inside the horizon -> h = 0)
-    var hNext = Checkpoints.checkpoint(frontiers(depth)
-      .select(col("src"), col("v"), lit(0L).as("h")))
-    val hAll = scala.collection.mutable.ArrayBuffer(hNext)
+    // ---- backward: h per level, deepest first, SPARSE — a row exists
+    // only where h > 0 (the vertex has an in-horizon DAG successor);
+    // h(v) = sum over DAG children w of (h(w) + 1), read off the
+    // captured edge list with absent children's h coalesced to 0. The
+    // deepest level's h is identically 0, so the recursion starts from
+    // the empty frame implicitly: the first backward round reduces to
+    // a per-parent child count.
+    var hNext: DataFrame = null
+    val hAll = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lv = depth - 1
     while (lv >= 0) {
-      val atL = frontiers(lv).select(col("src"), col("v"))
-      val contrib = atL.alias("vv").join(adj.alias("aa"),
-          col("vv.v") === col("aa.s"))
-        .join(hNext.alias("hh"),
-          col("vv.src") === col("hh.src") && col("aa.d") === col("hh.v"))
-        .select(col("vv.src").as("src"), col("vv.v").as("v"),
-          col("hh.h").as("hw"))
-        .groupBy(col("src"), col("v"))
-        .agg(sum(col("hw") + 1L).as("hs"))
-      val hL = Checkpoints.checkpoint(atL
-        .join(contrib, Seq("src", "v"), "left")
-        .select(col("src"), col("v"),
-          coalesce(col("hs"), lit(0L)).as("h")))
+      val de = dagEdges(lv).select(col("src"), col("p"), col("v"))
+      val contrib =
+        if (hNext == null)
+          de.groupBy(col("src"), col("p"))
+            .agg(count(lit(1)).cast("long").as("h"))
+        else {
+          val hn = hNext.select(col("src"), col("v"),
+            col("h").as("hw"))
+          de.join(hn, Seq("src", "v"), "left")
+            .groupBy(col("src"), col("p"))
+            .agg(sum(coalesce(col("hw"), lit(0L)) + 1L).as("h"))
+        }
+      val hL = Checkpoints.checkpoint(
+        contrib.select(col("src"), col("p").as("v"), col("h")))
       hNext = hL
       hAll += hL
       lv -= 1
     }
+    // per (src, v) the BFS level is unique, so the union stays keyed
     val h = hAll.reduce(_ unionByName _)
-    val out = visited.join(h, Seq("src", "v"))
+    val out = visited.join(h, Seq("src", "v"), "left")
       .filter(col("v") =!= col("src"))
       .groupBy(col("v"))
-      .agg(sum(col("sigma") * col("h")).as("stress"))
+      .agg(sum(col("sigma") * coalesce(col("h"), lit(0L))).as("stress"))
     // materialize the (small, per-vertex) result, then drop every
     // intermediate block — releaseAll cleans the result after the query
     val res = Checkpoints.checkpoint(out)
-    (frontiers ++ hAll :+ adj).foreach(Checkpoints.release)
+    (frontiers ++ dagEdges ++ hAll :+ adj).foreach(Checkpoints.release)
     res
   }
 

@@ -8,6 +8,43 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** SIZE-GATED broadcast hint for MATERIALIZED relations (r17 VERDICT
+    * item 2). A `localCheckpoint`ed frame carries no stats, so AQE
+    * cannot decide broadcastability and an unconditional
+    * `broadcast(df)` hint is a scale hazard: correct while the
+    * relation is small, but at 100× it forces a driver-side hash build
+    * (or OOM) instead of degrading gracefully to a shuffle join. This
+    * helper restores the decision AQE would have made: one `count()`
+    * (free on a checkpointed input — the blocks are already pinned),
+    * compared against `spark.sql.autoBroadcastJoinThreshold` scaled by
+    * the schema's estimated row width; hint only under the bound,
+    * plain frame otherwise. A disabled threshold (≤ 0) means the user
+    * turned auto-broadcast off — respected here the same way.
+    *
+    * Use at any hinted join whose input lineage passes through a
+    * checkpoint (stats erased); NOT needed for bounded scalar/grid
+    * broadcasts (≤ #groups rows by construction — the audit's curated
+    * intended list). */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val raw = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // the conf accepts a bare (possibly negative = disabled) byte count
+    // as well as suffixed forms ("10MB") — JavaUtils parses only the
+    // latter
+    val thresholdBytes = raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    if (thresholdBytes <= 0) df
+    else {
+      // defaultSize mirrors Catalyst's own stats estimate for the
+      // schema; +8 per row for object/offset overhead keeps the bound
+      // conservative (prefer SMJ over a marginal broadcast)
+      val rowBytes = math.max(1L,
+        df.schema.map(_.dataType.defaultSize.toLong).sum + 8L)
+      if (df.count() <= thresholdBytes / rowBytes) broadcast(df) else df
+    }
+  }
+
   /** Inner join on `c1 OR c2` rewritten as a union of two equi-joins
     * (J7 — the reference's FK-closure join `MagDwarf.scala:115-122`
     * matches parent OR child and planedly degrades to a

@@ -847,7 +847,11 @@ object EventQueries {
             .as("conv"))
       val ranked = graft.operators.Relational.globalCumsum(us,
         Seq(col("score").desc, col("user_id")), lit(1L), "rnk")
-      val tot = us.agg(count(lit(1)).as("n_total"),
+      // totals from the RANKED side: globalCumsum materialized its
+      // range-partitioned input, so this is a cached-block scan —
+      // aggregating `us` would re-run the full events scan + groupBy
+      // a second time (the q154 lesson, r18)
+      val tot = ranked.agg(count(lit(1)).as("n_total"),
         sum(col("conv")).as("total_conv"))
       val w10 = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -622,6 +622,70 @@ object GraphQueries {
          |                 'orig_aff': 'VARCHAR'})),
          |jpy AS (SELECT id AS paper, COALESCE(year, 3000) AS year FROM jpp),
          |jm AS (SELECT DISTINCT paper, author FROM jpa)""".stripMargin
+    // The ProfileConversion journey oracle, parameterized by snapshot
+    // dir so the default (%97, q265) and dense (%17, q278) strides
+    // replay the IDENTICAL two-leg SQL: per-paper cumulative citation
+    // densification + author-year paper counts + h-index as the
+    // sorted-prefix count.
+    def profileJourneyOracle(jDir: String): String =
+      s"""WITH ${journeyReads(jDir)},
+         |jpr AS (SELECT * FROM
+         |    read_csv('$jDir/PaperReferences.txt/part-*',
+         |      delim = '\t', header = false,
+         |      columns = {'citing': 'BIGINT', 'cited': 'BIGINT'})),
+         |jre AS (SELECT DISTINCT citing, cited FROM jpr),
+         |jyr AS (SELECT unnest(generate_series(1992, 1998)) AS year),
+         |jpcy AS (SELECT jre.cited, jpy.year,
+         |           CAST(count(*) AS BIGINT) AS cnt
+         |         FROM jre JOIN jpy ON jre.citing = jpy.paper
+         |         WHERE jpy.year <= 1998 GROUP BY 1, 2),
+         |jfc AS (SELECT cited, min(year) AS fy FROM jpcy GROUP BY 1),
+         |jcg AS (SELECT cited, jyr.year, CAST(0 AS BIGINT) AS cnt
+         |        FROM jfc, jyr WHERE jyr.year >= jfc.fy),
+         |jcp AS (SELECT cited, year, sum(cnt) AS cnt FROM
+         |        (SELECT * FROM jpcy UNION ALL SELECT * FROM jcg)
+         |        GROUP BY 1, 2),
+         |jcum AS (SELECT cited, year, cnt,
+         |           sum(cnt) OVER (PARTITION BY cited ORDER BY year)
+         |             AS cum
+         |         FROM jcp),
+         |jcr AS (SELECT * FROM jcum WHERE year >= 1992),
+         |jac AS (SELECT jm.author, jcr.year,
+         |          CAST(sum(cnt) AS BIGINT) AS citations,
+         |          CAST(sum(cum) AS BIGINT) AS cum_citations
+         |        FROM jcr JOIN jm ON jcr.cited = jm.paper GROUP BY 1, 2),
+         |jhx AS (SELECT jm.author, jcr.year, jcr.cum,
+         |          row_number() OVER (PARTITION BY jm.author, jcr.year
+         |            ORDER BY jcr.cum DESC) AS rn
+         |        FROM jcr JOIN jm ON jcr.cited = jm.paper),
+         |jhv AS (SELECT author, year,
+         |          CAST(count(*) FILTER (WHERE cum >= rn) AS BIGINT)
+         |            AS h_index
+         |        FROM jhx GROUP BY 1, 2),
+         |jpby AS (SELECT jm.author, jpy.year,
+         |           CAST(count(*) AS BIGINT) AS papers
+         |         FROM jm JOIN jpy USING (paper) WHERE jpy.year <= 1998
+         |         GROUP BY 1, 2),
+         |jag AS (SELECT ja0.author, jyr.year, CAST(0 AS BIGINT) AS papers
+         |        FROM (SELECT DISTINCT author FROM jm) ja0, jyr),
+         |jp0 AS (SELECT author, year, sum(papers) AS papers FROM
+         |        (SELECT * FROM jpby UNION ALL SELECT * FROM jag)
+         |        GROUP BY 1, 2),
+         |jp1 AS (SELECT author, year, papers,
+         |          sum(papers) OVER (PARTITION BY author ORDER BY year)
+         |            AS cum_papers
+         |        FROM jp0),
+         |jp2 AS (SELECT * FROM jp1 WHERE year >= 1992)
+         |SELECT jp2.author, CAST(jp2.year AS BIGINT) AS year,
+         |  CAST(jp2.papers AS BIGINT) AS papers,
+         |  CAST(jp2.cum_papers AS BIGINT) AS cum_papers,
+         |  COALESCE(jac.citations, 0) AS citations,
+         |  COALESCE(jac.cum_citations, 0) AS cum_citations,
+         |  COALESCE(jhv.h_index, 0) AS h_index
+         |FROM jp2
+         |LEFT JOIN jac ON jp2.author = jac.author AND jp2.year = jac.year
+         |LEFT JOIN jhv ON jp2.author = jhv.author
+         |             AND jp2.year = jhv.year""".stripMargin
     Map(
       "q264_personalnet_journey" ->
         s"""WITH ${journeyReads(jDir)},
@@ -665,65 +729,11 @@ object GraphQueries {
            |  CAST(min(year) AS BIGINT) AS first_year,
            |  CAST(max(year) AS BIGINT) AS last_year
            |FROM jcl GROUP BY ego""".stripMargin,
-      "q265_profile_journey" ->
-        s"""WITH ${journeyReads(jDir)},
-           |jpr AS (SELECT * FROM
-           |    read_csv('$jDir/PaperReferences.txt/part-*',
-           |      delim = '\t', header = false,
-           |      columns = {'citing': 'BIGINT', 'cited': 'BIGINT'})),
-           |jre AS (SELECT DISTINCT citing, cited FROM jpr),
-           |jyr AS (SELECT unnest(generate_series(1992, 1998)) AS year),
-           |jpcy AS (SELECT jre.cited, jpy.year,
-           |           CAST(count(*) AS BIGINT) AS cnt
-           |         FROM jre JOIN jpy ON jre.citing = jpy.paper
-           |         WHERE jpy.year <= 1998 GROUP BY 1, 2),
-           |jfc AS (SELECT cited, min(year) AS fy FROM jpcy GROUP BY 1),
-           |jcg AS (SELECT cited, jyr.year, CAST(0 AS BIGINT) AS cnt
-           |        FROM jfc, jyr WHERE jyr.year >= jfc.fy),
-           |jcp AS (SELECT cited, year, sum(cnt) AS cnt FROM
-           |        (SELECT * FROM jpcy UNION ALL SELECT * FROM jcg)
-           |        GROUP BY 1, 2),
-           |jcum AS (SELECT cited, year, cnt,
-           |           sum(cnt) OVER (PARTITION BY cited ORDER BY year)
-           |             AS cum
-           |         FROM jcp),
-           |jcr AS (SELECT * FROM jcum WHERE year >= 1992),
-           |jac AS (SELECT jm.author, jcr.year,
-           |          CAST(sum(cnt) AS BIGINT) AS citations,
-           |          CAST(sum(cum) AS BIGINT) AS cum_citations
-           |        FROM jcr JOIN jm ON jcr.cited = jm.paper GROUP BY 1, 2),
-           |jhx AS (SELECT jm.author, jcr.year, jcr.cum,
-           |          row_number() OVER (PARTITION BY jm.author, jcr.year
-           |            ORDER BY jcr.cum DESC) AS rn
-           |        FROM jcr JOIN jm ON jcr.cited = jm.paper),
-           |jhv AS (SELECT author, year,
-           |          CAST(count(*) FILTER (WHERE cum >= rn) AS BIGINT)
-           |            AS h_index
-           |        FROM jhx GROUP BY 1, 2),
-           |jpby AS (SELECT jm.author, jpy.year,
-           |           CAST(count(*) AS BIGINT) AS papers
-           |         FROM jm JOIN jpy USING (paper) WHERE jpy.year <= 1998
-           |         GROUP BY 1, 2),
-           |jag AS (SELECT ja0.author, jyr.year, CAST(0 AS BIGINT) AS papers
-           |        FROM (SELECT DISTINCT author FROM jm) ja0, jyr),
-           |jp0 AS (SELECT author, year, sum(papers) AS papers FROM
-           |        (SELECT * FROM jpby UNION ALL SELECT * FROM jag)
-           |        GROUP BY 1, 2),
-           |jp1 AS (SELECT author, year, papers,
-           |          sum(papers) OVER (PARTITION BY author ORDER BY year)
-           |            AS cum_papers
-           |        FROM jp0),
-           |jp2 AS (SELECT * FROM jp1 WHERE year >= 1992)
-           |SELECT jp2.author, CAST(jp2.year AS BIGINT) AS year,
-           |  CAST(jp2.papers AS BIGINT) AS papers,
-           |  CAST(jp2.cum_papers AS BIGINT) AS cum_papers,
-           |  COALESCE(jac.citations, 0) AS citations,
-           |  COALESCE(jac.cum_citations, 0) AS cum_citations,
-           |  COALESCE(jhv.h_index, 0) AS h_index
-           |FROM jp2
-           |LEFT JOIN jac ON jp2.author = jac.author AND jp2.year = jac.year
-           |LEFT JOIN jhv ON jp2.author = jhv.author
-           |             AND jp2.year = jhv.year""".stripMargin,
+      "q265_profile_journey" -> profileJourneyOracle(jDir),
+      // q278: the SAME profile replayed on the DENSE %17 snapshot —
+      // the ProfileConversion journey's densify + h-index legs at
+      // ~5.7x the paper volume (the q277 symmetry, r17 VERDICT item 7)
+      "q278_profile_dense" -> profileJourneyOracle(jdDir),
       "q250_citation_context_terms" ->
       s"""WITH cc AS (SELECT * FROM
          |    read_csv('$ctxDir/PaperCitationContexts.txt/part-*',
@@ -963,8 +973,13 @@ object GraphQueries {
       // broadcast the edge spine: checkpointed relations carry no
       // stats, so without the hint the closing (a1, a2) probe plans a
       // sort-merge join that SHUFFLES the ~30M-row alter-pair side —
-      // the spine is ~120k rows at sf0.1, the textbook broadcast dim
-      CoOccur.personalNet(broadcast(edges))
+      // the spine is ~120k rows at sf0.1, the textbook broadcast dim.
+      // SIZE-GATED (r17 VERDICT item 2): the hint applies only while
+      // the spine actually fits autoBroadcastJoinThreshold (one free
+      // count on the already-checkpointed frame); at 100× the
+      // tens-of-millions-row spine falls through to the plain join
+      // instead of forcing a driver-side build
+      CoOccur.personalNet(graft.operators.Joins.broadcastIfSmall(edges))
         .groupBy(col("ego"))
         .agg(count(lit(1)).as("n_pairs"),
           min(col("year")).cast("long").as("first_year"),
@@ -980,6 +995,27 @@ object GraphQueries {
     // count, from the same files.
     "q265_profile_journey" -> { (s, d) =>
       val dir = magJourneyDir(s, d)
+      val paa = graft.schema.MagTables.paperAuthorAffiliations(s, dir)
+        .select(col("paper"), col("author"))
+      val papers = graft.schema.MagTables.papers(s, dir)
+        .select(col("id"), col("year"))
+      val refs = graft.schema.MagTables.paperReferences(s, dir)
+      graft.operators.AuthorProfiles.profile(paa, papers, refs, 1992, 1998)
+        .select(col("author"), col("year").cast("long").as("year"),
+          col("papers"), col("cum_papers"), col("citations"),
+          col("cum_citations"), col("h_index").cast("long").as("h_index"))
+    },
+
+    // q265's journey at the DENSE stride (every 17th order) — the
+    // profile-side symmetry of q277 (r17 VERDICT item 7): ~5.7x the
+    // paper volume through the SAME densify + cumulative-window +
+    // h-index legs, so the grid cross-join and the per-author-year
+    // rank both carry journey-shaped load at bench scale. Output stays
+    // author-year-sized (authors are bounded by the supplier domain),
+    // so the gate artifact is small while both engines replay the full
+    // densification.
+    "q278_profile_dense" -> { (s, d) =>
+      val dir = magJourneyDir(s, d, 17)
       val paa = graft.schema.MagTables.paperAuthorAffiliations(s, dir)
         .select(col("paper"), col("author"))
       val papers = graft.schema.MagTables.papers(s, dir)

@@ -337,7 +337,12 @@ object TextQueries {
         .filter(col("n_words") > 0)
       val ranked = graft.operators.Relational.globalCumsum(
         scored, Seq(col("quality"), col("doc_id")), lit(1L), "rank")
-      val total = scored.agg(count(lit(1)).as("n_total"))
+      // count the RANKED side, not `scored`: globalCumsum materializes
+      // its range-partitioned input, so this count is a cached-block
+      // scan — counting `scored` would run the regexp tokenization
+      // (the query's dominant cost) a second time over the full corpus
+      // (r18: the q154 perf-settlement item)
+      val total = ranked.agg(count(lit(1)).as("n_total"))
       ranked.crossJoin(broadcast(total))
         .withColumn("decile", expr("((rank - 1) * 10) div n_total"))
         .groupBy(col("decile"))

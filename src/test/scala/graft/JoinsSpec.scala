@@ -251,6 +251,38 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("broadcastIfSmall hints a small checkpointed dim and falls " +
+       "through above the threshold (r17 VERDICT item 2)") {
+    val probe = (1L to 500L).toDF("k")
+    // checkpointed: stats erased, so WITHOUT a hint Spark cannot
+    // auto-broadcast this side (LogicalRDD reports the default huge
+    // sizeInBytes) — the exact q277 premise
+    val dim = graft.Checkpoints.checkpoint((1L to 50L).toDF("k"))
+    try {
+      val hinted = probe.join(Joins.broadcastIfSmall(dim), "k")
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "under-threshold dim must be hinted")
+      // shrink the threshold until the SAME 50-row dim no longer
+      // qualifies (row width 8B long + 8B overhead -> maxRows 4).
+      // NOTE the gate must return the frame UNHINTED — whether Spark
+      // then still broadcasts on its own stats is Spark's call (a
+      // localCheckpoint PRESERVES origin stats, so this local-relation
+      // dim would; q277's TSV-derived spine, whose estimate is huge,
+      // would not) — so the pin is on the absence of the HINT, not on
+      // the physical join choice
+      withConfs("spark.sql.autoBroadcastJoinThreshold" -> "64b") {
+        val ungated = Joins.broadcastIfSmall(dim)
+        assert(ungated eq dim,
+          "over-threshold dim must fall through to the unhinted frame")
+      }
+      // threshold disabled entirely -> never hint
+      withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        assert(Joins.broadcastIfSmall(dim) eq dim,
+          "disabled threshold must return the frame untouched")
+      }
+    } finally graft.Checkpoints.releaseAll(spark)
+  }
+
   test("q242's Q7-shape trade-flow join broadcasts every dimension and " +
        "emits only cross-nation pairs") {
     val res = graft.SparkEntry.queries("q242_trade_flows")(
