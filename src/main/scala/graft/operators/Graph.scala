@@ -1198,10 +1198,18 @@ object Graph {
     * `edges` is an undirected edge list (either orientation,
     * duplicates and self-loops tolerated). Returns one row per
     * triangle: (x, y, z) with x < y < z. */
-  def triangles(edges: DataFrame, a: String = "a", b: String = "b"): DataFrame = {
-    val und = edges
-      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
+  def triangles(edges: DataFrame, a: String = "a", b: String = "b",
+                assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: caller guarantees (a < b, distinct, non-null)
+    // rows — the k-truss peel loop's invariant — so the
+    // canonicalization shuffle is skipped. On a 100 TB graph the edge
+    // set is the large relation; re-deduping it EVERY peel round was
+    // pure waste (r18).
+    val und =
+      if (assumeCanonical) edges.select(col(a).as("u"), col(b).as("v"))
+      else edges
+        .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): src is the smaller endpoint in that order
@@ -1249,11 +1257,14 @@ object Graph {
     * three edges + a zero-filled join back to the edge set — exact
     * integers, no iteration. */
   def triangleSupport(edges: DataFrame, a: String = "a",
-                      b: String = "b"): DataFrame = {
-    val und = edges
-      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
-    val sup = triangles(edges, a, b)
+                      b: String = "b",
+                      assumeCanonical: Boolean = false): DataFrame = {
+    val und =
+      if (assumeCanonical) edges.select(col(a).as("u"), col(b).as("v"))
+      else edges
+        .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
+    val sup = triangles(edges, a, b, assumeCanonical)
       .select(explode(array(
         struct(col("x").as("u"), col("y").as("v")),
         struct(col("y").as("u"), col("z").as("v")),
@@ -1542,8 +1553,11 @@ object Graph {
     var m = cur.count()
     var done = m == 0L
     while (!done) {
+      // cur is canonical by construction (init canonicalizes; each
+      // round's output is a filtered projection of it) — skip the
+      // per-round re-canonicalization shuffles
       val nxt = Checkpoints.checkpoint(
-        triangleSupport(cur, "u", "v")
+        triangleSupport(cur, "u", "v", assumeCanonical = true)
           .filter(col("support") >= k - 2).select(col("u"), col("v")))
       val m2 = nxt.count()
       if (m2 == m) { // fixpoint: nxt ≡ cur, drop the new copy
