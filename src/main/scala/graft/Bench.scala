@@ -67,6 +67,40 @@ object Bench {
     xs((n * 99) / 100)
   }
 
+  /** [[calibrate]](32) with a CONCURRENT wakeup sampler: 1 ms-sleep
+    * overshoots measured while all vCPUs are busy. r17's manual
+    * finding — the degraded host served wakeups at 116 µs under
+    * sustained load vs 3,370 µs idle (parked vCPUs) — is exactly the
+    * gap that lets a sweep read uniformly slow with stable CPU
+    * calibration; recording BOTH p99s per sweep makes that gap
+    * evidence in the record instead of a one-off probe. Returns
+    * (calib32 wall, loaded p99 µs; -1 if the burst ended before 50
+    * samples accrued). */
+  private def calibrate32WithLoadedWake(): (Double, Long) = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var running = true
+    val sampler = new Thread(() => {
+      while (running) {
+        val t0 = System.nanoTime()
+        Thread.sleep(1)
+        buf.add((System.nanoTime() - t0) / 1000L - 1000L)
+        ()
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val wall = calibrate(32)
+    running = false
+    sampler.join(100)
+    val xs = new Array[Long](buf.size())
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext && i < xs.length) { xs(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(xs, 0, i)
+    val p99 = if (i >= 50) xs((i * 99) / 100) else -1L
+    (wall, p99)
+  }
+
   private def calibrate(threads: Int): Double = {
     val work = 400000000L
     val t0 = System.nanoTime()
@@ -88,7 +122,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val calib1 = calibrate(1)
-    val calib32 = calibrate(32)
+    val (calib32, wakeLoaded) = calibrate32WithLoadedWake()
     val wakeP99 = calibrateWakeP99Us()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -159,7 +193,7 @@ object Bench {
     val loadEnd = loadAvg()
     def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val passRatio = if (t2 > 0) f2(t1 / t2) else BigDecimal(-1)
-    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"calib_1t":$calib1,"calib_32t":$calib32,"wake_p99_us":$wakeP99,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"total_pass1":$t1,"total_pass2":$t2,"pass_ratio":$passRatio,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"calib_1t":$calib1,"calib_32t":$calib32,"wake_p99_us":$wakeP99,"wake_p99_loaded_us":$wakeLoaded,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST 2000 bytes of sbt output
     // (BENCH_r01–r05 all have len(tail)==2000) and parses a JSON line
