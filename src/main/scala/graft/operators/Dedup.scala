@@ -941,33 +941,48 @@ object Dedup {
     * doc_id), which carries the (1 − 1/e) approximation guarantee.
     *
     * Returns (round, doc_id, gain) for the picked documents, in pick
-    * order. Dataflow per round: one anti-join of the (doc, shingle)
-    * relation against the covered set + one groupBy count + a 1-ROW
-    * driver pick (the BPE-argmax convention — the only driver traffic
-    * is one scalar per round); the covered set is checkpointed with
-    * eager release. k is small and fixed — cost is k keyed passes,
-    * never quadratic in the corpus. */
+    * order. Dataflow per round: one anti-join of the PINNED (doc,
+    * shingle) relation against the broadcast covered set + one groupBy
+    * count + a 1-ROW driver pick (the BPE-argmax convention — the only
+    * driver traffic is one scalar per round). k is small and fixed —
+    * cost is k keyed passes, never quadratic in the corpus.
+    *
+    * r18 shape: the big (doc, shingle) relation is materialized ONCE
+    * and the small side — the union of the ≤ k picked documents'
+    * shingles — is what grows round to round. The pre-r18 loop carried
+    * the shrinking `remaining` relation through a localCheckpoint per
+    * round, i.e. it REWROTE the near-full-size relation k − 1 times (a
+    * single pick covers a vanishing fraction of a real corpus, so
+    * `remaining` barely shrinks); now each round is a read-only scan
+    * of the pinned blocks behind a broadcast anti-join (the covered
+    * side is ≤ k documents' shingles — the same broadcast-size class
+    * as the old per-round single-pick side). */
   def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
                      k: Int, shingleN: Int = 3): DataFrame = {
     require(k >= 1, "pick at least one document")
     val spark = df.sparkSession
-    // the uncovered (doc, shingle) relation is CARRIED and shrunk
-    // round to round (anti-join against just the pick's shingles —
-    // a broadcast-sized side), not re-derived from the full set
-    // against an ever-growing covered union
     // shingles move as xxhash64 keys (the q144/spanShingles
     // convention): an 8-byte key shuffles and compares cheaper than
     // the n-gram string, and counting is collision-robust in practice
-    var remaining = graft.Checkpoints.checkpoint(
+    val base = graft.Checkpoints.checkpoint(
       df.select(col(idCol),
           explode(TextFns.shingles(
             TextFns.words(TextFns.norm(col(textCol))), shingleN)).as("s0"))
         .select(col(idCol), xxhash64(col("s0")).as("s"))
         .distinct())
+    // union of the picked documents' shingles (duplicates across picks
+    // are harmless under anti-join); None until the first pick. The
+    // union is CHECKPOINTED each round — it is the SMALL side, so the
+    // materialization is ~free, and without it round r's broadcast
+    // subtree would re-scan the full base r times (measured as a
+    // regression at sf0.1 before this was added)
+    var covered: Option[DataFrame] = None
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var exhausted = false
     (1 to k).foreach { round =>
       if (!exhausted) {
+        val remaining = covered.fold(base)(c =>
+          base.join(broadcast(c), Seq("s"), "left_anti"))
         val top = remaining.groupBy(col(idCol))
           .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col(idCol))
@@ -977,22 +992,17 @@ object Dedup {
           val id = top.head.getLong(0)
           picks += ((round.toLong, id, top.head.getLong(1)))
           if (round < k) {
-            val nxt = graft.Checkpoints.checkpoint(
-              remaining.join(
-                broadcast(remaining.filter(col(idCol) === id)
-                  .select(col("s"))),
-                Seq("s"), "left_anti"))
-            graft.Checkpoints.release(remaining)
-            remaining = nxt
+            val pickShingles = base.filter(col(idCol) === id).select(col("s"))
+            val newCov = graft.Checkpoints.checkpoint(
+              covered.fold(pickShingles)(_ union pickShingles))
+            covered.foreach(graft.Checkpoints.release)
+            covered = Some(newCov)
           }
         }
       }
     }
-    // the last round's carried relation (or the current one on early
-    // exhaustion) is not referenced by the driver-side picks — release
-    // it eagerly like every intermediate, instead of leaving it pinned
-    // until the caller's releaseAll
-    graft.Checkpoints.release(remaining)
+    covered.foreach(graft.Checkpoints.release)
+    graft.Checkpoints.release(base)
     import spark.implicits._
     picks.toSeq.toDF("round", idCol, "gain")
   }
