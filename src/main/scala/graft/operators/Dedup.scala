@@ -954,9 +954,13 @@ object Dedup {
     * round, i.e. it REWROTE the near-full-size relation k − 1 times (a
     * single pick covers a vanishing fraction of a real corpus, so
     * `remaining` barely shrinks); now each round is a read-only scan
-    * of the pinned blocks behind a broadcast anti-join (the covered
-    * side is ≤ k documents' shingles — the same broadcast-size class
-    * as the old per-round single-pick side). */
+    * of the pinned blocks behind a broadcast anti-join. The covered
+    * side accumulates each pick's NEW shingles only (disjoint across
+    * rounds, so duplicate-free); it is bounded by the distinct-shingle
+    * union of the ≤ k picked documents — small for any realistic k,
+    * but k × max-doc-shingles in the worst case, which is why the
+    * anti-join keeps the explicit broadcast hint on the accumulator
+    * and not on anything derived from the corpus. */
   def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
                      k: Int, shingleN: Int = 3): DataFrame = {
     require(k >= 1, "pick at least one document")
@@ -992,8 +996,20 @@ object Dedup {
           val id = top.head.getLong(0)
           picks += ((round.toLong, id, top.head.getLong(1)))
           if (round < k) {
-            val pickShingles = base.filter(col(idCol) === id).select(col("s"))
-            val newCov = graft.Checkpoints.checkpoint(
+            // NEW shingles only (from `remaining`, not `base`): a
+            // pick's already-covered shingles are dead weight in the
+            // broadcast side, and taking them from base let covered
+            // grow to Σ_picks |doc shingles| with duplicates — up to
+            // k × max-doc-shingles. From remaining, rounds contribute
+            // DISJOINT sets, so covered is duplicate-free by
+            // construction and bounded by the union's true size.
+            // checkpointAlways (not checkpoint): in no-checkpoint audit
+            // mode an identity here left covered a lazy union of
+            // anti-join filters, so round r re-scanned base r+1 times —
+            // the accumulator is tiny, so always materializing is free.
+            val pickShingles =
+              remaining.filter(col(idCol) === id).select(col("s"))
+            val newCov = graft.Checkpoints.checkpointAlways(
               covered.fold(pickShingles)(_ union pickShingles))
             covered.foreach(graft.Checkpoints.release)
             covered = Some(newCov)

@@ -449,22 +449,39 @@ object Graph {
         .filter(col("u") =!= col("v") && col("wt") >= 0L)
         .groupBy(col("u"), col("v")).agg(min(col("wt")).as("wt")))
     var dist = Checkpoints.checkpoint(Seq((source, 0L)).toDF("v", "dist"))
+    // DELTA FRONTIER — same argument as [[earliestArrival]]: a vertex
+    // whose tentative distance did not change last round re-produces
+    // last round's candidates verbatim, which the min-merge already
+    // absorbed, so relaxing only the changed set leaves every
+    // per-round state IDENTICAL while the edge-join probe shrinks as
+    // labels settle. Rounds are caller-fixed, but once the delta is
+    // empty every remaining round is an identity, so the loop exits
+    // early with the exact same `dist` the full unroll would return.
+    var delta = dist
     var i = 0
     while (i < rounds) {
       // explicit aliases: in no-checkpoint audit mode dist's lineage
       // CONTAINS sym after round 1, so dataframe-qualified column refs
       // become an ambiguous self-join
-      val relaxed = dist.alias("dd").join(sym.alias("ss"),
+      val relaxed = delta.alias("dd").join(sym.alias("ss"),
           col("dd.v") === col("ss.u"))
         .select(col("ss.v").as("v"),
           (col("dd.dist") + col("ss.wt")).as("dist"))
       val next = Checkpoints.checkpoint(
         dist.select(col("v"), col("dist")).union(relaxed)
           .groupBy(col("v")).agg(min(col("dist")).as("dist")))
+      val nd = Checkpoints.checkpoint(
+        next.alias("nn").join(dist.alias("oo"),
+            col("nn.v") === col("oo.v"), "left")
+          .filter(col("oo.v").isNull || col("nn.dist") < col("oo.dist"))
+          .select(col("nn.v").as("v"), col("nn.dist").as("dist")))
+      if (delta ne dist) Checkpoints.release(delta)
       Checkpoints.release(dist)
       dist = next
-      i += 1
+      delta = nd
+      i = if (nd.isEmpty) rounds else i + 1
     }
+    if (delta ne dist) Checkpoints.release(delta)
     Checkpoints.release(sym)
     dist
   }
@@ -505,27 +522,40 @@ object Graph {
         .distinct())
     var arr = Checkpoints.checkpoint(
       sources.distinct.map(s => (s, -1L)).toDF("v", "arrival"))
-    var (nPrev, sumPrev) = (0L, 0L)
+    // DELTA FRONTIER (guide §2.3 shuffle fewer bytes / §2.4): only
+    // vertices whose label CHANGED last round can produce a candidate
+    // the min-merge hasn't already absorbed — if arrival(u) is
+    // unchanged, u's edge relaxations this round are byte-identical to
+    // last round's, which round r−1 already merged. Relaxing the delta
+    // instead of the full label set leaves every per-round state
+    // IDENTICAL (monotone-min induction), but the edge-scale join
+    // probe shrinks from |reached| to |frontier|, which collapses as
+    // the fixpoint nears. Stability ≡ empty delta, replacing the old
+    // (count, sum) signature scalar — same round count, same result.
+    var delta = arr
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
-      val relaxed = arr.alias("aa").join(sym.alias("ss"),
+      val relaxed = delta.alias("aa").join(sym.alias("ss"),
           col("aa.v") === col("ss.u") && col("ss.t") >= col("aa.arrival"))
         .select(col("ss.v").as("v"), col("ss.t").as("arrival"))
       val next = Checkpoints.checkpoint(
         arr.union(relaxed).groupBy(col("v"))
           .agg(min(col("arrival")).as("arrival")))
-      // labels only decrease and vertices only appear, so the
-      // (count, sum) pair changes iff ANY label changed — one cheap
-      // scalar job per round instead of a join-diff
-      val sig = next.agg(count(lit(1)), sum(col("arrival"))).head
-      val (n, sm) = (sig.getLong(0), sig.getLong(1))
-      stable = n == nPrev && sm == sumPrev
-      nPrev = n; sumPrev = sm
+      val nd = Checkpoints.checkpoint(
+        next.alias("nn").join(arr.alias("oo"),
+            col("nn.v") === col("oo.v"), "left")
+          .filter(col("oo.v").isNull ||
+            col("nn.arrival") < col("oo.arrival"))
+          .select(col("nn.v").as("v"), col("nn.arrival").as("arrival")))
+      stable = nd.isEmpty
+      if (delta ne arr) Checkpoints.release(delta)
       Checkpoints.release(arr)
       arr = next
+      delta = nd
       i += 1
     }
+    if (delta ne arr) Checkpoints.release(delta)
     Checkpoints.release(sym)
     // a silent non-fixpoint would return quietly incomplete arrivals —
     // same discipline as the SCC outer require
@@ -1350,14 +1380,21 @@ object Graph {
     val adj = Checkpoints.checkpoint(
       und.select(col("u").as("s"), col("v").as("d"))
         .union(und.select(col("v").as("s"), col("u").as("d"))))
-    val verts = adj.select(col("s").as("vx")).distinct()
-    val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+    // verts and deg are LOOP-INVARIANT: materialize once instead of
+    // re-running the edge-scale distinct/groupBy inside every round's
+    // plan (guide §2.4 — each recomputation was a full exchange over
+    // the adjacency per iteration)
+    val verts = Checkpoints.checkpoint(adj.select(col("s").as("vx")).distinct())
+    val deg = Checkpoints.checkpoint(
+      adj.groupBy(col("s")).agg(count(lit(1)).as("dg")))
     val n = verts.count() // bounded driver scalar: prices the teleport
     if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
       // the empty result must NOT derive from the released checkpoint
       // (release contract: truncated lineage cannot be re-executed), so
       // rebuild a 0-row frame of the same shape from the raw input
       Checkpoints.release(adj)
+      Checkpoints.release(verts)
+      Checkpoints.release(deg)
       return emptyRanks(edges, least(col(a), col(b)))
     }
     val tele = (15L * (scale / n)) / 100L
@@ -1378,6 +1415,8 @@ object Graph {
       i += 1
     }
     Checkpoints.release(adj)
+    Checkpoints.release(verts)
+    Checkpoints.release(deg)
     r.select(col("vx").as("v"), col("r").as("rank_scaled"))
   }
 
@@ -1424,25 +1463,41 @@ object Graph {
       edges.select(col(src).as("s"), col(dst).as("d"), w.as("w"))
         .filter(col("s").isNotNull && col("d").isNotNull &&
           col("s") =!= col("d") && col("w") > 0).distinct())
-    val verts = e.select(col("s").as("vx"))
-      .union(e.select(col("d").as("vx"))).distinct()
-    val ow = e.groupBy(col("s")).agg(sum(col("w")).as("tw"))
+    // verts, out-weights and the dangling-vertex set are LOOP-INVARIANT:
+    // materialize each once instead of re-running their edge-scale
+    // distinct/groupBy inside every round's plan (guide §2.4). The
+    // dangling set also replaces the per-round r⟕ow left join that the
+    // old shape executed TWICE per round (once under the dangling-mass
+    // broadcast, once for the shares) with one semi + one inner join.
+    val verts = Checkpoints.checkpoint(e.select(col("s").as("vx"))
+      .union(e.select(col("d").as("vx"))).distinct())
+    val ow = Checkpoints.checkpoint(
+      e.groupBy(col("s")).agg(sum(col("w")).as("tw")))
+    val dangset = Checkpoints.checkpoint(
+      verts.join(ow.select(col("s").as("vx")), Seq("vx"), "left_anti"))
+    def releaseInvariants(): Unit = {
+      Checkpoints.release(e)
+      Checkpoints.release(verts)
+      Checkpoints.release(ow)
+      Checkpoints.release(dangset)
+    }
     val n = verts.count() // bounded driver scalar: prices the teleport
     if (n == 0L) { // empty graph: no vertices to price, avoid scale/0
       // see pageRankInt: never return a frame derived from the
       // released checkpoint
-      Checkpoints.release(e)
+      releaseInvariants()
       return emptyRanks(edges, col(src))
     }
     val tele = (15L * (scale / n)) / 100L
     var r = Checkpoints.checkpoint(verts.withColumn("r", lit(scale / n)))
     var i = 0
     while (i < iters) {
-      val withOw = r.join(ow, r("vx") === ow("s"), "left")
-      val dang = withOw.filter(col("tw").isNull)
+      // r semi dangset ≡ the old withOw.filter(tw IS NULL): a vertex is
+      // dangling iff it has no out-edge, and r covers exactly `verts`
+      val dang = r.join(dangset, Seq("vx"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
         .select(expr(s"dm div $n").as("dsh"))
-      val shares = withOw.filter(col("tw").isNotNull)
+      val shares = r.join(ow, r("vx") === ow("s"))
         .select(col("vx").as("sv"), col("r"), col("tw"))
       val contrib = e.join(shares, e("s") === col("sv"))
         .select(e("d").as("cv"), expr("(r * w) div tw").as("share"))
@@ -1457,7 +1512,7 @@ object Graph {
       r = nxt
       i += 1
     }
-    Checkpoints.release(e)
+    releaseInvariants()
     r.select(col("vx").as("v"), col("r").as("rank_scaled"))
   }
 
@@ -1487,21 +1542,29 @@ object Graph {
         .filter(col("s").isNotNull && col("d").isNotNull &&
           col("s") =!= col("d")).distinct())
     val k = seeds.size.toLong
-    val verts = e.select(col("s").as("vx"))
+    // loop-invariant relations materialized once (guide §2.4) — same
+    // shape as [[pageRankDirectedInt]]: verts (with the seed flag),
+    // out-degrees, and the dangling set (replacing the per-round
+    // double-executed r⟕ow left join with one semi + one inner join)
+    val verts = Checkpoints.checkpoint(e.select(col("s").as("vx"))
       .union(e.select(col("d").as("vx"))).distinct()
       .withColumn("isw",
-        when(col("vx").isin(seeds: _*), lit(1L)).otherwise(lit(0L)))
-    val ow = e.groupBy(col("s")).agg(count(lit(1)).as("odg"))
+        when(col("vx").isin(seeds: _*), lit(1L)).otherwise(lit(0L))))
+    val ow = Checkpoints.checkpoint(
+      e.groupBy(col("s")).agg(count(lit(1)).as("odg")))
+    val dangset = Checkpoints.checkpoint(
+      verts.select(col("vx"))
+        .join(ow.select(col("s").as("vx")), Seq("vx"), "left_anti"))
     val tele = (15L * (scale / k)) / 100L
     var r = Checkpoints.checkpoint(
       verts.select(col("vx"), (col("isw") * lit(scale / k)).as("r")))
     var i = 0
     while (i < iters) {
-      val withOw = r.join(ow, r("vx") === ow("s"), "left")
-      val dang = withOw.filter(col("odg").isNull)
+      // r semi dangset ≡ the old withOw.filter(odg IS NULL)
+      val dang = r.join(dangset, Seq("vx"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
         .select(expr(s"dm div $k").as("dsh"))
-      val shares = withOw.filter(col("odg").isNotNull)
+      val shares = r.join(ow, r("vx") === ow("s"))
         .select(col("vx").as("sv"), col("r"), col("odg"))
       val contrib = e.join(shares, e("s") === col("sv"))
         .select(e("d").as("cv"), expr("r div odg").as("share"))
@@ -1518,6 +1581,9 @@ object Graph {
       i += 1
     }
     Checkpoints.release(e)
+    Checkpoints.release(verts)
+    Checkpoints.release(ow)
+    Checkpoints.release(dangset)
     r.select(col("vx").as("v"), col("r").as("rank_scaled"))
   }
 
@@ -1601,35 +1667,50 @@ object Graph {
       edges.select(col(src).as("s"), col(dst).as("d"))
         .filter(col("s").isNotNull && col("d").isNotNull &&
           col("s") =!= col("d")).distinct())
-    val verts = e.select(col("s").as("vx"))
-      .union(e.select(col("d").as("vx"))).distinct()
+    // loop-invariant: the vertex set feeds every half-round's
+    // densifying left join (4 recomputations of the edge-scale
+    // union+distinct at the default iters=2) — materialize once
+    // (guide §2.4)
+    val verts = Checkpoints.checkpoint(e.select(col("s").as("vx"))
+      .union(e.select(col("d").as("vx"))).distinct())
     var h = Checkpoints.checkpoint(verts.withColumn("h", lit(scale)))
     var a: DataFrame = null
     var i = 0
     while (i < iters) {
-      val araw = e.join(h, e("s") === h("vx"))
-        .groupBy(e("d").as("av")).agg(sum(col("h")).as("ar"))
+      // raw sums MATERIALIZED before the rescale (guide §2.4): the
+      // L1-total broadcast and the densifying left join both consume
+      // araw/hraw, and without a checkpoint the broadcast subquery
+      // re-executes the edge-scale join+groupBy — the whole e⋈rank
+      // pass ran TWICE per half-round (4 extra edge passes per run at
+      // iters=2). The materialized relation is vertex-scale.
+      val araw = Checkpoints.checkpoint(
+        e.join(h, e("s") === h("vx"))
+          .groupBy(e("d").as("av")).agg(sum(col("h")).as("ar")))
       val atot = araw.agg(coalesce(sum(col("ar")), lit(1L)).as("at"))
       val an = Checkpoints.checkpoint(
         verts.join(araw, verts("vx") === col("av"), "left")
           .crossJoin(broadcast(atot))
           .select(col("vx"),
             expr(s"(coalesce(ar, 0) * $scale) div at").as("a")))
+      Checkpoints.release(araw)
       if (a != null) Checkpoints.release(a)
       a = an
-      val hraw = e.join(a, e("d") === a("vx"))
-        .groupBy(e("s").as("hv")).agg(sum(col("a")).as("hr"))
+      val hraw = Checkpoints.checkpoint(
+        e.join(a, e("d") === a("vx"))
+          .groupBy(e("s").as("hv")).agg(sum(col("a")).as("hr")))
       val htot = hraw.agg(coalesce(sum(col("hr")), lit(1L)).as("ht"))
       val hn = Checkpoints.checkpoint(
         verts.join(hraw, verts("vx") === col("hv"), "left")
           .crossJoin(broadcast(htot))
           .select(col("vx"),
             expr(s"(coalesce(hr, 0) * $scale) div ht").as("h")))
+      Checkpoints.release(hraw)
       Checkpoints.release(h)
       h = hn
       i += 1
     }
     Checkpoints.release(e)
+    Checkpoints.release(verts)
     a.join(h, Seq("vx"))
       .select(col("vx").as("v"), col("a").as("authority"),
         col("h").as("hub"))
@@ -1912,19 +1993,39 @@ object Graph {
     val deg = Checkpoints.checkpointAlways(
       adj.groupBy(col("s")).agg(count(lit(1)).as("deg"))
         .select(col("s").as("v"), col("deg")))
-    val mm = und.agg(count(lit(1)).as("m"))
-    // exact integer partition score: 4m·Σe_in − Σd_c² (= 4m²·Q)
-    def qint(ls: DataFrame, out: String): DataFrame = {
-      val ein = und
-        .join(ls.select(col("v").as("u"), col("lab").as("lu")), Seq("u"))
-        .join(ls.select(col("v"), col("lab").as("lv")), Seq("v"))
-        .filter(col("lu") === col("lv"))
-        .agg(count(lit(1)).as("ein"))
-      val sd = ls.join(deg, "v").groupBy(col("lab"))
-        .agg(sum(col("deg")).as("dsum"))
-        .agg(sum(col("dsum") * col("dsum")).as("sd"))
-      ein.crossJoin(sd).crossJoin(broadcast(mm))
-        .select((lit(4L) * col("m") * col("ein") - col("sd")).as(out))
+    // m MATERIALIZED once (guide §2.4): the 1-row broadcast is
+    // consumed by prop AND the guard in EVERY round, and un-checkpointed
+    // each use re-ran the count over the full edge blocks — 2 edge-scale
+    // scans per round for a loop-invariant scalar.
+    val mm = Checkpoints.checkpointAlways(und.agg(count(lit(1)).as("m")))
+    // Guard comparison Q(proposed) > Q(current) with BOTH partitions
+    // scored in ONE edge-scale pass (guide §2.4): the old shape ran the
+    // exact integer score qint = 4m·Σe_in − Σd_c² twice per round — two
+    // separate und⋈labels⋈labels double joins over the edge list.
+    // Carrying both labelings on one joined (v, lab_old, lab_new) frame
+    // prices both partitions from a single double join; the integers
+    // are term-for-term the same (e_in = Σ_edges [l_u = l_v], count ≡
+    // coalesced conditional sum; Σd² per labeling over the same frame).
+    def guardFlag(labOld: DataFrame, labNew: DataFrame): DataFrame = {
+      val both = labOld.select(col("v"), col("lab").as("lo"))
+        .join(labNew.select(col("v"), col("lab").as("ln")), Seq("v"))
+      val ein2 = und
+        .join(both.select(col("v").as("u"), col("lo").as("lou"),
+          col("ln").as("lnu")), Seq("u"))
+        .join(both.select(col("v"), col("lo").as("lov"),
+          col("ln").as("lnv")), Seq("v"))
+        .agg(coalesce(sum(when(col("lou") === col("lov"), 1L)
+            .otherwise(0L)), lit(0L)).as("eo"),
+          coalesce(sum(when(col("lnu") === col("lnv"), 1L)
+            .otherwise(0L)), lit(0L)).as("en"))
+      val bd = both.join(deg, "v")
+      val sdo = bd.groupBy(col("lo")).agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sdo"))
+      val sdn = bd.groupBy(col("ln")).agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sdn"))
+      ein2.crossJoin(sdo).crossJoin(sdn).crossJoin(broadcast(mm))
+        .select((lit(4L) * col("m") * col("en") - col("sdn") >
+          lit(4L) * col("m") * col("eo") - col("sdo")).as("take_all"))
     }
     var lab = Checkpoints.checkpointAlways(
       labels.select(col("v"), col("community").as("lab")))
@@ -1957,8 +2058,7 @@ object Graph {
       val pall = Checkpoints.checkpoint(
         lab.join(prop.select(col("v"), col("tgt")), Seq("v"), "left")
           .select(col("v"), coalesce(col("tgt"), col("lab")).as("lab")))
-      val flag = qint(pall, "qnew").crossJoin(qint(lab, "qold"))
-        .select((col("qnew") > col("qold")).as("take_all"))
+      val flag = guardFlag(lab, pall)
       val single = prop.orderBy(col("dq").desc, col("v")).limit(1)
         .select(col("v"), col("tgt"))
       val nxt = Checkpoints.checkpoint(
@@ -1976,6 +2076,7 @@ object Graph {
       lab = nxt
     }
     Checkpoints.releaseAfterLoop(und)
+    Checkpoints.releaseAfterLoop(mm)
     Checkpoints.releaseAfterLoop(adj)
     Checkpoints.releaseAfterLoop(deg)
     lab.select(col("v"), col("lab").as("community"))
@@ -2049,8 +2150,13 @@ object Graph {
     val cross = Checkpoints.checkpointAlways(
       ce.filter(col("cu") =!= col("cv"))
         .select(col("cu"), col("cv"), col("w")))
-    val selfW = ce.filter(col("cu") === col("cv"))
-      .agg(coalesce(sum(col("w")), lit(0L)).as("sw"))
+    // 1-row loop-invariant scalars materialized once (guide §2.4) —
+    // selfW and m are broadcast into every round's guard (and m into
+    // every round's proposals); un-checkpointed each broadcast re-ran
+    // its aggregate over the coarse edge relation per use.
+    val selfW = Checkpoints.checkpointAlways(
+      ce.filter(col("cu") === col("cv"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("sw")))
     val adj = Checkpoints.checkpointAlways(
       cross.select(col("cu").as("s"), col("cv").as("d"), col("w"))
         .union(cross.select(col("cv").as("s"), col("cu").as("d"), col("w"))))
@@ -2060,19 +2166,32 @@ object Graph {
           .select(col("cu").as("c"), (col("w") * 2).as("w")))
         .groupBy(col("c")).agg(sum(col("w")).as("deg"))
         .select(col("c").as("v"), col("deg")))
-    val mm = ce.agg(sum(col("w")).as("m"))
-    def qint(ls: DataFrame, out: String): DataFrame = {
-      val ein = cross
-        .join(ls.select(col("v").as("cu"), col("lab").as("lu")), Seq("cu"))
-        .join(ls.select(col("v").as("cv"), col("lab").as("lv")), Seq("cv"))
-        .filter(col("lu") === col("lv"))
-        .agg(coalesce(sum(col("w")), lit(0L)).as("ein"))
-      val sd = ls.join(deg, "v").groupBy(col("lab"))
-        .agg(sum(col("deg")).as("dsum"))
-        .agg(sum(col("dsum") * col("dsum")).as("sd"))
-      ein.crossJoin(sd).crossJoin(broadcast(mm)).crossJoin(broadcast(selfW))
-        .select((lit(4L) * col("m") * (col("ein") + col("sw")) - col("sd"))
-          .as(out))
+    val mm = Checkpoints.checkpointAlways(ce.agg(sum(col("w")).as("m")))
+    // fused guard — see [[refineCommunities]].guardFlag: both labelings
+    // scored from ONE cross⋈labels⋈labels pass (weighted arithmetic;
+    // the self-loop term sw rides on both sides exactly as before)
+    def guardFlag(labOld: DataFrame, labNew: DataFrame): DataFrame = {
+      val both = labOld.select(col("v"), col("lab").as("lo"))
+        .join(labNew.select(col("v"), col("lab").as("ln")), Seq("v"))
+      val ein2 = cross
+        .join(both.select(col("v").as("cu"), col("lo").as("lou"),
+          col("ln").as("lnu")), Seq("cu"))
+        .join(both.select(col("v").as("cv"), col("lo").as("lov"),
+          col("ln").as("lnv")), Seq("cv"))
+        .agg(coalesce(sum(when(col("lou") === col("lov"), col("w"))
+            .otherwise(0L)), lit(0L)).as("eo"),
+          coalesce(sum(when(col("lnu") === col("lnv"), col("w"))
+            .otherwise(0L)), lit(0L)).as("en"))
+      val bd = both.join(deg, "v")
+      val sdo = bd.groupBy(col("lo")).agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sdo"))
+      val sdn = bd.groupBy(col("ln")).agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sdn"))
+      ein2.crossJoin(sdo).crossJoin(sdn)
+        .crossJoin(broadcast(mm)).crossJoin(broadcast(selfW))
+        .select((lit(4L) * col("m") * (col("en") + col("sw")) - col("sdn") >
+          lit(4L) * col("m") * (col("eo") + col("sw")) - col("sdo"))
+          .as("take_all"))
     }
     var lab = Checkpoints.checkpointAlways(
       ce.select(col("cu").as("v")).union(ce.select(col("cv").as("v")))
@@ -2106,8 +2225,7 @@ object Graph {
       val pall = Checkpoints.checkpoint(
         lab.join(prop.select(col("v"), col("tgt")), Seq("v"), "left")
           .select(col("v"), coalesce(col("tgt"), col("lab")).as("lab")))
-      val flag = qint(pall, "qnew").crossJoin(qint(lab, "qold"))
-        .select((col("qnew") > col("qold")).as("take_all"))
+      val flag = guardFlag(lab, pall)
       val single = prop.orderBy(col("dq").desc, col("v")).limit(1)
         .select(col("v"), col("tgt"))
       val nxt = Checkpoints.checkpoint(
@@ -2127,6 +2245,8 @@ object Graph {
     Checkpoints.releaseAfterLoop(cross)
     Checkpoints.releaseAfterLoop(adj)
     Checkpoints.releaseAfterLoop(deg)
+    Checkpoints.releaseAfterLoop(selfW)
+    Checkpoints.releaseAfterLoop(mm)
     lab.select(col("v").as("c"), col("lab"))
   }
 

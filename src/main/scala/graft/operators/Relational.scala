@@ -298,15 +298,27 @@ object Relational {
     * share). */
   def fkCensus(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     edges.map { case (name, child, ck, parent, pk) =>
-      val c = child.select(col(ck).as("fk"))
+      // Child side PRE-AGGREGATED by key before the parent join (guide
+      // §2.3 aggregate-before-shuffle): the orphan-check join and both
+      // exchanges then carry |distinct keys| rows instead of |child|
+      // rows (the map-side combine absorbs the fact-table volume), and
+      // ONE keyed aggregate feeds both the child-side census and the
+      // unreferenced-parent probe. Counts are carried as `cnt` weights,
+      // so every output integer is unchanged (n_child = Σcnt ≡ the old
+      // per-row count; countDistinct over the already-keyed rows ≡ the
+      // old countDistinct; coalesce only normalizes the empty-child
+      // SUM-over-zero-rows to the 0 the old COUNT shape produced).
+      val ckeys = child.select(col(ck).as("fk"))
+        .groupBy(col("fk")).agg(count(lit(1)).as("cnt"))
       val p = parent.select(col(pk).as("pkk"))
-      val childSide = c.join(p, col("fk") === col("pkk"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
-          sum(when(col("fk").isNotNull && col("pkk").isNull, 1L)
+      val childSide = ckeys.join(p, col("fk") === col("pkk"), "left")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_child"),
+          sum(when(col("fk").isNull, col("cnt")).otherwise(0L))
+            .as("n_null_fk"),
+          sum(when(col("fk").isNotNull && col("pkk").isNull, col("cnt"))
             .otherwise(0L)).as("n_orphans"),
           countDistinct(col("fk")).as("n_distinct_fk"))
-      val refs = c.filter(col("fk").isNotNull).distinct()
+      val refs = ckeys.filter(col("fk").isNotNull).select(col("fk"))
       val parentSide = p.join(refs, col("pkk") === col("fk"), "left")
         .agg(count(lit(1)).as("n_parents"),
           sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_unreferenced"))

@@ -795,10 +795,15 @@ object TextQueries {
     "q93_entity_resolution" -> { (s, d) =>
       val assign = Dedup.resolveEntities(Tables.documents(s, d),
         "doc_id", "text", minJaccard = 0.8, starComponents = true)
-      val sizes = assign.groupBy(col("canonical_id"))
-        .agg(count(lit(1)).as("n_members"))
-      assign.join(sizes, "canonical_id")
-        .select(col("doc_id"), col("canonical_id"), col("n_members"))
+      // group size as a WINDOW count over canonical_id: one exchange on
+      // the grouping key, where the old groupBy + join-back shape both
+      // shuffled twice AND executed the whole (un-checkpointed) assign
+      // subtree twice — once under the sizes aggregate, once as the
+      // join's probe side (guide §2.4; the exchanges were not reusable
+      // because the aggregate's partial-agg child schema differs)
+      assign.select(col("doc_id"), col("canonical_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))).as("n_members"))
     },
 
     "q22_lang_id" -> { (s, d) =>

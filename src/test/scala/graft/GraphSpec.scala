@@ -919,6 +919,22 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     graft.Checkpoints.releaseAll(spark)
   }
 
+  test("refineCommunities fused guard still rejects the symmetric swap " +
+       "and applies the single best move") {
+    // one edge, two singleton communities: both endpoints propose to
+    // swap into each other's label (ΔQ = 2 > 0 each), but the full
+    // proposal set only RELABELS the same partition (Q unchanged), so
+    // the guard must reject it and apply the single best move
+    // (ΔQ desc, v asc → vertex 1 joins community 2) — the exact branch
+    // the r19 one-pass guard fusion must preserve
+    val ed = Seq((1L, 2L)).toDF("a", "b")
+    val ids = Seq((1L, 1L), (2L, 2L)).toDF("v", "community")
+    val out = Graph.refineCommunities(ed, ids, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L), s"got $out")
+    graft.Checkpoints.releaseAll(spark)
+  }
+
   test("refineCommunities never decreases modularity on random graphs") {
     val rnd = new scala.util.Random(17)
     (1 to 3).foreach { trial =>

@@ -198,4 +198,21 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
     assert((clean._3, clean._4) == ((0L, 0L)))
   }
+
+  test("fkCensus carries key multiplicity through the pre-aggregated " +
+       "join: repeated orphans and nulls count per ROW, not per key") {
+    // r19 shape: the child side is grouped by key before the parent
+    // join and every census integer is a cnt-weighted sum — repeated
+    // orphan key 9 (3 rows) and repeated NULL (2 rows) must still
+    // count 3 and 2, and n_distinct_fk must count keys, not rows
+    val child = Seq(Some(9L), Some(9L), Some(9L), None, None, Some(1L))
+      .toDF("k")
+    val parent = Seq(1L, 2L).toDF("p")
+    val got = graft.operators.Relational
+      .fkCensus(Seq(("dup->p", child, "k", parent, "p")))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // (edge, n_child, n_null_fk, n_orphans, n_distinct_fk,
+    //  n_parents, n_unreferenced)
+    assert(got == (("dup->p", 6L, 2L, 3L, 2L, 2L, 1L)), s"got $got")
+  }
 }
