@@ -967,9 +967,13 @@ object Dedup {
     val spark = df.sparkSession
     // shingles move as xxhash64 keys (the q144/spanShingles
     // convention): an 8-byte key shuffles and compares cheaper than
-    // the n-gram string, and counting is collision-robust in practice
+    // the n-gram string, and counting is collision-robust in practice.
+    // Spread first: the norm→words→shingles→explode chain otherwise
+    // runs inside the scan's single input split (measured 4.2 s of
+    // 1-task stage wall at sf0.1 — see operators.Spread)
     val base = graft.Checkpoints.checkpoint(
-      df.select(col(idCol),
+      Spread.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
           explode(TextFns.shingles(
             TextFns.words(TextFns.norm(col(textCol))), shingleN)).as("s0"))
         .select(col(idCol), xxhash64(col("s0")).as("s"))
@@ -1105,8 +1109,12 @@ object Dedup {
     * rewrite for free. */
   def tfidfVectors(df: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = 32): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFns.words(TextFns.norm(col(textCol)))).as("term"))
+    // spread ahead of tokenization — the norm→words→explode chain
+    // otherwise runs inside the scan's single input split (measured
+    // 1.2 s of 1-task stage wall on q152; see operators.Spread)
+    val toks = Spread.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        explode(TextFns.words(TextFns.norm(col(textCol)))).as("term"))
     // checkpoint: tf feeds the df aggregate AND the weight join
     val tf = graft.Checkpoints.checkpoint(
       toks.groupBy(col(idCol), col("term"))
@@ -1121,7 +1129,11 @@ object Dedup {
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("rank"),
         call_function("div", col("tf") * col("n") * 10L, col("df")).as("w"))
-    w.groupBy(col(idCol))
+    // user exchange on the agg key REPLACES the planner's (same
+    // shuffle count) but is not AQE-coalescible: the collect_list
+    // assembly is CPU-heavy at tiny byte counts, and AQE's
+    // size-based coalescing was measured running it one task wide
+    Spread.byKey(w, col(idCol)).groupBy(col(idCol))
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("rank"), col("w"))))).as("m"))
       .select(col(idCol),

@@ -101,7 +101,12 @@ object Similarity {
   def cosinePairsLsh(emb: DataFrame, id: String, vec: String,
                      minCos: Double, numPlanes: Int = 24,
                      rowsPerBand: Int = 3, dims: Int = 64): DataFrame = {
-    val b = signLshBuckets(emb, id, vec, numPlanes, rowsPerBand, dims)
+    // spread ahead of the sketch: numPlanes × dims multiply-adds per
+    // row otherwise run inside the scan's single input split
+    // (measured 1.4 s of 1-task stage wall on q70; operators.Spread)
+    val b = signLshBuckets(
+      Spread.byKey(emb.select(col(id), col(vec)), col(id)),
+      id, vec, numPlanes, rowsPerBand, dims)
     val l = b.select(col(id).as("id_a"), col("band"), col("bkey"))
     val r = b.select(col(id).as("id_b"), col("band"), col("bkey"))
     val cand = l.join(r, Seq("band", "bkey"))
@@ -445,8 +450,12 @@ object Similarity {
   def cosinePairsIvf(emb: DataFrame, id: String, vec: String,
                      minCos: Double, targetCellSize: Int = 256,
                      nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
-    val c = graft.Checkpoints.checkpoint(emb.select(col(id).as("n_id"),
-      VectorFns.toDoubleArr(col(vec)).as("cv")))
+    // spread inside the checkpoint: `c` feeds every Lloyd round and
+    // the n·cells assignment cosines — on a single-split scan all of
+    // it otherwise runs one task wide (operators.Spread)
+    val c = graft.Checkpoints.checkpoint(
+      Spread.byKey(emb.select(col(id).as("n_id"),
+        VectorFns.toDoubleArr(col(vec)).as("cv")), col("n_id")))
     val cells = math.max(4L, c.count() / targetCellSize).toInt
     val centroids = lloydCentroids(c, cells, lloydIters)
     // past ~64 cells, flat assignment's n·cells cosines dominate — use
@@ -527,8 +536,11 @@ object Similarity {
     val scored = vecs.crossJoin(broadcast(centroids))
       .select(col("n_id"), col("cell"),
         ArrayCosine.cosine(col("cv"), col("ctr")).as("sim"))
-    Relational.topKPerGroup(scored, Seq(col("n_id")),
-      Seq(col("sim").desc, col("cell")), take)
+    // user exchange on the window key — same shuffle the top-k window
+    // needs anyway, but not AQE-coalescible (the n·cells score rows
+    // are tiny bytes / heavy CPU; measured collapsing to one task)
+    Relational.topKPerGroup(Spread.byKey(scored, col("n_id")),
+      Seq(col("n_id")), Seq(col("sim").desc, col("cell")), take)
       .select(col("n_id"), col("cell"))
   }
 
@@ -783,7 +795,12 @@ object Similarity {
     val spark = corpus.sparkSession
     val books = spark.read.parquet(s"$indexDir/codebooks.parquet")
     val sub = books.select(size(col("ctr"))).head.getInt(0)
-    val encoded = spark.read.parquet(s"$indexDir/codes.parquet")
+    // spread the code scan: the index is written compact (coalesced
+    // parquet), so the ADC scan is otherwise one task wide; one
+    // exchange of the (n_id, codes) rows stays index-only — no corpus
+    // scan enters the serve path (operators.Spread)
+    val encoded = Spread.byKey(
+      spark.read.parquet(s"$indexDir/codes.parquet"), col("n_id"))
     val q = queries.select(col(id).as("q_id"),
       VectorFns.toDoubleArr(col(vec)).as("qv"))
     val adc = encoded.crossJoin(broadcast(adcTables(books, q, m, k, sub)))
@@ -877,8 +894,11 @@ object Similarity {
     val scored = candCentroids.join(vecs, "n_id")
       .select(col("n_id"), col("cell"),
         ArrayCosine.cosine(col("cv"), col("ctr")).as("sim"))
-    Relational.topKPerGroup(scored, Seq(col("n_id")),
-      Seq(col("sim").desc, col("cell")), take)
+    // same non-coalescible user exchange as [[assignCells]] — the
+    // probed-cells cosine scoring + top-k window otherwise ran one
+    // task wide under AQE's size-based coalescing (measured on q72)
+    Relational.topKPerGroup(Spread.byKey(scored, col("n_id")),
+      Seq(col("n_id")), Seq(col("sim").desc, col("cell")), take)
       .select(col("n_id"), col("cell"))
   }
 

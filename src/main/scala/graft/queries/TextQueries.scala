@@ -921,8 +921,12 @@ object TextQueries {
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
           substring(col("c_name"), 1, 16).as("blk"))
-      val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"),
-        col("blk"))
+      // spread the probe side: with the build side broadcast, the
+      // join + levenshtein verify otherwise runs in the scan's one
+      // input split (2.8 s of 1-task stage wall; operators.Spread)
+      val a = graft.operators.Spread.byKey(
+        c.select(col("c_custkey").as("k1"), col("c_name").as("n1"),
+          col("blk")), col("k1"))
       val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"),
         col("blk"))
       a.join(b, Seq("blk"))
@@ -1298,8 +1302,12 @@ object TextQueries {
 
     "q106_mjpeg_decode" -> { (s, d) =>
       import s.implicits._
-      val media = Tables.documents(s, d)
-        .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+      // spread before the synth+decode mapPartitions — single-split
+      // scan otherwise runs it one task wide (operators.Spread)
+      val media = graft.operators.Spread.byKey(
+          Tables.documents(s, d)
+            .filter(col("doc_id") >= 0).select(col("doc_id")),
+          col("doc_id")).as[Long]
         .mapPartitions(_.map(id => graft.operators.Multimodal.Media(
           id, "video/x-msvideo",
           graft.operators.Multimodal.synthMjpegAvi(
@@ -1324,10 +1332,15 @@ object TextQueries {
     // and the corpus total arrives as a 1-row broadcast scalar
     // (registered intended NLJ).
     "q118_bpe_budget" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .filter(col("doc_id") >= 0)
-        .select(col("doc_id"),
-          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+      // spread + checkpoint: the BPE chain otherwise runs in the
+      // scan's one input split, TWICE (ranked feeds both the total
+      // scalar and the output — 2 × ~0.75 s of 1-task wall measured)
+      val docs = graft.Checkpoints.checkpoint(
+        graft.operators.Spread.byKey(
+            Tables.documents(s, d).filter(col("doc_id") >= 0)
+              .select(col("doc_id"), col("text")), col("doc_id"))
+          .select(col("doc_id"),
+            graft.functions.Bpe.tokenCount(col("text")).as("n_tokens")))
       val ranked = graft.operators.Relational.globalCumsum(
         docs, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
       val total = ranked.agg(max(col("cum_tokens")).as("total"))
@@ -1346,7 +1359,10 @@ object TextQueries {
     // literal-replay discipline); BpeSpec pins the learning loop
     // against a pure-Scala reference implementation.
     "q132_bpe_learned" -> { (s, d) =>
-      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+      // spread: the learning rounds and the final tokenCountWith both
+      // scan the corpus — single-split otherwise (operators.Spread)
+      val docs = graft.operators.Spread.byKey(
+        Tables.documents(s, d).filter(col("doc_id") >= 0), col("doc_id"))
       val learned = graft.functions.Bpe.learnMerges(docs, col("text"), 12)
       docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1506,7 +1522,11 @@ object TextQueries {
     // ties the kept per-language totals to q139's packed sequences.
     "q146_language_mixture" -> { (s, d) =>
       val words = TextFns.words(TextFns.norm(col("text")))
-      val docs = Tables.documents(s, d).filter(col("doc_id") >= 0)
+      // spread ahead of langId + BPE — single-split scan otherwise
+      // runs both in one task (1.05 s measured; operators.Spread)
+      val docs = graft.operators.Spread.byKey(
+          Tables.documents(s, d).filter(col("doc_id") >= 0)
+            .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), TextFns.langId(words).as("lang_pred"),
           graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
         .withColumn("w", when(col("lang_pred") === "en", 4L)
@@ -1641,9 +1661,18 @@ object TextQueries {
     // chunk totals to the token budget (ChunkPlanSpec asserts the
     // per-doc equality).
     "q138_chunk_plan_tokens" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+      // spread ahead of the BPE chain — single-split scan otherwise
+      // runs it in one task (2.2 s measured; operators.Spread). The
+      // checkpoint is the filter-pushdown barrier: without it the
+      // n_tokens predicate pushes below the spread exchange and drags
+      // the tokenCount evaluation back into the 1-task scan stage
+      // (guide §4.4 duplication — measured on q138/q139)
+      graft.Checkpoints.checkpoint(
+          graft.operators.Spread.byKey(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id"))
+          .select(col("doc_id"),
+            graft.functions.Bpe.tokenCount(col("text")).as("n_tokens")))
         .filter(col("n_tokens") > 0)
         .select(col("doc_id"), col("n_tokens"),
           posexplode(sequence(lit(0L),
@@ -1670,13 +1699,21 @@ object TextQueries {
       val cap = lit(512L)
       // checkpoint BEFORE the rank: repartitionByRange SAMPLES its
       // input to pick bounds, which would evaluate the 20-merge BPE
-      // replace chain a second time over every document
+      // replace chain a second time over every document.
+      // Spread first: the BPE chain otherwise runs in the scan's one
+      // input split (measured 3.2 s of 1-task stage wall — Spread doc).
+      // The n_tokens filter sits AFTER the checkpoint: pushed down it
+      // drags the tokenCount evaluation back below the spread exchange
+      // (filter-through-repartition + the guide's §4.4 duplication),
+      // re-serializing the chain — measured, not hypothetical.
       val docs = graft.Checkpoints.checkpoint(
-        Tables.documents(s, d).filter(col("doc_id") >= 0)
+        graft.operators.Spread.byKey(
+            Tables.documents(s, d).filter(col("doc_id") >= 0)
+              .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"),
-            graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
-          .filter(col("n_tokens") > 0)
-          .withColumn("h", lcgHash(col("doc_id"))))
+            graft.functions.Bpe.tokenCount(col("text")).as("n_tokens")))
+        .filter(col("n_tokens") > 0)
+        .withColumn("h", lcgHash(col("doc_id")))
       graft.operators.Relational.globalCumsum(
           docs, Seq(col("h"), col("doc_id")), col("n_tokens"), "cum")
         .select(col("doc_id"), col("n_tokens"),
@@ -1997,8 +2034,13 @@ object TextQueries {
     // pixels cannot fake it (the q106 discipline).
     "q207_image_phash_neardup" -> { (s, d) =>
       import s.implicits._
-      val media = Tables.documents(s, d)
-        .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+      // spread before the PNG-synth mapPartitions (operators.Spread);
+      // the un-checkpointed sig is consumed twice by hammingPairs64,
+      // so the synth+hash runs twice — 2 × ~0.95 s of 1-task wall
+      val media = graft.operators.Spread.byKey(
+          Tables.documents(s, d)
+            .filter(col("doc_id") >= 0).select(col("doc_id")),
+          col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val dec = id / 10
           val pert = (id % 10).toInt
